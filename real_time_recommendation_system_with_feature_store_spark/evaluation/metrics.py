@@ -1,0 +1,133 @@
+"""Ranking-metric suite as DataFrame aggregations — SURVEY.md §2.5 W3,
+§2.4 A9-A11, §2.7 SE2, §2.3 J9/J10.
+
+The reference computes per-user python loops over ranked lists
+(src/evaluation/metrics.py:248-319); here each metric is rank arithmetic on
+the exploded `(user, item, rank)` form — joins + windows, fully distributed,
+no per-user collect.
+
+Inputs:
+  recs:  (user, item, rank)  rank 1-based, dense per user
+  truth: (user, item)        positive ground truth
+
+All metrics are macro-averaged over users that have >=1 truth row, matching
+the reference (metrics.py:274-299 skips users without ground truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hits(recs: DataFrame, truth: DataFrame, k: int, user: str, item: str) -> DataFrame:
+    """J9/SE2: per-user hit rows within top-k: (user, rank)."""
+    return recs.where(F.col("rank") <= k).join(truth, [user, item], "inner")
+
+
+def ranking_metrics(
+    recs: DataFrame,
+    truth: DataFrame,
+    k: int,
+    user: str = "user_idx",
+    item: str = "item_idx",
+) -> DataFrame:
+    """recall@k, precision@k, hit_rate@k, ndcg@k, mrr@k, map@k in ONE pass.
+
+    Shape: hits join → per-user aggregates → global means. Two shuffles
+    (join on (user,item), agg on user); both partial-aggregated map-side.
+
+    NDCG uses the reference's binary-relevance form (metrics.py:144-157):
+    DCG = Σ 1/log2(rank+1) over hits, IDCG = Σ_{i=1..min(|truth|,k)} 1/log2(i+1).
+    MAP's AP normalizes by min(|truth|, k) (metrics.py:220-228).
+    """
+    truth_sizes = truth.groupBy(user).agg(F.count("*").alias("__n_truth"))
+    hits = _hits(recs, truth, k, user, item)
+
+    # prefix-precision at each hit: (# hits with rank <= this rank) / rank
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy("rank")
+    hits = hits.withColumn("__hit_idx", F.row_number().over(w)).withColumn(
+        "__prec_at_hit", F.col("__hit_idx") / F.col("rank")
+    )
+    per_user_hits = hits.groupBy(user).agg(
+        F.count("*").alias("__n_hits"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("__dcg"),
+        F.max(F.lit(1.0) / F.col("rank")).alias("__rr"),
+        F.sum("__prec_at_hit").alias("__ap_num"),
+    )
+
+    per_user = (
+        truth_sizes.join(per_user_hits, user, "left")
+        .na.fill({"__n_hits": 0, "__dcg": 0.0, "__rr": 0.0, "__ap_num": 0.0})
+        .withColumn("__ideal_n", F.least(F.col("__n_truth"), F.lit(k)))
+    )
+    # IDCG = Σ_{i=1..ideal_n} 1/log2(i+1) — closed-form via sequence+aggregate
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("__ideal_n")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    per_user = per_user.withColumn("__idcg", idcg)
+
+    return per_user.agg(
+        F.round(F.avg(F.col("__n_hits") / F.col("__n_truth")), 6).alias(f"recall_at_{k}"),
+        F.round(F.avg(F.col("__n_hits") / F.lit(float(k))), 6).alias(f"precision_at_{k}"),
+        F.round(F.avg(F.when(F.col("__n_hits") > 0, 1.0).otherwise(0.0)), 6).alias(f"hit_rate_at_{k}"),
+        F.round(F.avg(F.col("__dcg") / F.col("__idcg")), 6).alias(f"ndcg_at_{k}"),
+        F.round(F.avg("__rr"), 6).alias(f"mrr_at_{k}"),
+        F.round(F.avg(F.col("__ap_num") / F.col("__ideal_n")), 6).alias(f"map_at_{k}"),
+    )
+
+
+def coverage(recs: DataFrame, catalog: DataFrame, k: int, item: str = "item_idx") -> DataFrame:
+    """A11: distinct recommended items within top-k / catalog size
+    (reference metrics.py:271-317)."""
+    n_rec = recs.where(F.col("rank") <= k).select(item).distinct().count()
+    n_cat = catalog.select(item).distinct().count()
+    spark = recs.sparkSession
+    return spark.createDataFrame([(n_rec, n_cat, round(n_rec / n_cat, 6))], ["n_recommended", "n_catalog", "coverage"])
+
+
+def novelty(
+    recs: DataFrame,
+    interactions: DataFrame,
+    k: int,
+    user: str = "user_idx",
+    item: str = "item_idx",
+) -> DataFrame:
+    """J10: mean self-information -log2(pop_item / n_users) over rec slots
+    (reference metrics.py:467-477)."""
+    n_users = interactions.select(user).distinct().count()
+    pop = interactions.groupBy(item).agg(F.count_distinct(user).alias("__pop"))
+    return (
+        recs.where(F.col("rank") <= k)
+        .join(F.broadcast(pop), item, "inner")
+        .agg(F.round(F.avg(-F.log2(F.col("__pop") / F.lit(float(n_users)))), 6).alias(f"novelty_at_{k}"))
+    )
+
+
+def diversity_at_k(
+    recs: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    user: str = "user_idx",
+    item: str = "item_idx",
+    vec: str = "embedding",
+) -> DataFrame:
+    """W5: mean pairwise (1 - cosine) within each user's top-k
+    (reference metrics.py:402-446). Self-join of exploded recs on user with
+    i<j; pair count per user is k(k-1)/2 — bounded, so the join is cheap."""
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import cosine_distance
+
+    r = recs.where(F.col("rank") <= k).join(embeddings, item).select(
+        F.col(user), F.col(item), F.col("rank"), F.col(vec)
+    )
+    a = r.select(F.col(user), F.col("rank").alias("__ra"), F.col(vec).alias("__va"))
+    b = r.select(F.col(user), F.col("rank").alias("__rb"), F.col(vec).alias("__vb"))
+    pairs = a.join(b, user).where(F.col("__ra") < F.col("__rb"))
+    per_user = pairs.groupBy(user).agg(
+        F.avg(cosine_distance(F.col("__va"), F.col("__vb"))).alias("__div")
+    )
+    return per_user.agg(F.round(F.avg("__div"), 6).alias(f"diversity_at_{k}"))

@@ -1,0 +1,134 @@
+"""Feature store — SURVEY.md §2.1 S4/S6/S7/S8, §2.3 J7, §2.9 ST8.
+
+A Feast-shaped registry over Spark tables (reference
+src/features/feature_definitions.py + simple_feature_store.py), rebuilt on
+three primitives:
+
+  offline (point-in-time)  → as-of join with TTL (operators/asof.py)
+  online snapshot          → latest-row-per-entity view of the same table
+  materialize              → batch job writing the snapshot to parquet
+
+One storage layout serves both paths: an append-only, entity-keyed feature
+log partitioned by date. At 100 TB the online table is the compacted
+latest-snapshot parquet (or an external KV store via foreachBatch — see
+streaming/pipeline.py); the offline path reads the raw log with partition
+pruning on the TTL horizon.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_by_rowid
+
+
+@dataclass
+class FeatureView:
+    """Typed, TTL'd, entity-keyed feature table (reference
+    feature_definitions.py:36-272)."""
+
+    name: str
+    entities: list[str]
+    ttl_seconds: float | None
+    timestamp_field: str = "event_timestamp"
+    created_field: str | None = None  # secondary as-of tiebreak
+    schema: T.StructType | None = None
+    source_path: str | None = None
+
+
+@dataclass
+class FeatureStore:
+    spark: SparkSession
+    views: dict[str, FeatureView] = field(default_factory=dict)
+    _tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    def register(self, view: FeatureView, df: DataFrame | None = None) -> None:
+        self.views[view.name] = view
+        if df is not None:
+            self._tables[view.name] = df
+        elif view.source_path:
+            reader = self.spark.read
+            if view.schema is not None:
+                reader = reader.schema(view.schema)
+            self._tables[view.name] = reader.parquet(view.source_path)
+
+    def table(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def latest_snapshot(self, name: str) -> DataFrame:
+        """Online-store view: latest feature row per entity key (S7 basis).
+
+        Reference keeps a dict of latest rows (simple_feature_store.py:73-80);
+        here it's a window dedup — the same query serves point lookups and
+        bulk joins.
+        """
+        view = self.views[name]
+        df = self._tables[name]
+        order = [F.col(view.timestamp_field).desc()]
+        if view.created_field:
+            order.append(F.col(view.created_field).desc())
+        w = Window.partitionBy(*view.entities).orderBy(*order)
+        return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+    def get_online_features(self, name: str, entity_rows: DataFrame) -> DataFrame:
+        """S7: point lookups = broadcast semi-join of keys onto the snapshot.
+
+        TTL applies relative to the snapshot's max timestamp (the reference
+        expires rows older than view.ttl, feature_definitions.py:220).
+        """
+        view = self.views[name]
+        snap = self.latest_snapshot(name)
+        if view.ttl_seconds is not None:
+            horizon = snap.agg(F.max(view.timestamp_field).alias("__mx"))
+            snap = (
+                snap.crossJoin(F.broadcast(horizon))
+                .where(
+                    F.unix_timestamp(F.col("__mx")) - F.unix_timestamp(F.col(view.timestamp_field))
+                    <= F.lit(view.ttl_seconds)
+                )
+                .drop("__mx")
+            )
+        return entity_rows.join(snap, view.entities, "left")
+
+    def get_historical_features(
+        self,
+        name: str,
+        entity_df: DataFrame,
+        timestamp_col: str = "event_timestamp",
+        row_id: str | None = None,
+    ) -> DataFrame:
+        """S8/J7: point-in-time-correct retrieval via as-of join with TTL.
+
+        Reference semantics (simple_feature_store.py:52-71): per entity row,
+        latest feature row with feature_ts <= event_ts and within TTL; cold
+        entities keep null features.
+        """
+        view = self.views[name]
+        feat = self._tables[name]
+        if row_id is None:
+            entity_df = entity_df.withColumn("__row_id", F.monotonically_increasing_id())
+            row_id = "__row_id"
+        out = asof_join_by_rowid(
+            entity_df,
+            feat,
+            on=view.entities,
+            left_ts=timestamp_col,
+            right_ts=view.timestamp_field,
+            row_id=row_id,
+            ttl_seconds=view.ttl_seconds,
+            tiebreak=[view.created_field] if view.created_field else (),
+        )
+        return out.drop("__row_id") if row_id == "__row_id" else out
+
+    def push(self, name: str, df: DataFrame) -> None:
+        """S6 batch analog: append new feature rows (streaming push lands in
+        the same log via foreachBatch — streaming/pipeline.py)."""
+        self._tables[name] = self._tables[name].unionByName(df)
+
+    def materialize(self, name: str, path: str) -> None:
+        """ST8: compact the latest snapshot to parquet (online-store backfill)."""
+        self.latest_snapshot(name).write.mode("overwrite").parquet(path)

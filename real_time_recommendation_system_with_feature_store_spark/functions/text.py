@@ -1,0 +1,120 @@
+"""Text-analysis functions for the LLM-data-pipeline surface.
+
+Beyond-the-reference operators required by the north star (BASELINE.json):
+language-ID, quality scoring, token counting, fingerprinting. All pure Column
+expressions (JVM-side); the only state is small literal stopword lists that
+Catalyst constant-folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic
+# language ID. Deliberately small and literal: at 100 TB a broadcast lookup of
+# real fastText-style models would replace this, behind the same column API.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, drop empties)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: count of word/number/punct pieces.
+
+    A BPE-like regex segmentation (letters runs, digit runs, single
+    punctuation) — a deterministic proxy for tokenizer cost accounting.
+    """
+    pieces = F.filter(
+        F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+        lambda t: F.trim(t) != F.lit(""),
+    )
+    return F.size(pieces)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    no_punct = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(no_punct)) / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1].
+
+    Blends length band, stopword presence, and low punctuation noise —
+    the standard cheap pre-filter shape for pretraining corpora.
+    """
+    n = token_count(text)
+    length_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(
+        F.when(n < 10, n / F.lit(10.0)).otherwise(F.lit(5000.0) / n)
+    )
+    sw = stopword_ratio(text)
+    sw_ok = F.least(sw / F.lit(0.2), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) / F.lit(0.3), F.lit(1.0))
+    return F.round(F.lit(0.4) * length_ok + F.lit(0.3) * sw_ok + F.lit(0.3) * punct_ok, 6)
+
+
+def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language marker-word hits.
+
+    Deterministic tie-break by language code order; 'und' when no marker hits.
+    """
+    markers = markers or LANG_MARKERS
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    scored = []
+    for lang in sorted(markers):
+        arr = F.array(*[F.lit(w) for w in markers[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*list(reversed(scored))))  # reversed => ties pick earliest code
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace/case-normalized text.
+
+    The exact-dedup key (reference's closest analog is the md5 result-cache
+    key, src/serving/retrieval.py:585).
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles as an array<string> (MinHash/Jaccard input)."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )

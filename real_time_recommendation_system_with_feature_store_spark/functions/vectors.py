@@ -1,0 +1,47 @@
+"""Vector math over ``array<float>`` columns (SURVEY.md §2.8 F23-F24).
+
+All JVM-side higher-order functions (``aggregate``/``zip_with``/``transform``)
+— no UDFs, so cosine scoring stays inside codegen and scales linearly with
+partitions. The reference does the same math via faiss/numpy
+(src/serving/retrieval.py:84-86; scripts/evaluate_model.py:218).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """F24: sum(a_i * b_i) via zip_with + aggregate (JVM, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """sqrt(sum(a_i^2))."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def l2_normalize(a: Column) -> Column:
+    """F23: a / ||a|| (reference src/serving/retrieval.py:86 faiss.normalize_L2).
+
+    Zero vectors pass through unchanged (norm guarded to eps).
+    """
+    norm = l2_norm(a)
+    safe = F.when(norm > F.lit(0.0), norm).otherwise(F.lit(1.0))
+    return F.transform(a, lambda x: x / safe)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity without pre-normalization."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > F.lit(0.0), dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 - cosine (diversity metric, reference src/evaluation/metrics.py:430-434)."""
+    return F.lit(1.0) - cosine(a, b)

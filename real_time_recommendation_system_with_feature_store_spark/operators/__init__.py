@@ -1,0 +1,35 @@
+from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join
+from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from real_time_recommendation_system_with_feature_store_spark.operators.encode import label_encode, minmax_scale, zscore_scale
+from real_time_recommendation_system_with_feature_store_spark.operators.kcore import kcore_filter
+from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk, lsh_topk
+from real_time_recommendation_system_with_feature_store_spark.operators.sampling import hash_sample, negative_sample
+from real_time_recommendation_system_with_feature_store_spark.operators.sessionize import sessionize
+from real_time_recommendation_system_with_feature_store_spark.operators.split import leave_one_out_split, time_fraction_split
+from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn, topk_per_key
+
+__all__ = [
+    "asof_join",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_dedup",
+    "label_encode",
+    "minmax_scale",
+    "zscore_scale",
+    "kcore_filter",
+    "brute_force_topk",
+    "lsh_topk",
+    "hash_sample",
+    "negative_sample",
+    "sessionize",
+    "leave_one_out_split",
+    "time_fraction_split",
+    "global_topn",
+    "topk_per_key",
+]

@@ -1,0 +1,99 @@
+"""As-of (point-in-time) join — SURVEY.md §2.3 J7 / §2.1 S8.
+
+Spark has no native as-of join; this composes one from an equi+range join and
+a per-(entity, event) window dedup. Semantics match the reference feature
+store's point-in-time retrieval (src/features/simple_feature_store.py:52-71):
+for each left row, the latest right row with
+
+    right.ts <= left.ts   AND   left.ts - right.ts <= ttl
+
+ties broken by a caller-supplied secondary key (the reference uses
+``created_timestamp``, src/features/feature_definitions.py:42).
+
+Scale: the equi-key join shuffles both sides by entity; the TTL predicate is
+pushed into the join condition, so candidates are bounded by the TTL horizon
+instead of the whole history. Skewed entities are handled by AQE skew-join
+(enabled in session.py). For a sorted-bucketed layout, swap the join for a
+merge-join by writing both sides bucketed on the entity key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    ttl_seconds: float | None = None,
+    tiebreak: Sequence[str] = (),
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the latest right row at-or-before left_ts.
+
+    ``how='left'`` keeps cold entities (all right columns null), matching the
+    reference's null rows for unseen entities.
+    """
+    right_cols = [c for c in right.columns if c not in on]
+    r = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in on],
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+
+    cond = F.lit(True)
+    for key in on:
+        cond = cond & (left[key] == r[f"__r_{key}"])
+    cond = cond & (r[right_ts] <= left[left_ts])
+    if ttl_seconds is not None:
+        cond = cond & (
+            F.unix_timestamp(left[left_ts]) - F.unix_timestamp(r[right_ts]) <= F.lit(ttl_seconds)
+        )
+
+    joined = left.join(r, cond, how)
+
+    # latest-per-left-row: order candidates by right_ts desc (+ tiebreaks)
+    order = [F.col(right_ts).desc_nulls_last()] + [F.col(t).desc_nulls_last() for t in tiebreak]
+    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(*order)
+    # Partitioning by every left column is correct but wasteful when the left
+    # side has a unique key; callers with a row id should dedup on it instead.
+    out = joined.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    return out.drop(*[f"__r_{k}" for k in on])
+
+
+def asof_join_by_rowid(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    row_id: str,
+    ttl_seconds: float | None = None,
+    tiebreak: Sequence[str] = (),
+    how: str = "left",
+) -> DataFrame:
+    """As-of join when the left side has a unique ``row_id`` — the scalable
+    variant: window partitions by one key instead of all left columns."""
+    right_cols = [c for c in right.columns if c not in on]
+    r = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in on],
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    cond = F.lit(True)
+    for key in on:
+        cond = cond & (left[key] == r[f"__r_{key}"])
+    cond = cond & (r[right_ts] <= left[left_ts])
+    if ttl_seconds is not None:
+        cond = cond & (
+            F.unix_timestamp(left[left_ts]) - F.unix_timestamp(r[right_ts]) <= F.lit(ttl_seconds)
+        )
+    joined = left.join(r, cond, how)
+    order = [F.col(right_ts).desc_nulls_last()] + [F.col(t).desc_nulls_last() for t in tiebreak]
+    w = Window.partitionBy(left[row_id]).orderBy(*order)
+    out = joined.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    return out.drop(*[f"__r_{k}" for k in on])

