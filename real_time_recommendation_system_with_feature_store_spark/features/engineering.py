@@ -87,7 +87,7 @@ def item_popularity_features(
             F.round(scalars.ctr(F.col(f"clicks_{suffix}"), F.col(f"views_{suffix}")), 6),
         )
     views_24h = F.col("views_24h") if "24h" in windows else F.col(f"views_{list(windows)[0]}")
-    age_hours = (F.unix_timestamp(anchor_col) - F.unix_timestamp(F.col("__last_ts"))) / F.lit(3600.0)
+    age_hours = (F.unix_micros(anchor_col) - F.unix_micros(F.col("__last_ts"))) / F.lit(3.6e9)
     trending = scalars.trending_velocity(
         F.col("clicks_1h") + F.col("views_1h"),
         (F.col("clicks_24h") + F.col("views_24h")) - (F.col("clicks_1h") + F.col("views_1h")),

@@ -18,9 +18,12 @@ from pyspark.sql import functions as F
 
 
 def window_flag(ts: Column, anchor: Column, seconds: int) -> Column:
-    """1 when ts falls in (anchor - seconds, anchor]."""
-    delta = F.unix_timestamp(anchor) - F.unix_timestamp(ts)
-    return (delta >= 0) & (delta < F.lit(seconds))
+    """True when ts falls in (anchor - seconds, anchor].
+
+    Full-precision timestamp comparison (NOT unix_timestamp, which truncates
+    to seconds and silently shifts sub-second boundary events).
+    """
+    return (ts <= anchor) & (ts > anchor - F.expr(f"INTERVAL {seconds} SECOND"))
 
 
 def multi_window_agg(

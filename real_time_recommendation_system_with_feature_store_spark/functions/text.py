@@ -90,13 +90,17 @@ def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column
     Deterministic tie-break by language code order; 'und' when no marker hits.
     """
     markers = markers or LANG_MARKERS
+    langs = sorted(markers)
     toks = F.transform(tokens(text), lambda t: F.lower(t))
     scored = []
-    for lang in sorted(markers):
+    for i, lang in enumerate(langs):
         arr = F.array(*[F.lit(w) for w in markers[lang]])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*list(reversed(scored))))  # reversed => ties pick earliest code
+        # priority field makes ties pick the alphabetically-first code
+        scored.append(
+            F.struct(hits.alias("hits"), F.lit(len(langs) - i).alias("pri"), F.lit(lang).alias("lang"))
+        )
+    best = F.array_max(F.array(*scored))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 

@@ -13,17 +13,23 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """F24: sum(a_i * b_i) via zip_with + aggregate (JVM, no UDF)."""
+    """F24: sum(a_i * b_i) via zip_with + aggregate (JVM, no UDF).
+
+    Elements are widened to double BEFORE multiplying so float inputs get
+    double-precision math (matches numpy/DuckDB behavior on float32 columns).
+    """
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def l2_norm(a: Column) -> Column:
-    """sqrt(sum(a_i^2))."""
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    """sqrt(sum(a_i^2)), double math."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
 
 
 def l2_normalize(a: Column) -> Column:

@@ -51,8 +51,10 @@ def asof_join(
         cond = cond & (left[key] == r[f"__r_{key}"])
     cond = cond & (r[right_ts] <= left[left_ts])
     if ttl_seconds is not None:
+        # microsecond-exact TTL (unix_timestamp would truncate to seconds)
         cond = cond & (
-            F.unix_timestamp(left[left_ts]) - F.unix_timestamp(r[right_ts]) <= F.lit(ttl_seconds)
+            F.unix_micros(left[left_ts]) - F.unix_micros(r[right_ts])
+            <= F.lit(int(ttl_seconds * 1_000_000))
         )
 
     joined = left.join(r, cond, how)
@@ -89,8 +91,10 @@ def asof_join_by_rowid(
         cond = cond & (left[key] == r[f"__r_{key}"])
     cond = cond & (r[right_ts] <= left[left_ts])
     if ttl_seconds is not None:
+        # microsecond-exact TTL (unix_timestamp would truncate to seconds)
         cond = cond & (
-            F.unix_timestamp(left[left_ts]) - F.unix_timestamp(r[right_ts]) <= F.lit(ttl_seconds)
+            F.unix_micros(left[left_ts]) - F.unix_micros(r[right_ts])
+            <= F.lit(int(ttl_seconds * 1_000_000))
         )
     joined = left.join(r, cond, how)
     order = [F.col(right_ts).desc_nulls_last()] + [F.col(t).desc_nulls_last() for t in tiebreak]

@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 from real_time_recommendation_system_with_feature_store_spark.functions.scalars import hash_unit
 
 
+def hash_key(salt: str, *cols) -> F.Column:
+    """md5 hex string of salt + key columns — a portable, deterministic
+    pseudo-random SORT key (hex lexicographic order == numeric order)."""
+    return F.md5(F.concat_ws("\x1f", F.lit(salt), *[c.cast("string") for c in cols]))
+
+
 def hash_sample(df: DataFrame, keys: Sequence[str], fraction: float, salt: str = "") -> DataFrame:
     """Keep ~``fraction`` of rows chosen by key hash (deterministic)."""
     u = hash_unit(F.lit(salt), *[F.col(k) for k in keys])
@@ -44,7 +50,7 @@ def negative_sample(
     users = interactions.select(user_col).distinct()
     grid = users.crossJoin(F.broadcast(items.select(item_col)))
     candidates = grid.join(interactions.select(user_col, item_col).distinct(), [user_col, item_col], "left_anti")
-    u = hash_unit(F.lit(salt), F.col(user_col), F.col(item_col))
+    u = hash_key(salt, F.col(user_col), F.col(item_col))
     w = Window.partitionBy(user_col).orderBy(u.asc(), F.col(item_col).asc())
     return (
         candidates.withColumn("__rn", F.row_number().over(w))

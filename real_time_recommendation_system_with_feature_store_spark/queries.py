@@ -1,0 +1,879 @@
+"""Query catalog: every SURVEY.md §2 operator as a (Spark query, DuckDB oracle)
+pair over the driver's test tables.
+
+Conventions for oracle hash-matching:
+  * money/measure sums aggregate as DECIMAL (exact, order-independent), then
+    post-aggregate arithmetic runs in double — identical IEEE ops both engines;
+  * every computed column is aliased identically in Spark and SQL;
+  * every ranking has a total tie-break (unique key last);
+  * pseudo-randomness is md5-of-key (portable), never rand();
+  * timestamps compare at full microsecond precision (no unix_timestamp
+    truncation); the events table's ns timestamps floor to us on load exactly
+    as DuckDB/pyarrow do.
+
+Approximate operators (LSH, MinHash, SimHash) have no SQL oracle — the driver
+records rows-only checks; their exact counterparts are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- registry
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table (events gets its ns->us timestamp fix)."""
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# deterministic anchors over the events table (2024-01-01 .. 2024-01-30)
+ANCHOR = "2024-01-31 00:00:00"
+TREND_ANCHOR = "2024-01-30 12:00:00"
+SPLIT_TS = "2024-01-16 00:00:00"
+
+# exact decimal sum helper: per-row double expr -> decimal -> exact sum -> double
+def _dsum(col, scale="(28,10)"):
+    return F.sum(col.cast(f"decimal{scale}")).cast("double")
+
+
+def _item(props):
+    """Item key from the event props JSON (`{"k": 87}`)."""
+    return F.get_json_object(props, "$.k").cast("long")
+
+
+# ================================================================ scans/aggs
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_price,
+      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: A1-A4 aggregates, P4 time filter (SURVEY §2.4).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            F.round(_dsum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(_dsum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
+            F.round(_dsum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_building_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+      CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: J4 3-way join, broadcast dims, global top-N (O4).",
+)
+def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    doc="5-way star join through broadcast dims (J4, §4.2 join reordering).",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "customer_order_profile",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+      COALESCE(s.n_orders, 0) AS n_orders,
+      COALESCE(s.total_spend, 0.0) AS total_spend,
+      COALESCE(s.avg_spend, 0.0) AS avg_spend,
+      s.last_order
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_spend,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_spend,
+        MAX(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey
+    ) s ON s.o_custkey = c.c_custkey
+    """,
+    doc="J1 dim left-join + P9 zero-fill for inactive entities.",
+)
+def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_spend"),
+        F.round(_dsum(F.col("o_totalprice")) / F.count("*"), 6).alias("avg_spend"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    return (
+        c.join(stats, c.c_custkey == stats.o_custkey, "left")
+        .select("c_custkey", "c_mktsegment", "n_orders", "total_spend", "avg_spend", "last_order")
+        .na.fill({"n_orders": 0, "total_spend": 0.0, "avg_spend": 0.0})
+    )
+
+
+@query(
+    "priority_mix",
+    oracle="""
+    SELECT o_orderstatus,
+      SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+      SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+      SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
+      SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
+      SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low,
+      ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS urgent_share
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="A2 conditional counts (the reference's event_type routing shape, ST2).",
+)
+def priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def n_of(p):
+        return F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+
+    return o.groupBy("o_orderstatus").agg(
+        n_of("1-URGENT").alias("n_urgent"),
+        n_of("2-HIGH").alias("n_high"),
+        n_of("3-MEDIUM").alias("n_medium"),
+        n_of("4-NOT SPECIFIED").alias("n_notspec"),
+        n_of("5-LOW").alias("n_low"),
+        F.round(n_of("1-URGENT") * F.lit(1.0) / F.count("*"), 6).alias("urgent_share"),
+    )
+
+
+# ================================================================ event features
+
+@query(
+    "user_activity_windows",
+    oracle=f"""
+    SELECT user_id,
+      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_24h,
+      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_24h,
+      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_7d,
+      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_7d,
+      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 30 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_30d,
+      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 30 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_30d,
+      ROUND(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END)
+        / (SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) + 1e-6), 6) AS ctr_7d,
+      ROUND(CAST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN CAST(value AS DECIMAL(28,10)) ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+        / GREATEST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END), 1), 6) AS avg_view_time_7d
+    FROM events GROUP BY user_id
+    """,
+    doc="W4/J3 fused: one-scan multi-window user activity features (SURVEY §4.2).",
+)
+def user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.features.windows import multi_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    anchor = F.lit(ANCHOR).cast("timestamp")
+
+    def clicks(flag):
+        return F.sum(F.when(flag & (F.col("event_type") == "click"), 1).otherwise(0))
+
+    def views(flag):
+        return F.sum(F.when(flag & (F.col("event_type") == "view"), 1).otherwise(0))
+
+    def view_time(flag):
+        zero = F.lit(0).cast("decimal(28,10)")
+        return F.sum(
+            F.when(flag & (F.col("event_type") == "view"), F.col("value").cast("decimal(28,10)")).otherwise(zero)
+        ).cast("double")
+
+    out = multi_window_agg(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        anchor=anchor,
+        windows={"24h": 86400, "7d": 7 * 86400, "30d": 30 * 86400},
+        measures={"clicks": clicks, "views": views, "__vt": view_time},
+    )
+    return out.select(
+        "user_id",
+        "clicks_24h", "views_24h", "clicks_7d", "views_7d", "clicks_30d", "views_30d",
+        F.round(F.col("clicks_7d") / (F.col("views_7d") + F.lit(1e-6)), 6).alias("ctr_7d"),
+        F.round(F.col("__vt_7d") / F.greatest(F.col("views_7d"), F.lit(1)), 6).alias("avg_view_time_7d"),
+    )
+
+
+@query(
+    "item_trending_scores",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(props->>'k' AS BIGINT) AS item_id, ts, event_type FROM events
+      WHERE props->>'k' IS NOT NULL
+    ), agg AS (
+      SELECT item_id,
+        SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 HOUR AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_1h,
+        SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 HOUR AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_1h,
+        SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_24h,
+        SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_24h,
+        MAX(CASE WHEN ts <= TIMESTAMP '{TREND_ANCHOR}' THEN ts END) AS last_ts
+      FROM e GROUP BY item_id
+    )
+    SELECT item_id, clicks_1h, views_1h, clicks_24h, views_24h,
+      ROUND(clicks_24h / (views_24h + 1e-6), 6) AS ctr_24h,
+      ROUND((clicks_24h * 2.0 + views_24h) / (views_24h + 1e-6), 6) AS engagement_score,
+      ROUND(LEAST(GREATEST((clicks_1h + views_1h) * 24.0 / ((clicks_24h + views_24h) - (clicks_1h + views_1h) + 1e-6), 0.0), 1.0), 6) AS trending_score,
+      ROUND(EXP(-((epoch_us(TIMESTAMP '{TREND_ANCHOR}') - epoch_us(last_ts)) / 3.6e9) / 168.0), 6) AS freshness_score
+    FROM agg WHERE last_ts IS NOT NULL
+    """,
+    doc="Item popularity view: F10-F13 trending/engagement/freshness blends.",
+)
+def item_trending_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions import scalars
+
+    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
+        F.col("item_id").isNotNull()
+    )
+    anchor = F.lit(TREND_ANCHOR).cast("timestamp")
+
+    def in_w(seconds):
+        return (F.col("ts") <= anchor) & (F.col("ts") > anchor - F.expr(f"INTERVAL {seconds} SECOND"))
+
+    agg = ev.groupBy("item_id").agg(
+        F.sum(F.when(in_w(3600) & (F.col("event_type") == "click"), 1).otherwise(0)).alias("clicks_1h"),
+        F.sum(F.when(in_w(3600) & (F.col("event_type") == "view"), 1).otherwise(0)).alias("views_1h"),
+        F.sum(F.when(in_w(86400) & (F.col("event_type") == "click"), 1).otherwise(0)).alias("clicks_24h"),
+        F.sum(F.when(in_w(86400) & (F.col("event_type") == "view"), 1).otherwise(0)).alias("views_24h"),
+        F.max(F.when(F.col("ts") <= anchor, F.col("ts"))).alias("last_ts"),
+    ).where(F.col("last_ts").isNotNull())
+    age_hours = (F.unix_micros(anchor) - F.unix_micros(F.col("last_ts"))) / F.lit(3.6e9)
+    trending = scalars.trending_velocity(
+        F.col("clicks_1h") + F.col("views_1h"),
+        (F.col("clicks_24h") + F.col("views_24h")) - (F.col("clicks_1h") + F.col("views_1h")),
+    )
+    return agg.select(
+        "item_id", "clicks_1h", "views_1h", "clicks_24h", "views_24h",
+        F.round(scalars.ctr(F.col("clicks_24h"), F.col("views_24h")), 6).alias("ctr_24h"),
+        F.round(scalars.engagement_score(F.col("clicks_24h"), F.col("views_24h")), 6).alias("engagement_score"),
+        F.round(scalars.clip01(trending), 6).alias("trending_score"),
+        F.round(scalars.freshness(age_hours), 6).alias("freshness_score"),
+    )
+
+
+@query(
+    "event_type_stats",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n,
+      ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events), 6) AS share,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="A1/A5/A13: group counts, exact distinct, label-distribution share.",
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    total = ev.agg(F.count("*").alias("__total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(_dsum(F.col("value")) / F.count("*"), 6).alias("avg_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type", "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("__total"), 6).alias("share"),
+            "avg_value", "n_users",
+        )
+    )
+
+
+@query(
+    "item_interaction_counts",
+    oracle="""
+    SELECT CAST(props->>'k' AS BIGINT) AS item_id,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,10)) ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) AS purchase_value
+    FROM events
+    WHERE props->>'k' IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="S5 JSON decode (props.k) + A1/A2/A5 per-item rollup.",
+)
+def item_interaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
+        F.col("item_id").isNotNull()
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    return ev.groupBy("item_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(28,10)")).otherwise(zero)
+        ).cast("double").alias("purchase_value"),
+    )
+
+
+@query(
+    "collect_event_types",
+    oracle="""
+    SELECT user_id, STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+      COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    doc="A9 grouped collect (sorted for determinism) — reference movielens.py:469-485.",
+)
+def collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("event_types"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+# ================================================================ splits / kcore / sessions
+
+@query(
+    "time_split_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+        ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+        COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT o_orderkey,
+      CASE WHEN rn <= FLOOR(n * 0.8) THEN 'train'
+           WHEN rn <= FLOOR(n * 0.9) THEN 'val'
+           ELSE 'test' END AS split
+    FROM r
+    """,
+    doc="O1/O3: time-ordered fractional split with pandas int(n*frac) boundaries.",
+)
+def time_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.split import time_fraction_split
+
+    o = _t(spark, sf_dir, "orders")
+    return time_fraction_split(o, ["o_orderdate", "o_orderkey"], 0.8, 0.1).select("o_orderkey", "split")
+
+
+@query(
+    "leave_one_out_events",
+    oracle="""
+    SELECT event_id, user_id, ts FROM (
+      SELECT event_id, user_id, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W1/J6: leave-one-out — last event per user (reference movielens.py:224-232).",
+)
+def leave_one_out_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.split import leave_one_out_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = leave_one_out_split(ev, "user_id", [F.col("ts").desc(), F.col("event_id").desc()], 1)
+    return out.where(F.col("split") == "test").select("event_id", "user_id", "ts")
+
+
+@query(
+    "kcore_events",
+    oracle="""
+    WITH e0 AS (
+      SELECT event_id, user_id, CAST(props->>'k' AS BIGINT) AS item_id FROM events
+      WHERE props->>'k' IS NOT NULL
+    ),
+    u1 AS (SELECT user_id FROM e0 GROUP BY 1 HAVING COUNT(*) >= 60),
+    ea1 AS (SELECT * FROM e0 WHERE user_id IN (SELECT user_id FROM u1)),
+    i1 AS (SELECT item_id FROM ea1 GROUP BY 1 HAVING COUNT(*) >= 80),
+    e1 AS (SELECT * FROM ea1 WHERE item_id IN (SELECT item_id FROM i1)),
+    u2 AS (SELECT user_id FROM e1 GROUP BY 1 HAVING COUNT(*) >= 60),
+    ea2 AS (SELECT * FROM e1 WHERE user_id IN (SELECT user_id FROM u2)),
+    i2 AS (SELECT item_id FROM ea2 GROUP BY 1 HAVING COUNT(*) >= 80),
+    e2 AS (SELECT * FROM ea2 WHERE item_id IN (SELECT item_id FROM i2)),
+    u3 AS (SELECT user_id FROM e2 GROUP BY 1 HAVING COUNT(*) >= 60),
+    ea3 AS (SELECT * FROM e2 WHERE user_id IN (SELECT user_id FROM u3)),
+    i3 AS (SELECT item_id FROM ea3 GROUP BY 1 HAVING COUNT(*) >= 80),
+    e3 AS (SELECT * FROM ea3 WHERE item_id IN (SELECT item_id FROM i3))
+    SELECT event_id, user_id, item_id FROM e3
+    """,
+    doc="A12/J5: iterative k-core (3 rounds) — reference movielens.py:345-382.",
+)
+def kcore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.kcore import kcore_filter
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+        .select("event_id", "user_id", "item_id")
+    )
+    return kcore_filter(ev, "user_id", "item_id", min_user=60, min_item=80, iterations=3)
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), s AS (
+      SELECT user_id, event_id, ts,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+    doc="ST7 batch analog: gap-based sessionization via lag+cumsum, no UDF.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ================================================================ as-of / point-in-time
+
+@query(
+    "asof_purchase_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS ce, user_id, ts AS cts, value AS cv FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value, c.cts, c.cv,
+        ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.cts DESC, c.ce DESC) AS rn
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id AND c.cts <= p.ts
+        AND date_diff('microsecond', c.cts, p.ts) <= 3600000000
+    )
+    SELECT event_id, user_id, ts, value AS purchase_value,
+           cts AS last_click_ts, cv AS last_click_value
+    FROM j WHERE rn = 1
+    """,
+    doc="J7: as-of join with 1h TTL — latest click at-or-before each purchase.",
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_by_rowid
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("last_click_ts"),
+        F.col("value").alias("last_click_value"), F.col("event_id").alias("__ce"),
+    )
+    out = asof_join_by_rowid(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="last_click_ts",
+        row_id="event_id", ttl_seconds=3600, tiebreak=["__ce"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value"),
+        "last_click_ts", "last_click_value",
+    )
+
+
+@query(
+    "point_in_time_features",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+    f AS (SELECT event_id AS fid, user_id, ts AS feature_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT s.event_id, s.user_id, s.ts, f.feature_ts, f.purchase_value,
+        ROW_NUMBER() OVER (PARTITION BY s.event_id ORDER BY f.feature_ts DESC, f.fid DESC) AS rn
+      FROM s LEFT JOIN f
+        ON s.user_id = f.user_id AND f.feature_ts <= s.ts
+        AND date_diff('microsecond', f.feature_ts, s.ts) <= 604800000000
+    )
+    SELECT event_id, user_id, ts, feature_ts, purchase_value FROM j WHERE rn = 1
+    """,
+    doc="S8/J7: FeatureStore.get_historical_features — point-in-time with 7d TTL.",
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.features.store import FeatureStore, FeatureView
+
+    ev = _t(spark, sf_dir, "events")
+    feature_log = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("feature_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("__created"),
+    )
+    store = FeatureStore(spark=ev.sparkSession)
+    store.register(
+        FeatureView(
+            name="user_purchases", entities=["user_id"], ttl_seconds=7 * 86400,
+            timestamp_field="feature_ts", created_field="__created",
+        ),
+        feature_log,
+    )
+    entity_df = ev.where(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    out = store.get_historical_features("user_purchases", entity_df, timestamp_col="ts", row_id="event_id")
+    return out.select("event_id", "user_id", "ts", "feature_ts", "purchase_value")
+
+
+# ================================================================ sampling / encoding / scaling
+
+@query(
+    "negative_samples",
+    oracle="""
+    WITH inter AS (
+      SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item_id
+      FROM events WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+    ),
+    users AS (SELECT DISTINCT user_id FROM inter),
+    items AS (SELECT DISTINCT item_id FROM inter),
+    cand AS (
+      SELECT u.user_id, i.item_id FROM users u CROSS JOIN items i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM inter t WHERE t.user_id = u.user_id AND t.item_id = i.item_id
+      )
+    ),
+    ranked AS (
+      SELECT user_id, item_id,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id
+          ORDER BY md5('neg' || chr(31) || CAST(user_id AS VARCHAR) || chr(31) || CAST(item_id AS VARCHAR)), item_id
+        ) AS rn
+      FROM cand
+    )
+    SELECT user_id, item_id FROM ranked WHERE rn <= 5
+    """,
+    doc="SE1/F25: deterministic seeded negative sampling via md5-of-key order.",
+)
+def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sampling import negative_sample
+
+    ev = _t(spark, sf_dir, "events")
+    inter = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+        .select("user_id", "item_id")
+    )
+    items = inter.select("item_id").distinct()
+    return negative_sample(inter, items, "user_id", "item_id", n_per_user=5, salt="neg")
+
+
+@query(
+    "segment_codes",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+      CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER) AS c_mktsegment_idx,
+      CASE c_mktsegment
+        WHEN 'AUTOMOBILE' THEN 'auto' WHEN 'BUILDING' THEN 'build'
+        WHEN 'FURNITURE' THEN 'furn' WHEN 'HOUSEHOLD' THEN 'house'
+        ELSE 'mach' END AS segment_short,
+      CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS balance_bucket
+    FROM customer
+    """,
+    doc="F19 deterministic label encoding + F5 CASE mapping + bucketing.",
+)
+def segment_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import map_lookup
+    from real_time_recommendation_system_with_feature_store_spark.operators.encode import label_encode
+
+    c = _t(spark, sf_dir, "customer")
+    out = label_encode(c, "c_mktsegment")
+    short = map_lookup(
+        F.col("c_mktsegment"),
+        {"AUTOMOBILE": "auto", "BUILDING": "build", "FURNITURE": "furn", "HOUSEHOLD": "house"},
+        default="mach",
+    )
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return out.select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_mktsegment_idx").cast("int").alias("c_mktsegment_idx"),
+        short.alias("segment_short"),
+        bucket.alias("balance_bucket"),
+    )
+
+
+@query(
+    "acctbal_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS ssq
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal,
+      ROUND((c_acctbal - s / n) / (SQRT((ssq - s * s / n) / (n - 1)) + 1e-8), 6) AS acctbal_z,
+      ROUND(c_acctbal / (SELECT MAX(c_acctbal) FROM customer), 6) AS acctbal_norm
+    FROM customer, stats
+    """,
+    doc="A7/A8/F18: z-score + max-normalization via exact decimal moments.",
+)
+def acctbal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("c_acctbal")).alias("s"),
+        _dsum(F.col("c_acctbal") * F.col("c_acctbal")).alias("ssq"),
+        F.max("c_acctbal").alias("mx"),
+    )
+    out = c.crossJoin(F.broadcast(stats))
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("ssq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    return out.select(
+        "c_custkey", "c_acctbal",
+        F.round((F.col("c_acctbal") - mean) / (std + F.lit(1e-8)), 6).alias("acctbal_z"),
+        F.round(F.col("c_acctbal") / F.col("mx"), 6).alias("acctbal_norm"),
+    )
+
+
+# ================================================================ top-k / sorts
+
+@query(
+    "brand_top_parts",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+        ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+      FROM part
+    ) WHERE rank <= 3
+    """,
+    doc="W2: per-key top-k with deterministic tie-break.",
+)
+def brand_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    p = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice")
+    return topk_per_key(p, ["p_brand"], [F.col("p_retailprice").desc(), F.col("p_partkey")], 3)
+
+
+@query(
+    "global_top_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """,
+    doc="O4: global top-N => TakeOrderedAndProject, no full sort.",
+)
+def global_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    return global_topn(p, [F.col("p_retailprice").desc(), F.col("p_partkey")], 10)
+
+
+@query(
+    "supplier_running_totals",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      SUM(l_quantity) OVER (
+        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS UNBOUNDED PRECEDING
+      ) AS running_qty,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      ) AS INTEGER) AS shipment_seq
+    FROM lineitem WHERE l_suppkey <= 20
+    """,
+    doc="W3: running aggregates over ordered partitions (prefix sums).",
+)
+def supplier_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_qty"),
+        F.row_number().over(w).alias("shipment_seq"),
+    )
+
+
+# ================================================================ set ops / anti joins
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="P6/J6: anti join.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "click_and_purchase_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="SE2: set intersection.",
+)
+def click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+@query(
+    "order_date_features",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      CAST(month(o_orderdate) AS INTEGER) AS order_month,
+      CAST(date_part('isodow', o_orderdate) AS INTEGER) AS order_dow,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_epoch,
+      CASE WHEN date_part('isodow', o_orderdate) >= 6 THEN 1 ELSE 0 END AS is_weekend
+    FROM orders
+    """,
+    doc="F7-F9: calendar/date-diff features.",
+)
+def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    isodow = F.expr("weekday(o_orderdate)") + 1
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        isodow.cast("int").alias("order_dow"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+        F.when(isodow >= 6, 1).otherwise(0).alias("is_weekend"),
+    )
+
+
+@query(
+    "part_name_features",
+    oracle="""
+    SELECT p_partkey,
+      regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+      CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+      CAST(len(string_split(p_type, ' ')) AS INTEGER) AS type_words,
+      CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_bucket,
+      upper(p_name) AS name_upper
+    FROM part
+    """,
+    doc="F1-F5: regex extract, split-count, CASE bucketing, string ops.",
+)
+def part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).cast("int").alias("brand_num"),
+        F.size(F.split(F.col("p_type"), " ", -1)).alias("type_words"),
+        F.when(F.col("p_size") < 10, "small").when(F.col("p_size") < 30, "medium").otherwise("large").alias("size_bucket"),
+        F.upper(F.col("p_name")).alias("name_upper"),
+    )
