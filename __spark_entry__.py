@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` are backed by the catalog in
+``real_time_recommendation_system_with_feature_store_spark.queries`` — each entry is an operator from SURVEY.md §2
+(plus the LLM-pipeline additions) with a DuckDB-oracle SQL twin where the
+semantics are SQL-expressible; approximate ops (MinHash/SimHash/LSH) are
+rows-only by design, with their exact counterparts oracle-checked.
 """
 
 from __future__ import annotations
@@ -15,24 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: per-user top-5
+    popular-in-segment recommendations (SURVEY.md §7.2)."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    return QUERIES["segment_recommendations"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

@@ -1,0 +1,74 @@
+"""Bench harness: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query runs once after a warmup of the session (JVM + parquet footer
+caching is shared, matching how a long-lived Spark app behaves). The metric
+is total wall-clock seconds across the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_recommendation_system_with_feature_store_spark import get_spark
+from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "top_building_orders",
+    "region_revenue",
+    "user_activity_windows",
+    "item_trending_scores",
+    "segment_recommendations",
+    "popularity_ranking_metrics",
+    "asof_purchase_click",
+    "kcore_events",
+    "time_split_orders",
+    "doc_dedup_exact",
+    "text_quality",
+    "minhash_dedup_candidates",
+    "knn_cosine_topk",
+    "tumbling_window_counts",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm the JVM/codegen path once with a trivial job
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

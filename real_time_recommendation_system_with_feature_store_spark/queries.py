@@ -877,3 +877,496 @@ def part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_size") < 10, "small").when(F.col("p_size") < 30, "medium").otherwise("large").alias("size_bucket"),
         F.upper(F.col("p_name")).alias("name_upper"),
     )
+
+
+# ================================================================ text analysis (LLM-pipeline ops)
+
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that']"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(toks) AS INTEGER) AS n_tokens,
+      ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS avg_token_len,
+      ROUND(CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+      ROUND(CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / GREATEST(len(text), 1), 6) AS punct_ratio
+    FROM t
+    """,
+    doc="Text quality scoring: token stats, stopword/punct ratios — all JVM expressions.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TX.avg_token_len(F.col("text")), 6).alias("avg_token_len"),
+        F.round(TX.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS h_es,
+        len(list_filter(toks, x -> list_contains(['le','la','les','des','est'], x))) AS h_fr
+      FROM t
+    ), p AS (
+      SELECT doc_id, lang,
+        CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+             WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+             WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+             ELSE 'fr' END AS pred_lang
+      FROM h
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2
+    """,
+    doc="Heuristic language ID (marker-word argmax) -> confusion counts vs labels.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "doc_dedup_exact",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+    )
+    SELECT MIN(doc_id) AS keeper_doc_id, fp AS fingerprint, COUNT(*) AS n_copies
+    FROM f GROUP BY fp
+    """,
+    doc="Exact dedup by normalized-text md5 fingerprint (P8 + F21).",
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "jaccard_similar_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents WHERE doc_id < 1000
+    ), s AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    ), e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM s),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza, b.sz AS szb, COUNT(*) AS common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, ROUND(CAST(common AS DOUBLE) / (sza + szb - common), 6) AS jaccard
+    FROM p WHERE CAST(common AS DOUBLE) / (sza + szb - common) >= 0.1
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via shingle inverted index.",
+)
+def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.1)
+
+
+@query(
+    "minhash_dedup_candidates",
+    oracle=None,  # xxhash64-based MinHash has no portable SQL analog; the
+    # exact tier (jaccard_similar_pairs) is the oracle-checked counterpart.
+    doc="MinHash+LSH banding near-dup candidates, verified at J>=0.5 (rows-only check).",
+)
+def minhash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return minhash_lsh_dedup(d, "text", "doc_id", n=3, num_hashes=32, bands=8, verify_threshold=0.5)
+
+
+@query(
+    "simhash_dedup_candidates",
+    oracle=None,
+    doc="SimHash banded near-dup candidates with Hamming distance (rows-only check).",
+)
+def simhash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import simhash_dedup
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return simhash_dedup(d, "text", "doc_id", band_bits=16)
+
+
+# ================================================================ vectors / similarity search
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+      CAST(len(embedding) AS INTEGER) AS dim,
+      ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2,
+      label
+    FROM embeddings
+    """,
+    doc="F23: vector norms via higher-order functions (no UDF).",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2"),
+        "label",
+    )
+
+
+@query(
+    "knn_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    i AS (SELECT vec_id AS iid, embedding::DOUBLE[] AS iv FROM embeddings),
+    s AS (
+      SELECT qid, iid, ROUND(list_cosine_similarity(qv, iv), 6) AS score
+      FROM q CROSS JOIN i WHERE qid != iid
+    ), r AS (
+      SELECT qid AS query_id, iid AS item_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS INTEGER) AS rank
+      FROM s
+    )
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= 5
+    """,
+    doc="J8: exact brute-force cosine top-k (broadcast queries x item scan).",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    it = e.select(F.col("vec_id").alias("item_id"), "embedding")
+    return brute_force_topk(q, it, "query_id", "item_id", k=5)
+
+
+@query(
+    "lsh_ann_topk",
+    oracle=None,  # approximate tier — exact counterpart is knn_cosine_topk
+    doc="Approximate ANN: sign-random-projection LSH buckets + exact rescoring (rows-only).",
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    it = e.select(F.col("vec_id").alias("item_id"), "embedding")
+    return lsh_topk(q, it, "query_id", "item_id", dim=64, k=5, n_planes=6, n_tables=4)
+
+
+# ================================================================ streaming batch-analogs
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="ST3: epoch-aligned tumbling windows (same expression batch & stream).",
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("__w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("total_value"))
+        .select(F.col("__w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+# ================================================================ flagship + evaluation
+
+@query(
+    "segment_recommendations",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id, event_type, ts FROM events
+      WHERE (props->>'k') IS NOT NULL AND ts <= TIMESTAMP '{ANCHOR}'
+    ), seg_user AS (
+      SELECT DISTINCT e.user_id, c.c_mktsegment AS segment
+      FROM e JOIN customer c ON e.user_id = c.c_custkey
+    ), seg_item AS (
+      SELECT c.c_mktsegment AS segment, e.item_id,
+        ROUND(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+          / (SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) + 1e-6), 6) AS ctr
+      FROM e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+    ), seen AS (
+      SELECT DISTINCT user_id, item_id FROM e
+    ), cand AS (
+      SELECT u.user_id, s.item_id, s.ctr
+      FROM seg_user u JOIN seg_item s ON u.segment = s.segment
+      WHERE NOT EXISTS (
+        SELECT 1 FROM seen x WHERE x.user_id = u.user_id AND x.item_id = s.item_id
+      )
+    )
+    SELECT user_id, item_id, ctr, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT user_id, item_id, ctr,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ctr DESC, item_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+    doc="FLAGSHIP (SURVEY §7.2): per-user top-5 popular-in-segment recs — "
+        "scan -> conditional agg -> broadcast dim join -> anti join -> per-key top-k.",
+)
+def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull() & (F.col("ts") <= F.lit(ANCHOR).cast("timestamp")))
+        .select("user_id", "item_id", "event_type")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    ev_seg = ev.join(F.broadcast(cust), "user_id")
+    seg_item = ev_seg.groupBy("segment", "item_id").agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            / (F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)) + F.lit(1e-6)),
+            6,
+        ).alias("ctr")
+    )
+    seg_user = ev_seg.select("user_id", "segment").distinct()
+    seen = ev.select("user_id", "item_id").distinct()
+    cand = seg_user.join(seg_item, "segment").join(seen, ["user_id", "item_id"], "left_anti")
+    out = topk_per_key(cand, ["user_id"], [F.col("ctr").desc(), F.col("item_id")], 5)
+    return out.select("user_id", "item_id", "ctr", "rank")
+
+
+@query(
+    "popularity_ranking_metrics",
+    oracle=f"""
+    WITH train AS (
+      SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id FROM events
+      WHERE ts < TIMESTAMP '{SPLIT_TS}' AND event_type = 'click' AND (props->>'k') IS NOT NULL
+    ), truth AS (
+      SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item_id FROM events
+      WHERE ts >= TIMESTAMP '{SPLIT_TS}' AND event_type = 'click' AND (props->>'k') IS NOT NULL
+    ), pop AS (
+      SELECT item_id, COUNT(*) AS c FROM train GROUP BY 1
+    ), recs AS (
+      SELECT item_id, rank FROM (
+        SELECT item_id, ROW_NUMBER() OVER (ORDER BY c DESC, item_id) AS rank FROM pop
+      ) WHERE rank <= 10
+    ), users AS (SELECT DISTINCT user_id FROM truth),
+    urecs AS (SELECT u.user_id, r.item_id, r.rank FROM users u CROSS JOIN recs r),
+    hits AS (
+      SELECT t.user_id, r.rank FROM urecs r JOIN truth t
+      ON r.user_id = t.user_id AND r.item_id = t.item_id
+    ), hidx AS (
+      SELECT user_id, rank, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rank) AS hit_idx
+      FROM hits
+    ), per_hit AS (
+      SELECT user_id, COUNT(*) AS n_hits,
+        SUM(1.0 / log2(rank + 1)) AS dcg,
+        MAX(1.0 / rank) AS rr,
+        SUM(CAST(hit_idx AS DOUBLE) / rank) AS ap_num
+      FROM hidx GROUP BY 1
+    ), tsz AS (SELECT user_id, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+    idcg_tab AS (
+      SELECT n.n AS ideal_n, SUM(1.0 / log2(i.i + 1)) AS idcg
+      FROM range(1, 11) n(n) JOIN range(1, 11) i(i) ON i.i <= n.n GROUP BY 1
+    ), per_user AS (
+      SELECT t.user_id, t.n_truth,
+        COALESCE(h.n_hits, 0) AS n_hits, COALESCE(h.dcg, 0.0) AS dcg,
+        COALESCE(h.rr, 0.0) AS rr, COALESCE(h.ap_num, 0.0) AS ap_num,
+        LEAST(t.n_truth, 10) AS ideal_n
+      FROM tsz t LEFT JOIN per_hit h ON t.user_id = h.user_id
+    )
+    SELECT
+      ROUND(AVG(CAST(n_hits AS DOUBLE) / n_truth), 6) AS recall_at_10,
+      ROUND(AVG(n_hits / 10.0), 6) AS precision_at_10,
+      ROUND(AVG(CASE WHEN n_hits > 0 THEN 1.0 ELSE 0.0 END), 6) AS hit_rate_at_10,
+      ROUND(AVG(dcg / i.idcg), 6) AS ndcg_at_10,
+      ROUND(AVG(rr), 6) AS mrr_at_10,
+      ROUND(AVG(ap_num / per_user.ideal_n), 6) AS map_at_10
+    FROM per_user JOIN idcg_tab i ON per_user.ideal_n = i.ideal_n
+    """,
+    doc="W3/J9/A10: full ranking-metric suite over a popularity recommender "
+        "(the reference's baseline model, README.md:127-135) — one distributed pass.",
+)
+def popularity_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_metrics
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
+        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
+    )
+    split = F.lit(SPLIT_TS).cast("timestamp")
+    train = ev.where(F.col("ts") < split)
+    truth = ev.where(F.col("ts") >= split).select("user_id", "item_id").distinct()
+    pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
+    recs = (
+        pop.withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("item_id"))))
+        .where(F.col("rank") <= 10)
+        .select("item_id", "rank")
+    )
+    users = truth.select("user_id").distinct()
+    urecs = users.crossJoin(F.broadcast(recs))
+    return ranking_metrics(urecs, truth, k=10, user="user_id", item="item_id")
+
+
+@query(
+    "coverage_novelty",
+    oracle=f"""
+    WITH train AS (
+      SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id FROM events
+      WHERE ts < TIMESTAMP '{SPLIT_TS}' AND event_type = 'click' AND (props->>'k') IS NOT NULL
+    ), pop AS (SELECT item_id, COUNT(*) AS c FROM train GROUP BY 1),
+    recs AS (
+      SELECT item_id, rank FROM (
+        SELECT item_id, ROW_NUMBER() OVER (ORDER BY c DESC, item_id) AS rank FROM pop
+      ) WHERE rank <= 10
+    ),
+    upop AS (SELECT item_id, COUNT(DISTINCT user_id) AS pop_users FROM train GROUP BY 1),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM train)
+    SELECT
+      (SELECT COUNT(*) FROM recs) AS n_recommended,
+      (SELECT COUNT(DISTINCT item_id) FROM train) AS n_catalog,
+      ROUND((SELECT COUNT(*) FROM recs) * 1.0 / (SELECT COUNT(DISTINCT item_id) FROM train), 6) AS coverage,
+      (SELECT ROUND(AVG(-log2(CAST(u.pop_users AS DOUBLE) / nu.n_users)), 6)
+       FROM recs r JOIN upop u ON r.item_id = u.item_id CROSS JOIN nu) AS novelty_at_10
+    """,
+    doc="A11/J10: catalog coverage + novelty (self-information) of the rec set.",
+)
+def coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
+        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
+    )
+    train = ev.where(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp"))
+    pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
+    recs = (
+        pop.withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("item_id"))))
+        .where(F.col("rank") <= 10)
+        .select("item_id", "rank")
+    )
+    upop = train.groupBy("item_id").agg(F.count_distinct("user_id").alias("pop_users"))
+    n_users = train.agg(F.count_distinct("user_id").alias("n_users"))
+    n_catalog = train.agg(F.count_distinct("item_id").alias("n_catalog"))
+    n_rec = recs.agg(F.count("*").alias("n_recommended"))
+    novelty = (
+        recs.join(upop, "item_id")
+        .crossJoin(F.broadcast(n_users))
+        .agg(F.round(F.avg(-F.log2(F.col("pop_users").cast("double") / F.col("n_users"))), 6).alias("novelty_at_10"))
+    )
+    return (
+        n_rec.crossJoin(F.broadcast(n_catalog))
+        .crossJoin(F.broadcast(novelty))
+        .select(
+            "n_recommended", "n_catalog",
+            F.round(F.col("n_recommended") * F.lit(1.0) / F.col("n_catalog"), 6).alias("coverage"),
+            "novelty_at_10",
+        )
+    )
+
+
+@query(
+    "rec_diversity",
+    oracle=f"""
+    WITH train AS (
+      SELECT CAST(props->>'k' AS BIGINT) AS item_id FROM events
+      WHERE ts < TIMESTAMP '{SPLIT_TS}' AND event_type = 'click' AND (props->>'k') IS NOT NULL
+    ), pop AS (SELECT item_id, COUNT(*) AS c FROM train GROUP BY 1),
+    recs AS (
+      SELECT item_id, rank FROM (
+        SELECT item_id, ROW_NUMBER() OVER (ORDER BY c DESC, item_id) AS rank FROM pop
+      ) WHERE rank <= 10
+    ), rv AS (
+      SELECT r.rank, e.embedding::DOUBLE[] AS v
+      FROM recs r JOIN embeddings e ON r.item_id = e.vec_id
+    )
+    SELECT ROUND(AVG(1.0 - list_cosine_similarity(a.v, b.v)), 6) AS diversity_at_10
+    FROM rv a JOIN rv b ON a.rank < b.rank
+    """,
+    doc="W5: intra-list diversity = mean pairwise cosine distance of rec embeddings.",
+)
+def rec_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import cosine_distance
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
+        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
+    )
+    train = ev.where(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp"))
+    pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
+    recs = (
+        pop.withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("item_id"))))
+        .where(F.col("rank") <= 10)
+        .select("item_id", "rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("item_id"), "embedding")
+    rv = recs.join(emb, "item_id").select("rank", F.col("embedding").alias("v"))
+    a = rv.select(F.col("rank").alias("__ra"), F.col("v").alias("__va"))
+    b = rv.select(F.col("rank").alias("__rb"), F.col("v").alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("__ra") < F.col("__rb"))
+        .agg(F.round(F.avg(cosine_distance(F.col("__va"), F.col("__vb"))), 6).alias("diversity_at_10"))
+    )
+
+
+# ================================================================ multimodal plumbing
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS id,
+      CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      'fake/raw' AS format,
+      CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+      CAST((octet_length(encode(text)) // 64) % 64 + 16 AS INTEGER) AS height,
+      md5(text) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary blob column -> Arrow-batched mapInPandas "
+        "decode kernel (stubbed deterministic fake; see operators/multimodal.py).",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import attach_binary, decode_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = attach_binary(d, "text")
+    return decode_metadata(blobs, "doc_id")
