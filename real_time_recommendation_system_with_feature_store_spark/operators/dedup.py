@@ -110,7 +110,10 @@ def minhash_lsh_dedup(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     ).where(F.size("__sh") > 0)
-    sig = sh.withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes))
+    # persist: without it Catalyst inlines the 32-hash signature expression
+    # into the post-explode projection and recomputes it once per band row
+    # (bands x num_hashes x |shingles| evaluations per doc)
+    sig = sh.withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes)).persist()
 
     band_rows = sig.select(
         id_col,

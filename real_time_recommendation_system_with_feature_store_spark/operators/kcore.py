@@ -24,10 +24,14 @@ def kcore_filter(
     min_item: int = 5,
     iterations: int = 3,
 ) -> DataFrame:
-    out = df
+    # Persist the input once: every iteration re-reads it twice (count pass +
+    # semi-join probe), and without a cache that means 6 source scans — at
+    # 100 TB, 6 full passes of parse/decode. On a cluster this would be
+    # persist(StorageLevel.MEMORY_AND_DISK) or a checkpoint.
+    out = df.persist()
     for _ in range(iterations):
         user_ok = out.groupBy(user_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_user).select(user_col)
         out = out.join(F.broadcast(user_ok), user_col, "left_semi")
         item_ok = out.groupBy(item_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_item).select(item_col)
-        out = out.join(F.broadcast(item_ok), item_col, "left_semi")
+        out = out.join(F.broadcast(item_ok), item_col, "left_semi").persist()
     return out

@@ -479,17 +479,17 @@ def leave_one_out_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, CAST(props->>'k' AS BIGINT) AS item_id FROM events
       WHERE props->>'k' IS NOT NULL
     ),
-    u1 AS (SELECT user_id FROM e0 GROUP BY 1 HAVING COUNT(*) >= 60),
+    u1 AS (SELECT user_id FROM e0 GROUP BY 1 HAVING COUNT(*) >= 40),
     ea1 AS (SELECT * FROM e0 WHERE user_id IN (SELECT user_id FROM u1)),
-    i1 AS (SELECT item_id FROM ea1 GROUP BY 1 HAVING COUNT(*) >= 80),
+    i1 AS (SELECT item_id FROM ea1 GROUP BY 1 HAVING COUNT(*) >= 90),
     e1 AS (SELECT * FROM ea1 WHERE item_id IN (SELECT item_id FROM i1)),
-    u2 AS (SELECT user_id FROM e1 GROUP BY 1 HAVING COUNT(*) >= 60),
+    u2 AS (SELECT user_id FROM e1 GROUP BY 1 HAVING COUNT(*) >= 40),
     ea2 AS (SELECT * FROM e1 WHERE user_id IN (SELECT user_id FROM u2)),
-    i2 AS (SELECT item_id FROM ea2 GROUP BY 1 HAVING COUNT(*) >= 80),
+    i2 AS (SELECT item_id FROM ea2 GROUP BY 1 HAVING COUNT(*) >= 90),
     e2 AS (SELECT * FROM ea2 WHERE item_id IN (SELECT item_id FROM i2)),
-    u3 AS (SELECT user_id FROM e2 GROUP BY 1 HAVING COUNT(*) >= 60),
+    u3 AS (SELECT user_id FROM e2 GROUP BY 1 HAVING COUNT(*) >= 40),
     ea3 AS (SELECT * FROM e2 WHERE user_id IN (SELECT user_id FROM u3)),
-    i3 AS (SELECT item_id FROM ea3 GROUP BY 1 HAVING COUNT(*) >= 80),
+    i3 AS (SELECT item_id FROM ea3 GROUP BY 1 HAVING COUNT(*) >= 90),
     e3 AS (SELECT * FROM ea3 WHERE item_id IN (SELECT item_id FROM i3))
     SELECT event_id, user_id, item_id FROM e3
     """,
@@ -504,7 +504,7 @@ def kcore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("item_id").isNotNull())
         .select("event_id", "user_id", "item_id")
     )
-    return kcore_filter(ev, "user_id", "item_id", min_user=60, min_item=80, iterations=3)
+    return kcore_filter(ev, "user_id", "item_id", min_user=40, min_item=90, iterations=3)
 
 
 @query(

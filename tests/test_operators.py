@@ -1,0 +1,209 @@
+"""Golden-value operator tests on tiny hand-built frames — the reference's
+test pattern (SURVEY.md §5: hand-computed expected values, tiny fixtures)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        # (event_id, user, item, type, ts)
+        (1, 1, 10, "view", ts("2024-01-01 10:00:00")),
+        (2, 1, 10, "click", ts("2024-01-01 10:05:00")),
+        (3, 1, 11, "view", ts("2024-01-01 11:00:00")),
+        (4, 1, 12, "purchase", ts("2024-01-01 11:30:00")),
+        (5, 2, 10, "view", ts("2024-01-01 09:00:00")),
+        (6, 2, 11, "click", ts("2024-01-02 09:00:00")),
+    ]
+    return spark.createDataFrame(rows, ["event_id", "user_id", "item_id", "event_type", "ts"])
+
+
+def test_topk_per_key(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        ["k", "id", "score"],
+    )
+    out = topk_per_key(df, ["k"], [F.col("score").desc(), F.col("id")], 2)
+    got = {(r["k"], r["id"], r["rank"]) for r in out.collect()}
+    # tie at 20.0 broken by id: id=2 rank 1, id=3 rank 2
+    assert got == {("a", 2, 1), ("a", 3, 2), ("b", 4, 1)}
+
+
+def test_leave_one_out(spark, tiny_events):
+    from real_time_recommendation_system_with_feature_store_spark.operators.split import leave_one_out_split
+
+    out = leave_one_out_split(
+        tiny_events, "user_id", [F.col("ts").desc(), F.col("event_id").desc()], 1
+    )
+    test_ids = {r["event_id"] for r in out.where(F.col("split") == "test").collect()}
+    assert test_ids == {4, 6}  # latest event per user
+
+
+def test_time_fraction_split_boundaries(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.split import time_fraction_split
+
+    df = spark.range(10).select(F.col("id"), F.col("id").alias("t"))
+    out = time_fraction_split(df, ["t", "id"], 0.8, 0.1)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"train": 8, "val": 1, "test": 1}  # int(10*.8)=8, int(10*.9)=9
+
+
+def test_asof_join_ttl_and_tiebreak(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_by_rowid
+
+    left = spark.createDataFrame(
+        [(1, "u", ts("2024-01-01 12:00:00")), (2, "u", ts("2024-01-01 13:00:00"))],
+        ["row_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", ts("2024-01-01 11:00:00"), "old"),
+            ("u", ts("2024-01-01 11:59:00"), "fresh"),
+            ("u", ts("2024-01-01 12:30:00"), "future-for-1"),
+        ],
+        ["k", "fts", "tag"],
+    )
+    out = asof_join_by_rowid(left, right, ["k"], "ts", "fts", "row_id", ttl_seconds=1800)
+    got = {r["row_id"]: r["tag"] for r in out.collect()}
+    # row 1: fresh (11:59 within 30min; 11:00 outside); row 2: 12:30 (within TTL)
+    assert got == {1: "fresh", 2: "future-for-1"}
+
+
+def test_asof_cold_entity_keeps_null(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_by_rowid
+
+    left = spark.createDataFrame([(1, "cold", ts("2024-01-01 12:00:00"))], ["row_id", "k", "ts"])
+    right = spark.createDataFrame([("hot", ts("2024-01-01 11:00:00"), 1.0)], ["k", "fts", "v"])
+    out = asof_join_by_rowid(left, right, ["k"], "ts", "fts", "row_id").collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+
+def test_kcore_golden(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.kcore import kcore_filter
+
+    # user 1 has 3 events, user 2 has 1; item 10 has 2, item 11 has 2
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11), (2, 11)], ["u", "i"]
+    )
+    out = kcore_filter(df, "u", "i", min_user=2, min_item=2, iterations=2)
+    got = sorted((r["u"], r["i"]) for r in out.collect())
+    # round1: user2 dropped (1 event) -> item11 has 1 -> dropped -> user1 keeps 2 events on item10
+    assert got == [(1, 10), (1, 10)]
+
+
+def test_sessionize_golden(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, ts("2024-01-01 10:00:00")),
+            (2, 1, ts("2024-01-01 10:10:00")),   # same session (10 min gap)
+            (3, 1, ts("2024-01-01 11:00:00")),   # new session (50 min gap > 30)
+            (4, 2, ts("2024-01-01 10:00:00")),
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_label_encode_deterministic(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.encode import label_encode
+
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], ["x"])
+    out = label_encode(df, "x")
+    got = {r["x"]: r["x_idx"] for r in out.collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # sorted-value order, not frequency
+
+
+def test_negative_sample_disjoint_and_sized(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sampling import negative_sample
+
+    inter = spark.createDataFrame([(1, 10), (1, 11), (2, 10)], ["u", "i"])
+    items = spark.createDataFrame([(i,) for i in range(10, 20)], ["i"])
+    out = negative_sample(inter, items, "u", "i", n_per_user=3)
+    rows = [(r["u"], r["i"]) for r in out.collect()]
+    assert len(rows) == 6  # 3 per user
+    positives = {(1, 10), (1, 11), (2, 10)}
+    assert not (set(rows) & positives)  # SE1: negatives disjoint from positives
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "Hello  World"), (1, "hello world"), (2, "different")], ["id", "txt"]
+    )
+    out = exact_dedup(df, "txt", "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]  # 3 dedups onto 1
+
+
+def test_knn_self_similarity_and_ranking(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),   # closest to 1
+            (3, [0.0, 1.0]),   # orthogonal to 1
+        ],
+        ["id", "embedding"],
+    )
+    q = vecs.where(F.col("id") == 1).select(F.col("id").alias("qid"), "embedding")
+    it = vecs.select(F.col("id").alias("iid"), "embedding")
+    out = brute_force_topk(q, it, "qid", "iid", k=2)
+    got = [(r["iid"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_ranking_metrics_golden(spark):
+    """Reference test pattern: recall 2/4=0.5 etc (test_evaluation_metrics.py)."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_metrics
+
+    # user 1: truth {a,b,c,d}; recs hit a@1, b@3 within k=5
+    recs = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (1, "b", 3), (1, "y", 4), (1, "z", 5)],
+        ["user_idx", "item_idx", "rank"],
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "d")], ["user_idx", "item_idx"]
+    )
+    row = ranking_metrics(recs, truth, k=5).collect()[0]
+    assert row["recall_at_5"] == pytest.approx(2 / 4)
+    assert row["precision_at_5"] == pytest.approx(2 / 5)
+    assert row["hit_rate_at_5"] == 1.0
+    assert row["mrr_at_5"] == 1.0  # first hit at rank 1
+    # AP = (1/1 + 2/3)/min(4,5) = (1 + 0.666667)/4
+    assert row["map_at_5"] == pytest.approx((1 + 2 / 3) / 4, abs=1e-6)
+    import math
+
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in range(1, 5))
+    assert row["ndcg_at_5"] == pytest.approx(dcg / idcg, abs=1e-6)
+
+
+def test_multimodal_plumbing(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import attach_binary, decode_metadata
+
+    df = spark.createDataFrame([(1, "hello"), (2, "a" * 100)], ["doc_id", "text"])
+    out = decode_metadata(attach_binary(df, "text"), "doc_id").collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 5 and by_id[2]["n_bytes"] == 100
+    assert by_id[2]["width"] == 100 % 64 + 16
+
+    import pytest as _pt
+
+    with _pt.raises(Exception):  # strict mode surfaces NotImplementedError
+        decode_metadata(attach_binary(df, "text"), "doc_id", strict=True).collect()

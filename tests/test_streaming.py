@@ -1,0 +1,103 @@
+"""Batch/stream parity (SURVEY.md §5): replaying the events table through a
+file stream must produce byte-identical windowed features to the batch path,
+because both run the same windowed_feature_stream() expression."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+    decode_kafka_json,
+    replay_events_stream,
+    windowed_feature_stream,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+
+    return load_tables(spark, SF_DIR, register=False)["events"]
+
+
+def test_stream_batch_parity(spark, events_batch, tmp_path_factory):
+    # stage the events as multiple files so the stream sees >1 micro-batch
+    stage = os.path.join(TMP, "stream_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    events_batch.repartition(4).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = replay_events_stream(spark, stage, schema)
+    assert stream.isStreaming
+
+    agg_stream = windowed_feature_stream(stream, key="user_id", window="1 hour", watermark="365 days")
+    q = (
+        agg_stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT * FROM parity_out")
+    expected = windowed_feature_stream(events_batch, key="user_id", window="1 hour")
+
+    g = sorted(map(str, got.collect()))
+    e = sorted(map(str, expected.collect()))
+    assert len(g) > 0
+    assert g == e
+
+
+def test_kafka_json_decode_batch_analog(spark):
+    """ST1: the same from_json projection used by the kafka source, on a
+    batch frame standing in for kafka's (key, value) shape."""
+    from real_time_recommendation_system_with_feature_store_spark.sources.schemas import schema_for
+
+    raw = spark.createDataFrame(
+        [
+            ('{"event_type":"click","user_id":7,"item_id":3,"timestamp":"2024-01-01T10:00:00Z","duration":1.5,"category":"tech","session_id":"s1"}',),
+            ('not json',),
+        ],
+        ["value"],
+    )
+    out = decode_kafka_json(raw, schema_for("kafka_event")).collect()
+    ok = [r for r in out if r["event_type"] == "click"][0]
+    assert ok["user_id"] == 7 and ok["item_id"] == 3 and ok["category"] == "tech"
+    bad = [r for r in out if r["event_type"] is None]
+    assert len(bad) == 1  # malformed rows -> null struct, not a crash
+
+
+def test_online_store_upsert_roundtrip(spark):
+    """ST8/S6/S7: stream-shaped push + latest-snapshot lookup."""
+    from datetime import datetime
+
+    from real_time_recommendation_system_with_feature_store_spark.features.store import FeatureStore, FeatureView
+
+    t0 = datetime.fromisoformat("2024-01-01 10:00:00")
+    t1 = datetime.fromisoformat("2024-01-01 11:00:00")
+    base = spark.createDataFrame(
+        [(1, t0, 10.0), (2, t0, 20.0)], ["user_id", "event_timestamp", "score"]
+    )
+    store = FeatureStore(spark=spark)
+    store.register(
+        FeatureView(name="v", entities=["user_id"], ttl_seconds=None), base
+    )
+    # push a newer row for user 1 (foreachBatch upsert path uses store.push)
+    store.push("v", spark.createDataFrame([(1, t1, 99.0)], ["user_id", "event_timestamp", "score"]))
+
+    snap = {r["user_id"]: r["score"] for r in store.latest_snapshot("v").collect()}
+    assert snap == {1: 99.0, 2: 20.0}
+
+    keys = spark.createDataFrame([(1,), (3,)], ["user_id"])
+    online = {r["user_id"]: r["score"] for r in store.get_online_features("v", keys).collect()}
+    assert online[1] == 99.0 and online[3] is None  # cold key -> null row
