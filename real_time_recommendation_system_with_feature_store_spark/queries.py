@@ -58,9 +58,17 @@ ANCHOR = "2024-01-31 00:00:00"
 TREND_ANCHOR = "2024-01-30 12:00:00"
 SPLIT_TS = "2024-01-16 00:00:00"
 
-# exact decimal sum helper: per-row double expr -> decimal -> exact sum -> double
+# exact decimal sum helpers. _dsum -> double (for INTERNAL post-agg math,
+# always rounded before output); _dsum_exact keeps DECIMAL(38,10) — used for
+# OUTPUT money-sum columns because decimal->double conversion differs by 1 ulp
+# between Spark (BigDecimal.doubleValue) and DuckDB (int128/10^scale in FP),
+# which breaks value-hash comparison on large sums.
 def _dsum(col, scale="(28,10)"):
     return F.sum(col.cast(f"decimal{scale}")).cast("double")
+
+
+def _dsum_exact(col):
+    return F.sum(col.cast("decimal(28,10)"))
 
 
 def _item(props):
@@ -74,10 +82,10 @@ def _item(props):
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+      SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
+      SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
+      SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
+      SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,10))) AS sum_charge,
       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_qty,
       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_price,
       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_disc,
@@ -96,10 +104,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(charge).alias("sum_charge"),
+            _dsum_exact(F.col("l_quantity")).alias("sum_qty"),
+            _dsum_exact(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum_exact(disc_price).alias("sum_disc_price"),
+            _dsum_exact(charge).alias("sum_charge"),
             F.round(_dsum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
             F.round(_dsum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
             F.round(_dsum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
@@ -112,7 +120,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_building_orders",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-      CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+      SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -133,7 +141,7 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -143,7 +151,7 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_revenue",
     oracle="""
     SELECT r.r_name, n.n_name,
-      CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+      SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS revenue,
       COUNT(*) AS n_lineitems
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -168,7 +176,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -179,14 +187,14 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment,
       COALESCE(s.n_orders, 0) AS n_orders,
-      COALESCE(s.total_spend, 0.0) AS total_spend,
+      COALESCE(s.total_spend, CAST(0 AS DECIMAL(38,10))) AS total_spend,
       COALESCE(s.avg_spend, 0.0) AS avg_spend,
       s.last_order
     FROM customer c
     LEFT JOIN (
       SELECT o_custkey,
         COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_spend,
+        SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS total_spend,
         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_spend,
         MAX(o_orderdate) AS last_order
       FROM orders GROUP BY o_custkey
@@ -199,14 +207,19 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     stats = o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        _dsum(F.col("o_totalprice")).alias("total_spend"),
+        _dsum_exact(F.col("o_totalprice")).alias("total_spend"),
         F.round(_dsum(F.col("o_totalprice")) / F.count("*"), 6).alias("avg_spend"),
         F.max("o_orderdate").alias("last_order"),
     )
     return (
         c.join(stats, c.c_custkey == stats.o_custkey, "left")
-        .select("c_custkey", "c_mktsegment", "n_orders", "total_spend", "avg_spend", "last_order")
-        .na.fill({"n_orders": 0, "total_spend": 0.0, "avg_spend": 0.0})
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_spend"), F.lit(0).cast("decimal(38,10)")).alias("total_spend"),
+            F.coalesce(F.col("avg_spend"), F.lit(0.0)).alias("avg_spend"),
+            "last_order",
+        )
     )
 
 
@@ -388,7 +401,7 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_events,
       COUNT(DISTINCT user_id) AS n_users,
       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,10)) ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) AS purchase_value
+      SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,10)) ELSE CAST(0 AS DECIMAL(28,10)) END) AS purchase_value
     FROM events
     WHERE props->>'k' IS NOT NULL
     GROUP BY 1
@@ -406,7 +419,7 @@ def item_interaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
         F.sum(
             F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(28,10)")).otherwise(zero)
-        ).cast("double").alias("purchase_value"),
+        ).alias("purchase_value"),
     )
 
 
@@ -1097,7 +1110,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
       COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+      SUM(CAST(value AS DECIMAL(28,10))) AS total_value
     FROM events GROUP BY 1, 2
     """,
     doc="ST3: epoch-aligned tumbling windows (same expression batch & stream).",
@@ -1106,7 +1119,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("__w"), "event_type")
-        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("total_value"))
+        .agg(F.count("*").alias("n"), _dsum_exact(F.col("value")).alias("total_value"))
         .select(F.col("__w.start").alias("window_start"), "event_type", "n", "total_value")
     )
 
@@ -1370,3 +1383,246 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     blobs = attach_binary(d, "text")
     return decode_metadata(blobs, "doc_id")
+
+
+# ================================================================ model scoring / ML-ish ops
+
+@query(
+    "linear_rerank_topk",
+    oracle="""
+    WITH feats AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+        COALESCE(s.n_orders, 0) AS n_orders,
+        COALESCE(s.total_spend, CAST(0 AS DECIMAL(38,10))) AS total_spend
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+          SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS total_spend
+        FROM orders GROUP BY o_custkey
+      ) s ON s.o_custkey = c.c_custkey
+    ), scored AS (
+      SELECT c_custkey, c_mktsegment,
+        ROUND(0.3 * n_orders + 0.0001 * CAST(total_spend AS DOUBLE) + 0.5, 6) AS score
+      FROM feats
+    )
+    SELECT c_custkey, c_mktsegment, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY score DESC, c_custkey) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="U5+W2: pandas_udf batch scorer (broadcast linear model) + per-segment "
+        "re-rank — the serving query's ranking stage with a checkable model.",
+)
+def linear_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.scoring import LinearModel, batch_scorer, score_and_rank
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.round(_dsum(F.col("o_totalprice")), 6).alias("total_spend")
+    )
+    feats = (
+        c.join(stats, c.c_custkey == stats.o_custkey, "left")
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("double").alias("n_orders"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+    scorer = batch_scorer(spark, LinearModel(weights=[0.3, 0.0001], bias=0.5), ["n_orders", "total_spend"])
+    out = score_and_rank(feats, scorer, "c_mktsegment", ["n_orders", "total_spend"], 5, "c_custkey")
+    return out.select("c_custkey", "c_mktsegment", "score", "rank")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents WHERE doc_id < 200
+    ), n_docs AS (SELECT COUNT(*) AS n FROM docs),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM docs
+    ), tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+    ), dfc AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id, t.term,
+        ROUND(t.tf * ln((SELECT n FROM n_docs) / d.df), 6) AS tfidf
+      FROM tfc t JOIN dfc d ON t.term = d.term
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="F22: TF-IDF as pure DataFrame ops (explode->count->df->idf) — "
+        "deterministic alternative to hash-based HashingTF.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import tokens
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", F.explode(F.transform(tokens(F.col("text")), lambda t: F.lower(t))).alias("term")
+    )
+    tfc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = tfc.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n"))
+    scored = (
+        tfc.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    out = topk_per_key(scored, ["doc_id"], [F.col("tfidf").desc(), F.col("term")], 3)
+    return out.select("doc_id", "term", "tfidf", "rank")
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '3 hours', ts) AS b, event_type FROM events
+    ), expanded AS (
+      SELECT b AS window_start, event_type FROM buckets
+      UNION ALL
+      SELECT b - INTERVAL '3 hours' AS window_start, event_type FROM buckets
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+    doc="ST3 sliding variant: 6h windows sliding by 3h — each event lands in "
+        "2 windows; same window() expression serves batch and stream.",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("__w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("__w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT r_name, o_orderstatus,
+      SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS revenue,
+      COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, o_orderstatus)
+    """,
+    doc="Rollup (hierarchical subtotals) — beyond the reference's surface; "
+        "Catalyst expands to a single Expand+HashAggregate pass.",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "o_orderstatus").agg(
+        _dsum_exact(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+      ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      ROUND(quantile_cont(value, 0.95), 6) AS p95,
+      ROUND(MIN(value), 6) AS min_value,
+      ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles (the latency-report shape, "
+        "reference performance_test.py p50/p95/p99).",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@query(
+    "part_type_multihot",
+    oracle="""
+    SELECT p_partkey, p_type,
+      CASE WHEN lower(p_type) LIKE '%brushed%' THEN 1 ELSE 0 END AS type_brushed,
+      CASE WHEN lower(p_type) LIKE '%anodized%' THEN 1 ELSE 0 END AS type_anodized,
+      CASE WHEN lower(p_type) LIKE '%polished%' THEN 1 ELSE 0 END AS type_polished,
+      CASE WHEN lower(p_type) LIKE '%plated%' THEN 1 ELSE 0 END AS type_plated,
+      CAST(len(string_split(p_type, ' ')) AS INTEGER) AS num_terms
+    FROM part
+    """,
+    doc="F3/F4: case-insensitive substring multi-hot encoding (the genre "
+        "multi-hot shape, reference movielens.py:152-157).",
+)
+def part_type_multihot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import genre_flag
+
+    p = _t(spark, sf_dir, "part")
+    out = p.select(
+        "p_partkey", "p_type",
+        genre_flag(F.col("p_type"), "BRUSHED").alias("type_brushed"),
+        genre_flag(F.col("p_type"), "ANODIZED").alias("type_anodized"),
+        genre_flag(F.col("p_type"), "POLISHED").alias("type_polished"),
+        genre_flag(F.col("p_type"), "PLATED").alias("type_plated"),
+        F.size(F.split(F.col("p_type"), " ", -1)).alias("num_terms"),
+    )
+    return out
+
+
+@query(
+    "user_event_arrays",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+        list_sort(list(DISTINCT event_type)) AS types,
+        list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+      array_to_string(types, ',') AS distinct_types,
+      CAST(len(seq) AS INTEGER) AS n_events,
+      ROUND(CAST(len(list_distinct(seq)) AS DOUBLE) / GREATEST(len(seq), 1), 6) AS diversity_ratio,
+      CASE WHEN list_contains(types, 'purchase') THEN 1 ELSE 0 END AS has_purchase
+    FROM u
+    """,
+    doc="F14/F15/A9: per-user event arrays — ordered collect, diversity "
+        "ratio len(set)/len, array membership.",
+)
+def user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import list_diversity
+
+    ev = _t(spark, sf_dir, "events")
+    seq_struct = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    u = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.transform(seq_struct, lambda s: s["event_type"]).alias("seq"),
+    )
+    return u.select(
+        "user_id",
+        F.concat_ws(",", F.col("types")).alias("distinct_types"),
+        F.size("seq").alias("n_events"),
+        F.round(list_diversity(F.col("seq")), 6).alias("diversity_ratio"),
+        F.array_contains(F.col("types"), "purchase").cast("int").alias("has_purchase"),
+    )

@@ -34,9 +34,11 @@ def read_delimited(
     multi-char ``sep`` natively (Spark >= 3.0); schema is declared, never
     inferred, so the scan is single-pass.
     """
+    # Spark's CSVOptions rejects the python alias "latin-1"
+    charset = {"latin-1": "iso-8859-1", "latin1": "iso-8859-1"}.get(encoding.lower(), encoding)
     return (
         spark.read.option("sep", sep)
-        .option("encoding", encoding)
+        .option("encoding", charset)
         .schema(schema)
         .csv(path)
     )
