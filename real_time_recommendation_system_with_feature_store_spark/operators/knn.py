@@ -58,10 +58,11 @@ def brute_force_topk(
     )
 
 
-def _sign_projection_bits(vec, dim: int, n_planes: int):
+def _sign_projection_bits(vec, dim: int, n_planes: int, salt: int = 0):
     """Deterministic pseudo-random hyperplanes: component (p,i) is derived
-    from xxhash64(p,i) mapped to {-1,+1}. No rand(), so buckets are stable
-    across partitionings and re-runs."""
+    from xxhash64(salt,p,i) mapped to {-1,+1}. No rand(), so buckets are
+    stable across partitionings and re-runs; ``salt`` makes hash TABLES
+    independent (same-prefix planes would correlate every table)."""
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
@@ -69,7 +70,9 @@ def _sign_projection_bits(vec, dim: int, n_planes: int):
                 vec,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda x, i: x
-                * F.when(F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(salt), F.lit(p), i), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -87,8 +90,8 @@ def lsh_topk(
     query_vec: str = "embedding",
     item_vec: str = "embedding",
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-random-projection LSH.
@@ -102,7 +105,7 @@ def lsh_topk(
         norm = df.select(F.col(id_col).alias(out_id), l2_normalize(F.col(vec_col)).alias("__v"))
         buckets = F.array(
             *[
-                F.concat_ws("|", F.lit(str(t)), _sign_projection_bits(F.col("__v"), dim, n_planes + t))
+                F.concat_ws("|", F.lit(str(t)), _sign_projection_bits(F.col("__v"), dim, n_planes, salt=t))
                 for t in range(n_tables)
             ]
         )

@@ -1,0 +1,53 @@
+"""Scalable global ranking — the 100 TB path for total-order operations.
+
+``Window.orderBy(...)`` with no partition key funnels every row through ONE
+task. Fine at test scale; a non-starter at 10^11 rows. ``global_row_number``
+produces the identical rank via range repartitioning:
+
+  1. range-partition + sort by the ordering key (parallel sort),
+  2. per-partition row_number (no shuffle, partition-local),
+  3. add each partition's cumulative offset (tiny aggregate, broadcast).
+
+The result is independent of where the range partitioner draws its sampled
+boundaries — the order is total, so offsets + local ranks always compose to
+the same global rank. Used by time_fraction_split for the scale path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+
+    # per-partition counts -> exclusive running offsets (tiny: one row/partition)
+    sizes = with_pid.groupBy("__pid").agg(F.count("*").alias("__n"))
+    offsets = sizes.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__offset")
+
+    local = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        with_pid.withColumn("__local", F.row_number().over(local))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__offset") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )

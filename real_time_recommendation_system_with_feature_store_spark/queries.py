@@ -1100,7 +1100,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     it = e.select(F.col("vec_id").alias("item_id"), "embedding")
-    return lsh_topk(q, it, "query_id", "item_id", dim=64, k=5, n_planes=6, n_tables=4)
+    return lsh_topk(q, it, "query_id", "item_id", dim=64, k=5, n_planes=4, n_tables=8)
 
 
 # ================================================================ streaming batch-analogs
@@ -1626,3 +1626,95 @@ def user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(list_diversity(F.col("seq")), 6).alias("diversity_ratio"),
         F.array_contains(F.col("types"), "purchase").cast("int").alias("has_purchase"),
     )
+
+
+# ================================================================ window funcs / pivots / cubes
+
+@query(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot to wide per-user event-type counts (fixed vocabulary => single "
+        "pass, no value-discovery job).",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out
+
+
+@query(
+    "inter_event_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+      CAST(date_diff('microsecond', prev_ts, ts) AS BIGINT) AS gap_us,
+      CAST(date_diff('microsecond', ts, next_ts) AS BIGINT) AS lead_us
+    FROM (
+      SELECT event_id, user_id, ts,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    """,
+    doc="lag/lead inter-event deltas (dwell-time shape, W3 family).",
+)
+def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    next_ts = F.lead("ts").over(w)
+    return ev.select(
+        "event_id", "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+        (F.unix_micros(next_ts) - F.unix_micros(F.col("ts"))).alias("lead_us"),
+    )
+
+
+@query(
+    "price_deciles",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+      CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile,
+      ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+    FROM orders
+    """,
+    doc="O3 percentile machinery: ntile deciles + percent_rank with total "
+        "tie-break (used by fraction splits at scale).",
+)
+def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Cube (all grouping-set combinations) — single Expand+HashAggregate pass.",
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))

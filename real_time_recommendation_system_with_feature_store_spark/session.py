@@ -54,6 +54,10 @@ def get_spark(
         # the driver's events.parquet carries TIMESTAMP(NANOS), which the
         # vectorized reader rejects; read as long and convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # state-store delta-file writes deadlock in 4.1's checksum checkpoint
+        # manager (executor threads park in ChecksumCheckpointFileManager
+        # .awaitResult under concurrent stateful-operator commits)
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
