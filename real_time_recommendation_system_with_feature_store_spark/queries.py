@@ -1718,3 +1718,74 @@ def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# ================================================================ similarity scale tiers
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold on 6dp-rounded "
+        "similarity so both engines agree at the boundary). Exact all-pairs "
+        "baseline; at catalog scale the same rescoring runs after an "
+        "LSH/IVF candidate cut.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import cosine_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=None,  # approximate tier — exact counterpart is knn_cosine_topk
+    doc="IVF-style ANN: deterministic-seed k-means cells + nprobe probing "
+        "(the reference's faiss IVF index as DataFrame joins; rows-only).",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    it = e.select(F.col("vec_id").alias("item_id"), "embedding")
+    return ivf_topk(q, it, "query_id", "item_id", k=5, n_cells=16, n_probe=4)
+
+
+@query(
+    "doc_signatures",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    )
+    SELECT doc_id,
+      CAST(len(sh) AS INTEGER) AS n_shingles,
+      (SELECT MIN(md5(u.s)) FROM unnest(sh) AS u(s)) AS signature
+    FROM s
+    """,
+    doc="Per-document signature: minimum md5 over distinct word 3-shingles "
+        "(portable min-hash sketch with one hash; grouping by it finds "
+        "shingle-overlapping docs cheaply).",
+)
+def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = F.array_distinct(word_shingles(F.col("text"), 3))
+    return d.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("signature"),
+    )

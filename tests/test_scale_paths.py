@@ -50,6 +50,32 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF tier: nprobe/n_cells fraction of the catalog scored, recall vs
+    exact stays useful (reference trains faiss IVF with the same trade)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    it = e.select(F.col("vec_id").alias("iid"), "embedding")
+    exact = brute_force_topk(q, it, "qid", "iid", k=5)
+    approx = ivf_topk(q, it, "qid", "iid", k=5, n_cells=8, n_probe=4)
+    truth = {(r["qid"], r["iid"]) for r in exact.collect()}
+    got = {(r["qid"], r["iid"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_cosine_near_dup_symmetric_subset(spark):
+    """Near-dup pairs: id_a < id_b canonical form, all pairs above threshold."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import cosine_near_dup_pairs
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.3).collect()
+    assert len(out) > 0
+    assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.3 for r in out)
+
+
 def test_embedding_persistence_roundtrip(spark, tmp_path):
     """S10: the vector 'index' is a parquet table; persistence is a plain
     write/read and the index rebuild is the LSH bucketing itself."""
