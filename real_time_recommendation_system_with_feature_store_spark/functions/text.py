@@ -110,7 +110,9 @@ def fingerprint(text: Column) -> Column:
     The exact-dedup key (reference's closest analog is the md5 result-cache
     key, src/serving/retrieval.py:585).
     """
-    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    # collapse ALL whitespace runs first, then trim: trim() alone strips only
+    # 0x20 spaces, so tab/newline-padded text would fingerprint differently
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
     return F.md5(normalized)
 
 

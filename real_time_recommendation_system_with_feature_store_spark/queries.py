@@ -966,7 +966,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_dedup_exact",
     oracle="""
     WITH f AS (
-      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents
     )
     SELECT MIN(doc_id) AS keeper_doc_id, fp AS fingerprint, COUNT(*) AS n_copies
     FROM f GROUP BY fp
@@ -1788,4 +1788,90 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(sh).alias("n_shingles"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("signature"),
+    )
+
+
+# ================================================================ remaining §2 gap-fillers
+
+@query(
+    "segment_code_map",
+    oracle="""
+    SELECT c_custkey,
+      c_mktsegment,
+      CASE c_mktsegment
+        WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2 WHEN 'FURNITURE' THEN 3
+        WHEN 'HOUSEHOLD' THEN 4 WHEN 'MACHINERY' THEN 5 ELSE 0 END AS segment_code
+    FROM customer
+    """,
+    doc="F5: dict-map lookup as a map literal + element_at (the reference's "
+        "age/occupation maps, movielens.py:56-59) — constant-folded, no join.",
+)
+def segment_code_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    m = F.create_map(
+        *[
+            F.lit(x)
+            for kv in [("AUTOMOBILE", 1), ("BUILDING", 2), ("FURNITURE", 3), ("HOUSEHOLD", 4), ("MACHINERY", 5)]
+            for x in kv
+        ]
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.element_at(m, F.col("c_mktsegment")), F.lit(0)).alias("segment_code"),
+    )
+
+
+@query(
+    "nations_with_presence",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n_sources FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+    doc="SE3/SE4: union of distinct key sets from two tables (the "
+        "accumulate-recommended-set pattern, metrics.py:288).",
+)
+def nations_with_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.unionByName(s).groupBy("nationkey").agg(F.count("*").alias("n_sources"))
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    doc="J5/P5: semi-join membership filter (k-core keep-side; "
+        "movielens.py:316-319 isin).",
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "event_value_norm",
+    oracle="""
+    WITH m AS (SELECT event_type, MAX(value) AS mx FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+      ROUND(e.value / m.mx, 6) AS value_norm
+    FROM events e JOIN m USING (event_type)
+    """,
+    doc="A7/F17: max-normalization against a per-group scalar (the "
+        "views_24h/max pattern, feature_engineering.py:344) — tiny agg "
+        "broadcast back, no window over the fact table.",
+)
+def event_value_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    mx = ev.groupBy("event_type").agg(F.max("value").alias("__mx"))
+    return ev.join(F.broadcast(mx), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") / F.col("__mx"), 6).alias("value_norm"),
     )

@@ -1,0 +1,155 @@
+"""Property-based invariants (hypothesis) — the reference's property-style
+tests (SURVEY.md §5.3: split proportions, temporal ordering, exactly-one
+test row per user) generalized to random inputs, checked against
+driver-side reference implementations.
+
+Examples are kept small and few: every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, score, id) rows; ids unique within a draw
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=-100, max_value=100),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[2],
+)
+
+
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_topk_per_key_matches_reference(spark, rows, k):
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    df = spark.createDataFrame(rows, "key int, score int, id int")
+    got = {
+        (r["key"], r["id"], r["rank"])
+        for r in topk_per_key(
+            df, ["key"], [F.col("score").desc(), F.col("id").asc()], k
+        ).collect()
+    }
+    expected = set()
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for key, score, rid in rows:
+        by_key.setdefault(key, []).append((score, rid))
+    for key, vals in by_key.items():
+        ordered = sorted(vals, key=lambda v: (-v[0], v[1]))[:k]
+        expected |= {(key, rid, i + 1) for i, (_, rid) in enumerate(ordered)}
+    assert got == expected
+
+
+@given(rows=rows_strategy, n_test=st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_leave_one_out_counts(spark, rows, n_test):
+    from real_time_recommendation_system_with_feature_store_spark.operators.split import leave_one_out_split
+
+    df = spark.createDataFrame(rows, "key int, ts int, id int")
+    out = leave_one_out_split(
+        df, "key", [F.col("ts").desc(), F.col("id").desc()], n_test=n_test
+    ).collect()
+    sizes: dict[int, int] = {}
+    for key, _, _ in rows:
+        sizes[key] = sizes.get(key, 0) + 1
+    test_counts: dict[int, int] = {}
+    max_ts = {}
+    for key, ts, rid in rows:
+        max_ts[key] = max(max_ts.get(key, (-(10 ** 9), -1)), (ts, rid))
+    for r in out:
+        if r["split"] == "test":
+            test_counts[r["key"]] = test_counts.get(r["key"], 0) + 1
+    assert test_counts == {k: min(n_test, n) for k, n in sizes.items()}
+    # the most recent row of every key is always in test
+    newest = {(k, rid) for k, (ts, rid) in max_ts.items()}
+    got_test = {(r["key"], r["id"]) for r in out if r["split"] == "test"}
+    assert newest <= got_test
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_time_fraction_split_boundaries(spark, rows):
+    from real_time_recommendation_system_with_feature_store_spark.operators.split import time_fraction_split
+
+    df = spark.createDataFrame(rows, "key int, ts int, id int")
+    out = time_fraction_split(df, [F.col("ts"), F.col("id")], 0.8, 0.1).collect()
+    n = len(rows)
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in out:
+        counts[r["split"]] += 1
+    assert counts["train"] == int(n * 0.8)
+    assert counts["val"] == int(n * 0.9) - int(n * 0.8)
+    assert counts["test"] == n - int(n * 0.9)
+    # temporal ordering: every train (ts,id) precedes every val, every val
+    # precedes every test (order key is unique so comparison is total)
+    keys = {s: sorted((r["ts"], r["id"]) for r in out if r["split"] == s) for s in counts}
+    if keys["train"] and keys["val"]:
+        assert keys["train"][-1] < keys["val"][0]
+    if keys["val"] and keys["test"]:
+        assert keys["val"][-1] < keys["test"][0]
+    if not keys["val"] and keys["train"] and keys["test"]:
+        assert keys["train"][-1] < keys["test"][0]
+
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)),
+    min_size=1,
+    max_size=15,
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-99, 99)),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(lrows=asof_left, rrows=asof_right, ttl=st.integers(min_value=1, max_value=60))
+@settings(**SETTINGS)
+def test_asof_join_matches_reference(spark, lrows, rrows, ttl):
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join
+
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(lrows)]
+    left = spark.createDataFrame(lrows, "row_id int, key int, ts int").withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    right = spark.createDataFrame(rrows or [], "key int, fts int, val int").withColumn(
+        "fts", F.timestamp_seconds("fts")
+    )
+    out = asof_join(left, right, ["key"], "ts", "fts", ttl_seconds=float(ttl))
+    got = {r["row_id"]: r["val"] for r in out.collect()}
+    expected = {}
+    for row_id, k, ts in lrows:
+        cands = [(fts, val) for (rk, fts, val) in rrows if rk == k and fts <= ts and ts - fts <= ttl]
+        expected[row_id] = max(cands)[1] if cands else None
+    assert got == expected
+
+
+@given(
+    words=st.lists(st.text(alphabet="abcXYZ", min_size=1, max_size=5), min_size=1, max_size=8),
+    pad=st.sampled_from(["  ", "\t", "\n", " \t "]),
+)
+@settings(**SETTINGS)
+def test_fingerprint_whitespace_case_invariance(spark, words, pad):
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import fingerprint
+
+    canonical = " ".join(words)
+    noisy = pad + pad.join(w.upper() for w in words) + pad
+    df = spark.createDataFrame([(canonical, noisy)], "a string, b string")
+    row = df.select(
+        fingerprint(F.col("a")).alias("fa"), fingerprint(F.col("b")).alias("fb")
+    ).collect()[0]
+    assert row["fa"] == row["fb"]
