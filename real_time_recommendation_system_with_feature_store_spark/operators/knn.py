@@ -208,7 +208,10 @@ def ivf_topk(
         rank_col="__prank",
     ).select("__qid", "__qv", "__cell")
 
-    cand = probes.join(assigned, "__cell")
+    # broadcast the probe list (|queries| × n_probe rows): a shuffle join on
+    # __cell would hash-partition the whole catalog across ≤ n_cells keys —
+    # guaranteed skew; broadcasting keeps the item side map-side only
+    cand = assigned.join(F.broadcast(probes), "__cell")
     if exclude_self:
         cand = cand.where(F.col("__qid") != F.col("__iid"))
     scored = cand.select(

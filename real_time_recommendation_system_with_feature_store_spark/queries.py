@@ -1875,3 +1875,30 @@ def event_value_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") / F.col("__mx"), 6).alias("value_norm"),
     )
+
+
+@query(
+    "stratified_event_sample",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE ('0x' || substring(md5('strat' || chr(31) || CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+          / 4294967296.0
+        < CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'click' THEN 0.5
+                          WHEN 'view' THEN 0.1 ELSE 0.2 END
+    """,
+    doc="Stratified deterministic sampling: per-stratum keep-fractions decided "
+        "by md5-of-key uniform (partition-independent, replayable — the "
+        "training-data downsampling primitive; rand(seed) would not survive "
+        "an AQE re-plan).",
+)
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import hash_unit
+
+    ev = _t(spark, sf_dir, "events")
+    fr = F.create_map(
+        *[F.lit(x) for kv in [("purchase", 1.0), ("click", 0.5), ("view", 0.1)] for x in kv]
+    )
+    frac = F.coalesce(F.element_at(fr, F.col("event_type")), F.lit(0.2))
+    return ev.where(hash_unit(F.lit("strat"), F.col("event_id")) < frac).select(
+        "event_id", "event_type"
+    )
