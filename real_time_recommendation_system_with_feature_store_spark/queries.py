@@ -1902,3 +1902,42 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.where(hash_unit(F.lit("strat"), F.col("event_id")) < frac).select(
         "event_id", "event_type"
     )
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), f AS (
+      SELECT user_id, event_type, ts,
+        CASE WHEN prev_ts IS NULL
+               OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), s AS (
+      SELECT user_id, event_type, ts,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      COUNT(*) AS n_events,
+      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="ST7: session_window(ts, gap) aggregation — Spark's built-in session "
+        "state; oracle derives identical sessions via lag+cumsum (end = "
+        "last event + gap, Spark's definition). Same expression serves the "
+        "streaming tier (streaming/pipeline.py::session_feature_stream).",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import session_feature_stream
+
+    ev = _t(spark, sf_dir, "events")
+    return session_feature_stream(ev, gap="30 minutes").select(
+        "user_id", "session_start", "session_end", "n_events", "clicks"
+    )

@@ -99,6 +99,34 @@ def windowed_feature_stream(
     )
 
 
+def session_feature_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST7 streaming tier: true sessionization via ``session_window(ts, gap)``
+    — state merges windows closer than ``gap``; a session closes (and emits,
+    in append mode) once the watermark passes its end. Session end is
+    last-event + gap (Spark's definition). Works on batch frames with the
+    same expression; the lag+cumsum batch analog is operators/sessionize.py.
+    """
+    is_streaming = events.isStreaming
+    src = events.withWatermark(ts, watermark) if is_streaming else events
+    out = src.groupBy(F.session_window(F.col(ts), gap).alias("__w"), F.col(key)).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+    )
+    return out.select(
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        F.col(key),
+        "n_events",
+        "clicks",
+    )
+
+
 def upsert_online_store(store, view_name: str):
     """ST8: foreachBatch sink — merge each micro-batch's latest rows into the
     online feature table (keyed overwrite; Delta MERGE when available)."""

@@ -101,3 +101,70 @@ def test_online_store_upsert_roundtrip(spark):
     keys = spark.createDataFrame([(1,), (3,)], ["user_id"])
     online = {r["user_id"]: r["score"] for r in store.get_online_features("v", keys).collect()}
     assert online[1] == 99.0 and online[3] is None  # cold key -> null row
+
+
+def test_session_window_stream_matches_batch(spark):
+    """ST7 stream tier: session_window sessions emitted by the stream
+    (append mode, watermark-closed) must equal the batch run of the same
+    expression. A far-future sentinel event advances the watermark past
+    every real session so all of them emit before the stream drains."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import session_feature_stream
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = load_tables(spark, sf_dir, register=False)["events"].select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp")
+    stage = _os.path.join(tmp, "session_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    # in-event-time-order delivery (file source orders by mtime): quartile
+    # slices written sequentially, then the sentinel as the newest file
+    bounds = events.select(
+        F.expr("percentile_approx(ts, array(0.25, 0.5, 0.75), 10000)").alias("q")
+    ).collect()[0]["q"]
+    cuts = [None, *bounds, None]
+    for i in range(4):
+        part = events
+        if cuts[i] is not None:
+            part = part.where(F.col("ts") > F.lit(cuts[i]))
+        if cuts[i + 1] is not None:
+            part = part.where(F.col("ts") <= F.lit(cuts[i + 1]))
+        part.coalesce(1).write.mode("append").parquet(stage)
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "view")], "user_id long, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2099-01-01 00:00:00")))
+    sentinel.select(*events.columns).coalesce(1).write.mode("append").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    out = session_feature_stream(stream, gap="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    def keyset(rows):
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["clicks"])
+            for r in rows
+            if r["user_id"] >= 0
+        }
+
+    got = keyset(spark.sql("SELECT * FROM sess_out").collect())
+    expected = keyset(session_feature_stream(events, gap="30 minutes").collect())
+    assert got == expected
+    assert len(got) > 100
