@@ -7,7 +7,13 @@ from real_time_recommendation_system_with_feature_store_spark.operators.dedup im
 )
 from real_time_recommendation_system_with_feature_store_spark.operators.encode import label_encode, minmax_scale, zscore_scale
 from real_time_recommendation_system_with_feature_store_spark.operators.kcore import kcore_filter
-from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk, lsh_topk
+from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number
 from real_time_recommendation_system_with_feature_store_spark.operators.sampling import hash_sample, negative_sample
 from real_time_recommendation_system_with_feature_store_spark.operators.sessionize import sessionize
 from real_time_recommendation_system_with_feature_store_spark.operators.split import leave_one_out_split, time_fraction_split
@@ -24,7 +30,10 @@ __all__ = [
     "zscore_scale",
     "kcore_filter",
     "brute_force_topk",
+    "cosine_near_dup_pairs",
+    "ivf_topk",
     "lsh_topk",
+    "global_row_number",
     "hash_sample",
     "negative_sample",
     "sessionize",

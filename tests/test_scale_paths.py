@@ -105,3 +105,28 @@ def test_streaming_index_append(spark):
     clone = q.select(F.lit(999999).cast("long").alias("iid"), "embedding")
     out = brute_force_topk(q, it.unionByName(clone), "qid", "iid", k=1).collect()
     assert out[0]["iid"] == 999999 and abs(out[0]["score"] - 1.0) < 1e-6
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located join layout: tables bucketed+sorted on the join key join
+    with NO Exchange on either side (the fact-to-fact join scale path)."""
+    from pyspark.sql import functions as F
+
+    from real_time_recommendation_system_with_feature_store_spark.sources.bucketing import write_bucketed
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, "b_orders", "o_custkey", buckets=8)
+    write_bucketed(c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", buckets=8)
+    joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+    # disable broadcast so the bucket layout (not a broadcast) removes the shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
