@@ -2,11 +2,14 @@
 
 Scale notes (SURVEY.md §7.3 "per-key top-k at 100 TB"):
   * ``global_topn`` compiles to TakeOrderedAndProject — no full sort.
-  * ``topk_per_key`` uses row_number over a partitioned window; Spark's sort
-    falls back to top-K pruning per partition
-    (spark.sql.execution.topKSortFallbackThreshold) for small k. For extreme
-    cardinality skew, pre-aggregate first (callers: the CTR ranking already
-    groups by key before ranking, so window input is |keys|, not |facts|).
+  * ``topk_per_key``'s ``rank <= k`` filter triggers Catalyst's
+    WindowGroupLimit rewrite: a PARTIAL group-limit runs map-side before the
+    shuffle (each input partition forwards at most k rows per key) and a
+    FINAL one after — i.e. the two-phase top-k is built in; shuffle volume
+    is ≤ |partitions|·|keys|·k, not |facts|. Asserted in
+    tests/test_plans.py::test_topk_uses_window_group_limit. For extreme
+    key skew, pre-aggregate first (the CTR ranking already groups by key
+    before ranking, so window input is |keys|, not |facts|).
 """
 
 from __future__ import annotations

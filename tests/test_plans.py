@@ -52,3 +52,23 @@ def test_flagship_no_cartesian(spark):
     df = QUERIES["segment_recommendations"].fn(spark, SF_DIR)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    """rank<=k must compile with map-side partial WindowGroupLimit (two-phase
+    per-key top-k): shuffle carries at most k rows per key per partition."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["brand_top_parts"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_multiwindow_single_scan(spark):
+    """The fused multi-window aggregation must read the fact table ONCE
+    (the reference re-scans per window and outer-joins, SURVEY §4.2)."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["user_activity_windows"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan

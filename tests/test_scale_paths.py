@@ -130,3 +130,14 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_approx_percentile_tolerance(spark):
+    """percentile_approx (t-digest-style sketch, mergeable map-side) vs the
+    exact interpolated percentile: relative error within 2% at accuracy 1e4."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    row = o.agg(
+        F.expr("percentile(o_totalprice, 0.95)").alias("exact"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(float(row["approx"]) - float(row["exact"])) / float(row["exact"]) < 0.02
