@@ -220,3 +220,54 @@ def simhash_dedup(
         .withColumn("hamming", hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a similarity
+    edge list by min-label propagation. Returns (node_id, cluster_id) where
+    cluster_id is the smallest node id in the component — i.e. the keeper
+    under the reference's MIN-id keep rule (exact_dedup above).
+
+    Each round every node takes the min of its own and neighbors' labels;
+    converges in <= component-diameter rounds (near-dup clusters are tiny —
+    the loop exits early on the first fixpoint, checked with a count()
+    action per round on the label table, which is |nodes| rows, not edges).
+    The label table is persisted per round and the loop is driver-side but
+    every step is a distributed join — no collect of data.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))

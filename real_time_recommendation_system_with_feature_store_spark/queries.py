@@ -1941,3 +1941,42 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_feature_stream(ev, gap="30 minutes").select(
         "user_id", "session_start", "session_end", "n_events", "clicks"
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents WHERE doc_id < 1000
+    ), s AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    ), ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.sz, b.sz
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.1
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+    ), nodes AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+    )
+    SELECT id AS node_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    doc="Duplicate clustering: Jaccard>=0.1 similarity edges -> connected "
+        "components by distributed min-label propagation; cluster_id = min "
+        "doc id (the keeper). Oracle computes components via recursive CTE.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.1)
+    return connected_components(pairs, "id_a", "id_b")

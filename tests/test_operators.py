@@ -207,3 +207,17 @@ def test_multimodal_plumbing(spark):
 
     with _pt.raises(Exception):  # strict mode surfaces NotImplementedError
         decode_metadata(attach_binary(df, "text"), "doc_id", strict=True).collect()
+
+
+def test_connected_components_golden(spark):
+    """Chain 1-2-3, pair 7-9, isolated-by-edge 4-5: min-label clusters."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7), (4, 4), (5, 4)}
