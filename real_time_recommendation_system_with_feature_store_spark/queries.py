@@ -1980,3 +1980,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.1)
     return connected_components(pairs, "id_a", "id_b")
+
+
+@query(
+    "rolling_user_velocity",
+    oracle="""
+    SELECT event_id, user_id,
+      CAST(COUNT(*) OVER w AS BIGINT) AS events_1h,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS clicks_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="W4 per-event rolling form: trailing-1h event/click counts via a "
+        "RANGE frame on event time (the reference's per-event incremental "
+        "counters, kafka_consumer.py:259-331, as one window pass).",
+)
+def rolling_user_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("events_1h"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w).alias("clicks_1h"),
+    )
+
+
+@query(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-phase aggregation: hot grouping keys (5 event types "
+        "over all rows) are salted into 16 subkeys for the partial pass, then "
+        "re-aggregated — no single reducer sees a whole hot key. Results "
+        "identical to the plain GROUP BY oracle.",
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    salted = ev.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("__n"), F.sum("value").alias("__v")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("__n").alias("n"), F.round(F.sum("__v"), 4).alias("total_value")
+    )
