@@ -1,0 +1,42 @@
+"""Independent implementation cross-check: our DataFrame ranking metrics vs
+pyspark.mllib.evaluation.RankingMetrics on identical inputs (SURVEY §7.1
+item 7). Catches formula drift neither a golden value nor the DuckDB
+oracle (which shares our formula) would."""
+
+from __future__ import annotations
+
+from pyspark.mllib.evaluation import RankingMetrics
+from pyspark.sql import functions as F
+
+
+def test_ranking_metrics_match_mllib(spark):
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_metrics
+
+    # deterministic synthetic: 40 users, ranked recs from hash arithmetic
+    users = list(range(40))
+    recs_rows, truth_rows, pairs = [], [], []
+    for u in users:
+        ranked = [(u * 7 + r * 13) % 30 for r in range(10)]
+        # dedupe preserving order (ranked lists must not repeat items)
+        seen, ordered = set(), []
+        for it in ranked:
+            if it not in seen:
+                seen.add(it)
+                ordered.append(it)
+        truth = sorted({(u * 11 + j * 17) % 30 for j in range(5)})
+        recs_rows += [(u, it, i + 1) for i, it in enumerate(ordered)]
+        truth_rows += [(u, it) for it in truth]
+        pairs.append((ordered, truth))
+
+    k = 10
+    recs = spark.createDataFrame(recs_rows, "user_idx int, item_idx int, rank int")
+    truth = spark.createDataFrame(truth_rows, "user_idx int, item_idx int")
+    row = ranking_metrics(recs, truth, k).collect()[0]
+
+    rm = RankingMetrics(
+        spark.sparkContext.parallelize([(p, t) for p, t in pairs])
+    )
+    assert abs(row[f"precision_at_{k}"] - rm.precisionAt(k)) < 1e-6
+    assert abs(row[f"recall_at_{k}"] - rm.recallAt(k)) < 1e-6
+    assert abs(row[f"ndcg_at_{k}"] - rm.ndcgAt(k)) < 1e-6
+    assert abs(row[f"map_at_{k}"] - rm.meanAveragePrecisionAt(k)) < 1e-6
