@@ -168,3 +168,33 @@ def test_session_window_stream_matches_batch(spark):
     expected = keyset(session_feature_stream(events, gap="30 minutes").collect())
     assert got == expected
     assert len(got) > 100
+
+
+def test_materialize_snapshot_roundtrip(spark):
+    """ST8 backfill: materialize() compacts the latest row per entity to
+    parquet; reading it back equals latest_snapshot."""
+    import os as _os
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.features.store import FeatureStore, FeatureView
+    from pyspark.sql import functions as F
+
+    store = FeatureStore(spark)
+    view = FeatureView(
+        name="user_feat",
+        entities=["user_id"],
+        timestamp_field="fts",
+        ttl_seconds=86400.0,
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-02 00:00:00", 20.0),
+         (2, "2024-01-01 12:00:00", 7.0)],
+        "user_id long, fts string, score double",
+    ).withColumn("fts", F.to_timestamp("fts"))
+    store.register(view, df)
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp", "mat")
+    shutil.rmtree(tmp, ignore_errors=True)
+    store.materialize("user_feat", tmp)
+    back = {(r["user_id"], r["score"]) for r in spark.read.parquet(tmp).collect()}
+    assert back == {(1, 20.0), (2, 7.0)}
