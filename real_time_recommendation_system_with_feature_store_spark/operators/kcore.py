@@ -28,6 +28,11 @@ def kcore_filter(
     # semi-join probe), and without a cache that means 6 source scans — at
     # 100 TB, 6 full passes of parse/decode. On a cluster this would be
     # persist(StorageLevel.MEMORY_AND_DISK) or a checkpoint.
+    # Per-iteration persists stack (≤ ``iterations`` cached levels of a
+    # shrinking table): each level is referenced twice by the next round
+    # (count pass + semi-join probe), so eagerly unpersisting would double
+    # that branch's recomputation per round. Callers running many k-cores in
+    # one session can spark.catalog.clearCache() between them.
     out = df.persist()
     for _ in range(iterations):
         user_ok = out.groupBy(user_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_user).select(user_col)

@@ -54,3 +54,18 @@ def test_hash_unit_deterministic(spark):
     vals2 = [r["u"] for r in df.repartition(7).orderBy("u").collect()]
     assert sorted(vals1) == sorted(vals2)
     assert all(0 <= v < 1 for v in vals1)
+
+
+def test_json_sink_roundtrip(spark):
+    """S9: metrics frame -> JSON lines -> read back."""
+    import os as _os
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.sources.writers import write_json
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp", "json_rt")
+    shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.createDataFrame([("recall_at_10", 0.0136), ("mrr", 0.1524)], "metric string, value double")
+    write_json(df, tmp)
+    back = {(r["metric"], r["value"]) for r in spark.read.json(tmp).collect()}
+    assert back == {("recall_at_10", 0.0136), ("mrr", 0.1524)}
