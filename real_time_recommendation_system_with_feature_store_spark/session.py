@@ -58,6 +58,10 @@ def get_spark(
         # manager (executor threads park in ChecksumCheckpointFileManager
         # .awaitResult under concurrent stateful-operator commits)
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        # runtime bloom-filter pruning: selective joins inject a bloom filter
+        # into the probe side's scan — at 100 TB this skips most of a fact
+        # table when the build side is filtered (no-op on tiny local data)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -127,6 +127,32 @@ def session_feature_stream(
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen doc per normalized-text fingerprint
+    wins; duplicate arrivals within the watermark horizon are dropped.
+    State is bounded by ``dropDuplicatesWithinWatermark`` — a fingerprint's
+    state is evicted once the watermark passes it (re-arrivals later than
+    the horizon are treated as new, the standard streaming-dedup trade).
+
+    Batch twin for parity: ``operators/dedup.py::exact_dedup``.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import fingerprint as _fp
+
+    with_fp = docs.withColumn("__fp", _fp(F.col(text_col)))
+    if docs.isStreaming:
+        return (
+            with_fp.withWatermark(ts, watermark)
+            .dropDuplicatesWithinWatermark(["__fp"])
+            .drop("__fp")
+        )
+    return with_fp.dropDuplicates(["__fp"]).drop("__fp")
+
+
 def upsert_online_store(store, view_name: str):
     """ST8: foreachBatch sink — merge each micro-batch's latest rows into the
     online feature table (keyed overwrite; Delta MERGE when available)."""

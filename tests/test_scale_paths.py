@@ -141,3 +141,16 @@ def test_approx_percentile_tolerance(spark):
         F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("approx"),
     ).collect()[0]
     assert abs(float(row["approx"]) - float(row["exact"])) / float(row["exact"]) < 0.02
+
+
+def test_hll_sketch_tolerance(spark):
+    """Mergeable-sketch tier for distinct counts: DataSketches HLL
+    (hll_sketch_agg -> hll_sketch_estimate) vs exact count_distinct —
+    sketches union across partitions/days without rescanning (the
+    incremental-rollup primitive at 100 TB)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    row = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.03

@@ -198,3 +198,56 @@ def test_materialize_snapshot_roundtrip(spark):
     store.materialize("user_feat", tmp)
     back = {(r["user_id"], r["score"]) for r in spark.read.parquet(tmp).collect()}
     assert back == {(1, 20.0), (2, 7.0)}
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) must keep the
+    first-seen doc per fingerprint — equal to batch exact_dedup's min-id
+    winners when docs arrive in id order."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import exact_dedup
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import streaming_exact_dedup
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = (
+        load_tables(spark, sf_dir, register=False)["documents"]
+        .select("doc_id", "text")
+        # synthetic arrival time: doc_id order (deterministic event time)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+    )
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp")
+    stage = _os.path.join(tmp, "dedup_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    n = docs.count()
+    for lo, hi in [(0, n // 2), (n // 2, n + 1)]:
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    # watermark wider than the synthetic ts span (= n seconds): no dedup
+    # state evicts mid-replay, so stream output provably equals batch dedup
+    out = streaming_exact_dedup(stream, "text", "ts", watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_out").collect()}
+    expected = {r["doc_id"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert got == expected
+    assert 0 < len(got) <= n
