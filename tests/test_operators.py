@@ -221,3 +221,38 @@ def test_connected_components_golden(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7), (4, 4), (5, 4)}
+
+
+def test_multimodal_kernels(spark):
+    """Resize/frame-sample/feature-extract stubs: real Arrow plumbing —
+    shapes, determinism, row expansion, and composition into the ANN tier."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    blobs = attach_binary(docs, "text")
+
+    r = resize_images(blobs, "doc_id", width=8, height=8).collect()
+    assert len(r) == 20 and all(len(bytes(x["blob"])) == 64 for x in r)
+
+    fr = sample_frames(blobs, "doc_id", n_frames=3)
+    assert fr.count() == 60
+    assert fr.groupBy("id").count().where("count != 3").count() == 0
+
+    emb = extract_features(blobs, "doc_id", dim=16)
+    rows = emb.collect()
+    assert all(len(x["embedding"]) == 16 for x in rows)
+    # determinism: same blob -> same vector
+    again = {x["id"]: x["embedding"] for x in extract_features(blobs, "doc_id", dim=16).collect()}
+    assert all(again[x["id"]] == x["embedding"] for x in rows)
+    # composition: extracted features feed similarity search directly
+    q = emb.where(F.col("id") < 3).withColumnRenamed("id", "qid")
+    it = emb.withColumnRenamed("id", "iid")
+    top = brute_force_topk(q, it, "qid", "iid", k=2, exclude_self=False)
+    best = {r["qid"]: r["iid"] for r in top.where(F.col("rank") == 1).collect()}
+    assert best == {0: 0, 1: 1, 2: 2}  # self is always the nearest at rank 1
