@@ -119,25 +119,30 @@ def minhash_lsh_dedup(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     ).where(F.size("__sh") > 0)
-    # persist: without it Catalyst inlines the 32-hash signature expression
-    # into the post-explode projection and recomputes it once per band row
-    # (bands x num_hashes x |shingles| evaluations per doc)
+    # persist: without it Catalyst inlines the signature fold into the
+    # post-explode projection and recomputes it once per band row.
+    # (Measured alternative — explode + 32 codegen'd min() aggregates —
+    # computes identical values but its extra shuffle + join-back costs more
+    # than the interpreted fold saves at every scale tried.)
     sig = sh.withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes)).persist()
 
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.cast("int").alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bh"),
+        ),
+    )
     band_rows = sig.select(
-        id_col,
-        "__sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(F.concat_ws(",", *[F.col("__sig")[bi * rows_per_band + ri].cast("string") for ri in range(rows_per_band)])).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("__b"),
+        id_col, "__sh", F.explode(band_structs).alias("__b")
     ).select(id_col, "__sh", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
 
     a = band_rows.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"), "__band", "__bh")
