@@ -2035,3 +2035,35 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("__n").alias("n"), F.round(F.sum("__v"), 4).alias("total_value")
     )
+
+
+@query(
+    "user_first_last_events",
+    oracle="""
+    SELECT DISTINCT user_id,
+      FIRST_VALUE(event_type) OVER w AS first_type,
+      LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+      CAST(COUNT(*) OVER w AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="W3 family: first/last event per user via frame-spanning window "
+        "functions (the signup-event / latest-activity feature shape).",
+)
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.count("*").over(w).alias("n_events"),
+    ).distinct()

@@ -153,3 +153,33 @@ def test_fingerprint_whitespace_case_invariance(spark, words, pad):
         fingerprint(F.col("a")).alias("fa"), fingerprint(F.col("b")).alias("fb")
     ).collect()[0]
     assert row["fa"] == row["fb"]
+
+
+@given(
+    base=st.lists(st.text(alphabet="abc ", min_size=1, max_size=12), min_size=1, max_size=10),
+    dup_of=st.integers(min_value=0, max_value=9),
+)
+@settings(**SETTINGS)
+def test_exact_dedup_properties(spark, base, dup_of):
+    """exact_dedup keeps exactly one row per normalized text, always the
+    min id, and never loses a distinct text."""
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import fingerprint as fp
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(base)]
+    # append a guaranteed duplicate (whitespace/case noise) of one row
+    rows.append((len(rows), "  " + base[dup_of % len(base)].upper() + " "))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = exact_dedup(df, "text", "doc_id").collect()
+    fps = [
+        r["f"]
+        for r in df.select(fp(F.col("text")).alias("f")).distinct().collect()
+    ]
+    assert len(kept) == len(fps)
+    # each keeper is the min id of its fingerprint group
+    all_rows = df.select("doc_id", fp(F.col("text")).alias("f")).collect()
+    min_by_fp = {}
+    for r in all_rows:
+        min_by_fp[r["f"]] = min(min_by_fp.get(r["f"], 10**9), r["doc_id"])
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    assert kept_ids == sorted(min_by_fp.values())
