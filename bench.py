@@ -43,6 +43,11 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM/codegen path once with a trivial job
     spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the Python/Arrow worker pool (reused by every pandas kernel)
+    def _ident(batches):
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(_ident, "id long").count()
     # warm file listing + parquet footers once (a long-lived Spark app keeps
     # this metadata cached; per-query timings should reflect steady state)
     from real_time_recommendation_system_with_feature_store_spark.session import load_tables

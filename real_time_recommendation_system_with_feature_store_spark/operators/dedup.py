@@ -6,9 +6,13 @@ Four tiers, cheapest → fuzziest:
   minhash_lsh_dedup    MinHash signatures + LSH banding (scale path)
   simhash_dedup        64-bit SimHash near-dup buckets
 
-Everything is pure Column expressions + joins — no UDFs — so the shuffle keys
-are visible to Catalyst/AQE. All hashing is xxhash64/md5 (deterministic across
-partitionings; no rand()).
+Everything is pure Column expressions + joins — no row-at-a-time UDFs — so
+the shuffle keys are visible to Catalyst/AQE. All hashing is xxhash64/md5
+(deterministic across partitionings; no rand()). The one Python touchpoint
+is the MinHash permutation fold: higher-order Column functions are
+interpreted (not codegen'd), so the O(shingles x num_hashes) min-fold runs
+as an Arrow-batched numpy kernel (`kernel="arrow"`, default) with the
+Column-expression formulation kept as `kernel="expr"` for comparison.
 """
 
 from __future__ import annotations
@@ -96,6 +100,73 @@ def _minhash_signature(shingles, num_hashes: int):
     )
 
 
+def _splitmix64(x: int) -> int:
+    """SplitMix64 mix — fixed, portable constants for the permutation family."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _band_rows_arrow(sh: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, shingles) -> exploded (id, shingles, band, band_hash) rows via an
+    Arrow/numpy kernel.
+
+    The JVM hashes each shingle string ONCE (xxhash64); the kernel then runs
+    the O(shingles x num_hashes) part — min over ``num_hashes``
+    multiply-shift permutations ``a_i*h + b_i (mod 2^64)`` — as one
+    vectorized uint64 matrix op per doc, and folds each band's slice into a
+    64-bit band hash. One pass, no persist, no per-band recompute; Arrow
+    moves each shingle array in once and out ``bands`` times (the same
+    duplication the explode-based plan has after its cache).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = sh.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("__sh", T.ArrayType(T.StringType())),
+            T.StructField("__band", T.IntegerType()),
+            T.StructField("__bh", T.LongType()),
+        ]
+    )
+    rows_per_band = num_hashes // bands
+    mult = np.array([_splitmix64(2 * i) | 1 for i in range(num_hashes)], dtype=np.uint64)
+    add = np.array([_splitmix64(2 * i + 1) for i in range(num_hashes)], dtype=np.uint64)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    band_idx = np.arange(bands, dtype=np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs, bds, bhs = [], [], [], []
+            for doc_id, shingles, base in zip(pdf[id_col], pdf["__sh"], pdf["__h"]):
+                h = np.asarray(base, dtype=np.int64).view(np.uint64)
+                sig = (mult[:, None] * h[None, :] + add[:, None]).min(axis=1)
+                sig_by_band = sig.reshape(bands, rows_per_band)
+                acc = np.zeros(bands, dtype=np.uint64)
+                for j in range(rows_per_band):
+                    acc = acc * gold + sig_by_band[:, j]
+                for bi in range(bands):
+                    ids.append(doc_id)
+                    shs.append(shingles)
+                bds.append(band_idx)
+                bhs.append(acc.view(np.int64))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "__sh": shs,
+                    "__band": np.concatenate(bds) if bds else np.array([], dtype=np.int32),
+                    "__bh": np.concatenate(bhs) if bhs else np.array([], dtype=np.int64),
+                }
+            )
+
+    hashed = sh.withColumn("__h", F.transform("__sh", lambda s: F.xxhash64(s)))
+    return hashed.mapInPandas(gen, out_schema)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,
@@ -104,10 +175,12 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float | None = 0.8,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs (optionally verified).
 
-    signatures: num_hashes minhashes per doc (xxhash64-seeded — deterministic).
+    signatures: num_hashes minhashes per doc (deterministic — xxhash64 base
+    hash; arrow kernel permutes with fixed multiply-shift constants).
     banding: ``bands`` bands of r=num_hashes/bands rows; docs sharing any band
     hash become candidates (join key = (band_idx, band_hash) — uniform).
     verify: exact shingle Jaccard >= verify_threshold (None skips — pure LSH).
@@ -119,31 +192,34 @@ def minhash_lsh_dedup(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     ).where(F.size("__sh") > 0)
-    # persist: without it Catalyst inlines the signature fold into the
-    # post-explode projection and recomputes it once per band row.
-    # (Measured alternative — explode + 32 codegen'd min() aggregates —
-    # computes identical values but its extra shuffle + join-back costs more
-    # than the interpreted fold saves at every scale tried.)
-    sig = sh.withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes)).persist()
-
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.struct(
-            bi.cast("int").alias("band"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bh"),
-        ),
-    )
-    band_rows = sig.select(
-        id_col, "__sh", F.explode(band_structs).alias("__b")
-    ).select(id_col, "__sh", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
+    if kernel == "arrow":
+        # persist: the candidate self-join reads band_rows twice; without the
+        # cut both branches re-run the shingle scan + kernel.
+        band_rows = _band_rows_arrow(sh, id_col, num_hashes, bands).persist()
+    else:
+        # Column-expression formulation: correct and dependency-free, but the
+        # interpreted fold costs ~num_hashes× the arrow kernel. persist:
+        # without it Catalyst inlines the signature fold into the post-explode
+        # projection and recomputes it once per band row.
+        sig = sh.withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes)).persist()
+        band_structs = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.struct(
+                bi.cast("int").alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bh"),
+            ),
+        )
+        band_rows = sig.select(
+            id_col, "__sh", F.explode(band_structs).alias("__b")
+        ).select(id_col, "__sh", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
 
     a = band_rows.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"), "__band", "__bh")
     b = band_rows.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"), "__band", "__bh")
@@ -185,12 +261,46 @@ def simhash(text, bits: int = 64):
     return out
 
 
+def _simhash_arrow(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+    """(id, text) -> (id, __sim): same SimHash values as ``simhash()`` —
+    identical xxhash64 token hashes (computed JVM-side, one per token), bit
+    votes vectorized in numpy instead of 64 interpreted aggregate folds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType), T.StructField("__sim", T.LongType())]
+    )
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, hs in zip(pdf[id_col], pdf["__h"]):
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                # empty token array -> all votes -1-free (0 votes) -> sim 0,
+                # matching the expression formulation exactly
+                ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+                votes = 2 * ones.astype(np.int64) - len(h)
+                sim = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                ids.append(doc_id)
+                sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+            yield pd.DataFrame({id_col: ids, "__sim": np.asarray(sims, dtype=np.int64)})
+
+    hashed = df.select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h")
+    )
+    return hashed.mapInPandas(gen, out_schema)
+
+
 def simhash_dedup(
     df: DataFrame,
     text_col: str,
     id_col: str,
     bits: int = 64,
     band_bits: int = 16,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SimHash near-dup candidates: docs whose simhash shares any of the
     ``bits/band_bits`` bands (Hamming-adjacent docs collide in ≥1 band).
@@ -199,7 +309,10 @@ def simhash_dedup(
     """
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sigs = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("__sim"))
+    if kernel == "arrow":
+        sigs = _simhash_arrow(df, text_col, id_col, bits)
+    else:
+        sigs = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("__sim"))
     banded = sigs.select(
         id_col,
         "__sim",
@@ -214,7 +327,9 @@ def simhash_dedup(
                 ]
             )
         ).alias("__b"),
-    ).select(id_col, "__sim", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
+    ).select(id_col, "__sim", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh")).persist()
+    # persist: the candidate self-join reads banded twice; without the cut
+    # both branches recompute the signatures.
     a = banded.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"), "__band", "__bh")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"), "__band", "__bh")
     hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))

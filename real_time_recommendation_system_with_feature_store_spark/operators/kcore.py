@@ -5,9 +5,21 @@ users < min; count per item, drop items < min} for a fixed number of
 iterations. Driver-side loop over lazy DataFrames; each iteration is a
 groupBy-count + broadcast-able semi join.
 
-Scale: counts are tiny relative to facts (|users| rows), so each semi join
-broadcasts. Lineage grows per iteration — with fixed iterations (3 in the
-reference) that's fine; for fixpoint loops, checkpoint every few rounds.
+Two physical strategies, measured at sf0.1:
+
+* **row-loop** (default): persist the facts once, iterate directly —
+  each round shuffles the (shrinking) facts for the degree count and
+  broadcast-semi-joins the survivors back map-side. Fastest when
+  (user,item) pairs are near-unique (our events table: ~1 row/pair, so a
+  pair pre-aggregation compresses nothing and only adds shuffles —
+  measured 3.2s vs 5.0s warm at sf0.1).
+* **pair-loop** (``via_pairs=True``): pre-aggregate facts to (user,item)
+  pair counts in ONE shuffle, run every iteration over that aggregate
+  (degree = SUM of pair counts — identical fixpoint), then semi-join the
+  facts once at the end. Reads the facts twice total instead of
+  2×iterations times; the win at 100 TB when interactions repeat per pair
+  (|pairs| << |rows|) — iteration state is |pairs|-sized and the fact
+  table never re-enters the loop.
 """
 
 from __future__ import annotations
@@ -23,7 +35,10 @@ def kcore_filter(
     min_user: int = 5,
     min_item: int = 5,
     iterations: int = 3,
+    via_pairs: bool = False,
 ) -> DataFrame:
+    if via_pairs:
+        return _kcore_via_pairs(df, user_col, item_col, min_user, min_item, iterations)
     # Persist the input once: every iteration re-reads it twice (count pass +
     # semi-join probe), and without a cache that means 6 source scans — at
     # 100 TB, 6 full passes of parse/decode. On a cluster this would be
@@ -40,3 +55,33 @@ def kcore_filter(
         item_ok = out.groupBy(item_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_item).select(item_col)
         out = out.join(F.broadcast(item_ok), item_col, "left_semi").persist()
     return out
+
+
+def _kcore_via_pairs(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    min_user: int,
+    min_item: int,
+    iterations: int,
+) -> DataFrame:
+    pairs = df.groupBy(user_col, item_col).agg(F.count("*").alias("__n")).persist()
+    keep = pairs
+    for _ in range(iterations):
+        user_ok = (
+            keep.groupBy(user_col).agg(F.sum("__n").alias("__t"))
+            .where(F.col("__t") >= min_user).select(user_col)
+        )
+        keep = keep.join(F.broadcast(user_ok), user_col, "left_semi")
+        item_ok = (
+            keep.groupBy(item_col).agg(F.sum("__n").alias("__t"))
+            .where(F.col("__t") >= min_item).select(item_col)
+        )
+        # Persist each level: it's referenced by the next round's degree agg,
+        # its broadcast build, AND the following level's probe — without the
+        # cut, every broadcast build replays the whole join chain.
+        keep = keep.join(F.broadcast(item_ok), item_col, "left_semi").persist()
+    # Final probe: facts semi-join the surviving pair set. No broadcast hint —
+    # AQE promotes it when the survivor set is small; at scale the shuffle
+    # aligns with the pair key.
+    return df.join(keep.select(user_col, item_col), [user_col, item_col], "left_semi")

@@ -30,34 +30,176 @@ def brute_force_topk(
     item_vec: str = "embedding",
     k: int = 10,
     exclude_self: bool = True,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k: normalize both sides, broadcast the query side,
     dot-product score, per-query top-k.
 
     Plan shape: items scan (big, partition-parallel) × broadcast(queries) —
     one pass over the item table per batch of queries, no shuffle until the
-    final per-query rank (which sees |Q|·k rows only after partial pruning).
+    final per-query rank, which sees only |Q|·k rows per item batch after
+    partial (map-side) top-k pruning.
+
+    ``kernel="arrow"`` (default) scores each Arrow batch of items against
+    the whole query matrix as ONE numpy matmul and emits per-batch top-k —
+    the per-pair Column-expression dot (``kernel="expr"``) evaluates
+    interpreted higher-order functions per element and is ~5x slower.
+    Per-batch pruning is lossless: ranking uses (rounded score desc, item
+    asc), a total order, so the global top-k is the top-k of the per-batch
+    top-k union.
 
     Returns (query_id, item_id, score, rank) with deterministic tie-break on
-    item id. Scores rounded to 6dp for cross-engine float stability.
+    item id. Scores rounded to 6dp (half-up, matching Spark/DuckDB ROUND)
+    for cross-engine float stability.
     """
-    q = queries.select(
-        F.col(query_id).alias("__qid"), l2_normalize(F.col(query_vec)).alias("__qv")
-    )
-    it = items.select(
-        F.col(item_id).alias("__iid"), l2_normalize(F.col(item_vec)).alias("__iv")
-    )
-    pairs = it.crossJoin(F.broadcast(q))
-    if exclude_self:
-        pairs = pairs.where(F.col("__qid") != F.col("__iid"))
-    scored = pairs.select(
-        F.col("__qid").alias(query_id),
-        F.col("__iid").alias(item_id),
-        F.round(dot(F.col("__qv"), F.col("__iv")), 6).alias("score"),
-    )
+    if kernel == "arrow":
+        scored = _brute_force_scores_arrow(
+            queries, items, query_id, item_id, query_vec, item_vec, k, exclude_self
+        )
+    else:
+        q = queries.select(
+            F.col(query_id).alias("__qid"), l2_normalize(F.col(query_vec)).alias("__qv")
+        )
+        it = items.select(
+            F.col(item_id).alias("__iid"), l2_normalize(F.col(item_vec)).alias("__iv")
+        )
+        pairs = it.crossJoin(F.broadcast(q))
+        if exclude_self:
+            pairs = pairs.where(F.col("__qid") != F.col("__iid"))
+        scored = pairs.select(
+            F.col("__qid").alias(query_id),
+            F.col("__iid").alias(item_id),
+            F.round(dot(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+        )
     return topk_per_key(
         scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
     )
+
+
+def _brute_force_scores_arrow(
+    queries: DataFrame,
+    items: DataFrame,
+    query_id: str,
+    item_id: str,
+    query_vec: str,
+    item_vec: str,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """(item batches) -> per-batch top-k (query_id, item_id, score) rows.
+
+    The query side is collected and broadcast as a normalized float64 matrix
+    — the same "small side" constraint as the broadcast join it replaces.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_pd = queries.select(query_id, query_vec).toPandas()
+    qids = q_pd[query_id].to_numpy()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pd[query_vec]])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = queries.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType),
+            T.StructField(item_id, items.schema[item_id].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        q_ids, q_norm = bq.value
+        for pdf in batches:
+            iids = pdf[item_id].to_numpy()
+            imat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[item_vec]])
+            imat = imat / np.linalg.norm(imat, axis=1, keepdims=True)
+            scores = imat @ q_norm.T  # (n_items, n_queries)
+            # half-up rounding (Spark/DuckDB ROUND); np.round is half-even
+            scores = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(q_ids)):
+                s, ids = scores[:, j], iids
+                if exclude_self:
+                    keep = ids != q_ids[j]
+                    s, ids = s[keep], ids[keep]
+                if len(s) > 4 * k:
+                    # prune by the kth-largest ROUNDED score, keeping boundary
+                    # ties so the id tie-break stays exact
+                    kth = np.partition(s, len(s) - k)[len(s) - k]
+                    sel = s >= kth
+                    s, ids = s[sel], ids[sel]
+                order = np.lexsort((ids, -s))[:k]
+                out_q.extend([q_ids[j]] * len(order))
+                out_i.extend(ids[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame({query_id: out_q, item_id: out_i, "score": out_s})
+
+    return items.select(item_id, item_vec).mapInPandas(gen, out_schema)
+
+
+def _round6_np(x):
+    """Half-up 6dp rounding (Spark/DuckDB ROUND semantics; np.round is
+    half-even)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _normalize_np(mat):
+    import numpy as np
+
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _stack_vecs(col):
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _pair_dot_arrow(
+    pairs: DataFrame, query_id: str, item_id: str, qv_col: str, iv_col: str
+) -> DataFrame:
+    """(qid, iid, qv, iv) pair rows -> (qid, iid, score): one einsum per
+    Arrow batch instead of an interpreted fold per pair. Vectors must
+    already be L2-normalized."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, pairs.schema[query_id].dataType),
+            T.StructField(item_id, pairs.schema[item_id].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({query_id: [], item_id: [], "score": []})
+                continue
+            s = np.einsum("ij,ij->i", _stack_vecs(pdf[qv_col]), _stack_vecs(pdf[iv_col]))
+            yield pd.DataFrame(
+                {query_id: pdf[query_id], item_id: pdf[item_id], "score": _round6_np(s)}
+            )
+
+    return pairs.mapInPandas(gen, out_schema)
+
+
+def _splitmix64_np(x):
+    """Vectorized SplitMix64 over a uint64 array — fixed portable constants
+    for deterministic pseudo-random planes (no rand())."""
+    import numpy as np
+
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
 def _sign_projection_bits(vec, dim: int, n_planes: int, salt: int = 0):
@@ -83,6 +225,53 @@ def _sign_projection_bits(vec, dim: int, n_planes: int, salt: int = 0):
     return F.concat_ws("", *bits)
 
 
+def _bucket_rows_arrow(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, dim: int, n_planes: int, n_tables: int
+) -> DataFrame:
+    """(id, vec) -> (out_id, __v normalized, __bucket) rows, one per table.
+
+    Hyperplane (t,p) component i is ±1 from SplitMix64 of the flat index —
+    deterministic across partitionings and runs. One matmul per Arrow batch
+    computes every table's every plane projection at once; the bucket key
+    packs (table << n_planes) | sign bits into a long.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    flat = np.arange(n_tables * n_planes * dim, dtype=np.uint64)
+    planes = np.where(_splitmix64_np(flat) & np.uint64(1), 1.0, -1.0).reshape(
+        n_tables * n_planes, dim
+    )
+    bit_w = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)).astype(np.int64)
+    table_base = (np.arange(n_tables, dtype=np.int64) << n_planes)
+    out_schema = T.StructType(
+        [
+            T.StructField(out_id, df.schema[id_col].dataType),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+            T.StructField("__bucket", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vm = _normalize_np(_stack_vecs(pdf[vec_col]))
+            bits = (vm @ planes.T >= 0).reshape(len(ids), n_tables, n_planes)
+            buckets = (bits.astype(np.int64) @ bit_w) + table_base[None, :]  # (n, n_tables)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, n_tables),
+                    "__v": [v for v in vm for _ in range(n_tables)],
+                    "__bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def lsh_topk(
     queries: DataFrame,
     items: DataFrame,
@@ -95,6 +284,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 8,
     exclude_self: bool = True,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via sign-random-projection LSH.
 
@@ -102,7 +292,38 @@ def lsh_topk(
     candidates = items sharing a bucket with the query in ANY table, then
     exact cosine rescoring + per-query top-k. Candidate volume scales as
     |items| / 2^n_planes per table — tune n_planes to catalog size.
+
+    ``kernel="arrow"``: projections are one numpy matmul per Arrow batch and
+    rescoring is an einsum over candidate pairs; the Column-expression path
+    (``kernel="expr"``) evaluates an interpreted fold per (row, plane).
+    The two kernels use different (equally deterministic) plane families, so
+    candidate sets — not correctness contracts — may differ.
     """
+    if kernel == "arrow":
+        q = _bucket_rows_arrow(queries, query_id, query_vec, "__qid", dim, n_planes, n_tables)
+        it = _bucket_rows_arrow(items, item_id, item_vec, "__iid", dim, n_planes, n_tables)
+        cand = (
+            q.join(it, "__bucket")
+            .where(F.col("__qid") != F.col("__iid") if exclude_self else F.lit(True))
+            .select("__qid", "__iid", q["__v"].alias("__qv"), it["__v"].alias("__iv"))
+            .dropDuplicates(["__qid", "__iid"])
+        )
+        scored = (
+            _pair_dot_arrow(
+                cand.select(
+                    F.col("__qid").alias(query_id),
+                    F.col("__iid").alias(item_id),
+                    "__qv",
+                    "__iv",
+                ),
+                query_id,
+                item_id,
+                "__qv",
+                "__iv",
+            )
+        )
+        return topk_per_key(scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k)
+
     def with_buckets(df, id_col, vec_col, out_id):
         norm = df.select(F.col(id_col).alias(out_id), l2_normalize(F.col(vec_col)).alias("__v"))
         buckets = F.array(
@@ -149,6 +370,41 @@ def _assign_cells(items: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _assign_cells_arrow(items: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
+    """(id, vec) -> (__iid, __v normalized, __cell): one matmul per Arrow
+    batch against the broadcast centroid matrix; ties pick the lowest cell
+    id (same rule as the struct-max formulation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cells, cmat = centroids  # (np.array of cell ids, normalized matrix)
+    out_schema = T.StructType(
+        [
+            T.StructField("__iid", items.schema[id_col].dataType),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+            T.StructField("__cell", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vm = _normalize_np(_stack_vecs(pdf[vec_col]))
+            scores = vm @ cmat.T  # (n, n_cells)
+            best = scores.max(axis=1)
+            pick = np.where(scores == best[:, None], cells[None, :], np.iinfo(np.int32).max).min(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {"__iid": ids, "__v": list(vm), "__cell": pick.astype(np.int32)}
+            )
+
+    return items.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     items: DataFrame,
@@ -161,6 +417,7 @@ def ivf_topk(
     n_probe: int = 4,
     refine_iters: int = 1,
     exclude_self: bool = True,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via an inverted-file (IVF) index, all
     DataFrame ops (reference: faiss IVF + nprobe, src/serving/retrieval.py:
@@ -175,7 +432,18 @@ def ivf_topk(
 
     At cluster scale the assigned-items table is computed once, persisted,
     and partitioned by cell so each probe reads only matching partitions.
+
+    ``kernel="arrow"`` runs assignment + rescoring as numpy matmul/einsum
+    kernels (centroids live driver-side between Lloyd steps — they are
+    n_cells rows, the k-means "model"); ``kernel="expr"`` is the
+    Column-expression formulation. Both deterministic; cell boundaries may
+    differ at float ulp level between kernels (approximate tier).
     """
+    if kernel == "arrow":
+        return _ivf_topk_arrow(
+            queries, items, query_id, item_id, query_vec, item_vec,
+            k, n_cells, n_probe, refine_iters, exclude_self,
+        )
     it = items.select(F.col(item_id).alias("__iid"), l2_normalize(F.col(item_vec)).alias("__iv"))
     centroids = (
         it.withColumn("__cell", F.row_number().over(Window.orderBy("__iid")))
@@ -222,11 +490,95 @@ def ivf_topk(
     return topk_per_key(scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k)
 
 
+def _ivf_topk_arrow(
+    queries: DataFrame,
+    items: DataFrame,
+    query_id: str,
+    item_id: str,
+    query_vec: str,
+    item_vec: str,
+    k: int,
+    n_cells: int,
+    n_probe: int,
+    refine_iters: int,
+    exclude_self: bool,
+) -> DataFrame:
+    import numpy as np
+
+    spark = items.sparkSession
+    # deterministic seeds: the n_cells lowest-id items (no rand())
+    seed_rows = (
+        items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__v"))
+        .orderBy("__iid")
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = _normalize_np(_stack_vecs([r["__v"] for r in seed_rows]))
+    cells = np.arange(1, len(seed_rows) + 1, dtype=np.int32)
+
+    assigned = None
+    for _ in range(max(refine_iters, 0)):
+        step = _assign_cells_arrow(items, item_id, item_vec, (cells, cmat))
+        # per-cell mean vector: distributed posexplode/avg, then the n_cells
+        # centroid rows come back to the driver (they ARE the k-means model)
+        mean_rows = (
+            step.select("__cell", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["__m"]
+        new = cmat.copy()  # empty cells keep their previous centroid
+        for ci, cell in enumerate(cells):
+            if int(cell) in by_cell:
+                comp = by_cell[int(cell)]
+                new[ci] = [comp[p] for p in sorted(comp)]
+        cmat = _normalize_np(new)
+    assigned = _assign_cells_arrow(items, item_id, item_vec, (cells, cmat))
+
+    # probe selection is |Q| x n_cells — driver-side numpy on the collected
+    # query side (same small-side constraint as the broadcast join)
+    q_pd = queries.select(query_id, query_vec).toPandas()
+    qids = q_pd[query_id].to_numpy()
+    qmat = _normalize_np(_stack_vecs(q_pd[query_vec]))
+    cs = qmat @ cmat.T  # (nq, n_cells)
+    import pandas as pd
+
+    probe_rows = []
+    for j in range(len(qids)):
+        order = np.lexsort((cells, -cs[j]))[:n_probe]
+        for ci in order:
+            probe_rows.append((qids[j].item(), list(qmat[j]), int(cells[ci])))
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["__qid", "__qv", "__cell"])
+    )
+
+    # broadcast the probe list (|queries| × n_probe rows): a shuffle join on
+    # __cell would hash-partition the whole catalog across ≤ n_cells keys —
+    # guaranteed skew; broadcasting keeps the item side map-side only
+    cand = assigned.join(F.broadcast(probes), "__cell")
+    if exclude_self:
+        cand = cand.where(F.col("__qid") != F.col("__iid"))
+    scored = _pair_dot_arrow(
+        cand.select(
+            F.col("__qid").alias(query_id), F.col("__iid").alias(item_id), "__qv", "__v"
+        ),
+        query_id,
+        item_id,
+        "__qv",
+        "__v",
+    )
+    return topk_per_key(scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥ t).
 
@@ -234,7 +586,46 @@ def cosine_near_dup_pairs(
     6dp-ROUNDED similarity so both engines make identical boundary decisions.
     At catalog scale, run the same rescoring after an ``lsh_topk``/``ivf_topk``
     candidate cut instead of the full self-join.
+
+    ``kernel="arrow"`` broadcasts the normalized matrix once and scores each
+    Arrow batch of rows against it in one matmul — identical output to the
+    crossJoin formulation (``kernel="expr"``), which pays an interpreted
+    fold per pair.
     """
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        a_pd = df.select(id_col, vec_col).toPandas()
+        aids = a_pd[id_col].to_numpy()
+        amat = _normalize_np(_stack_vecs(a_pd[vec_col]))
+        ba = df.sparkSession.sparkContext.broadcast((aids, amat))
+        id_type = df.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+
+        def gen(batches):
+            a_ids, a_mat = ba.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                bids = pdf[id_col].to_numpy()
+                bmat = _normalize_np(_stack_vecs(pdf[vec_col]))
+                scores = _round6_np(bmat @ a_mat.T)  # (nb, na)
+                keep = (a_ids[None, :] < bids[:, None]) & (scores >= threshold)
+                bi, ai = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": bids[bi], "cosine": scores[bi, ai]}
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
     a = df.select(F.col(id_col).alias("id_a"), l2_normalize(F.col(vec_col)).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), l2_normalize(F.col(vec_col)).alias("__vb"))
     return (

@@ -100,6 +100,9 @@ def test_kcore_golden(spark):
     got = sorted((r["u"], r["i"]) for r in out.collect())
     # round1: user2 dropped (1 event) -> item11 has 1 -> dropped -> user1 keeps 2 events on item10
     assert got == [(1, 10), (1, 10)]
+    # the pair-count strategy computes the identical fixpoint
+    via_pairs = kcore_filter(df, "u", "i", min_user=2, min_item=2, iterations=2, via_pairs=True)
+    assert sorted((r["u"], r["i"]) for r in via_pairs.collect()) == got
 
 
 def test_sessionize_golden(spark):
