@@ -154,3 +154,67 @@ def test_hll_sketch_tolerance(spark):
         F.count_distinct("user_id").alias("exact"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.03
+
+
+def test_knn_arrow_kernel_matches_expr(spark):
+    """The numpy matmul kernel and the Column-expression dot produce
+    IDENTICAL (id, score, rank) rows — same rounding, same tie-breaks —
+    so the oracle contract is kernel-independent."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"), "embedding")
+    it = e.select(F.col("vec_id").alias("iid"), "embedding")
+    a = sorted(tuple(r) for r in brute_force_topk(q, it, "qid", "iid", k=4, kernel="arrow").collect())
+    x = sorted(tuple(r) for r in brute_force_topk(q, it, "qid", "iid", k=4, kernel="expr").collect())
+    assert a == x
+
+
+def test_near_dup_arrow_kernel_matches_expr(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import cosine_near_dup_pairs
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(tuple(r) for r in cosine_near_dup_pairs(e, "vec_id", threshold=0.3, kernel="arrow").collect())
+    x = sorted(tuple(r) for r in cosine_near_dup_pairs(e, "vec_id", threshold=0.3, kernel="expr").collect())
+    assert a == x and len(a) > 0
+
+
+def test_simhash_arrow_kernel_matches_expr(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import simhash_dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(F.col("doc_id") < 80)
+    a = sorted(tuple(r) for r in simhash_dedup(d, "text", "doc_id", kernel="arrow").collect())
+    x = sorted(tuple(r) for r in simhash_dedup(d, "text", "doc_id", kernel="expr").collect())
+    assert a == x
+
+
+def test_minhash_kernels_find_verified_pairs(spark):
+    """Both MinHash kernels use different (deterministic) permutation
+    families, so candidate sets may differ — but every emitted pair is
+    Jaccard-verified, so outputs are subsets of the exact pair set and must
+    both recover planted near-duplicates."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard "
+    for i in range(30):
+        rows.append((i, base + f"filler words number {i} " + "x " * (i % 5)))
+    rows.append((100, base + "filler words number 7 x x "))  # near-dup of 7
+    rows.append((101, "совершенно другой текст " * 8))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.6).collect()
+    }
+    for kernel in ("arrow", "expr"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_dedup(
+                df, "text", "doc_id", n=3, num_hashes=32, bands=8, verify_threshold=0.6, kernel=kernel
+            ).collect()
+        }
+        assert got <= exact, f"{kernel}: non-verified pair emitted"
+        assert (7, 100) in got, f"{kernel}: planted near-dup missed"
