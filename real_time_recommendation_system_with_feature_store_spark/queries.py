@@ -2076,3 +2076,172 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.count("*").over(w).alias("n_events"),
     ).distinct()
+
+
+# ================================================================ subquery shapes
+# TPC-H Q18/Q17/Q22/Q2/Q4 decorrelation patterns: every correlated subquery
+# re-expressed as a join against its aggregated form (what Catalyst's
+# RewriteCorrelatedScalarSubquery does for SQL inputs — here made explicit in
+# the DataFrame API). Comparison boundaries run in DECIMAL on both engines so
+# threshold decisions can't diverge by a float ulp.
+
+@query(
+    "large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,10))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 220
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+    FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18 shape: group-HAVING on an exact DECIMAL sum, joined back "
+        "through orders to the customer dim (A1 + J4 + post-agg filter).",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum_exact(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 220)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+@query(
+    "small_qty_brand_revenue",
+    oracle="""
+    WITH lim AS (
+      SELECT l_partkey, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sq
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand,
+      ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN lim t ON l.l_partkey = t.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(28,10)) * 5 * t.n < t.sq
+    GROUP BY 1
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average subquery decorrelated "
+        "into an aggregate join; qty < 0.2*avg expressed as the exact "
+        "DECIMAL cross-multiplication 5*qty*n < sum.",
+)
+def small_qty_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    lim = li.groupBy("l_partkey").agg(
+        F.count("*").alias("__n"), _dsum_exact(F.col("l_quantity")).alias("__sq")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(lim, "l_partkey")
+        .where(F.col("l_quantity").cast("decimal(28,10)") * 5 * F.col("__n") < F.col("__sq"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(_dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@query(
+    "rich_inactive_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS s
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(28,10)) * pos.n > pos.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    """,
+    doc="TPC-H Q22 shape: scalar aggregate subquery (above-average balance, "
+        "exact via bal*n > sum in DECIMAL) + anti join on recent orders.",
+)
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    pos = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.count("*").alias("__n"), _dsum_exact(F.col("c_acctbal")).alias("__s"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast("decimal(28,10)") * F.col("__n") > F.col("__s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
+    "nation_top_balance_customers",
+    oracle="""
+    WITH mx AS (SELECT c_nationkey, MAX(c_acctbal) AS max_bal FROM customer GROUP BY 1)
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM customer c
+    JOIN mx ON c.c_nationkey = mx.c_nationkey AND c.c_acctbal = mx.max_bal
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="TPC-H Q2 shape: argmax-per-group via IN-(key, MAX(..)) decorrelated "
+        "to an equality join on the aggregated subquery (ties all kept; MAX "
+        "selects an existing double, so equality is exact cross-engine).",
+)
+def nation_top_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    mx = (
+        c.groupBy("c_nationkey")
+        .agg(F.max("c_acctbal").alias("__mx"))
+        .withColumnRenamed("c_nationkey", "__nk")  # disambiguate the self-join
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(
+            F.broadcast(mx),
+            (F.col("c_nationkey") == F.col("__nk")) & (F.col("c_acctbal") == F.col("__mx")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "late_ship_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q4 shape: EXISTS with an extra non-equi predicate -> left-semi "
+        "join carrying the range condition into the join (J5 generalization).",
+)
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
