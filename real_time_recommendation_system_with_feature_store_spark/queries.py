@@ -2245,3 +2245,27 @@ def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "view_click_attribution",
+    oracle="""
+    SELECT v.user_id, c.event_id AS click_event_id, v.event_id AS view_event_id,
+           c.ts AS click_ts, v.ts AS view_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join, batch twin: every click attributed to "
+        "the same user's views in the preceding hour (streaming/pipeline.py::"
+        "attribution_stream runs the identical expression on live streams "
+        "with watermark-bounded state).",
+)
+def view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import attribution_stream
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    return attribution_stream(views, clicks, horizon="1 hour")

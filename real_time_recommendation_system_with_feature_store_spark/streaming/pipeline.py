@@ -153,6 +153,51 @@ def streaming_exact_dedup(
     return with_fp.dropDuplicates(["__fp"]).drop("__fp")
 
 
+def attribution_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    horizon: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to every view by the
+    same user within the preceding ``horizon``.
+
+    A capability upgrade over the reference (its consumer handles one event
+    at a time and cannot correlate streams, kafka_consumer.py:88-99). Inner
+    interval joins emit eagerly on match; the watermarks + the time-range
+    condition bound BOTH sides' join state — without the range condition the
+    state would grow forever (the classic stream-stream join pitfall).
+
+    Works on batch frames with the identical expression (parity tests /
+    DuckDB oracle); returns (key, view id/ts, click id/ts).
+    """
+    v = views.select(
+        F.col(key).alias("__vk"),
+        F.col(ts).alias("view_ts"),
+        F.col(id_col).alias("view_event_id"),
+    )
+    c = clicks.select(
+        F.col(key).alias(key),
+        F.col(ts).alias("click_ts"),
+        F.col(id_col).alias("click_event_id"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("__vk") == F.col(key))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(c, cond).select(
+        key, "click_event_id", "view_event_id", "click_ts", "view_ts"
+    )
+
+
 def upsert_online_store(store, view_name: str):
     """ST8: foreachBatch sink — merge each micro-batch's latest rows into the
     online feature table (keyed overwrite; Delta MERGE when available)."""

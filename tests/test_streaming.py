@@ -251,3 +251,31 @@ def test_streaming_dedup_matches_batch(spark):
     expected = {r["doc_id"] for r in exact_dedup(docs, "text", "doc_id").collect()}
     assert got == expected
     assert 0 < len(got) <= n
+
+
+def test_attribution_stream_matches_batch(spark, events_batch):
+    """Stream-stream interval join parity: replaying both sides as file
+    streams yields exactly the batch join's attributed pairs (inner interval
+    joins emit on match; watermark only governs state cleanup)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import attribution_stream
+
+    stage = os.path.join(TMP, "attr_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    events_batch.repartition(3).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    views_s = replay_events_stream(spark, stage, schema).where(F.col("event_type") == "view")
+    clicks_s = replay_events_stream(spark, stage, schema).where(F.col("event_type") == "click")
+    out = attribution_stream(views_s, clicks_s, horizon="1 hour", watermark="365 days")
+    q = out.writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(str, spark.sql("SELECT * FROM attr_out").collect()))
+
+    views_b = events_batch.where(F.col("event_type") == "view")
+    clicks_b = events_batch.where(F.col("event_type") == "click")
+    expected = sorted(map(str, attribution_stream(views_b, clicks_b, horizon="1 hour").collect()))
+    assert len(got) > 0
+    assert got == expected
