@@ -131,3 +131,68 @@ def diversity_at_k(
         F.avg(cosine_distance(F.col("__va"), F.col("__vb"))).alias("__div")
     )
     return per_user.agg(F.round(F.avg("__div"), 6).alias(f"diversity_at_{k}"))
+
+
+def per_user_metrics_pandas(
+    recs: DataFrame,
+    truth: DataFrame,
+    k: int,
+    user: str = "user_idx",
+    item: str = "item_idx",
+) -> DataFrame:
+    """U4 grouped-map twin of ``ranking_metrics``: the reference's per-user
+    metric loop (src/evaluation/metrics.py:274-299) expressed as a cogrouped
+    ``applyInPandas`` kernel — one pandas frame per user, numpy arithmetic
+    inside, rows stay distributed.
+
+    The expression form above is the production path (no Python in the data
+    path); this twin (a) documents the grouped-map UDF surface the reference's
+    free-form python maps onto, and (b) cross-checks the rank arithmetic —
+    tests assert the macro-averages agree to 1e-9.
+
+    Returns per-user rows (user, recall, precision, hit, ndcg, rr, ap) over
+    users with >=1 truth row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    user_type = truth.schema[user].dataType.simpleString()
+    schema = (
+        f"{user} {user_type}, recall double, precision double, hit double, "
+        "ndcg double, rr double, ap double"
+    )
+
+    def fn(key, rpdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(tpdf) == 0:  # reference skips users without ground truth
+            return pd.DataFrame(columns=[user, "recall", "precision", "hit", "ndcg", "rr", "ap"])
+        tset = set(tpdf[item])
+        n_truth = len(tset)
+        top = rpdf[rpdf["rank"] <= k].sort_values("rank")
+        ranks = top["rank"].to_numpy(dtype=np.float64)
+        hits_mask = top[item].isin(tset).to_numpy()
+        hit_ranks = ranks[hits_mask]
+        n_hits = int(hits_mask.sum())
+        ideal = min(n_truth, k)
+        idcg = float((1.0 / np.log2(np.arange(1, ideal + 1) + 1)).sum())
+        dcg = float((1.0 / np.log2(hit_ranks + 1)).sum())
+        rr = float((1.0 / hit_ranks).max()) if n_hits else 0.0
+        ap = float((np.arange(1, n_hits + 1) / hit_ranks).sum() / ideal)
+        return pd.DataFrame(
+            [
+                {
+                    user: key[0],
+                    "recall": n_hits / n_truth,
+                    "precision": n_hits / float(k),
+                    "hit": 1.0 if n_hits else 0.0,
+                    "ndcg": dcg / idcg,
+                    "rr": rr,
+                    "ap": ap,
+                }
+            ]
+        )
+
+    return (
+        recs.groupBy(user)
+        .cogroup(truth.groupBy(user))
+        .applyInPandas(fn, schema)
+    )

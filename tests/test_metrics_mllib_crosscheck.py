@@ -40,3 +40,43 @@ def test_ranking_metrics_match_mllib(spark):
     assert abs(row[f"recall_at_{k}"] - rm.recallAt(k)) < 1e-6
     assert abs(row[f"ndcg_at_{k}"] - rm.ndcgAt(k)) < 1e-6
     assert abs(row[f"map_at_{k}"] - rm.meanAveragePrecisionAt(k)) < 1e-6
+
+
+def test_grouped_map_metrics_match_expression_path(spark):
+    """U4: the cogrouped applyInPandas per-user metric kernel macro-averages
+    to exactly what the distributed rank-arithmetic path computes."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import (
+        per_user_metrics_pandas,
+        ranking_metrics,
+    )
+
+    recs_rows, truth_rows = [], []
+    for u in range(30):
+        ranked = []
+        for r in range(12):
+            it = (u * 5 + r * 19) % 40
+            if it not in ranked:
+                ranked.append(it)
+        truth = sorted({(u * 13 + j * 23) % 40 for j in range(4)})
+        recs_rows += [(u, it, i + 1) for i, it in enumerate(ranked)]
+        truth_rows += [(u, it) for it in truth]
+    k = 8
+    recs = spark.createDataFrame(recs_rows, "user_idx int, item_idx int, rank int")
+    truth = spark.createDataFrame(truth_rows, "user_idx int, item_idx int")
+
+    expr_row = ranking_metrics(recs, truth, k).collect()[0]
+    per_user = per_user_metrics_pandas(recs, truth, k)
+    gm_row = per_user.agg(
+        F.round(F.avg("recall"), 6).alias("recall"),
+        F.round(F.avg("precision"), 6).alias("precision"),
+        F.round(F.avg("hit"), 6).alias("hit"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg"),
+        F.round(F.avg("rr"), 6).alias("rr"),
+        F.round(F.avg("ap"), 6).alias("ap"),
+    ).collect()[0]
+    assert gm_row["recall"] == expr_row[f"recall_at_{k}"]
+    assert gm_row["precision"] == expr_row[f"precision_at_{k}"]
+    assert gm_row["hit"] == expr_row[f"hit_rate_at_{k}"]
+    assert gm_row["ndcg"] == expr_row[f"ndcg_at_{k}"]
+    assert gm_row["rr"] == expr_row[f"mrr_at_{k}"]
+    assert gm_row["ap"] == expr_row[f"map_at_{k}"]
