@@ -2269,3 +2269,38 @@ def view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where(F.col("event_type") == "view")
     clicks = ev.where(F.col("event_type") == "click")
     return attribution_stream(views, clicks, horizon="1 hour")
+
+
+@query(
+    "token_budget_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, source, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+      CAST(FLOOR(before / 2048) AS BIGINT) AS chunk_id,
+      CAST(before % 2048 AS BIGINT) AS chunk_offset
+    FROM p
+    """,
+    doc="LLM-pipeline extra: GPT-style sequence packing — concatenate each "
+        "source's doc stream, cut every 2048 tokens, assign docs to the "
+        "chunk holding their first token (operators/packing.py; per-shard "
+        "window cumsum, no stateful scan).",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import token_count
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_by_token_budget(
+        d, "n_tokens", [F.col("doc_id")], budget=2048, shard_col="source"
+    )

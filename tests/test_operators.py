@@ -259,3 +259,35 @@ def test_multimodal_kernels(spark):
     top = brute_force_topk(q, it, "qid", "iid", k=2, exclude_self=False)
     best = {r["qid"]: r["iid"] for r in top.where(F.col("rank") == 1).collect()}
     assert best == {0: 0, 1: 1, 2: 2}  # self is always the nearest at rank 1
+
+
+def test_pack_by_token_budget_golden(spark):
+    """Doc stream 600+900+800+1000 tokens, budget 1024: doc2 starts at token
+    600 (chunk 0), doc3 at 1500 (chunk 1), doc4 at 2300 (chunk 2) — docs may
+    span boundaries, the chunk is where the FIRST token lands."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 600), (2, 900), (3, 800), (4, 1000)], ["doc_id", "n_tokens"]
+    )
+    out = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in pack_by_token_budget(df, "n_tokens", ["doc_id"], budget=1024).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 600), 3: (1, 476), 4: (2, 252)}
+
+
+def test_pack_by_token_budget_sharded_restarts(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    df = spark.createDataFrame(
+        [("a", 1, 700), ("a", 2, 700), ("b", 3, 700)], ["shard", "doc_id", "n_tokens"]
+    )
+    out = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in pack_by_token_budget(
+            df, "n_tokens", ["doc_id"], budget=1024, shard_col="shard"
+        ).collect()
+    }
+    # chunk ids restart per shard; doc 3 is shard b's first doc
+    assert out == {1: (0, 0), 2: (0, 700), 3: (0, 0)}
