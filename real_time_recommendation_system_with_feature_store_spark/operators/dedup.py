@@ -391,3 +391,48 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_common: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: n-gram collisions between a training corpus
+    and an evaluation corpus.
+
+    Same inverted-index plan as ``ngram_jaccard_pairs`` but ACROSS corpora:
+    shingle both sides, join on the shingle, count distinct collisions per
+    (train_doc, eval_doc). Returns (train_id, eval_id, n_common,
+    eval_overlap = n_common / |eval shingles|) for pairs with
+    n_common >= min_common — the "drop or flag train docs that leak eval
+    data" primitive. At 100 TB shingle the (small) eval side fully and
+    drop the top hot shingles from the train side first.
+    """
+    tsh = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__s"),
+    )
+    esh = (
+        eval_df.select(
+            F.col(id_col).alias("eval_id"),
+            F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
+        )
+        .withColumn("__esize", F.size("__sh"))
+        .select("eval_id", "__esize", F.explode("__sh").alias("__s"))
+    )
+    return (
+        tsh.join(esh, "__s")
+        .groupBy("train_id", "eval_id", "__esize")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+        .select(
+            "train_id",
+            "eval_id",
+            "n_common",
+            F.round(F.col("n_common") / F.col("__esize").cast("double"), 6).alias("eval_overlap"),
+        )
+    )

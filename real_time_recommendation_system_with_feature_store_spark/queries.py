@@ -2304,3 +2304,83 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(
         d, "n_tokens", [F.col("doc_id")], budget=2048, shard_col="source"
     )
+
+
+@query(
+    "eval_contamination_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+        list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM tok
+    ),
+    t AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM sh WHERE source <> 'src19'),
+    e AS (SELECT doc_id AS eval_id, len(sh) AS esize, unnest(sh) AS s FROM sh WHERE source = 'src19')
+    SELECT t.train_id, e.eval_id, COUNT(*) AS n_common,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(e.esize), 6) AS eval_overlap
+    FROM t JOIN e ON t.s = e.s
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    doc="LLM-pipeline extra: benchmark decontamination — n-gram collisions "
+        "between the training corpus (source<>src19) and the eval corpus "
+        "(src19) via a cross-corpus shingle inverted index "
+        "(operators/dedup.py::cross_corpus_overlap; n=3 here so the "
+        "synthetic corpus yields collisions — production decon uses n=8+).",
+)
+def eval_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import cross_corpus_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("source") != "src19")
+    ev = d.where(F.col("source") == "src19")
+    return cross_corpus_overlap(train, ev, "text", "doc_id", n=3, min_common=2)
+
+
+@query(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS toks
+      FROM documents
+    ), v AS (
+      SELECT source,
+        CASE
+          WHEN len(toks) < 30 THEN 'too_short'
+          WHEN lang <> 'en' THEN 'non_target_lang'
+          WHEN CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+               x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / GREATEST(len(toks), 1) < 0.05
+            THEN 'low_stopword'
+          ELSE 'keep'
+        END AS verdict
+      FROM t
+    )
+    SELECT source, verdict, COUNT(*) AS n_docs
+    FROM v GROUP BY 1, 2
+    """,
+    doc="LLM-pipeline extra: quality-filter funnel — first-matching drop "
+        "reason per doc (length -> language -> stopword ratio), counts per "
+        "source (the corpus-curation report shape).",
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    verdict = (
+        F.when(TX.token_count(F.col("text")) < 30, "too_short")
+        .when(F.col("lang") != "en", "non_target_lang")
+        .when(TX.stopword_ratio(F.col("text")) < 0.05, "low_stopword")
+        .otherwise("keep")
+    )
+    return (
+        d.select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )
