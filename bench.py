@@ -35,6 +35,7 @@ HEADLINE = [
     "text_quality",
     "minhash_dedup_candidates",
     "knn_cosine_topk",
+    "two_stage_recommendations",
     "tumbling_window_counts",
 ]
 

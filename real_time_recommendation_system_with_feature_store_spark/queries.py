@@ -2384,3 +2384,81 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "two_stage_recommendations",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id >= 490),
+    i AS (SELECT vec_id AS iid, embedding::DOUBLE[] AS iv FROM embeddings WHERE vec_id < 100),
+    s AS (SELECT qid, iid, ROUND(list_cosine_similarity(qv, iv), 6) AS score FROM q CROSS JOIN i),
+    cand AS (
+      SELECT qid, iid, score FROM (
+        SELECT qid, iid, score,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS rk
+        FROM s
+      ) WHERE rk <= 20
+    ),
+    ctr AS (
+      SELECT CAST(props->>'k' AS BIGINT) AS item_id,
+        ROUND(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          / (SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) + 1e-6), 6) AS ctr
+      FROM events
+      WHERE props->>'k' IS NOT NULL AND ts <= TIMESTAMP '{ANCHOR}'
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT cand.qid AS user_vec_id, cand.iid AS item_id, cand.score AS retrieval_score,
+        COALESCE(ctr.ctr, 0) AS ctr,
+        ROUND(0.7 * cand.score + 0.3 * LEAST(COALESCE(ctr.ctr, 0), 1.0), 6) AS final_score
+      FROM cand LEFT JOIN ctr ON cand.iid = ctr.item_id
+    )
+    SELECT user_vec_id, item_id, retrieval_score, ctr, final_score, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT b.*, ROW_NUMBER() OVER (PARTITION BY user_vec_id ORDER BY final_score DESC, item_id) AS rank
+      FROM b
+    ) WHERE rank <= 5
+    """,
+    doc="The reference's online serving lifecycle (SURVEY §3.2) as ONE "
+        "offline DataFrame job: ANN retrieval over-fetch (top-20 cosine, "
+        "Arrow matmul kernel) -> candidate feature join (per-item CTR) -> "
+        "blended re-rank -> top-5 per user. Retrieval prunes map-side; the "
+        "feature join sees |Q|x20 rows, never the catalog.",
+)
+def two_stage_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") >= 490).select(F.col("vec_id").alias("user_vec_id"), "embedding")
+    it = e.where(F.col("vec_id") < 100).select(F.col("vec_id").alias("item_id"), "embedding")
+    cand = brute_force_topk(
+        q, it, "user_vec_id", "item_id", k=20, exclude_self=False
+    ).select("user_vec_id", "item_id", F.col("score").alias("retrieval_score"))
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull() & (F.col("ts") <= F.lit(ANCHOR).cast("timestamp")))
+    )
+    ctr = ev.groupBy("item_id").agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            / (F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)) + F.lit(1e-6)),
+            6,
+        ).alias("ctr")
+    )
+    blended = (
+        cand.join(F.broadcast(ctr), "item_id", "left")
+        .withColumn("ctr", F.coalesce(F.col("ctr"), F.lit(0.0)))
+        .withColumn(
+            "final_score",
+            F.round(
+                0.7 * F.col("retrieval_score") + 0.3 * F.least(F.col("ctr"), F.lit(1.0)), 6
+            ),
+        )
+    )
+    out = topk_per_key(
+        blended, ["user_vec_id"], [F.col("final_score").desc(), F.col("item_id")], 5
+    )
+    return out.select("user_vec_id", "item_id", "retrieval_score", "ctr", "final_score", "rank")
