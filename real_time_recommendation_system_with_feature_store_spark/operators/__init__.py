@@ -1,5 +1,7 @@
 from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join
 from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+    connected_components,
+    cross_corpus_overlap,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -13,6 +15,7 @@ from real_time_recommendation_system_with_feature_store_spark.operators.knn impo
     ivf_topk,
     lsh_topk,
 )
+from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
 from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number
 from real_time_recommendation_system_with_feature_store_spark.operators.sampling import hash_sample, negative_sample
 from real_time_recommendation_system_with_feature_store_spark.operators.sessionize import sessionize
@@ -21,7 +24,10 @@ from real_time_recommendation_system_with_feature_store_spark.operators.topk imp
 
 __all__ = [
     "asof_join",
+    "connected_components",
+    "cross_corpus_overlap",
     "exact_dedup",
+    "pack_by_token_budget",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
     "simhash_dedup",
