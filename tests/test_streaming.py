@@ -279,3 +279,41 @@ def test_attribution_stream_matches_batch(spark, events_batch):
     expected = sorted(map(str, attribution_stream(views_b, clicks_b, horizon="1 hour").collect()))
     assert len(got) > 0
     assert got == expected
+
+
+def test_stream_static_enrichment(spark, events_batch):
+    """Serving read path: a streaming event joined against the (static)
+    latest-snapshot feature table — the stream-static join Structured
+    Streaming re-plans per micro-batch. Enriched output must equal the batch
+    join row-for-row."""
+    stage = os.path.join(TMP, "enrich_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    events_batch.repartition(3).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    # static side: per-user historical click counts (an online-store snapshot)
+    feats = (
+        events_batch.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("hist_clicks"))
+    )
+
+    stream = replay_events_stream(spark, stage, schema).where(F.col("event_type") == "purchase")
+    enriched = stream.select("event_id", "user_id").join(feats, "user_id", "left")
+    q = enriched.writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(str, spark.sql("SELECT * FROM enrich_out").collect()))
+
+    expected = sorted(
+        map(
+            str,
+            events_batch.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id")
+            .join(feats, "user_id", "left")
+            .collect(),
+        )
+    )
+    assert len(got) > 0 and got == expected
