@@ -34,6 +34,8 @@ HEADLINE = [
     "doc_dedup_exact",
     "text_quality",
     "minhash_dedup_candidates",
+    "simhash_dedup_candidates",
+    "embedding_near_dup",
     "knn_cosine_topk",
     "two_stage_recommendations",
     "tumbling_window_counts",

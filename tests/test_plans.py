@@ -72,3 +72,17 @@ def test_multiwindow_single_scan(spark):
     df = QUERIES["user_activity_windows"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_two_stage_pipeline_plan_shape(spark):
+    """The serving pipeline must (a) score items via the Arrow kernel (one
+    python-worker stage, no CartesianProduct materializing |Q|x|I| rows in
+    the JVM) and (b) broadcast the CTR feature join onto the pruned
+    candidate set."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["two_stage_recommendations"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

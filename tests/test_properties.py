@@ -183,3 +183,30 @@ def test_exact_dedup_properties(spark, base, dup_of):
         min_by_fp[r["f"]] = min(min_by_fp.get(r["f"], 10**9), r["doc_id"])
     kept_ids = sorted(r["doc_id"] for r in kept)
     assert kept_ids == sorted(min_by_fp.values())
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_by_token_budget_properties(spark, tokens, budget):
+    """Packing invariants for any token sequence and budget: offsets stay
+    inside the chunk, chunk ids are nondecreasing in document order, and
+    (chunk_id, chunk_offset) reconstructs the exact prefix sum."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    rows = [(i, n) for i, n in enumerate(tokens)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_offset"])
+        for r in pack_by_token_budget(df, "n_tokens", ["doc_id"], budget).collect()
+    )
+    prefix = 0
+    last_chunk = 0
+    for (doc_id, chunk, off), n in zip(out, tokens):
+        assert 0 <= off < budget
+        assert chunk >= last_chunk
+        assert chunk * budget + off == prefix
+        last_chunk = chunk
+        prefix += n
