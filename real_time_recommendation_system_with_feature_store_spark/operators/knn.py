@@ -95,12 +95,6 @@ def _brute_force_scores_arrow(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_pd = queries.select(query_id, query_vec).toPandas()
-    qids = q_pd[query_id].to_numpy()
-    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pd[query_vec]])
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    bq = queries.sparkSession.sparkContext.broadcast((qids, qmat))
-
     out_schema = T.StructType(
         [
             T.StructField(query_id, queries.schema[query_id].dataType),
@@ -108,6 +102,13 @@ def _brute_force_scores_arrow(
             T.StructField("score", T.DoubleType()),
         ]
     )
+    q_pd = queries.select(query_id, query_vec).toPandas()
+    if len(q_pd) == 0:  # empty query side: no pairs (np.stack rejects [])
+        return queries.sparkSession.createDataFrame([], out_schema)
+    qids = q_pd[query_id].to_numpy()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pd[query_vec]])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = queries.sparkSession.sparkContext.broadcast((qids, qmat))
 
     def gen(batches):
         q_ids, q_norm = bq.value
@@ -505,7 +506,17 @@ def _ivf_topk_arrow(
 ) -> DataFrame:
     import numpy as np
 
+    from pyspark.sql import types as T
+
     spark = items.sparkSession
+    empty_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType),
+            T.StructField(item_id, items.schema[item_id].dataType),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
     # deterministic seeds: the n_cells lowest-id items (no rand())
     seed_rows = (
         items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__v"))
@@ -513,6 +524,8 @@ def _ivf_topk_arrow(
         .limit(n_cells)
         .collect()
     )
+    if not seed_rows:  # empty catalog: nothing to retrieve
+        return spark.createDataFrame([], empty_schema)
     cmat = _normalize_np(_stack_vecs([r["__v"] for r in seed_rows]))
     cells = np.arange(1, len(seed_rows) + 1, dtype=np.int32)
 
@@ -541,6 +554,8 @@ def _ivf_topk_arrow(
     # probe selection is |Q| x n_cells — driver-side numpy on the collected
     # query side (same small-side constraint as the broadcast join)
     q_pd = queries.select(query_id, query_vec).toPandas()
+    if len(q_pd) == 0:  # empty query side
+        return spark.createDataFrame([], empty_schema)
     qids = q_pd[query_id].to_numpy()
     qmat = _normalize_np(_stack_vecs(q_pd[query_vec]))
     cs = qmat @ cmat.T  # (nq, n_cells)
@@ -597,10 +612,6 @@ def cosine_near_dup_pairs(
         import pandas as pd
         from pyspark.sql import types as T
 
-        a_pd = df.select(id_col, vec_col).toPandas()
-        aids = a_pd[id_col].to_numpy()
-        amat = _normalize_np(_stack_vecs(a_pd[vec_col]))
-        ba = df.sparkSession.sparkContext.broadcast((aids, amat))
         id_type = df.schema[id_col].dataType
         out_schema = T.StructType(
             [
@@ -609,6 +620,12 @@ def cosine_near_dup_pairs(
                 T.StructField("cosine", T.DoubleType()),
             ]
         )
+        a_pd = df.select(id_col, vec_col).toPandas()
+        if len(a_pd) == 0:  # empty table: no pairs (np.stack rejects [])
+            return df.sparkSession.createDataFrame([], out_schema)
+        aids = a_pd[id_col].to_numpy()
+        amat = _normalize_np(_stack_vecs(a_pd[vec_col]))
+        ba = df.sparkSession.sparkContext.broadcast((aids, amat))
 
         def gen(batches):
             a_ids, a_mat = ba.value

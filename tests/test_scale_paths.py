@@ -218,3 +218,25 @@ def test_minhash_kernels_find_verified_pairs(spark):
         }
         assert got <= exact, f"{kernel}: non-verified pair emitted"
         assert (7, 100) in got, f"{kernel}: planted near-dup missed"
+
+
+def test_vector_kernels_handle_empty_sides(spark):
+    """Empty query/catalog sides must return empty results with the right
+    schema, not crash in np.stack."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        brute_force_topk,
+        cosine_near_dup_pairs,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    none = e.where(F.col("vec_id") < 0)
+    it = e.select(F.col("vec_id").alias("iid"), "embedding")
+    q = e.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+
+    bf = brute_force_topk(none.select(F.col("vec_id").alias("qid"), "embedding"), it, "qid", "iid", k=3)
+    assert bf.count() == 0 and bf.columns == ["qid", "iid", "score", "rank"]
+    nd = cosine_near_dup_pairs(none, "vec_id", threshold=0.3)
+    assert nd.count() == 0 and nd.columns == ["id_a", "id_b", "cosine"]
+    iv = ivf_topk(q, none.select(F.col("vec_id").alias("iid"), "embedding"), "qid", "iid", k=3)
+    assert iv.count() == 0 and iv.columns == ["qid", "iid", "score", "rank"]
