@@ -1190,7 +1190,31 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seg_user = pair.select("user_id", "segment").distinct()
     seen = pair.select("user_id", "item_id")  # already distinct by the group key
-    cand = seg_user.join(seg_item, "segment").join(seen, ["user_id", "item_id"], "left_anti")
+    # Candidate pruning: a user's top-5 UNSEEN items can only come from the
+    # segment's top (5 + seen_count(user)) items in the (ctr desc, item_id)
+    # total order — exclusions are drawn from the user's seen set, so ranks
+    # beyond that can never surface. Truncating the segment ranking to
+    # M = 5 + max(seen_count) bounds the candidate join at |users| x M
+    # instead of |users| x |catalog|, and the per-user rank bound
+    # (__srank <= 5 + __seen_n) trims the skewed low-cardinality segment
+    # join's output before the anti-join/window. The scalar max is
+    # AQE-style runtime stats over the persisted pair table.
+    seen_n = pair.groupBy("user_id").agg(F.count("*").alias("__seen_n"))
+    mx = seen_n.agg(F.max("__seen_n").alias("m")).collect()[0]["m"] or 0
+    seg_top = topk_per_key(
+        seg_item, ["segment"], [F.col("ctr").desc(), F.col("item_id")], 5 + mx, rank_col="__srank"
+    )
+    # ~|segments| x M rows: broadcast while that is dim-sized, else fall back
+    # to the shuffle join (AQE skew split handles the 5-value segment key).
+    if (5 + mx) * 5 <= 1_000_000:
+        seg_top = F.broadcast(seg_top)
+    cand = (
+        seg_user.join(seen_n, "user_id", "left")
+        .na.fill({"__seen_n": 0})
+        .join(seg_top, "segment")
+        .where(F.col("__srank") <= 5 + F.col("__seen_n"))
+        .join(seen, ["user_id", "item_id"], "left_anti")
+    )
     out = topk_per_key(cand, ["user_id"], [F.col("ctr").desc(), F.col("item_id")], 5)
     return out.select("user_id", "item_id", "ctr", "rank")
 
