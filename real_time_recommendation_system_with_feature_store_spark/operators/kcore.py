@@ -36,24 +36,34 @@ def kcore_filter(
     min_item: int = 5,
     iterations: int = 3,
     via_pairs: bool = False,
+    lineage: str = "local_checkpoint",
 ) -> DataFrame:
     if via_pairs:
         return _kcore_via_pairs(df, user_col, item_col, min_user, min_item, iterations)
-    # Persist the input once: every iteration re-reads it twice (count pass +
-    # semi-join probe), and without a cache that means 6 source scans — at
-    # 100 TB, 6 full passes of parse/decode. On a cluster this would be
-    # persist(StorageLevel.MEMORY_AND_DISK) or a checkpoint.
-    # Per-iteration persists stack (≤ ``iterations`` cached levels of a
-    # shrinking table): each level is referenced twice by the next round
-    # (count pass + semi-join probe), so eagerly unpersisting would double
-    # that branch's recomputation per round. Callers running many k-cores in
-    # one session can spark.catalog.clearCache() between them.
-    out = df.persist()
+    # Materialize the input once: every iteration re-reads it twice (count
+    # pass + semi-join probe), and without a cut that means 6 source scans —
+    # at 100 TB, 6 full passes of parse/decode.
+    #
+    # ``lineage`` picks how each level's working set is pinned:
+    # * "local_checkpoint" (default): truncate lineage at every level, so the
+    #   per-round broadcast-build jobs read checkpointed blocks instead of
+    #   replaying the growing join chain (standard practice for iterative
+    #   Spark algorithms; measured 1.3s vs 1.7s warm at sf0.1). Blocks are
+    #   NOT replicated — on a cluster with executor loss or dynamic
+    #   allocation, use "persist" (or set a reliable checkpoint dir and
+    #   swap in ``checkpoint()``).
+    # * "persist": cached levels keep full lineage (recoverable after
+    #   executor loss). Levels stack (≤ ``iterations`` caches of a shrinking
+    #   table); callers running many k-cores can spark.catalog.clearCache().
+    if lineage == "local_checkpoint":
+        cut, out = (lambda d: d.localCheckpoint(eager=False)), df.localCheckpoint(eager=True)
+    else:
+        cut, out = (lambda d: d.persist()), df.persist()
     for _ in range(iterations):
         user_ok = out.groupBy(user_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_user).select(user_col)
         out = out.join(F.broadcast(user_ok), user_col, "left_semi")
         item_ok = out.groupBy(item_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_item).select(item_col)
-        out = out.join(F.broadcast(item_ok), item_col, "left_semi").persist()
+        out = cut(out.join(F.broadcast(item_ok), item_col, "left_semi"))
     return out
 
 
