@@ -36,6 +36,7 @@ HEADLINE = [
     "minhash_dedup_candidates",
     "simhash_dedup_candidates",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "knn_cosine_topk",
     "two_stage_recommendations",
     "tumbling_window_counts",

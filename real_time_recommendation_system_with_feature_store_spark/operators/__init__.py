@@ -13,6 +13,7 @@ from real_time_recommendation_system_with_feature_store_spark.operators.knn impo
     brute_force_topk,
     cosine_near_dup_pairs,
     ivf_topk,
+    lsh_near_dup_pairs,
     lsh_topk,
 )
 from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
@@ -38,6 +39,7 @@ __all__ = [
     "brute_force_topk",
     "cosine_near_dup_pairs",
     "ivf_topk",
+    "lsh_near_dup_pairs",
     "lsh_topk",
     "global_row_number",
     "hash_sample",

@@ -588,6 +588,43 @@ def _ivf_topk_arrow(
     return topk_per_key(scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k)
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    dim: int,
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Scale-path embedding near-dup: LSH bucket self-join + exact rescore.
+
+    The exact all-pairs form (``cosine_near_dup_pairs``) broadcasts the whole
+    catalog — O(|n|²) score work and a driver-sized copy, fine for dim tables,
+    impossible at catalog scale. Here rows are bucketed by ``n_tables``
+    independent sign-random-projection signatures (deterministic hyperplanes,
+    no rand()); only same-bucket pairs are rescored exactly, so emitted pairs
+    are a true subset of the exact operator's output (every pair satisfies
+    round6(cosine) ≥ threshold; recall is bounded by bucket collisions —
+    tune n_planes down / n_tables up to raise it). Candidate volume scales
+    with bucket occupancy (~|n|²/2^n_planes per table), the self-join
+    shuffles on the bucket key, and nothing is collected to the driver.
+    """
+    b = _bucket_rows_arrow(df, id_col, vec_col, "__id", dim, n_planes, n_tables)
+    left = b.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket")
+    right = b.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket")
+    cand = (
+        left.join(right, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "__va", "__vb")
+    )
+    scored = _pair_dot_arrow(cand, "id_a", "id_b", "__va", "__vb")
+    return scored.select("id_a", "id_b", F.col("score").alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,

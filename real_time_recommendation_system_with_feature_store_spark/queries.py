@@ -1103,6 +1103,19 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, it, "query_id", "item_id", dim=64, k=5, n_planes=4, n_tables=8)
 
 
+@query(
+    "embedding_near_dup_lsh",
+    oracle=None,  # approximate tier — exact counterpart is embedding_near_dup
+    doc="Scale-path near-dup: LSH bucket self-join + exact rescore (rows-only; "
+        "emits a verified subset of embedding_near_dup).",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import lsh_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(e, "vec_id", dim=64, threshold=0.3, n_planes=4, n_tables=8)
+
+
 # ================================================================ streaming batch-analogs
 
 @query(

@@ -240,3 +240,21 @@ def test_vector_kernels_handle_empty_sides(spark):
     assert nd.count() == 0 and nd.columns == ["id_a", "id_b", "cosine"]
     iv = ivf_topk(q, none.select(F.col("vec_id").alias("iid"), "embedding"), "qid", "iid", k=3)
     assert iv.count() == 0 and iv.columns == ["qid", "iid", "score", "rank"]
+
+
+def test_lsh_near_dup_is_verified_subset_with_recall(spark):
+    """Scale-path near-dup: every emitted pair is exactly verified (subset of
+    the all-pairs operator at the same threshold) and bucket recall is
+    non-trivial on the sf-test embeddings."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        cosine_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(e, "vec_id", threshold=0.3).collect()}
+    got_rows = lsh_near_dup_pairs(e, "vec_id", dim=64, threshold=0.3, n_planes=4, n_tables=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got <= exact, "LSH near-dup emitted a non-verified pair"
+    assert all(r["cosine"] >= 0.3 and r["id_a"] < r["id_b"] for r in got_rows)
+    assert exact and len(got) / len(exact) >= 0.5, f"recall {len(got)}/{len(exact)} too low"
