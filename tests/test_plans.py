@@ -86,3 +86,18 @@ def test_two_stage_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "MapInPandas" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_no_cartesian_product_in_any_query_plan(spark):
+    """Sweep every registered query: an accidental CartesianProduct (an
+    un-keyed, un-broadcast join) is a plan bug at any scale. Intentional
+    small-side cross joins compile to BroadcastNestedLoopJoin and stay
+    allowed."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    offenders = []
+    for name, spec in QUERIES.items():
+        plan = explain_str(spec.fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
