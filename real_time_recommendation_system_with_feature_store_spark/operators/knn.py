@@ -611,12 +611,22 @@ def lsh_near_dup_pairs(
     shuffles on the bucket key, and nothing is collected to the driver.
     """
     b = _bucket_rows_arrow(df, id_col, vec_col, "__id", dim, n_planes, n_tables)
-    left = b.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket")
-    right = b.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket")
-    cand = (
-        left.join(right, "__bucket")
+    # Dedupe SLIM (id_a, id_b) pairs before touching vectors: carrying two
+    # dim-wide arrays through the bucket join and the dedup shuffle multiplies
+    # shuffle bytes by ~2×dim. Vectors re-attach afterwards by id (the numpy-
+    # normalized __v from the bucketing pass, so rescoring bit-matches the
+    # exact operator), and only surviving pairs pay the width.
+    pairs = (
+        b.select(F.col("__id").alias("id_a"), "__bucket")
+        .join(b.select(F.col("__id").alias("id_b"), "__bucket"), "__bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    norm = b.dropDuplicates(["__id"]).select("__id", "__v")
+    cand = (
+        pairs.join(norm.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(norm.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
         .select("id_a", "id_b", "__va", "__vb")
     )
     scored = _pair_dot_arrow(cand, "id_a", "id_b", "__va", "__vb")
