@@ -1210,24 +1210,44 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M = 5 + max(seen_count) bounds the candidate join at |users| x M
     # instead of |users| x |catalog|, and the per-user rank bound
     # (__srank <= 5 + __seen_n) trims the skewed low-cardinality segment
-    # join's output before the anti-join/window. The scalar max is
-    # AQE-style runtime stats over the persisted pair table.
-    seen_n = pair.groupBy("user_id").agg(F.count("*").alias("__seen_n"))
-    mx = seen_n.agg(F.max("__seen_n").alias("m")).collect()[0]["m"] or 0
-    seg_top = topk_per_key(
-        seg_item, ["segment"], [F.col("ctr").desc(), F.col("item_id")], 5 + mx, rank_col="__srank"
-    )
-    # ~|segments| x M rows: broadcast while that is dim-sized, else fall back
-    # to the shuffle join (AQE skew split handles the 5-value segment key).
-    if (5 + mx) * 5 <= 1_000_000:
-        seg_top = F.broadcast(seg_top)
-    cand = (
-        seg_user.join(seen_n, "user_id", "left")
-        .na.fill({"__seen_n": 0})
-        .join(seg_top, "segment")
-        .where(F.col("__srank") <= 5 + F.col("__seen_n"))
-        .join(seen, ["user_id", "item_id"], "left_anti")
-    )
+    # join's output before the anti-join/window. Cost-based: the scalars are
+    # AQE-style runtime stats over the (persisted, pair-sized) aggregate, and
+    # pruning engages only when the slice is well under the per-segment
+    # catalog — on a small catalog the extra rank+joins cost more than the
+    # rows they remove, at 100 TB (catalog >> any user's history) it is the
+    # difference between |users| x |catalog| and ~|pairs| candidates.
+    st = pair.agg(
+        F.count("*").alias("n_pairs"),
+        F.approx_count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("item_id").alias("n_items"),
+        F.approx_count_distinct("segment").alias("n_segs"),
+    ).collect()[0]
+    n_segments = max(st["n_segs"], 1)
+    items_per_seg = st["n_items"] / n_segments
+    avg_seen = st["n_pairs"] / max(st["n_users"], 1)
+    # gate on cheap approximate stats (one job, which also materializes the
+    # pair cache); the exact max — required for the correctness bound — is
+    # only computed when pruning engages. 4x headroom over the mean covers
+    # heavy-tailed user histories in the estimate.
+    if (5 + 4 * avg_seen) * 2 <= items_per_seg:
+        seen_n = pair.groupBy("user_id").agg(F.count("*").alias("__seen_n"))
+        mx = seen_n.agg(F.max("__seen_n").alias("m")).collect()[0]["m"] or 0
+        seg_top = topk_per_key(
+            seg_item, ["segment"], [F.col("ctr").desc(), F.col("item_id")], 5 + mx, rank_col="__srank"
+        )
+        # ~|segments| x M rows: broadcast while that is dim-sized, else fall
+        # back to the shuffle join (AQE skew split handles the 5-value key).
+        if (5 + mx) * n_segments <= 1_000_000:
+            seg_top = F.broadcast(seg_top)
+        cand = (
+            seg_user.join(seen_n, "user_id", "left")
+            .na.fill({"__seen_n": 0})
+            .join(seg_top, "segment")
+            .where(F.col("__srank") <= 5 + F.col("__seen_n"))
+            .join(seen, ["user_id", "item_id"], "left_anti")
+        )
+    else:
+        cand = seg_user.join(seg_item, "segment").join(seen, ["user_id", "item_id"], "left_anti")
     out = topk_per_key(cand, ["user_id"], [F.col("ctr").desc(), F.col("item_id")], 5)
     return out.select("user_id", "item_id", "ctr", "rank")
 
