@@ -50,6 +50,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp[us] parquet (no zone) loads as TIMESTAMP_NTZ; relabel to the
+    # UTC session zone so time functions (unix_micros etc.) resolve — exact,
+    # and still hash-matches the UTC-naive DuckDB oracle.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

@@ -88,16 +88,23 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: boo
         "documents",
         "embeddings",
     ]
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     tables = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # nanos columns arrive as long (see nanosAsLong conf); floor-convert
         # to micros exactly like DuckDB/pyarrow truncate ns -> us.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
         if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # timestamp[us] parquet columns (no zone) load as TIMESTAMP_NTZ, which
+        # time functions like unix_micros reject; with the UTC session zone the
+        # NTZ -> LTZ cast is an exact relabel, and collected values still
+        # hash-match the UTC-naive DuckDB oracle.
+        for field in df.schema.fields:
+            if isinstance(field.dataType, T.TimestampNTZType):
+                df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
         tables[name] = df
         if register:
             df.createOrReplaceTempView(name)
