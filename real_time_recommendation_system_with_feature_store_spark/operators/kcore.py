@@ -5,27 +5,47 @@ users < min; count per item, drop items < min} for a fixed number of
 iterations. Driver-side loop over lazy DataFrames; each iteration is a
 groupBy-count + broadcast-able semi join.
 
-Two physical strategies, measured at sf0.1:
+Three physical strategies, measured at sf0.1:
 
-* **row-loop** (default): persist the facts once, iterate directly —
-  each round shuffles the (shrinking) facts for the degree count and
-  broadcast-semi-joins the survivors back map-side. Fastest when
-  (user,item) pairs are near-unique (our events table: ~1 row/pair, so a
-  pair pre-aggregation compresses nothing and only adds shuffles —
-  measured 3.2s vs 5.0s warm at sf0.1).
+* **row-loop** (``strategy="broadcast_loop"``): persist the facts once,
+  iterate directly — each round shuffles only the degree aggregate and
+  broadcast-semi-joins the survivors back map-side, so the fact table is
+  never shuffled. The 100 TB path: per-round cost is a map-side partial
+  count + a dim-sized broadcast. Downside: every round's broadcast build
+  is its own driver-scheduled job (plus a lineage checkpoint), which is
+  pure overhead on small inputs (5.4s warm at sf0.1).
+* **window-chain** (``strategy="window_chain"``): express each degree
+  filter as ``count(*) over (partition by key)`` and chain all rounds
+  into ONE lazy plan / one job — no broadcasts, no checkpoints, no
+  driver barriers (2.5s warm at sf0.1). Downside: each round shuffles
+  the FULL fact rows (2×iterations fact shuffles), which is exactly
+  wrong at 100 TB.
 * **pair-loop** (``via_pairs=True``): pre-aggregate facts to (user,item)
   pair counts in ONE shuffle, run every iteration over that aggregate
   (degree = SUM of pair counts — identical fixpoint), then semi-join the
-  facts once at the end. Reads the facts twice total instead of
-  2×iterations times; the win at 100 TB when interactions repeat per pair
-  (|pairs| << |rows|) — iteration state is |pairs|-sized and the fact
-  table never re-enters the loop.
+  facts once at the end. The win at 100 TB when interactions repeat per
+  pair (|pairs| << |rows|) — iteration state is |pairs|-sized and the
+  fact table never re-enters the loop.
+
+``strategy="auto"`` (default) cost-gates on Catalyst's size estimate of
+the input plan: below ``small_input_bytes`` (default 4 GiB — a couple of
+shuffled copies fit comfortably in local executor memory) the single-job
+window-chain wins on scheduling overhead; above it the broadcast loop's
+no-fact-shuffle property dominates.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (no job; file-source stats)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - estimation is best-effort
+        return 1 << 62
 
 
 def kcore_filter(
@@ -37,9 +57,17 @@ def kcore_filter(
     iterations: int = 3,
     via_pairs: bool = False,
     lineage: str = "local_checkpoint",
+    strategy: str = "auto",
+    small_input_bytes: int = 4 << 30,
 ) -> DataFrame:
     if via_pairs:
         return _kcore_via_pairs(df, user_col, item_col, min_user, min_item, iterations)
+    if strategy == "auto":
+        strategy = (
+            "window_chain" if _plan_size_bytes(df) <= small_input_bytes else "broadcast_loop"
+        )
+    if strategy == "window_chain":
+        return _kcore_window_chain(df, user_col, item_col, min_user, min_item, iterations)
     # Materialize the input once: every iteration re-reads it twice (count
     # pass + semi-join probe), and without a cut that means 6 source scans —
     # at 100 TB, 6 full passes of parse/decode.
@@ -65,6 +93,28 @@ def kcore_filter(
         item_ok = out.groupBy(item_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_item).select(item_col)
         out = cut(out.join(F.broadcast(item_ok), item_col, "left_semi"))
     return out
+
+
+def _kcore_window_chain(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    min_user: int,
+    min_item: int,
+    iterations: int,
+) -> DataFrame:
+    """All rounds as one lazy plan of per-key count windows (small inputs)."""
+    from pyspark.sql import Window
+
+    out = df
+    for _ in range(iterations):
+        out = (
+            out.withColumn("__deg", F.count("*").over(Window.partitionBy(user_col)))
+            .where(F.col("__deg") >= min_user)
+            .withColumn("__deg", F.count("*").over(Window.partitionBy(item_col)))
+            .where(F.col("__deg") >= min_item)
+        )
+    return out.drop("__deg")
 
 
 def _kcore_via_pairs(

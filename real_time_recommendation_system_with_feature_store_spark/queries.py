@@ -1195,15 +1195,25 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segment, per-segment item CTR) from the persisted pair table — the
     # naive formulation scans events three times (agg + two distincts),
     # which at 100 TB is three full fact passes instead of one.
+    # Tier-0 gate (free, no job): Catalyst's size estimate of the fact input.
+    # Below a few GiB the candidate join is trivially cheap and even the
+    # stats-collect job is a net loss; go straight to the naive lazy plan.
+    # Lazy also means NO persist: the three pair consumers share one plan, so
+    # Spark's ReusedExchange computes the aggregate once — a lazily-populated
+    # cache hit concurrently by three consumers in the same job serializes on
+    # the block lock instead (measured 3-46s vs a stable ~1.5s at sf0.1).
+    from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
+
+    small_input = _plan_size_bytes(ev) <= (4 << 30)
     ev_seg = ev.join(F.broadcast(cust), "user_id")
-    pair = (
-        ev_seg.groupBy("user_id", "item_id", "segment")
-        .agg(
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("__clicks"),
-            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("__views"),
-        )
-        .persist()
+    pair = ev_seg.groupBy("user_id", "item_id", "segment").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("__clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("__views"),
     )
+    if not small_input:
+        # the stats-collect job below eagerly materializes the cache before
+        # any concurrent consumer can race on it
+        pair = pair.persist()
     seg_item = pair.groupBy("segment", "item_id").agg(
         F.round(F.sum("__clicks") / (F.sum("__views") + F.lit(1e-6)), 6).alias("ctr")
     )
@@ -1222,20 +1232,24 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog — on a small catalog the extra rank+joins cost more than the
     # rows they remove, at 100 TB (catalog >> any user's history) it is the
     # difference between |users| x |catalog| and ~|pairs| candidates.
-    st = pair.agg(
-        F.count("*").alias("n_pairs"),
-        F.approx_count_distinct("user_id").alias("n_users"),
-        F.approx_count_distinct("item_id").alias("n_items"),
-        F.approx_count_distinct("segment").alias("n_segs"),
-    ).collect()[0]
-    n_segments = max(st["n_segs"], 1)
-    items_per_seg = st["n_items"] / n_segments
-    avg_seen = st["n_pairs"] / max(st["n_users"], 1)
+    if small_input:
+        st = None
+    else:
+        st = pair.agg(
+            F.count("*").alias("n_pairs"),
+            F.approx_count_distinct("user_id").alias("n_users"),
+            F.approx_count_distinct("item_id").alias("n_items"),
+            F.approx_count_distinct("segment").alias("n_segs"),
+        ).collect()[0]
     # gate on cheap approximate stats (one job, which also materializes the
     # pair cache); the exact max — required for the correctness bound — is
     # only computed when pruning engages. 4x headroom over the mean covers
     # heavy-tailed user histories in the estimate.
-    if (5 + 4 * avg_seen) * 2 <= items_per_seg:
+    if st is not None and (
+        (5 + 4 * (st["n_pairs"] / max(st["n_users"], 1))) * 2
+        <= st["n_items"] / max(st["n_segs"], 1)
+    ):
+        n_segments = max(st["n_segs"], 1)
         seen_n = pair.groupBy("user_id").agg(F.count("*").alias("__seen_n"))
         mx = seen_n.agg(F.max("__seen_n").alias("m")).collect()[0]["m"] or 0
         seg_top = topk_per_key(
