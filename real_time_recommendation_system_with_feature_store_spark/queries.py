@@ -2539,3 +2539,110 @@ def two_stage_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         blended, ["user_vec_id"], [F.col("final_score").desc(), F.col("item_id")], 5
     )
     return out.select("user_vec_id", "item_id", "retrieval_score", "ctr", "final_score", "rank")
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+        len(toks) AS n_words,
+        CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / GREATEST(len(toks), 1) AS mean_word_len,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1) AS distinct_ratio,
+        CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / GREATEST(len(toks), 1) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_words AS INTEGER) AS n_words,
+      ROUND(mean_word_len, 6) AS mean_word_len,
+      ROUND(distinct_ratio, 6) AS distinct_ratio,
+      CAST(n_words >= 40 AND n_words <= 100000 AS INTEGER) AS ok_length,
+      CAST(mean_word_len >= 2.0 AND mean_word_len <= 10.0 AS INTEGER) AS ok_word_len,
+      CAST(stop_ratio >= 0.05 AS INTEGER) AS ok_stopwords,
+      CAST(distinct_ratio >= 0.2 AS INTEGER) AS ok_repetition,
+      CAST(n_words >= 40 AND n_words <= 100000
+           AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+           AND stop_ratio >= 0.05 AND distinct_ratio >= 0.2 AS INTEGER) AS keep
+    FROM s
+    """,
+    doc="Gopher-style rule filter (length / word-length / stopword / repetition "
+        "bounds -> keep verdict), the filtering layer a pretraining-data pipeline "
+        "applies after text_quality's stats; pure JVM array expressions, one scan.",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import STOPWORDS_EN as _STOP_WORDS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    # integer sum then ONE double division — identical fold both engines
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_wl = sum_len.cast("double") / F.greatest(n_words, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n_words, F.lit(1))
+    stops = F.array(*[F.lit(w) for w in _STOP_WORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stops, F.lower(x)))).cast("double")
+        / F.greatest(n_words, F.lit(1))
+    )
+    ok_length = ((n_words >= 40) & (n_words <= 100000)).cast("int")
+    ok_word_len = ((mean_wl >= 2.0) & (mean_wl <= 10.0)).cast("int")
+    ok_stop = (stop_ratio >= 0.05).cast("int")
+    ok_rep = (distinct_ratio >= 0.2).cast("int")
+    return d.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+        (ok_length * ok_word_len * ok_stop * ok_rep).alias("keep"),
+    )
+
+
+@query(
+    "daily_user_activity_spine",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    days AS (
+      SELECT CAST(d AS DATE) AS day
+      FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events
+    FROM (SELECT user_id, day FROM users CROSS JOIN days) s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    doc="Date-spine gap-fill: per-user daily counts with zero-filled missing "
+        "days. The spine is generated DISTRIBUTEDLY (sequence+explode per user "
+        "row — no driver range, no CartesianProduct); the daily agg shuffles "
+        "once on (user, day) and the spine join is map-side after AQE "
+        "broadcasts the smaller side.",
+)
+def daily_user_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day"),
+        )
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+    )

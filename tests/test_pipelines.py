@@ -95,3 +95,34 @@ def test_build_training_data_end_to_end(spark, dat_files):
     min_test = min(r["timestamp"] for r in inter if r["split"] == "test")
     assert max_train <= min_test
     assert data.users.count() == 2 and data.items.count() == 3
+
+
+ML1M = "/root/reference/ml-1m"
+
+
+@pytest.mark.skipif(not os.path.exists(f"{ML1M}/users.dat"), reason="ml-1m data not present")
+def test_real_ml1m_dims_parity(spark):
+    """Loader parity against the REAL MovieLens-1M dimension files shipped with
+    the reference (ratings.dat is not distributed there): published counts are
+    6,040 users and 3,883 movies (reference results/EVALUATION_REPORT.md:42,
+    ml-1m/README)."""
+    from real_time_recommendation_system_with_feature_store_spark.pipelines import load_movies, load_users
+
+    users = load_users(spark, f"{ML1M}/users.dat")
+    assert users.count() == 6040
+    # derivations hold on real data: encodes are total, age buckets legal
+    assert users.where(F.col("gender_encoded").isin(0, 1)).count() == 6040
+    assert users.where(F.col("age_group").isNull()).count() == 0
+
+    movies = load_movies(spark, f"{ML1M}/movies.dat")
+    assert movies.count() == 3883
+    # year extraction: every title carries "(yyyy)" in the real file
+    years = movies.agg(F.min("year").alias("lo"), F.max("year").alias("hi")).collect()[0]
+    assert 1919 <= years["lo"] and years["hi"] <= 2000
+    # latin-1 round-trip: the file has accented titles
+    assert movies.where(F.col("title").contains("Misérables")).count() >= 1
+    # genre multi-hot columns populated and consistent with num_genres
+    mh = movies.select(
+        (sum(F.col(c) for c in movies.columns if c.startswith("genre_")) > 0).alias("any")
+    )
+    assert mh.where(~F.col("any")).count() == 0
