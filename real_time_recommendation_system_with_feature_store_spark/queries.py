@@ -2646,3 +2646,30 @@ def daily_user_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(daily, ["user_id", "day"], "left")
         .select("user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
     )
+
+
+@query(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+      COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+      MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+      CAST(COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured fast path: events.props parsed ONCE into Spark 4's "
+        "VARIANT (binary-encoded, field access without re-parsing) and typed "
+        "fields pulled with try_variant_get — the engine-native replacement "
+        "for per-expression get_json_object string re-parsing when a pipeline "
+        "reads several fields from one JSON blob.",
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("__pv", F.try_parse_json(F.col("props")))
+    k = F.try_variant_get(F.col("__pv"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count_distinct(k).alias("n_distinct_k"),
+    )
