@@ -1,0 +1,61 @@
+"""Slowly-changing-dimension (type 2) history from a change log.
+
+The reference's online store keeps only the LATEST feature row per entity
+(src/features/simple_feature_store.py:73-80); its point-in-time retrieval
+(simple_feature_store.py:52-71) therefore needs the full history. This
+operator builds that history table from an append-only change log — the
+standard CDC shape a streaming feature pipeline lands — so point-in-time
+(as-of) reads become interval lookups.
+
+Scale: ONE shuffle on the entity key; `lead()` closes each version within
+the partition. History rows are immutable after the close, so incremental
+maintenance appends the new changes, re-closes only each key's previously
+open row (a keyed join against the delta's min-ts per key), and never
+rewrites closed history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Each change row becomes a version valid [its ts, next change's ts).
+
+    The final version per key stays open (``valid_to`` null). ``tiebreak``
+    totalizes the order for same-timestamp changes (last one wins the open
+    interval; earlier ones get zero-length intervals, preserved so the row
+    count is deterministic).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(t).asc() for t in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(valid_from, F.col(ts_col)).withColumn(
+        valid_to, F.lead(ts_col).over(w)
+    )
+
+
+def snapshot_at(
+    history: DataFrame,
+    at: Column,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """The dimension as of ``at``: rows whose interval covers the instant.
+
+    Interval predicates are partition-prunable when the history is written
+    partitioned/sorted by ``valid_from`` — a snapshot reads only segments
+    that started at-or-before ``at``.
+    """
+    return history.where(
+        (F.col(valid_from) <= at) & (F.col(valid_to).isNull() | (F.col(valid_to) > at))
+    )

@@ -2673,3 +2673,40 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count_distinct(k).alias("n_distinct_k"),
     )
+
+
+@query(
+    "user_value_scd2",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE user_id % 20 = 0
+    )
+    SELECT user_id, event_id, ts AS valid_from,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      value,
+      CAST(CASE WHEN ts <= TIMESTAMP '{SPLIT_TS}'
+        AND (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             OR LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > TIMESTAMP '{SPLIT_TS}')
+        THEN 1 ELSE 0 END AS INTEGER) AS live_at_split
+    FROM log
+    """,
+    doc="SCD2 dimension history from a CDC change log (one shuffle + lead), "
+        "with the point-in-time snapshot membership flag — the interval form "
+        "of the feature store's as-of read path.",
+)
+def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.scd import scd2_from_changelog
+
+    log = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    hist = scd2_from_changelog(log, ["user_id"], "ts", tiebreak=["event_id"])
+    at = F.lit(SPLIT_TS).cast("timestamp")
+    live = (
+        (F.col("valid_from") <= at) & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).cast("int")
+    return hist.select(
+        "user_id", "event_id", "valid_from", "valid_to", "value", live.alias("live_at_split")
+    )

@@ -291,3 +291,24 @@ def test_pack_by_token_budget_sharded_restarts(spark):
     }
     # chunk ids restart per shard; doc 3 is shard b's first doc
     assert out == {1: (0, 0), 2: (0, 700), 3: (0, 0)}
+
+
+def test_scd2_snapshot_matches_asof(spark):
+    """snapshot_at(scd2 history, t) must equal the as-of read: exactly the
+    latest change at-or-before t per key that has one."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.scd import scd2_from_changelog, snapshot_at
+
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        (2, 25, "x"),
+        (3, 40, "z"),  # after the snapshot instant
+    ]
+    log = spark.createDataFrame(rows, "k int, ts int, v string")
+    hist = scd2_from_changelog(log, ["k"], "ts")
+    snap = {(r["k"], r["v"]) for r in snapshot_at(hist, F.lit(26)).collect()}
+    assert snap == {(1, "b"), (2, "x")}
+    # every key's intervals tile without overlap: n_versions - 1 closed rows
+    agg = hist.groupBy("k").agg(
+        F.count("*").alias("n"), F.count("valid_to").alias("closed")
+    ).collect()
+    assert all(r["closed"] == r["n"] - 1 for r in agg)
