@@ -59,3 +59,36 @@ def snapshot_at(
     return history.where(
         (F.col(valid_from) <= at) & (F.col(valid_to).isNull() | (F.col(valid_to) > at))
     )
+
+
+def scd2_apply_increment(
+    history: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Fold a new changelog batch into an existing SCD2 history.
+
+    Closed rows pass through UNTOUCHED (at 100 TB they are the bulk of the
+    table and never re-shuffle — only each key's single open row joins the
+    delta); open rows of keys present in the delta close at the delta's
+    first change; the delta itself becomes versions via the same lead()
+    construction. Assumes in-order arrival (every delta ts >= the key's open
+    ``valid_from``), the same contract as the reference's online upsert
+    (simple_feature_store.py:73-80).
+    """
+    closed = history.where(F.col(valid_to).isNotNull())
+    open_rows = history.where(F.col(valid_to).isNull())
+    first_change = delta.groupBy(*keys).agg(F.min(ts_col).alias("__new_from"))
+    reclosed = (
+        open_rows.join(F.broadcast(first_change), list(keys), "left")
+        .withColumn(valid_to, F.coalesce(F.col("__new_from"), F.col(valid_to)))
+        .drop("__new_from")
+    )
+    delta_hist = scd2_from_changelog(
+        delta, keys, ts_col, tiebreak=tiebreak, valid_from=valid_from, valid_to=valid_to
+    )
+    return closed.unionByName(reclosed).unionByName(delta_hist)

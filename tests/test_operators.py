@@ -312,3 +312,24 @@ def test_scd2_snapshot_matches_asof(spark):
         F.count("*").alias("n"), F.count("valid_to").alias("closed")
     ).collect()
     assert all(r["closed"] == r["n"] - 1 for r in agg)
+
+
+def test_scd2_incremental_equals_full_rebuild(spark):
+    """Applying a delta incrementally must equal rebuilding from the full
+    concatenated changelog, and closed rows must pass through unchanged."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.scd import (
+        scd2_apply_increment,
+        scd2_from_changelog,
+    )
+
+    base_rows = [(1, 10, "a"), (1, 20, "b"), (2, 15, "x")]
+    delta_rows = [(1, 30, "c"), (2, 40, "y"), (3, 35, "z")]
+    base = spark.createDataFrame(base_rows, "k int, ts int, v string")
+    delta = spark.createDataFrame(delta_rows, "k int, ts int, v string")
+
+    hist = scd2_from_changelog(base, ["k"], "ts")
+    inc = scd2_apply_increment(hist, delta, ["k"], "ts")
+    full = scd2_from_changelog(base.unionByName(delta), ["k"], "ts")
+
+    key = lambda r: (r["k"], r["ts"], r["v"], r["valid_from"], r["valid_to"])
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
