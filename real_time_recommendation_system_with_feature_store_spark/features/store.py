@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_by_rowid
+from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
 
 
 @dataclass
@@ -109,20 +109,18 @@ class FeatureStore:
         """
         view = self.views[name]
         feat = self._tables[name]
-        if row_id is None:
-            entity_df = entity_df.withColumn("__row_id", F.monotonically_increasing_id())
-            row_id = "__row_id"
-        out = asof_join_by_rowid(
+        # merge-style as-of (one shuffle, horizon-independent); ``row_id`` is
+        # no longer needed to dedup candidates and is kept for API compat
+        out = asof_join_union(
             entity_df,
             feat,
             on=view.entities,
             left_ts=timestamp_col,
             right_ts=view.timestamp_field,
-            row_id=row_id,
             ttl_seconds=view.ttl_seconds,
             tiebreak=[view.created_field] if view.created_field else (),
         )
-        return out.drop("__row_id") if row_id == "__row_id" else out
+        return out
 
     def push(self, name: str, df: DataFrame) -> None:
         """S6 batch analog: append new feature rows (streaming push lands in

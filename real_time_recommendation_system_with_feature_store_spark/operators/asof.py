@@ -101,3 +101,90 @@ def asof_join_by_rowid(
     w = Window.partitionBy(left[row_id]).orderBy(*order)
     out = joined.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     return out.drop(*[f"__r_{k}" for k in on])
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    ttl_seconds: float | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Merge-style as-of join: union both sides, ONE shuffle per entity key,
+    and carry the latest right row forward with ``last(..., ignorenulls)``.
+
+    Same semantics as ``asof_join(how="left")`` — for each left row, the
+    right row with the greatest ``right_ts <= left_ts`` (ties broken by the
+    greatest ``tiebreak``), nulls for cold entities, TTL nulling rows older
+    than the horizon.
+
+    This is the 100 TB path: the equi+range formulation materializes every
+    (left row × in-horizon right row) candidate before the window dedup —
+    with a 24 h TTL over busy entities that's a quadratic-ish blowup, and a
+    single hot entity skews the range join. Here the cost is one hash
+    shuffle of |left|+|right| rows and a per-partition sort; no candidate
+    ever exists. (Per-partition running state, the Structured Streaming
+    analog of which is exactly how the online store maintains "latest row
+    per key".)
+    """
+    from pyspark.sql import Window
+
+    l_payload = [c for c in left.columns]
+    r_payload = [c for c in right.columns if c not in on]
+
+    lt = left.select(
+        *[F.col(k).alias(f"__k_{k}") for k in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c).alias(f"__l_{c}") for c in l_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in r_payload],
+        *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}") for t in tiebreak],
+    )
+    rt = right.select(
+        *[F.col(k).alias(f"__k_{k}") for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in r_payload],
+        *[F.col(t).alias(f"__tb_{t}") for t in tiebreak],
+    )
+    u = lt.unionByName(rt)
+
+    # Order: ts, then right-before-left at equal ts (right_ts <= left_ts is
+    # inclusive), with right rows at equal ts ordered by the tiebreaks so the
+    # running "last" is the max-tiebreak row — matching the window-dedup
+    # operator's (right_ts desc, tiebreak desc) pick.
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()] + [
+        F.col(f"__tb_{t}").asc_nulls_first() for t in tiebreak
+    ]
+    w = (
+        Window.partitionBy(*[F.col(f"__k_{k}") for k in on])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in r_payload
+        ],
+        F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__c_rts"),
+    ).where(F.col("__is_left") == 1)
+
+    in_ttl = (
+        F.lit(True)
+        if ttl_seconds is None
+        else (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__c_rts"))
+            <= F.lit(int(ttl_seconds * 1_000_000))
+        )
+    )
+    keep = F.col("__c_rts").isNotNull() & in_ttl
+    out_cols = [F.col(f"__l_{c}").alias(c) for c in l_payload] + [
+        F.when(keep, F.col(f"__c_{c}")).alias(c) for c in r_payload
+    ]
+    return carried.select(*out_cols)

@@ -580,7 +580,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J7: as-of join with 1h TTL — latest click at-or-before each purchase.",
 )
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_by_rowid
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
 
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
@@ -588,9 +588,12 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id"), F.col("ts").alias("last_click_ts"),
         F.col("value").alias("last_click_value"), F.col("event_id").alias("__ce"),
     )
-    out = asof_join_by_rowid(
+    # merge-style as-of: one shuffle, no TTL-horizon candidate blowup (the
+    # range-join formulation is kept in operators/asof.py; equivalence is
+    # asserted in test_operators.py::test_asof_union_matches_range_join)
+    out = asof_join_union(
         purchases, clicks, on=["user_id"], left_ts="ts", right_ts="last_click_ts",
-        row_id="event_id", ttl_seconds=3600, tiebreak=["__ce"],
+        ttl_seconds=3600, tiebreak=["__ce"],
     )
     return out.select(
         "event_id", "user_id", "ts", F.col("value").alias("purchase_value"),

@@ -333,3 +333,33 @@ def test_scd2_incremental_equals_full_rebuild(spark):
 
     key = lambda r: (r["k"], r["ts"], r["v"], r["valid_from"], r["valid_to"])
     assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+
+
+def test_asof_union_matches_range_join(spark):
+    """The merge-style (union+window) as-of must agree with the range-join
+    operator on real data, with and without TTL."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join, asof_join_union
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", register=False)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    for ttl in (None, 3600.0):
+        a = asof_join(
+            purchases, clicks, ["user_id"], "ts", "click_ts",
+            ttl_seconds=ttl, tiebreak=["click_id"],
+        )
+        b = asof_join_union(
+            purchases, clicks, ["user_id"], "ts", "click_ts",
+            ttl_seconds=ttl, tiebreak=["click_id"],
+        )
+        cols = sorted(a.columns)
+        assert sorted(b.columns) == cols
+        ra = sorted(tuple(str(r[c]) for c in cols) for r in a.collect())
+        rb = sorted(tuple(str(r[c]) for c in cols) for r in b.collect())
+        assert ra == rb and len(ra) > 0
