@@ -2713,3 +2713,96 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id", "event_id", "valid_from", "valid_to", "value", live.alias("live_at_split")
     )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT
+      ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+          ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE),
+        6) AS promo_revenue_pct,
+      COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape: conditional revenue share over a fact-dim join for "
+        "one month — the date filter prunes the fact scan, the part dim "
+        "broadcasts, promo/total resolve in ONE pass (no second scan).",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    zero = F.lit(0).cast("decimal(28,10)")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@query(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+      CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        EXTRACT(year FROM l.l_shipdate) AS l_year,
+        l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: nation-pair trade volume by ship year — five-way "
+        "join with a disjunctive pair predicate. Dims broadcast; the "
+        "nation-name filters reach the dim scans so the fact join probes a "
+        "two-nation build side.",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__ck"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    return (
+        j.select("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"), vol.alias("__v"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("__v").cast("decimal(38,10)").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )

@@ -258,3 +258,28 @@ def test_lsh_near_dup_is_verified_subset_with_recall(spark):
     assert got <= exact, "LSH near-dup emitted a non-verified pair"
     assert all(r["cosine"] >= 0.3 and r["id_a"] < r["id_b"] for r in got_rows)
     assert exact and len(got) / len(exact) >= 0.5, f"recall {len(got)}/{len(exact)} too low"
+
+
+def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The 100 TB layout story: facts written partitioned by event date are
+    partition-PRUNED (not just row-filtered) by a date predicate — the scan
+    must touch only the matching directory."""
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR, register=False)["events"]
+    out = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_day = back.where(F.col("day") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruned scan reads exactly the one day's rows
+    expected = ev.where(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == expected > 0
+    # and the file-scan's selected partition count is 1
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # plan string carries the pruned partition count in Spark 4
+        assert int(m.group(1)) == 1
