@@ -1199,12 +1199,16 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # naive formulation scans events three times (agg + two distincts),
     # which at 100 TB is three full fact passes instead of one.
     # Tier-0 gate (free, no job): Catalyst's size estimate of the fact input.
-    # Below a few GiB the candidate join is trivially cheap and even the
-    # stats-collect job is a net loss; go straight to the naive lazy plan.
-    # Lazy also means NO persist: the three pair consumers share one plan, so
-    # Spark's ReusedExchange computes the aggregate once — a lazily-populated
-    # cache hit concurrently by three consumers in the same job serializes on
-    # the block lock instead (measured 3-46s vs a stable ~1.5s at sf0.1).
+    # Below a few GiB the pruning machinery is a net loss; skip the runtime
+    # stats and go straight to the naive candidate plan.
+    #
+    # The pair aggregate ALWAYS persists and is materialized EAGERLY (small
+    # path: a count barrier; large path: the stats-collect job). Both
+    # alternatives lose: per-consumer column pruning makes the three pair
+    # subplans differ, so ReusedExchange never fires and a lazy unpersisted
+    # pair scans the facts three times; a lazily-populated cache hit by three
+    # concurrent consumers in one job serializes on the block lock (measured
+    # 3-46s spikes vs a stable ~2.2s at sf0.1).
     from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
 
     small_input = _plan_size_bytes(ev) <= (4 << 30)
@@ -1212,11 +1216,9 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = ev_seg.groupBy("user_id", "item_id", "segment").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("__clicks"),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("__views"),
-    )
-    if not small_input:
-        # the stats-collect job below eagerly materializes the cache before
-        # any concurrent consumer can race on it
-        pair = pair.persist()
+    ).persist()
+    if small_input:
+        pair.count()
     seg_item = pair.groupBy("segment", "item_id").agg(
         F.round(F.sum("__clicks") / (F.sum("__views") + F.lit(1e-6)), 6).alias("ctr")
     )
