@@ -1,0 +1,95 @@
+"""Physical data layout: small-file compaction and Z-order clustering.
+
+No reference counterpart (the reference writes single files from pandas,
+scripts/train_movielens.py:180-182) — these are the table-maintenance
+operations a 100 TB lake needs so the scan-side optimizations (partition
+pruning, row-group min/max skipping) keep biting as data accretes.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def compact_to_target_size(
+    df: DataFrame,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    order_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite ``df`` as ~``target_bytes`` parquet files; returns file count.
+
+    Streaming upserts and per-trigger micro-batch writes accrete small files;
+    a scan of N tiny files pays N× footer reads and loses row-group skipping.
+    File count comes from Catalyst's size estimate (no extra job), and an
+    optional ``order_by`` clusters rows so min/max stats stay tight.
+    """
+    est = 1 << 62
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        pass
+    n_files = max(1, math.ceil(est / target_bytes))
+    out = df.orderBy(*order_by) if order_by else df.repartition(n_files)
+    # orderBy range-partitions; cap the file count with maxRecordsPerFile
+    # only when unordered (ordered writes keep the range partitioning)
+    out.write.mode(mode).parquet(path)
+    return n_files
+
+
+def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative ints (Z-order key).
+
+    Sorting by the Morton key clusters rows that are close in BOTH
+    dimensions, so a scan filtering either column prunes row groups by
+    min/max stats — single-column sort only helps its own column. Pure
+    bit arithmetic (shiftleft/|) — identical in any engine, no UDF.
+    """
+    a = a.cast("long") % F.lit(1 << bits)
+    b = b.cast("long") % F.lit(1 << bits)
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
+        bbit = F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
+        code = code + abit + bbit
+    return code
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` sorted by the Morton interleave of two key columns.
+
+    ``max_records_per_file`` caps file size so locality shows up as many
+    small-range files even when AQE coalesces the sort to few partitions
+    (at real scale the range partitioning itself yields the file count).
+
+    Columns are rank-normalized onto the full ``bits`` range first (ntile):
+    raw interleaving degenerates to a single-column sort when the columns'
+    cardinalities differ (the narrow column's high bits are constant zero).
+    ntile's global window is fine below driver scale; a 100 TB run swaps it
+    for approxQuantile-sampled range boundaries per column — same key shape,
+    one sampling pass instead of a global sort per column.
+    """
+    from pyspark.sql import Window
+
+    keyed = (
+        df.withColumn("__za", F.ntile(1 << bits).over(Window.orderBy(F.col(col_a))) - 1)
+        .withColumn("__zb", F.ntile(1 << bits).over(Window.orderBy(F.col(col_b))) - 1)
+        .withColumn("__zkey", morton_code(F.col("__za"), F.col("__zb"), bits))
+    )
+    w = keyed.orderBy("__zkey").drop("__za", "__zb", "__zkey").write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
