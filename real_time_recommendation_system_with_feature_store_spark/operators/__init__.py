@@ -23,6 +23,13 @@ from real_time_recommendation_system_with_feature_store_spark.operators.sessioni
 from real_time_recommendation_system_with_feature_store_spark.operators.split import leave_one_out_split, time_fraction_split
 from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn, topk_per_key
 
+from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
+from real_time_recommendation_system_with_feature_store_spark.operators.scd import (
+    scd2_apply_increment,
+    scd2_from_changelog,
+    snapshot_at,
+)
+
 __all__ = [
     "asof_join",
     "connected_components",
@@ -49,4 +56,8 @@ __all__ = [
     "time_fraction_split",
     "global_topn",
     "topk_per_key",
+    "asof_join_union",
+    "scd2_from_changelog",
+    "scd2_apply_increment",
+    "snapshot_at",
 ]
