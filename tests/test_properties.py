@@ -129,13 +129,16 @@ def test_asof_join_matches_reference(spark, lrows, rrows, ttl):
     right = spark.createDataFrame(rrows or [], "key int, fts int, val int").withColumn(
         "fts", F.timestamp_seconds("fts")
     )
-    out = asof_join(left, right, ["key"], "ts", "fts", ttl_seconds=float(ttl))
-    got = {r["row_id"]: r["val"] for r in out.collect()}
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
+
     expected = {}
     for row_id, k, ts in lrows:
         cands = [(fts, val) for (rk, fts, val) in rrows if rk == k and fts <= ts and ts - fts <= ttl]
         expected[row_id] = max(cands)[1] if cands else None
-    assert got == expected
+    for impl in (asof_join, asof_join_union):
+        out = impl(left, right, ["key"], "ts", "fts", ttl_seconds=float(ttl))
+        got = {r["row_id"]: r["val"] for r in out.collect()}
+        assert got == expected, impl.__name__
 
 
 @given(
