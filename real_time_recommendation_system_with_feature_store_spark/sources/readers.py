@@ -63,3 +63,42 @@ def read_json_events(
     if keep:
         cols = [F.col(c) for c in keep] + cols
     return parsed.select(*cols)
+
+
+def read_json_events_tolerant(
+    spark: SparkSession,
+    df: DataFrame,
+    json_col: str,
+    schema: T.StructType,
+    keep: list[str] | None = None,
+):
+    """Fault-tolerant S5 decode: (good rows, bad rows) from a dirty stream.
+
+    The reference's consumer drops malformed records on the floor inside a
+    try/except poll loop (kafka_consumer.py:65-78) — at pipeline scale you
+    need the rejects accounted for, not swallowed. ``from_json`` in
+    PERMISSIVE mode nulls unparseable rows; the raw payload is kept so bad
+    rows can route to a dead-letter sink. Returns (good, bad): good carries
+    the typed columns, bad carries the original string payload. One scan —
+    the split is two filters over the same parsed projection, not two
+    parses.
+    """
+    # PERMISSIVE from_json yields an all-null struct for bad input (not a
+    # null struct), so the reject signal is the corrupt-record column
+    with_corrupt = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = df.withColumn(
+        "_j",
+        F.from_json(
+            F.col(json_col),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    ok = parsed.where(F.col("_j._corrupt_record").isNull())
+    bad = parsed.where(F.col("_j._corrupt_record").isNotNull()).drop("_j")
+    cols = [F.col(f"_j.{f.name}").alias(f.name) for f in schema.fields]
+    if keep:
+        cols = [F.col(c) for c in keep] + cols
+    return ok.select(*cols), bad

@@ -69,3 +69,31 @@ def test_json_sink_roundtrip(spark):
     write_json(df, tmp)
     back = {(r["metric"], r["value"]) for r in spark.read.json(tmp).collect()}
     assert back == {("recall_at_10", 0.0136), ("mrr", 0.1524)}
+
+
+def test_tolerant_json_decode_splits_good_and_bad(spark):
+    from pyspark.sql import types as T
+
+    from real_time_recommendation_system_with_feature_store_spark.sources.readers import read_json_events_tolerant
+
+    rows = [
+        (1, '{"event_type": "click", "user_id": 7}'),
+        (2, "not json at all"),
+        (3, '{"event_type": "view", "user_id": 8}'),
+        (4, '{"truncated": '),
+    ]
+    df = spark.createDataFrame(rows, "offset long, payload string")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    good, bad = read_json_events_tolerant(spark, df, "payload", schema, keep=["offset"])
+    assert {(r["offset"], r["event_type"], r["user_id"]) for r in good.collect()} == {
+        (1, "click", 7),
+        (3, "view", 8),
+    }
+    # rejects keep the raw payload for a dead-letter sink
+    assert {r["offset"] for r in bad.collect()} == {2, 4}
+    assert "payload" in bad.columns
