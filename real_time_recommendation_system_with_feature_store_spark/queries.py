@@ -2808,3 +2808,34 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "brand_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_size,
+      COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 shape: NOT-IN supplier exclusion (anti join against a "
+        "broadcast key set — valid because s_suppkey is non-null) + grouped "
+        "exact count-distinct over the fact-dim join.",
+)
+def brand_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") != "PROMO").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+    )
+    return j.groupBy("p_brand", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt"),
+        F.count("*").alias("n_items"),
+    )
