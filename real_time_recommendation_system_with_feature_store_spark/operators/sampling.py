@@ -57,3 +57,34 @@ def negative_sample(
         .where(F.col("__rn") <= n_per_user)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    weight,
+    n: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws a deterministic uniform u from md5(salt, keys) and the
+    top ``n`` rows by ``ln(u)/weight`` (desc) form the sample — inclusion
+    probability proportional to weight, no replacement, and the result is
+    replayable under any partitioning (rand(seed) is not).
+
+    Scale: the selection key is a pure expression, so the global top-n
+    compiles to TakeOrderedAndProject — per-partition partial top-n, no
+    global sort, no shuffle of non-winners. The training-data use: corpus
+    downsampling weighted by a quality/length score.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import hash_unit
+
+    u = hash_unit(F.lit(salt), *[F.col(k) for k in keys])
+    key = F.log(u) / weight
+    tiebreaks = [F.col(k).asc() for k in keys]
+    return (
+        df.withColumn("__es", key)
+        .orderBy(F.col("__es").desc(), *tiebreaks)
+        .limit(n)
+        .drop("__es")
+    )

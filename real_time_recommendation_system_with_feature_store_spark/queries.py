@@ -2839,3 +2839,27 @@ def brand_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_suppkey").alias("supplier_cnt"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "weighted_doc_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+        ln(('0x' || substring(md5('ws' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           / 4294967296.0) / n_chars AS es_key
+      FROM documents
+    )
+    ORDER BY es_key DESC, doc_id
+    LIMIT 120
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis, "
+        "md5-derived uniforms): corpus downsampling with inclusion "
+        "probability proportional to document length — deterministic under "
+        "any partitioning; the top-n compiles to TakeOrderedAndProject.",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(d, ["doc_id"], F.col("n_chars"), n=120, salt="ws")
