@@ -65,15 +65,23 @@ TREND_ANCHOR = "2024-01-30 12:00:00"
 SPLIT_TS = "2024-01-16 00:00:00"
 
 # exact decimal sum helpers. _dsum -> double (for INTERNAL post-agg math,
-# always rounded before output); _dsum_exact keeps DECIMAL(38,10) — used for
-# OUTPUT money-sum columns because decimal->double conversion differs by 1 ulp
-# between Spark (BigDecimal.doubleValue) and DuckDB (int128/10^scale in FP),
-# which breaks value-hash comparison on large sums.
+# always rounded before output); _dsum_money rounds the exact decimal sum and
+# emits DOUBLE — the OUTPUT contract. DECIMAL output columns are banned: the
+# driver's canonicalizer coerces DuckDB decimals to float64 (pandas), so a
+# Spark Decimal('…4900000000') would hash-mismatch a float64 …49. Aggregation
+# stays exact (decimal, order-independent); only the final projection is a
+# rounded double, and the oracle applies the identical ROUND(CAST(. AS
+# DOUBLE), nd) so both engines take the same decimal→double→round path.
 def _dsum(col, scale="(28,10)"):
     return F.sum(col.cast(f"decimal{scale}")).cast("double")
 
 
+def _dsum_money(col, nd=2):
+    return F.round(F.sum(col.cast("decimal(28,10)")).cast("double"), nd)
+
+
 def _dsum_exact(col):
+    """Exact decimal sum — INTERNAL use only (never a query output column)."""
     return F.sum(col.cast("decimal(28,10)"))
 
 
@@ -88,10 +96,10 @@ def _item(props):
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-      SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
-      SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
-      SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
-      SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,10))) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_base_price,
+      ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+      ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_qty,
       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_price,
       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_disc,
@@ -110,10 +118,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum_exact(F.col("l_quantity")).alias("sum_qty"),
-            _dsum_exact(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum_exact(disc_price).alias("sum_disc_price"),
-            _dsum_exact(charge).alias("sum_charge"),
+            _dsum_money(F.col("l_quantity")).alias("sum_qty"),
+            _dsum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum_money(disc_price).alias("sum_disc_price"),
+            _dsum_money(charge).alias("sum_charge"),
             F.round(_dsum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
             F.round(_dsum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
             F.round(_dsum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
@@ -126,7 +134,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_building_orders",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-      SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS revenue
+      ROUND(CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -147,7 +155,7 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -157,7 +165,7 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_revenue",
     oracle="""
     SELECT r.r_name, n.n_name,
-      SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS revenue,
+      ROUND(CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
       COUNT(*) AS n_lineitems
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -182,7 +190,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            _dsum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -193,14 +201,14 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment,
       COALESCE(s.n_orders, 0) AS n_orders,
-      COALESCE(s.total_spend, CAST(0 AS DECIMAL(38,10))) AS total_spend,
+      COALESCE(s.total_spend, 0.0) AS total_spend,
       COALESCE(s.avg_spend, 0.0) AS avg_spend,
       s.last_order
     FROM customer c
     LEFT JOIN (
       SELECT o_custkey,
         COUNT(*) AS n_orders,
-        SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS total_spend,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_spend,
         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*), 6) AS avg_spend,
         MAX(o_orderdate) AS last_order
       FROM orders GROUP BY o_custkey
@@ -213,7 +221,7 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     stats = o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        _dsum_exact(F.col("o_totalprice")).alias("total_spend"),
+        _dsum_money(F.col("o_totalprice")).alias("total_spend"),
         F.round(_dsum(F.col("o_totalprice")) / F.count("*"), 6).alias("avg_spend"),
         F.max("o_orderdate").alias("last_order"),
     )
@@ -222,7 +230,7 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey", "c_mktsegment",
             F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
-            F.coalesce(F.col("total_spend"), F.lit(0).cast("decimal(38,10)")).alias("total_spend"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
             F.coalesce(F.col("avg_spend"), F.lit(0.0)).alias("avg_spend"),
             "last_order",
         )
@@ -233,11 +241,11 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_mix",
     oracle="""
     SELECT o_orderstatus,
-      SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-      SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-      SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
-      SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
-      SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+      CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+      CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS urgent_share
     FROM orders GROUP BY o_orderstatus
     """,
@@ -265,12 +273,12 @@ def priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_activity_windows",
     oracle=f"""
     SELECT user_id,
-      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_24h,
-      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_24h,
-      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_7d,
-      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_7d,
-      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 30 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_30d,
-      SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 30 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_30d,
+      CAST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_24h,
+      CAST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views_24h,
+      CAST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_7d,
+      CAST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views_7d,
+      CAST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 30 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_30d,
+      CAST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 30 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views_30d,
       ROUND(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END)
         / (SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) + 1e-6), 6) AS ctr_7d,
       ROUND(CAST(SUM(CASE WHEN ts > TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY AND ts <= TIMESTAMP '{ANCHOR}' AND event_type='view' THEN CAST(value AS DECIMAL(28,10)) ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
@@ -321,10 +329,10 @@ def user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE props->>'k' IS NOT NULL
     ), agg AS (
       SELECT item_id,
-        SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 HOUR AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_1h,
-        SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 HOUR AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_1h,
-        SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS clicks_24h,
-        SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS views_24h,
+        CAST(SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 HOUR AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_1h,
+        CAST(SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 HOUR AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views_1h,
+        CAST(SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_24h,
+        CAST(SUM(CASE WHEN ts > TIMESTAMP '{TREND_ANCHOR}' - INTERVAL 1 DAY AND ts <= TIMESTAMP '{TREND_ANCHOR}' AND event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views_24h,
         MAX(CASE WHEN ts <= TIMESTAMP '{TREND_ANCHOR}' THEN ts END) AS last_ts
       FROM e GROUP BY item_id
     )
@@ -406,8 +414,8 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(props->>'k' AS BIGINT) AS item_id,
       COUNT(*) AS n_events,
       COUNT(DISTINCT user_id) AS n_users,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-      SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,10)) ELSE CAST(0 AS DECIMAL(28,10)) END) AS purchase_value
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,10)) ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE), 6) AS purchase_value
     FROM events
     WHERE props->>'k' IS NOT NULL
     GROUP BY 1
@@ -423,8 +431,11 @@ def item_interaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
-        F.sum(
-            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(28,10)")).otherwise(zero)
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(28,10)")).otherwise(zero)
+            ).cast("double"),
+            6,
         ).alias("purchase_value"),
     )
 
@@ -539,7 +550,7 @@ def kcore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o
     ), s AS (
       SELECT user_id, event_id, ts,
-        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM f
     )
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -1132,7 +1143,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
       COUNT(*) AS n,
-      SUM(CAST(value AS DECIMAL(28,10))) AS total_value
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS total_value
     FROM events GROUP BY 1, 2
     """,
     doc="ST3: epoch-aligned tumbling windows (same expression batch & stream).",
@@ -1141,7 +1152,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("__w"), "event_type")
-        .agg(F.count("*").alias("n"), _dsum_exact(F.col("value")).alias("total_value"))
+        .agg(F.count("*").alias("n"), _dsum_money(F.col("value"), 6).alias("total_value"))
         .select(F.col("__w.start").alias("window_start"), "event_type", "n", "total_value")
     )
 
@@ -1602,7 +1613,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_rollup",
     oracle="""
     SELECT r_name, o_orderstatus,
-      SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS revenue,
+      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
       COUNT(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1624,7 +1635,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.rollup("r_name", "o_orderstatus").agg(
-        _dsum_exact(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders")
+        _dsum_money(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders")
     )
 
 
@@ -1725,11 +1736,11 @@ def user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type_pivot",
     oracle="""
     SELECT user_id,
-      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events GROUP BY user_id
     """,
     doc="Pivot to wide per-user event-type counts (fixed vocabulary => single "
@@ -2017,7 +2028,7 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       MIN(ts) AS session_start,
       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
       COUNT(*) AS n_events,
-      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
     FROM s GROUP BY user_id, sid
     """,
     doc="ST7: session_window(ts, gap) aggregation — Spark's built-in session "
@@ -2171,7 +2182,8 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large_order_customers",
     oracle="""
     WITH big AS (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,10))) AS total_qty
+      SELECT l_orderkey,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 220
     )
@@ -2186,8 +2198,9 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(_dsum_exact(F.col("l_quantity")).alias("total_qty"))
-        .where(F.col("total_qty") > 220)
+        .agg(_dsum_exact(F.col("l_quantity")).alias("__tq"))
+        .where(F.col("__tq") > 220)
+        .select("l_orderkey", F.round(F.col("__tq").cast("double"), 2).alias("total_qty"))
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -2620,7 +2633,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
       FROM events GROUP BY 1, 2
     )
-    SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events
+    SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day, COALESCE(d.n, 0) AS n_events
     FROM (SELECT user_id, day FROM users CROSS JOIN days) s
     LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
     """,
@@ -2649,7 +2662,13 @@ def daily_user_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
     return (
         spine.join(daily, ["user_id", "day"], "left")
-        .select("user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+        # DATE outputs are banned like DECIMAL: DuckDB DATE → datetime64 via
+        # pandas while Spark DATE stays datetime.date — cast both to TIMESTAMP.
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
     )
 
 
@@ -2758,7 +2777,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_pair_trade_volume",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-      CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue,
+      ROUND(CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
       COUNT(*) AS n_lineitems
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -2804,7 +2823,7 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"), vol.alias("__v"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.sum("__v").cast("decimal(38,10)").alias("revenue"),
+            F.round(F.sum("__v").cast("double"), 2).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )

@@ -1,16 +1,32 @@
-"""Differential testing against the DuckDB oracle — mirrors the driver's
-t2 check (row-count + schema-width + sorted-value comparison) at sf0.01.
+"""Differential testing against the DuckDB oracle — a strict mimic of the
+driver's hash gate.
 
-Floats are rounded to 6 significant-ish decimals before comparing; rows and
-columns are sorted so ordering differences don't matter.
+The driver collects BOTH result sets through pandas (Spark ``toPandas``,
+DuckDB ``.df()``), sorts columns by name, and hashes values. That coercion is
+dtype-destructive in exactly two ways that bit r01:
+
+* Spark DECIMAL outputs survive as ``decimal.Decimal`` objects while DuckDB
+  decimals become float64 → guaranteed hash mismatch even for equal values;
+* DuckDB ``SUM(integer)`` returns HUGEINT which ``.df()`` coerces to float64
+  while Spark emits int64 → mismatch again.
+
+So this test goes through pandas on both sides and canonicalizes values
+dtype-sensitively: floats compare by exact float64 bit pattern (``.hex()``),
+ints as ints (width-insensitive), and an int-vs-float disagreement is a
+failure. Any ``decimal.Decimal`` reaching an output column fails loudly —
+DECIMAL is banned from query outputs by contract (see queries.py header).
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
@@ -35,20 +51,44 @@ def ddb():
 
 
 def canon(value):
-    if isinstance(value, float):
-        if math.isnan(value):
-            return "nan"
-        return f"{value:.6f}"
-    if isinstance(value, bool):
-        return str(int(value))
-    return str(value)
+    """Dtype-sensitive canonical form; int vs float is a REAL difference."""
+    if value is None:
+        return "null"
+    if isinstance(value, decimal.Decimal):
+        # Banned by the output contract — make the failure unmissable.
+        return f"DECIMAL!{value}"
+    if isinstance(value, (bool, np.bool_)):
+        return f"b:{int(value)}"
+    if isinstance(value, (int, np.integer)):
+        return f"i:{int(value)}"
+    if isinstance(value, (float, np.floating)):
+        f = float(value)
+        if math.isnan(f):
+            return "f:nan"
+        return f"f:{f.hex()}"
+    if isinstance(value, pd.Timestamp):
+        if pd.isna(value):
+            return "null"
+        return f"t:{value.isoformat()}"
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return f"t:{value.isoformat()}"
+    if isinstance(value, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(v) for v in value) + "]"
+    if value is pd.NaT:
+        return "null"
+    try:
+        if pd.isna(value):
+            return "null"
+    except (TypeError, ValueError):
+        pass
+    return f"s:{value}"
 
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def canon_frame(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(canon(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    rows.sort()
+    return rows
 
 
 ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
@@ -59,21 +99,18 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in QUERIES.items() if not s.oracle)
 def test_oracle_parity(spark, ddb, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, ORACLE_SF_DIR)
-    srows = sdf.collect()
-    scols = sdf.columns
+    spdf = sdf.toPandas()
+    dpdf = ddb.execute(spec.oracle).df()
 
-    res = ddb.execute(spec.oracle)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-
-    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
-    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs oracle {len(drows)}"
-    s_canon = canon_rows(scols, [tuple(r) for r in srows])
-    d_canon = canon_rows(dcols, drows)
+    assert sorted(spdf.columns) == sorted(dpdf.columns), f"{name}: column names differ"
+    assert len(spdf) == len(dpdf), f"{name}: row count {len(spdf)} vs oracle {len(dpdf)}"
+    s_canon = canon_frame(spdf)
+    d_canon = canon_frame(dpdf)
     mismatches = [i for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b]
     assert not mismatches, (
-        f"{name}: {len(mismatches)} row mismatches; first: "
-        f"spark={s_canon[mismatches[0]]} oracle={d_canon[mismatches[0]]}"
+        f"{name}: {len(mismatches)}/{len(s_canon)} row mismatches (cols "
+        f"{sorted(spdf.columns)}); first: spark={s_canon[mismatches[0]]} "
+        f"oracle={d_canon[mismatches[0]]}"
     )
 
 
