@@ -34,28 +34,54 @@ def negative_sample(
     item_col: str,
     n_per_user: int,
     salt: str = "neg",
+    oversample: int = 4,
 ) -> DataFrame:
-    """SE1: per-user negatives = (all items − user positives), deterministic
-    pseudo-random pick of ``n_per_user``.
+    """SE1: per-user negatives by hash-bucketed rejection sampling,
+    deterministic and never materializing the |users|×|items| grid.
 
-    Reference: set difference + np.random.choice (src/data/movielens.py:488-512).
-    Spark shape: users × items candidate grid minus positives (anti join),
-    ranked by hash_unit per user, take first n.
+    Reference semantics: set difference + np.random.choice
+    (src/data/movielens.py:488-512). Each user draws ``oversample *
+    n_per_user`` candidate indices — draw ``t`` maps to item index
+    ``floor(hash_unit(salt, user, t) * |items|)`` — duplicates collapse to
+    their first draw, draws that hit a positive are rejected (anti join),
+    survivors rank by draw order and the first ``n_per_user`` win.
 
-    Scale: the dense grid is |users|×|items| — only viable when the item dim
-    is small (it is, in the reference: ~3.4k movies). For web-scale catalogs
-    switch to hash-bucketed rejection sampling: draw k×n candidates by hashing
-    (user, try_idx) into item ids, anti-join positives, rank, truncate.
+    Scale: work is O(|users| · k·n) rows, independent of catalog size — the
+    draw frame is narrow, the item-index join keys on a dense bigint (AQE
+    broadcasts the index when small), and the positives anti join shuffles on
+    the natural (user, item) key. The only catalog-sized step is building the
+    dense item index (one global row_number — at 1e9 items precompute it once
+    as a dimension table instead of per query). Undershoot below n_per_user
+    needs a user whose positives cover most of k·n distinct draws — raise
+    ``oversample`` when positives approach catalog size.
     """
+    n_draws = oversample * n_per_user
+    idx = (
+        items.select(item_col)
+        .distinct()
+        .select(
+            F.col(item_col),
+            (F.row_number().over(Window.orderBy(F.col(item_col).asc())) - 1).alias("__i"),
+        )
+    )
+    n_items = idx.count()
     users = interactions.select(user_col).distinct()
-    grid = users.crossJoin(F.broadcast(items.select(item_col)))
-    candidates = grid.join(interactions.select(user_col, item_col).distinct(), [user_col, item_col], "left_anti")
-    u = hash_key(salt, F.col(user_col), F.col(item_col))
-    w = Window.partitionBy(user_col).orderBy(u.asc(), F.col(item_col).asc())
+    draws = users.select(
+        F.col(user_col), F.explode(F.sequence(F.lit(0), F.lit(n_draws - 1))).alias("__t")
+    )
+    u = hash_unit(F.lit(salt), F.col(user_col), F.col("__t"))
+    draws = draws.withColumn("__i", F.floor(u * F.lit(float(n_items))).cast("long"))
+    cand = (
+        draws.join(idx, "__i")
+        .join(interactions.select(user_col, item_col).distinct(), [user_col, item_col], "left_anti")
+        .groupBy(user_col, item_col)
+        .agg(F.min("__t").alias("__t"))
+    )
+    w = Window.partitionBy(user_col).orderBy(F.col("__t").asc(), F.col(item_col).asc())
     return (
-        candidates.withColumn("__rn", F.row_number().over(w))
+        cand.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_user)
-        .drop("__rn")
+        .select(user_col, item_col)
     )
 
 

@@ -662,24 +662,35 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
     ),
     users AS (SELECT DISTINCT user_id FROM inter),
-    items AS (SELECT DISTINCT item_id FROM inter),
+    idx AS (
+      SELECT item_id, ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS i
+      FROM (SELECT DISTINCT item_id FROM inter)
+    ),
+    ni AS (SELECT COUNT(*) AS n FROM idx),
+    draws AS (
+      SELECT u.user_id, t.t,
+        CAST(floor(
+          (('0x' || substring(md5('neg' || chr(31) || CAST(u.user_id AS VARCHAR) || chr(31) || CAST(t.t AS VARCHAR)), 1, 8))::UBIGINT
+           / 4294967296.0) * ni.n) AS BIGINT) AS i
+      FROM users u CROSS JOIN generate_series(0, 19) t(t) CROSS JOIN ni
+    ),
     cand AS (
-      SELECT u.user_id, i.item_id FROM users u CROSS JOIN items i
+      SELECT d.user_id, x.item_id, MIN(d.t) AS t
+      FROM draws d JOIN idx x ON x.i = d.i
       WHERE NOT EXISTS (
-        SELECT 1 FROM inter t WHERE t.user_id = u.user_id AND t.item_id = i.item_id
+        SELECT 1 FROM inter p WHERE p.user_id = d.user_id AND p.item_id = x.item_id
       )
+      GROUP BY 1, 2
     ),
     ranked AS (
       SELECT user_id, item_id,
-        ROW_NUMBER() OVER (
-          PARTITION BY user_id
-          ORDER BY md5('neg' || chr(31) || CAST(user_id AS VARCHAR) || chr(31) || CAST(item_id AS VARCHAR)), item_id
-        ) AS rn
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, item_id) AS rn
       FROM cand
     )
     SELECT user_id, item_id FROM ranked WHERE rn <= 5
     """,
-    doc="SE1/F25: deterministic seeded negative sampling via md5-of-key order.",
+    doc="SE1/F25: deterministic hash-bucketed rejection negative sampling — "
+        "O(users × k·n) draws, no users×items grid.",
 )
 def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.sampling import negative_sample

@@ -88,6 +88,18 @@ def test_two_stage_pipeline_plan_shape(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_negative_sample_has_no_dense_grid(spark):
+    """Rejection sampling must never expand users×items: no nested-loop or
+    cartesian join anywhere in the plan — every join is keyed (item index on
+    the dense idx, positives anti join on (user,item))."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["negative_samples"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_no_cartesian_product_in_any_query_plan(spark):
     """Sweep every registered query: an accidental CartesianProduct (an
     un-keyed, un-broadcast join) is a plan bug at any scale. Intentional
