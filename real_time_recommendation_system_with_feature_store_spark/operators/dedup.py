@@ -109,16 +109,18 @@ def _splitmix64(x: int) -> int:
 
 
 def _band_rows_arrow(sh: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
-    """(id, shingles) -> exploded (id, shingles, band, band_hash) rows via an
+    """(id, shingles) -> exploded SLIM (id, band, band_hash) rows via an
     Arrow/numpy kernel.
 
     The JVM hashes each shingle string ONCE (xxhash64); the kernel then runs
     the O(shingles x num_hashes) part — min over ``num_hashes``
     multiply-shift permutations ``a_i*h + b_i (mod 2^64)`` — as one
     vectorized uint64 matrix op per doc, and folds each band's slice into a
-    64-bit band hash. One pass, no persist, no per-band recompute; Arrow
-    moves each shingle array in once and out ``bands`` times (the same
-    duplication the explode-based plan has after its cache).
+    64-bit band hash. Only the hashed-long array crosses the Arrow boundary
+    (not the shingle strings), and the output carries no payload — the
+    downstream candidate self-join shuffles ~24-byte rows, never shingle
+    arrays (the 100 TB shuffle-cost point; shingles re-attach AFTER pair
+    dedup, see minhash_lsh_dedup).
     """
     import numpy as np
     import pandas as pd
@@ -128,7 +130,6 @@ def _band_rows_arrow(sh: DataFrame, id_col: str, num_hashes: int, bands: int) ->
     out_schema = T.StructType(
         [
             T.StructField(id_col, id_field.dataType),
-            T.StructField("__sh", T.ArrayType(T.StringType())),
             T.StructField("__band", T.IntegerType()),
             T.StructField("__bh", T.LongType()),
         ]
@@ -141,29 +142,28 @@ def _band_rows_arrow(sh: DataFrame, id_col: str, num_hashes: int, bands: int) ->
 
     def gen(batches):
         for pdf in batches:
-            ids, shs, bds, bhs = [], [], [], []
-            for doc_id, shingles, base in zip(pdf[id_col], pdf["__sh"], pdf["__h"]):
+            ids, bds, bhs = [], [], []
+            for doc_id, base in zip(pdf[id_col], pdf["__h"]):
                 h = np.asarray(base, dtype=np.int64).view(np.uint64)
                 sig = (mult[:, None] * h[None, :] + add[:, None]).min(axis=1)
                 sig_by_band = sig.reshape(bands, rows_per_band)
                 acc = np.zeros(bands, dtype=np.uint64)
                 for j in range(rows_per_band):
                     acc = acc * gold + sig_by_band[:, j]
-                for bi in range(bands):
-                    ids.append(doc_id)
-                    shs.append(shingles)
+                ids.extend([doc_id] * bands)
                 bds.append(band_idx)
                 bhs.append(acc.view(np.int64))
             yield pd.DataFrame(
                 {
                     id_col: ids,
-                    "__sh": shs,
                     "__band": np.concatenate(bds) if bds else np.array([], dtype=np.int32),
                     "__bh": np.concatenate(bhs) if bhs else np.array([], dtype=np.int64),
                 }
             )
 
-    hashed = sh.withColumn("__h", F.transform("__sh", lambda s: F.xxhash64(s)))
+    hashed = sh.select(
+        id_col, F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h")
+    )
     return hashed.mapInPandas(gen, out_schema)
 
 
@@ -192,9 +192,13 @@ def minhash_lsh_dedup(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     ).where(F.size("__sh") > 0)
+    if verify_threshold is not None:
+        # re-read twice by the post-dedup shingle re-attach joins
+        sh = sh.persist()
     if kernel == "arrow":
         # persist: the candidate self-join reads band_rows twice; without the
-        # cut both branches re-run the shingle scan + kernel.
+        # cut both branches re-run the shingle scan + kernel. Slim rows —
+        # (id, band, bh) — so the cache and the self-join shuffle stay small.
         band_rows = _band_rows_arrow(sh, id_col, num_hashes, bands).persist()
     else:
         # Column-expression formulation: correct and dependency-free, but the
@@ -218,23 +222,30 @@ def minhash_lsh_dedup(
             ),
         )
         band_rows = sig.select(
-            id_col, "__sh", F.explode(band_structs).alias("__b")
-        ).select(id_col, "__sh", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
+            id_col, F.explode(band_structs).alias("__b")
+        ).select(id_col, F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
 
-    a = band_rows.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"), "__band", "__bh")
-    b = band_rows.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"), "__band", "__bh")
+    # Slim self-join: both sides carry only (id, band, bh) — at 100 TB the
+    # (band, bh) shuffle moves ~24-byte rows instead of full shingle arrays
+    # duplicated ×bands. Shingles re-attach AFTER the pair set is deduped
+    # (pairs << band rows), mirroring lsh_near_dup_pairs (knn.py).
+    a = band_rows.select(F.col(id_col).alias("id_a"), "__band", "__bh")
+    b = band_rows.select(F.col(id_col).alias("id_b"), "__band", "__bh")
     cand = (
         a.join(b, ["__band", "__bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
-        return cand.select("id_a", "id_b")
+        return cand
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size("__sh_a") + F.size("__sh_b") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+        pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 6))
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )

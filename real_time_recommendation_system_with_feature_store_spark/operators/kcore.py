@@ -60,6 +60,11 @@ def kcore_filter(
     strategy: str = "auto",
     small_input_bytes: int = 4 << 30,
 ) -> DataFrame:
+    if strategy not in {"auto", "window_chain", "broadcast_loop"}:
+        raise ValueError(
+            f"kcore_filter: unknown strategy {strategy!r} "
+            "(expected 'auto', 'window_chain' or 'broadcast_loop')"
+        )
     if via_pairs:
         return _kcore_via_pairs(df, user_col, item_col, min_user, min_item, iterations)
     if strategy == "auto":
@@ -87,11 +92,16 @@ def kcore_filter(
         cut, out = (lambda d: d.localCheckpoint(eager=False)), df.localCheckpoint(eager=True)
     else:
         cut, out = (lambda d: d.persist()), df.persist()
+    # No broadcast hints on the survivor sets: at ~1e9 distinct surviving
+    # keys a forced broadcast OOMs the driver. AQE sees the REAL post-filter
+    # size at runtime and promotes the semi join to broadcast exactly when it
+    # is safe (the shuffle alternative aligns with the key, so the demoted
+    # case is the correct plan too).
     for _ in range(iterations):
         user_ok = out.groupBy(user_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_user).select(user_col)
-        out = out.join(F.broadcast(user_ok), user_col, "left_semi")
+        out = out.join(user_ok, user_col, "left_semi")
         item_ok = out.groupBy(item_col).agg(F.count("*").alias("__n")).where(F.col("__n") >= min_item).select(item_col)
-        out = cut(out.join(F.broadcast(item_ok), item_col, "left_semi"))
+        out = cut(out.join(item_ok, item_col, "left_semi"))
     return out
 
 
@@ -132,15 +142,16 @@ def _kcore_via_pairs(
             keep.groupBy(user_col).agg(F.sum("__n").alias("__t"))
             .where(F.col("__t") >= min_user).select(user_col)
         )
-        keep = keep.join(F.broadcast(user_ok), user_col, "left_semi")
+        keep = keep.join(user_ok, user_col, "left_semi")
         item_ok = (
             keep.groupBy(item_col).agg(F.sum("__n").alias("__t"))
             .where(F.col("__t") >= min_item).select(item_col)
         )
         # Persist each level: it's referenced by the next round's degree agg,
-        # its broadcast build, AND the following level's probe — without the
-        # cut, every broadcast build replays the whole join chain.
-        keep = keep.join(F.broadcast(item_ok), item_col, "left_semi").persist()
+        # its join build, AND the following level's probe — without the cut,
+        # every build replays the whole join chain. No broadcast hints: the
+        # survivor sets can be ~|users| — AQE promotes when actually small.
+        keep = keep.join(item_ok, item_col, "left_semi").persist()
     # Final probe: facts semi-join the surviving pair set. No broadcast hint —
     # AQE promotes it when the survivor set is small; at scale the shuffle
     # aligns with the pair key.

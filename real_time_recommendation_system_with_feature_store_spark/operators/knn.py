@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
 from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
 
+# Budget for the arrow kernels' driver-side collect of the "small" side.
+# Above this the kernels fall back to a fully distributed plan instead of a
+# silent driver OOM (a query batch is bounded; a caller passing a whole
+# catalog as `queries` is not).
+_DRIVER_COLLECT_LIMIT_BYTES = 256 << 20
+
+
+def _fits_driver(df: DataFrame, limit_bytes: int = _DRIVER_COLLECT_LIMIT_BYTES) -> bool:
+    """Catalyst's optimized-plan size estimate (no job; file-source stats).
+    Unknown/failed estimates count as too big — the fallback is always safe."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()) <= limit_bytes
+    except Exception:  # pragma: no cover - estimation is best-effort
+        return False
+
 
 def brute_force_topk(
     queries: DataFrame,
@@ -51,8 +66,14 @@ def brute_force_topk(
     Returns (query_id, item_id, score, rank) with deterministic tie-break on
     item id. Scores rounded to 6dp (half-up, matching Spark/DuckDB ROUND)
     for cross-engine float stability.
+
+    Both kernels assume a bounded query side; that assumption is ENFORCED via
+    the plan-size estimate — an oversized query side routes to the
+    distributed expression plan with no broadcast hint (AQE picks the join)
+    rather than collecting/broadcasting it.
     """
-    if kernel == "arrow":
+    q_small = _fits_driver(queries.select(query_id, query_vec))
+    if kernel == "arrow" and q_small:
         scored = _brute_force_scores_arrow(
             queries, items, query_id, item_id, query_vec, item_vec, k, exclude_self
         )
@@ -63,7 +84,7 @@ def brute_force_topk(
         it = items.select(
             F.col(item_id).alias("__iid"), l2_normalize(F.col(item_vec)).alias("__iv")
         )
-        pairs = it.crossJoin(F.broadcast(q))
+        pairs = it.crossJoin(F.broadcast(q) if q_small else q)
         if exclude_self:
             pairs = pairs.where(F.col("__qid") != F.col("__iid"))
         scored = pairs.select(
@@ -439,8 +460,14 @@ def ivf_topk(
     n_cells rows, the k-means "model"); ``kernel="expr"`` is the
     Column-expression formulation. Both deterministic; cell boundaries may
     differ at float ulp level between kernels (approximate tier).
+
+    The arrow kernel collects the query side for probe selection, so it is
+    gated on the plan-size estimate; an oversized query side routes to the
+    distributed expression plan (and the probe join loses its broadcast
+    hint — AQE decides).
     """
-    if kernel == "arrow":
+    q_small = _fits_driver(queries.select(query_id, query_vec))
+    if kernel == "arrow" and q_small:
         return _ivf_topk_arrow(
             queries, items, query_id, item_id, query_vec, item_vec,
             k, n_cells, n_probe, refine_iters, exclude_self,
@@ -479,8 +506,9 @@ def ivf_topk(
 
     # broadcast the probe list (|queries| × n_probe rows): a shuffle join on
     # __cell would hash-partition the whole catalog across ≤ n_cells keys —
-    # guaranteed skew; broadcasting keeps the item side map-side only
-    cand = assigned.join(F.broadcast(probes), "__cell")
+    # guaranteed skew; broadcasting keeps the item side map-side only.
+    # Oversized query side: no hint — AQE picks (and can skew-split).
+    cand = assigned.join(F.broadcast(probes) if q_small else probes, "__cell")
     if exclude_self:
         cand = cand.where(F.col("__qid") != F.col("__iid"))
     scored = cand.select(
@@ -678,8 +706,12 @@ def cosine_near_dup_pairs(
     ``kernel="arrow"`` broadcasts the normalized matrix once and scores each
     Arrow batch of rows against it in one matmul — identical output to the
     crossJoin formulation (``kernel="expr"``), which pays an interpreted
-    fold per pair.
+    fold per pair. The arrow kernel collects the whole table driver-side, so
+    it is gated on the plan-size estimate: an oversized table routes to the
+    distributed expression plan (at that scale prefer ``lsh_near_dup_pairs``).
     """
+    if kernel == "arrow" and not _fits_driver(df.select(id_col, vec_col)):
+        kernel = "expr"
     if kernel == "arrow":
         import numpy as np
         import pandas as pd

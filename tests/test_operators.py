@@ -103,6 +103,19 @@ def test_kcore_golden(spark):
     # the pair-count strategy computes the identical fixpoint
     via_pairs = kcore_filter(df, "u", "i", min_user=2, min_item=2, iterations=2, via_pairs=True)
     assert sorted((r["u"], r["i"]) for r in via_pairs.collect()) == got
+    # the broadcast_loop strategy too (hint-free loop, AQE picks the join)
+    loop = kcore_filter(df, "u", "i", min_user=2, min_item=2, iterations=2, strategy="broadcast_loop")
+    assert sorted((r["u"], r["i"]) for r in loop.collect()) == got
+
+
+def test_kcore_rejects_unknown_strategy(spark):
+    import pytest as _pytest
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.kcore import kcore_filter
+
+    df = spark.createDataFrame([(1, 10)], ["u", "i"])
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        kcore_filter(df, "u", "i", strategy="window-chain")
 
 
 def test_sessionize_golden(spark):

@@ -220,6 +220,61 @@ def test_minhash_kernels_find_verified_pairs(spark):
         assert (7, 100) in got, f"{kernel}: planted near-dup missed"
 
 
+def test_arrow_knn_gates_oversized_query_side(spark):
+    """The arrow kernels collect the query side driver-side — a 'small side'
+    contract. An oversized query frame must route to the distributed
+    expression plan (no toPandas at build time, no Python stage in the plan)
+    instead of a silent driver OOM."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        brute_force_topk,
+        cosine_near_dup_pairs,
+        ivf_topk,
+    )
+
+    vec = F.array(*[F.lit(0.5), F.lit(0.25), F.lit(0.125), F.lit(1.0)])
+    huge = spark.range(2_000_000_000).select(
+        F.col("id").alias("qid"), vec.alias("embedding")
+    )
+    items = spark.range(8).select(F.col("id").alias("iid"), vec.alias("embedding"))
+
+    # Construction must be lazy (the arrow path would hang collecting 2e9
+    # rows) and the resulting plan JVM-only.
+    bf = brute_force_topk(huge, items, "qid", "iid", k=2, kernel="arrow")
+    assert "MapInPandas" not in bf._jdf.queryExecution().executedPlan().toString()
+
+    ivf = ivf_topk(huge, items, "qid", "iid", k=2, n_cells=2, n_probe=1, kernel="arrow")
+    assert "MapInPandas" not in ivf._jdf.queryExecution().executedPlan().toString()
+
+    nd = cosine_near_dup_pairs(
+        huge.select(F.col("qid").alias("vec_id"), "embedding"), "vec_id", threshold=0.9
+    )
+    assert "MapInPandas" not in nd._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_band_join_rows_are_slim(spark):
+    """The LSH candidate self-join must shuffle (id, band, bh) only — the
+    shingle arrays re-attach after pair dedup. A band row carrying the
+    shingles would dominate the shuffle at corpus scale (×bands duplication)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        _band_rows_arrow,
+        minhash_lsh_dedup,
+        word_shingles,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(F.col("doc_id") < 40)
+    sh = d.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    band = _band_rows_arrow(sh, "doc_id", 32, 8)
+    assert band.columns == ["doc_id", "__band", "__bh"]
+
+    out = minhash_lsh_dedup(d, "text", "doc_id", verify_threshold=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    joins = plan.split("Join")
+    band_join = next(p for p in joins if "__band" in p or "__bh" in p)
+    assert "__sh" not in band_join
+
+
 def test_vector_kernels_handle_empty_sides(spark):
     """Empty query/catalog sides must return empty results with the right
     schema, not crash in np.stack."""
