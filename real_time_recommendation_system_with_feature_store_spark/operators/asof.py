@@ -164,27 +164,37 @@ def asof_join_union(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the winning right row ATOMICALLY as one struct: a per-column
+    # last(ignorenulls) would back-fill a legitimately-NULL column of the
+    # latest right row from an OLDER row — mixing fields across rows (and
+    # across the TTL horizon). A right row always produces a non-null struct
+    # (its __rts field is non-null), so ignorenulls only skips left rows.
     carried = u.select(
         "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in r_payload
-        ],
-        F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True)
+        F.last(
+            F.when(
+                F.col("__is_left") == 0,
+                F.struct(
+                    F.col("__ts").alias("__rts"),
+                    *[F.col(f"__r_{c}").alias(c) for c in r_payload],
+                ),
+            ),
+            ignorenulls=True,
+        )
         .over(w)
-        .alias("__c_rts"),
+        .alias("__c"),
     ).where(F.col("__is_left") == 1)
 
     in_ttl = (
         F.lit(True)
         if ttl_seconds is None
         else (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__c_rts"))
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__c.__rts"))
             <= F.lit(int(ttl_seconds * 1_000_000))
         )
     )
-    keep = F.col("__c_rts").isNotNull() & in_ttl
+    keep = F.col("__c").isNotNull() & in_ttl
     out_cols = [F.col(f"__l_{c}").alias(c) for c in l_payload] + [
-        F.when(keep, F.col(f"__c_{c}")).alias(c) for c in r_payload
+        F.when(keep, F.col(f"__c.{c}")).alias(c) for c in r_payload
     ]
     return carried.select(*out_cols)

@@ -83,8 +83,11 @@ def scd2_apply_increment(
     closed = history.where(F.col(valid_to).isNotNull())
     open_rows = history.where(F.col(valid_to).isNull())
     first_change = delta.groupBy(*keys).agg(F.min(ts_col).alias("__new_from"))
+    # No broadcast hint: first_change is one row per delta key, but a large
+    # backfill delta would blow the broadcast/driver limit — AQE promotes to
+    # broadcast when the aggregated delta is actually small.
     reclosed = (
-        open_rows.join(F.broadcast(first_change), list(keys), "left")
+        open_rows.join(first_change, list(keys), "left")
         .withColumn(valid_to, F.coalesce(F.col("__new_from"), F.col(valid_to)))
         .drop("__new_from")
     )

@@ -35,9 +35,13 @@ def compact_to_target_size(
     except Exception:
         pass
     n_files = max(1, math.ceil(est / target_bytes))
-    out = df.orderBy(*order_by) if order_by else df.repartition(n_files)
-    # orderBy range-partitions; cap the file count with maxRecordsPerFile
-    # only when unordered (ordered writes keep the range partitioning)
+    if order_by:
+        # range-partition into exactly n_files, sorted within each file so
+        # min/max stats stay tight — a bare orderBy lets AQE pick its own
+        # partition count and ignores the target size entirely
+        out = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(*order_by)
+    else:
+        out = df.repartition(n_files)
     out.write.mode(mode).parquet(path)
     return n_files
 

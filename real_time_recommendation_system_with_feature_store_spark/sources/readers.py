@@ -96,8 +96,12 @@ def read_json_events_tolerant(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ),
     )
-    ok = parsed.where(F.col("_j._corrupt_record").isNull())
-    bad = parsed.where(F.col("_j._corrupt_record").isNotNull()).drop("_j")
+    # from_json(NULL) yields a NULL struct whose _corrupt_record is also NULL
+    # — a NULL payload must dead-letter, not pass as an all-null typed row
+    ok = parsed.where(F.col(json_col).isNotNull() & F.col("_j._corrupt_record").isNull())
+    bad = parsed.where(
+        F.col(json_col).isNull() | F.col("_j._corrupt_record").isNotNull()
+    ).drop("_j")
     cols = [F.col(f"_j.{f.name}").alias(f.name) for f in schema.fields]
     if keep:
         cols = [F.col(c) for c in keep] + cols

@@ -109,8 +109,16 @@ asof_left = st.lists(
     min_size=1,
     max_size=15,
 )
+# payload columns are NULLABLE: a NULL column in the winning right row must
+# stay NULL (a per-column last(ignorenulls) carry would back-fill it from an
+# older row — the field-mixing bug class)
 asof_right = st.lists(
-    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-99, 99)),
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 50),
+        st.one_of(st.none(), st.integers(-99, 99)),
+        st.one_of(st.none(), st.integers(-99, 99)),
+    ),
     min_size=0,
     max_size=15,
     unique_by=lambda r: (r[0], r[1]),
@@ -126,18 +134,26 @@ def test_asof_join_matches_reference(spark, lrows, rrows, ttl):
     left = spark.createDataFrame(lrows, "row_id int, key int, ts int").withColumn(
         "ts", F.timestamp_seconds("ts")
     )
-    right = spark.createDataFrame(rrows or [], "key int, fts int, val int").withColumn(
-        "fts", F.timestamp_seconds("fts")
-    )
+    right = spark.createDataFrame(
+        rrows or [], "key int, fts int, val int, val2 int"
+    ).withColumn("fts", F.timestamp_seconds("fts"))
     from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
 
     expected = {}
     for row_id, k, ts in lrows:
-        cands = [(fts, val) for (rk, fts, val) in rrows if rk == k and fts <= ts and ts - fts <= ttl]
-        expected[row_id] = max(cands)[1] if cands else None
+        cands = [
+            (fts, val, val2)
+            for (rk, fts, val, val2) in rrows
+            if rk == k and fts <= ts and ts - fts <= ttl
+        ]
+        if cands:
+            best = max(cands, key=lambda c: c[0])
+            expected[row_id] = (best[1], best[2])  # whole-row pick, NULLs intact
+        else:
+            expected[row_id] = (None, None)
     for impl in (asof_join, asof_join_union):
         out = impl(left, right, ["key"], "ts", "fts", ttl_seconds=float(ttl))
-        got = {r["row_id"]: r["val"] for r in out.collect()}
+        got = {r["row_id"]: (r["val"], r["val2"]) for r in out.collect()}
         assert got == expected, impl.__name__
 
 

@@ -81,6 +81,7 @@ def test_tolerant_json_decode_splits_good_and_bad(spark):
         (2, "not json at all"),
         (3, '{"event_type": "view", "user_id": 8}'),
         (4, '{"truncated": '),
+        (5, None),  # NULL payload must dead-letter, not pass as all-null row
     ]
     df = spark.createDataFrame(rows, "offset long, payload string")
     schema = T.StructType(
@@ -95,5 +96,5 @@ def test_tolerant_json_decode_splits_good_and_bad(spark):
         (3, "view", 8),
     }
     # rejects keep the raw payload for a dead-letter sink
-    assert {r["offset"] for r in bad.collect()} == {2, 4}
+    assert {r["offset"] for r in bad.collect()} == {2, 4, 5}
     assert "payload" in bad.columns
