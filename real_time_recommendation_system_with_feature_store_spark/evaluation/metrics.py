@@ -81,6 +81,69 @@ def ranking_metrics(
     )
 
 
+def ranking_metrics_multi_k(
+    recs: DataFrame,
+    truth: DataFrame,
+    ks: tuple[int, ...] = (5, 10, 20, 50, 100),
+    user: str = "user_idx",
+    item: str = "item_idx",
+) -> DataFrame:
+    """The reference's multi-K evaluation sweep — Recall/Precision/HitRate/
+    NDCG/MRR/MAP at every K ∈ ``ks`` — in ONE pass over one hits frame
+    (scripts/evaluate_model.py:254, results/EVALUATION_REPORT.md:99-104 run
+    K ∈ {5,10,20,50,100} per model).
+
+    Shape: hits computed once at max(ks) (hit indexes assigned by rank, so
+    each smaller K's hit list is a PREFIX — per-K aggregates are conditional
+    sums over the same rows, no per-K re-join). The explode multiplies only
+    hit rows (≤ max K per user) by |ks|, then everything partial-aggregates
+    map-side; still two shuffles total, same as the single-K form.
+
+    Returns long form, one row per K:
+    (k, recall, precision, hit_rate, ndcg, mrr, map).
+    """
+    from pyspark.sql import Window
+
+    kmax = max(ks)
+    ks_arr = F.array(*[F.lit(int(k)) for k in sorted(ks)])
+    truth_sizes = truth.groupBy(user).agg(F.count("*").alias("__n_truth"))
+
+    hits = _hits(recs, truth, kmax, user, item)
+    w = Window.partitionBy(user).orderBy("rank")
+    hits = hits.withColumn("__hit_idx", F.row_number().over(w))
+    hk = hits.select(
+        user, "rank", "__hit_idx", F.explode(ks_arr).alias("k")
+    ).where(F.col("rank") <= F.col("k"))
+    per_user_hits = hk.groupBy(user, "k").agg(
+        F.count("*").alias("__n_hits"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("__dcg"),
+        F.max(F.lit(1.0) / F.col("rank")).alias("__rr"),
+        F.sum(F.col("__hit_idx") / F.col("rank")).alias("__ap_num"),
+    )
+
+    base = truth_sizes.select(user, "__n_truth", F.explode(ks_arr).alias("k"))
+    per_user = (
+        base.join(per_user_hits, [user, "k"], "left")
+        .na.fill({"__n_hits": 0, "__dcg": 0.0, "__rr": 0.0, "__ap_num": 0.0})
+        .withColumn("__ideal_n", F.least(F.col("__n_truth"), F.col("k")))
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("__ideal_n")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    per_user = per_user.withColumn("__idcg", idcg)
+
+    return per_user.groupBy("k").agg(
+        F.round(F.avg(F.col("__n_hits") / F.col("__n_truth")), 6).alias("recall"),
+        F.round(F.avg(F.col("__n_hits") / F.col("k")), 6).alias("precision"),
+        F.round(F.avg(F.when(F.col("__n_hits") > 0, 1.0).otherwise(0.0)), 6).alias("hit_rate"),
+        F.round(F.avg(F.col("__dcg") / F.col("__idcg")), 6).alias("ndcg"),
+        F.round(F.avg("__rr"), 6).alias("mrr"),
+        F.round(F.avg(F.col("__ap_num") / F.col("__ideal_n")), 6).alias("map"),
+    )
+
+
 def coverage(recs: DataFrame, catalog: DataFrame, k: int, item: str = "item_idx") -> DataFrame:
     """A11: distinct recommended items within top-k / catalog size
     (reference metrics.py:271-317)."""

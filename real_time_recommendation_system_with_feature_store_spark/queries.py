@@ -1374,6 +1374,87 @@ def popularity_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ranking_metrics_multi_k",
+    oracle=f"""
+    WITH train AS (
+      SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id FROM events
+      WHERE ts < TIMESTAMP '{SPLIT_TS}' AND event_type = 'click' AND (props->>'k') IS NOT NULL
+    ), truth AS (
+      SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item_id FROM events
+      WHERE ts >= TIMESTAMP '{SPLIT_TS}' AND event_type = 'click' AND (props->>'k') IS NOT NULL
+    ), pop AS (
+      SELECT item_id, COUNT(*) AS c FROM train GROUP BY 1
+    ), recs AS (
+      SELECT item_id, rank FROM (
+        SELECT item_id, ROW_NUMBER() OVER (ORDER BY c DESC, item_id) AS rank FROM pop
+      ) WHERE rank <= 100
+    ), users AS (SELECT DISTINCT user_id FROM truth),
+    urecs AS (SELECT u.user_id, r.item_id, r.rank FROM users u CROSS JOIN recs r),
+    hits AS (
+      SELECT t.user_id, r.rank FROM urecs r JOIN truth t
+      ON r.user_id = t.user_id AND r.item_id = t.item_id
+    ), hidx AS (
+      SELECT user_id, rank, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rank) AS hit_idx
+      FROM hits
+    ), ks AS (SELECT unnest([5, 10, 20, 50, 100]) AS k),
+    per_hit AS (
+      SELECT h.user_id, ks.k, COUNT(*) AS n_hits,
+        SUM(1.0 / log2(h.rank + 1)) AS dcg,
+        MAX(1.0 / h.rank) AS rr,
+        SUM(CAST(h.hit_idx AS DOUBLE) / h.rank) AS ap_num
+      FROM hidx h CROSS JOIN ks WHERE h.rank <= ks.k
+      GROUP BY 1, 2
+    ), tsz AS (SELECT user_id, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+    base AS (SELECT t.user_id, t.n_truth, ks.k FROM tsz t CROSS JOIN ks),
+    idcg_tab AS (
+      SELECT n.n AS ideal_n, SUM(1.0 / log2(i.i + 1)) AS idcg
+      FROM range(1, 101) n(n) JOIN range(1, 101) i(i) ON i.i <= n.n GROUP BY 1
+    ), per_user AS (
+      SELECT b.user_id, b.k, b.n_truth,
+        COALESCE(h.n_hits, 0) AS n_hits, COALESCE(h.dcg, 0.0) AS dcg,
+        COALESCE(h.rr, 0.0) AS rr, COALESCE(h.ap_num, 0.0) AS ap_num,
+        LEAST(b.n_truth, b.k) AS ideal_n
+      FROM base b LEFT JOIN per_hit h ON b.user_id = h.user_id AND b.k = h.k
+    )
+    SELECT k,
+      ROUND(AVG(CAST(n_hits AS DOUBLE) / n_truth), 6) AS recall,
+      ROUND(AVG(CAST(n_hits AS DOUBLE) / k), 6) AS precision,
+      ROUND(AVG(CASE WHEN n_hits > 0 THEN 1.0 ELSE 0.0 END), 6) AS hit_rate,
+      ROUND(AVG(dcg / i.idcg), 6) AS ndcg,
+      ROUND(AVG(rr), 6) AS mrr,
+      ROUND(AVG(ap_num / per_user.ideal_n), 6) AS "map"
+    FROM per_user JOIN idcg_tab i ON per_user.ideal_n = i.ideal_n
+    GROUP BY k
+    """,
+    doc="The reference's multi-K evaluation sweep (scripts/evaluate_model.py:254, "
+        "EVALUATION_REPORT.md:99-104): all six ranking metrics at "
+        "K∈{{5,10,20,50,100}} from ONE hits pass over the popularity recommender.",
+)
+def ranking_metrics_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import (
+        ranking_metrics_multi_k as multi_k,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
+        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
+    )
+    split = F.lit(SPLIT_TS).cast("timestamp")
+    train = ev.where(F.col("ts") < split)
+    truth = ev.where(F.col("ts") >= split).select("user_id", "item_id").distinct()
+    pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
+    recs = (
+        pop.withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("item_id"))))
+        .where(F.col("rank") <= 100)
+        .select("item_id", "rank")
+    )
+    users = truth.select("user_id").distinct()
+    urecs = users.crossJoin(F.broadcast(recs))
+    return multi_k(urecs, truth, ks=(5, 10, 20, 50, 100), user="user_id", item="item_id")
+
+
+@query(
     "coverage_novelty",
     oracle=f"""
     WITH train AS (
@@ -1542,6 +1623,77 @@ def linear_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scorer = batch_scorer(spark, LinearModel(weights=[0.3, 0.0001], bias=0.5), ["n_orders", "total_spend"])
+    out = score_and_rank(feats, scorer, "c_mktsegment", ["n_orders", "total_spend"], 5, "c_custkey")
+    return out.select("c_custkey", "c_mktsegment", "score", "rank")
+
+
+@query(
+    "tree_rerank_topk",
+    oracle="""
+    WITH feats AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+        COALESCE(s.n_orders, 0) AS n_orders,
+        COALESCE(s.total_spend, 0.0) AS total_spend
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 6) AS total_spend
+        FROM orders GROUP BY o_custkey
+      ) s ON s.o_custkey = c.c_custkey
+    ), scored AS (
+      SELECT c_custkey, c_mktsegment,
+        ROUND(0.5
+          + CASE WHEN n_orders <= 10 THEN
+              CASE WHEN total_spend <= 50000 THEN 0.1 ELSE 0.3 END
+            ELSE CASE WHEN n_orders <= 25 THEN 0.5 ELSE 0.8 END END
+          + CASE WHEN total_spend <= 100000 THEN -0.2
+            ELSE CASE WHEN n_orders <= 20 THEN 0.25 ELSE 0.6 END END
+          + CASE WHEN total_spend <= 150000 THEN
+              CASE WHEN total_spend <= 25000 THEN 0.0 ELSE 0.15 END
+            ELSE 0.4 END, 6) AS score
+      FROM feats
+    )
+    SELECT c_custkey, c_mktsegment, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY score DESC, c_custkey) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="U5+W2, tree tier: GBM-style additive ensemble (3 depth-2 trees) "
+        "behind the same broadcast pandas_udf as the linear scorer — the "
+        "reference's XGB/LGBM re-rank stage (ranking_models.py:129-150) with "
+        "a deterministic, CASE-expressible model artifact.",
+)
+def tree_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.scoring import (
+        TreeEnsembleModel,
+        batch_scorer,
+        score_and_rank,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.round(_dsum(F.col("o_totalprice")), 6).alias("total_spend")
+    )
+    feats = (
+        c.join(stats, c.c_custkey == stats.o_custkey, "left")
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("double").alias("n_orders"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+    model = TreeEnsembleModel(
+        trees=(
+            ("split", 0, 10.0, ("split", 1, 50000.0, ("leaf", 0.1), ("leaf", 0.3)),
+             ("split", 0, 25.0, ("leaf", 0.5), ("leaf", 0.8))),
+            ("split", 1, 100000.0, ("leaf", -0.2),
+             ("split", 0, 20.0, ("leaf", 0.25), ("leaf", 0.6))),
+            ("split", 1, 150000.0, ("split", 1, 25000.0, ("leaf", 0.0), ("leaf", 0.15)),
+             ("leaf", 0.4)),
+        ),
+        base=0.5,
+    )
+    scorer = batch_scorer(spark, model, ["n_orders", "total_spend"])
     out = score_and_rank(feats, scorer, "c_mktsegment", ["n_orders", "total_spend"], 5, "c_custkey")
     return out.select("c_custkey", "c_mktsegment", "score", "rank")
 

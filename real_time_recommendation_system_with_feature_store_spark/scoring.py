@@ -33,6 +33,45 @@ class LinearModel:
         return X @ np.asarray(self.weights, dtype="float64") + self.bias
 
 
+@dataclass
+class TreeEnsembleModel:
+    """GBM-style additive tree ensemble with the same ``.predict(X)``
+    contract as ``LinearModel`` — the deterministic stand-in for the
+    reference's tree re-rankers (XGB/LGBM ``predict_proba`` behind one
+    interface, src/models/ranking_models.py:129-150,273-294). Swapping in a
+    pickled xgboost/lgbm artifact changes nothing downstream: the broadcast
+    + pandas_udf path (``batch_scorer``/``score_and_rank``) only calls
+    ``predict``.
+
+    Trees are nested tuples — ``("leaf", value)`` or
+    ``("split", feature_idx, threshold, left, right)`` with ``x[feature_idx]
+    <= threshold`` routing left — so a fixed model is also expressible as
+    nested SQL CASE (oracle-checkable). Evaluation is vectorized masked
+    recursion: one boolean mask per split node over the whole Arrow batch,
+    never a per-row Python loop.
+    """
+
+    trees: tuple
+    base: float = 0.0
+    learning_rate: float = 1.0
+
+    def _eval(self, node, X: np.ndarray) -> np.ndarray:
+        if node[0] == "leaf":
+            return np.full(X.shape[0], float(node[1]), dtype="float64")
+        _, fi, thr, left, right = node
+        mask = X[:, fi] <= thr
+        out = np.empty(X.shape[0], dtype="float64")
+        out[mask] = self._eval(left, X[mask])
+        out[~mask] = self._eval(right, X[~mask])
+        return out
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        out = np.full(X.shape[0], float(self.base), dtype="float64")
+        for t in self.trees:  # fixed order: float sum must be reproducible
+            out = out + self.learning_rate * self._eval(t, X)
+        return out
+
+
 def batch_scorer(spark, model, feature_cols: list[str]):
     """Build a pandas_udf scoring Column factory over broadcast ``model``.
 

@@ -80,3 +80,38 @@ def test_grouped_map_metrics_match_expression_path(spark):
     assert gm_row["ndcg"] == expr_row[f"ndcg_at_{k}"]
     assert gm_row["rr"] == expr_row[f"mrr_at_{k}"]
     assert gm_row["ap"] == expr_row[f"map_at_{k}"]
+
+
+def test_multi_k_matches_single_k_at_every_k(spark):
+    """The one-pass multi-K sweep must agree with the single-K operator at
+    each K — same formulas, shared hits prefix, no drift."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import (
+        ranking_metrics,
+        ranking_metrics_multi_k,
+    )
+
+    recs_rows, truth_rows = [], []
+    for u in range(25):
+        ranked = []
+        for r in range(30):
+            it = (u * 3 + r * 7) % 60
+            if it not in ranked:
+                ranked.append(it)
+        truth = sorted({(u * 13 + j * 11) % 60 for j in range(6)})
+        recs_rows += [(u, it, i + 1) for i, it in enumerate(ranked)]
+        truth_rows += [(u, it) for it in truth]
+    recs = spark.createDataFrame(recs_rows, "user_idx int, item_idx int, rank int")
+    truth = spark.createDataFrame(truth_rows, "user_idx int, item_idx int")
+
+    ks = (5, 10, 20)
+    multi = {r["k"]: r for r in ranking_metrics_multi_k(recs, truth, ks=ks).collect()}
+    assert sorted(multi) == list(ks)
+    for k in ks:
+        single = ranking_metrics(recs, truth, k).collect()[0]
+        got = multi[k]
+        assert got["recall"] == single[f"recall_at_{k}"], k
+        assert got["precision"] == single[f"precision_at_{k}"], k
+        assert got["hit_rate"] == single[f"hit_rate_at_{k}"], k
+        assert got["ndcg"] == single[f"ndcg_at_{k}"], k
+        assert got["mrr"] == single[f"mrr_at_{k}"], k
+        assert got["map"] == single[f"map_at_{k}"], k

@@ -376,3 +376,33 @@ def test_asof_union_matches_range_join(spark):
         ra = sorted(tuple(str(r[c]) for c in cols) for r in a.collect())
         rb = sorted(tuple(str(r[c]) for c in cols) for r in b.collect())
         assert ra == rb and len(ra) > 0
+
+
+def test_tree_ensemble_model_matches_hand_eval():
+    import numpy as np
+
+    from real_time_recommendation_system_with_feature_store_spark.scoring import TreeEnsembleModel
+
+    m = TreeEnsembleModel(
+        trees=(
+            ("split", 0, 1.0, ("leaf", 10.0), ("leaf", 20.0)),
+            ("split", 1, 5.0, ("split", 0, 0.0, ("leaf", 1.0), ("leaf", 2.0)), ("leaf", 3.0)),
+        ),
+        base=100.0,
+        learning_rate=0.5,
+    )
+    X = np.array([[0.0, 4.0], [2.0, 4.0], [2.0, 6.0], [-1.0, 9.0]])
+    #     tree1: <=1 -> 10 | >1 -> 20 ; tree2: y<=5 then (x<=0 -> 1 | 2) else 3
+    want = 100.0 + 0.5 * np.array([10 + 1, 20 + 2, 20 + 3, 10 + 3], dtype="float64")
+    assert np.allclose(m.predict(X), want)
+
+
+def test_tree_scorer_is_single_arrow_stage(spark):
+    """The scorer must appear as ONE ArrowEvalPython/pandas_udf stage in the
+    plan — broadcast model, no per-row Python UDF."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["tree_rerank_topk"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
