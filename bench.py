@@ -40,6 +40,14 @@ HEADLINE = [
     "knn_cosine_topk",
     "two_stage_recommendations",
     "tumbling_window_counts",
+    # round-2 additions: previously-unbenched heavy paths — regressions here
+    # must show up round over round
+    "user_value_scd2",
+    "eval_contamination_pairs",
+    "token_budget_packing",
+    "negative_samples",
+    "ranking_metrics_multi_k",
+    "tree_rerank_topk",
 ]
 
 

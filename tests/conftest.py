@@ -11,6 +11,12 @@ from real_time_recommendation_system_with_feature_store_spark import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "e2e: full-pipeline MovieLens reproduction (slower)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("tests", shuffle_partitions=8)

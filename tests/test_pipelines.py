@@ -126,3 +126,95 @@ def test_real_ml1m_dims_parity(spark):
         (sum(F.col(c) for c in movies.columns if c.startswith("genre_")) > 0).alias("any")
     )
     assert mh.where(~F.col("any")).count() == 0
+
+
+@pytest.mark.e2e
+@pytest.mark.skipif(not os.path.exists(f"{ML1M}/users.dat"), reason="ml-1m data not present")
+def test_e2e_popularity_baseline_reproduction(spark):
+    """End-to-end reproduction of the reference's popularity-baseline row
+    (README.md:127-135: Recall@10 ~0.05, NDCG@10 ~0.03, HitRate@10 ~0.40)
+    over the REAL ml-1m dimension files. ratings.dat is not distributed with
+    the reference, so interactions are a deterministic MovieLens-shaped
+    synthetic (Zipf-ish item popularity via inverse-CDF over md5 uniforms —
+    top-10 movies carry ~9% of draws, matching ml-1m's concentration) fed
+    through the FULL lifecycle: `::` loaders → k-core → implicit label →
+    time split → popularity recommender → one-pass multi-K metrics.
+
+    Assertions are order-of-magnitude vs the published row (the reference's
+    own baseline numbers are '~' figures) plus the structural invariants a
+    correct sweep must satisfy at any data scale.
+    """
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_metrics_multi_k
+    from real_time_recommendation_system_with_feature_store_spark.pipelines import (
+        build_training_data,
+        load_movies,
+        load_ratings,
+        load_users,
+    )
+
+    def u01(*parts):
+        h = hashlib.md5("\x1f".join(str(p) for p in parts).encode()).hexdigest()
+        return int(h[:8], 16) / 16**8
+
+    movies = load_movies(spark, f"{ML1M}/movies.dat")
+    users = load_users(spark, f"{ML1M}/users.dat")
+    movie_ids = sorted(r["movie_id"] for r in movies.select("movie_id").collect())
+    m = len(movie_ids)
+
+    rows, seen = [], set()
+    for user in range(1, 1201):
+        for j in range(60):
+            movie = movie_ids[int(m * u01("it", user, j) ** 2.5)]
+            if (user, movie) in seen:
+                continue
+            seen.add((user, movie))
+            rating = 3 + int(u01("r", user, j) * 3)  # 3/4/5 → 2/3 positives
+            tstamp = 956_700_000 + int(u01("t", user, j) * 31_536_000)
+            rows.append(f"{user}::{movie}::{rating}::{tstamp}")
+    path = os.path.join(TMP, "ml1m_synth_ratings.dat")
+    os.makedirs(TMP, exist_ok=True)
+    with open(path, "w", encoding="latin-1") as f:
+        f.write("\n".join(rows))
+
+    data = build_training_data(
+        load_ratings(spark, path), users, movies,
+        rating_threshold=4.0, min_user=5, min_item=5,
+    )
+    inter = data.interactions.persist()
+    train = inter.where((F.col("split") == "train") & (F.col("label") == 1))
+    truth = (
+        inter.where((F.col("split") == "test") & (F.col("label") == 1))
+        .select("user_id", "movie_id").distinct()
+    )
+    pop = train.groupBy("movie_id").agg(F.count("*").alias("c"))
+    recs = (
+        pop.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("movie_id")))
+        )
+        .where(F.col("rank") <= 100)
+        .select("movie_id", "rank")
+    )
+    urecs = truth.select("user_id").distinct().crossJoin(F.broadcast(recs))
+    got = {
+        r["k"]: r
+        for r in ranking_metrics_multi_k(
+            urecs, truth, ks=(5, 10, 20, 50, 100), user="user_id", item="movie_id"
+        ).collect()
+    }
+    inter.unpersist()
+
+    # README popularity row, order-of-magnitude (×/÷10 of ~0.05/~0.03/~0.40)
+    at10 = got[10]
+    assert 0.005 <= at10["recall"] <= 0.5, at10
+    assert 0.003 <= at10["ndcg"] <= 0.3, at10
+    assert 0.04 <= at10["hit_rate"] <= 0.9, at10
+    # structural invariants of a correct multi-K sweep
+    ks = [5, 10, 20, 50, 100]
+    for a, b in zip(ks, ks[1:]):
+        assert got[a]["recall"] <= got[b]["recall"]      # top-k is a prefix
+        assert got[a]["hit_rate"] <= got[b]["hit_rate"]
+        assert got[a]["ndcg"] > 0 and got[a]["mrr"] > 0
