@@ -411,6 +411,7 @@ def cross_corpus_overlap(
     id_col: str,
     n: int = 5,
     min_common: int = 1,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: n-gram collisions between a training corpus
     and an evaluation corpus.
@@ -420,9 +421,19 @@ def cross_corpus_overlap(
     (train_doc, eval_doc). Returns (train_id, eval_id, n_common,
     eval_overlap = n_common / |eval shingles|) for pairs with
     n_common >= min_common — the "drop or flag train docs that leak eval
-    data" primitive. At 100 TB shingle the (small) eval side fully and
-    drop the top hot shingles from the train side first.
+    data" primitive.
+
+    The eval corpus is structurally the small side (benchmarks vs a training
+    lake), so by default its exploded shingles BROADCAST and the train-side
+    trigram stream never shuffles — the post-join collision agg sees only
+    matching rows. ``broadcast_eval`` overrides; the auto gate reads the
+    pre-explode plan-size estimate. At 100 TB also drop the hottest shingles
+    from the train side first (stop-shingle cut) before the probe.
     """
+    if broadcast_eval is None:
+        from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
+
+        broadcast_eval = _plan_size_bytes(eval_df.select(id_col, text_col)) <= (32 << 20)
     tsh = train.select(
         F.col(id_col).alias("train_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__s"),
@@ -436,7 +447,7 @@ def cross_corpus_overlap(
         .select("eval_id", "__esize", F.explode("__sh").alias("__s"))
     )
     return (
-        tsh.join(esh, "__s")
+        tsh.join(F.broadcast(esh) if broadcast_eval else esh, "__s")
         .groupBy("train_id", "eval_id", "__esize")
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= min_common)
