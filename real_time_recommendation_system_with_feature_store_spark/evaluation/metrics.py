@@ -95,9 +95,12 @@ def ranking_metrics_multi_k(
 
     Shape: hits computed once at max(ks) (hit indexes assigned by rank, so
     each smaller K's hit list is a PREFIX — per-K aggregates are conditional
-    sums over the same rows, no per-K re-join). The explode multiplies only
-    hit rows (≤ max K per user) by |ks|, then everything partial-aggregates
-    map-side; still two shuffles total, same as the single-K form.
+    sums over the same rows). The recs-sized work — the truth join and the
+    per-user hit window — happens ONCE; the per-K explode multiplies only
+    hit rows (≤ max K per user) by |ks| and every downstream shuffle is on
+    already-aggregated per-user/per-K rows, partial-aggregated map-side. A
+    per-K loop would instead re-join and re-shuffle the full recs frame
+    |ks| times.
 
     Returns long form, one row per K:
     (k, recall, precision, hit_rate, ndcg, mrr, map).
