@@ -229,3 +229,40 @@ def test_pack_by_token_budget_properties(spark, tokens, budget):
         assert chunk * budget + off == prefix
         last_chunk = chunk
         prefix += n
+
+
+neg_inter = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 15)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rrows=neg_inter, n=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_negative_sample_invariants(spark, rrows, n):
+    """Rejection sampling invariants on arbitrary interaction sets:
+    negatives are disjoint from positives, drawn from the catalog, at most n
+    per user, unique per (user, item), and identical under a different
+    partitioning (md5 determinism — the property rand(seed) lacks)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sampling import negative_sample
+
+    inter = spark.createDataFrame(rrows, "u int, i int")
+    items = inter.select("i").distinct()
+    out = negative_sample(inter, items, "u", "i", n_per_user=n)
+    got = [(r["u"], r["i"]) for r in out.collect()]
+
+    positives = set(rrows)
+    catalog = {i for _, i in rrows}
+    assert not (set(got) & positives)
+    assert {i for _, i in got} <= catalog
+    assert len(got) == len(set(got))  # unique (user, item)
+    from collections import Counter
+
+    per_user = Counter(u for u, _ in got)
+    assert all(c <= n for c in per_user.values())
+
+    again = [(r["u"], r["i"]) for r in negative_sample(
+        inter.repartition(7, "i"), items, "u", "i", n_per_user=n
+    ).collect()]
+    assert sorted(again) == sorted(got)
