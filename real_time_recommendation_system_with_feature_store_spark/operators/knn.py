@@ -587,16 +587,24 @@ def _ivf_topk_arrow(
     qids = q_pd[query_id].to_numpy()
     qmat = _normalize_np(_stack_vecs(q_pd[query_vec]))
     cs = qmat @ cmat.T  # (nq, n_cells)
-    import pandas as pd
 
     probe_rows = []
     for j in range(len(qids)):
         order = np.lexsort((cells, -cs[j]))[:n_probe]
+        qv = [float(x) for x in qmat[j]]
         for ci in order:
-            probe_rows.append((qids[j].item(), list(qmat[j]), int(cells[ci])))
-    probes = spark.createDataFrame(
-        pd.DataFrame(probe_rows, columns=["__qid", "__qv", "__cell"])
+            probe_rows.append((qids[j].item(), qv, int(cells[ci])))
+    # explicit schema + pure-Python values: without it, a session that has not
+    # enabled Arrow falls back to _inferSchemaFromList, which cannot infer a
+    # type for numpy float64 elements (CANNOT_INFER_TYPE_FOR_FIELD __qv)
+    probe_schema = T.StructType(
+        [
+            T.StructField("__qid", queries.schema[query_id].dataType),
+            T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            T.StructField("__cell", T.IntegerType()),
+        ]
     )
+    probes = spark.createDataFrame(probe_rows, probe_schema)
 
     # broadcast the probe list (|queries| × n_probe rows): a shuffle join on
     # __cell would hash-partition the whole catalog across ≤ n_cells keys —
