@@ -19,6 +19,7 @@ def time_fraction_split(
     train_frac: float = 0.8,
     val_frac: float = 0.1,
     split_col: str = "split",
+    small_input_bytes: int = 256 << 20,
 ) -> DataFrame:
     """O3: label rows train/val/test by position in time order.
 
@@ -26,18 +27,25 @@ def time_fraction_split(
     row_number <= floor(n*train) => train, <= floor(n*(train+val)) => val.
     ``order_by`` must include a unique tiebreak for determinism.
 
-    Scale: a global row_number() is a single-partition sort in the naive
-    form; we rank with a two-level trick-free global window only because the
-    split is inherently a total order. At 100 TB use the percentile cut
-    (percent_rank on a pre-sorted, range-partitioned layout) or split on the
-    timestamp value itself.
+    Scale: cost-gated like kcore_filter — the optimizer's plan-size estimate
+    routes small inputs through the single-task global window (cheapest at
+    test scale: one tiny shuffle) and everything larger through
+    ``global_row_number`` (range-partitioned parallel sort + broadcast
+    offsets, rank.py). Both paths produce the identical total-order rank, so
+    the labels are bit-identical — only the physical plan differs.
     """
+    from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    w = Window.orderBy(*cols)
     n = df.count()
     train_end = int(n * train_frac)
     val_end = int(n * (train_frac + val_frac))
-    return df.withColumn("__rn", F.row_number().over(w)).withColumn(
+    if _plan_size_bytes(df) <= small_input_bytes:
+        ranked = df.withColumn("__rn", F.row_number().over(Window.orderBy(*cols)))
+    else:
+        ranked = global_row_number(df, cols, "__rn")
+    return ranked.withColumn(
         split_col,
         F.when(F.col("__rn") <= train_end, F.lit("train"))
         .when(F.col("__rn") <= val_end, F.lit("val"))

@@ -53,6 +53,33 @@ def global_topn(df: DataFrame, order_by: Sequence[Column | str], n: int) -> Data
     return df.orderBy(*_ordering(order_by)).limit(n)
 
 
+def global_topn_ranked(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    n: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """O4+W2: global top-N **with a rank column**, catalog-safe.
+
+    The naive form — ``row_number().over(Window.orderBy(...))`` then
+    ``rank <= n`` — funnels the ENTIRE input through one window task (the
+    rank.py:1-13 trap; at a 1e9-item catalog that's a one-task sort of 1e9
+    rows). Here ``orderBy().limit(n)`` compiles to TakeOrderedAndProject
+    (per-partition heap of n rows, driver merge — no global sort), and only
+    the ≤ n survivors are then numbered. The survivor window partitions on a
+    constant, so it shuffles ≤ n rows and skips WindowExec's
+    "No Partition Defined" single-partition funnel warning.
+
+    Identical output to the naive form whenever ``order_by`` is a total
+    order (unique tiebreak last): the top-n set and the rank within it are
+    both determined by the same ordering.
+    """
+    cols = _ordering(order_by)
+    top = df.orderBy(*cols).limit(n)
+    w = Window.partitionBy(F.lit(1)).orderBy(*cols)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
 def tail_per_key(
     df: DataFrame,
     keys: Sequence[str],

@@ -1353,8 +1353,7 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def popularity_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_metrics
-    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
-    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
         F.col("item_id").isNotNull() & (F.col("event_type") == "click")
@@ -1363,10 +1362,8 @@ def popularity_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = ev.where(F.col("ts") < split)
     truth = ev.where(F.col("ts") >= split).select("user_id", "item_id").distinct()
     pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
-    recs = (
-        pop.withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("item_id"))))
-        .where(F.col("rank") <= 10)
-        .select("item_id", "rank")
+    recs = global_topn_ranked(pop, [F.col("c").desc(), F.col("item_id")], 10).select(
+        "item_id", "rank"
     )
     users = truth.select("user_id").distinct()
     urecs = users.crossJoin(F.broadcast(recs))
@@ -1431,11 +1428,10 @@ def popularity_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "K∈{{5,10,20,50,100}} from ONE hits pass over the popularity recommender.",
 )
 def ranking_metrics_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import (
         ranking_metrics_multi_k as multi_k,
     )
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
         F.col("item_id").isNotNull() & (F.col("event_type") == "click")
@@ -1444,10 +1440,8 @@ def ranking_metrics_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = ev.where(F.col("ts") < split)
     truth = ev.where(F.col("ts") >= split).select("user_id", "item_id").distinct()
     pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
-    recs = (
-        pop.withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("item_id"))))
-        .where(F.col("rank") <= 100)
-        .select("item_id", "rank")
+    recs = global_topn_ranked(pop, [F.col("c").desc(), F.col("item_id")], 100).select(
+        "item_id", "rank"
     )
     users = truth.select("user_id").distinct()
     urecs = users.crossJoin(F.broadcast(recs))
@@ -1478,17 +1472,15 @@ def ranking_metrics_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A11/J10: catalog coverage + novelty (self-information) of the rec set.",
 )
 def coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
         F.col("item_id").isNotNull() & (F.col("event_type") == "click")
     )
     train = ev.where(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp"))
     pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
-    recs = (
-        pop.withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("item_id"))))
-        .where(F.col("rank") <= 10)
-        .select("item_id", "rank")
+    recs = global_topn_ranked(pop, [F.col("c").desc(), F.col("item_id")], 10).select(
+        "item_id", "rank"
     )
     upop = train.groupBy("item_id").agg(F.count_distinct("user_id").alias("pop_users"))
     n_users = train.agg(F.count_distinct("user_id").alias("n_users"))
@@ -1532,17 +1524,15 @@ def coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rec_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.functions.vectors import cosine_distance
-    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
         F.col("item_id").isNotNull() & (F.col("event_type") == "click")
     )
     train = ev.where(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp"))
     pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
-    recs = (
-        pop.withColumn("rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("item_id"))))
-        .where(F.col("rank") <= 10)
-        .select("item_id", "rank")
+    recs = global_topn_ranked(pop, [F.col("c").desc(), F.col("item_id")], 10).select(
+        "item_id", "rank"
     )
     emb = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("item_id"), "embedding")
     rv = recs.join(emb, "item_id").select("rank", F.col("embedding").alias("v"))
@@ -1961,14 +1951,37 @@ def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie-break (used by fraction splits at scale).",
 )
 def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number
 
+    # ntile/percent_rank over an UNPARTITIONED window is a one-task sort of
+    # the whole table (the rank.py:1-13 trap). Derive both from a parallel
+    # global rank + the total count instead: ntile(10) assigns the first
+    # n%10 buckets ceil(n/10) rows and the rest floor(n/10) (SQL-standard,
+    # matched by Spark and DuckDB); percent_rank over a total order (unique
+    # o_orderkey tiebreak => no peer rows) is (rn-1)/(n-1).
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey", "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"], "__rn")
+    n = o.agg(F.count("*").alias("__n"))
+    rn, cnt = F.col("__rn"), F.col("__n")
+    q = F.floor(cnt / 10)
+    r = cnt % 10
+    big = r * (q + 1)  # rows living in the first r (larger) buckets
+    decile = (
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)))
+        .otherwise(r + F.floor((rn - 1 - big) / q))
+        + 1
+    ).cast("int")
+    pct = F.when(cnt == 1, F.lit(0.0)).otherwise(
+        (rn - 1).cast("double") / (cnt - 1).cast("double")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            decile.alias("decile"),
+            F.round(pct, 6).alias("pct_rank"),
+        )
     )
 
 

@@ -113,3 +113,44 @@ def test_no_cartesian_product_in_any_query_plan(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+def test_price_deciles_no_single_partition_window(spark):
+    """ntile/percent_rank must derive from the range-partitioned global rank,
+    not an unpartitioned window funneling the whole table into one task."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["price_deciles"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    # the only Window left is the per-partition-offset / rank machinery; no
+    # window may sort the fact table globally (SinglePartition feeding Window)
+    import re
+    for m in re.finditer(r"Window .*", plan):
+        assert "ntile" not in m.group(0) and "percent_rank" not in m.group(0), m.group(0)
+
+
+def test_global_topn_ranked_take_ordered(spark):
+    """Popularity top-N with rank: TakeOrderedAndProject cuts to N before any
+    window touches the data (no full-catalog single-task sort)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    df = global_topn_ranked(p, [F.col("p_retailprice").desc(), F.col("p_partkey")], 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_time_fraction_split_scale_path_routing(spark):
+    """Above the plan-size gate the split must range-partition (parallel
+    sort), below it the one-shuffle window is the measured winner."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.split import time_fraction_split
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    large = time_fraction_split(o, ["o_orderdate", "o_orderkey"], small_input_bytes=1)
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    small = time_fraction_split(o, ["o_orderdate", "o_orderkey"])
+    # both paths agree bit-for-bit
+    a = sorted(map(tuple, large.collect()))
+    b = sorted(map(tuple, small.collect()))
+    assert a == b
