@@ -27,6 +27,21 @@ def hash_sample(df: DataFrame, keys: Sequence[str], fraction: float, salt: str =
     return df.where(u < F.lit(fraction))
 
 
+def build_item_index(items: DataFrame, item_col: str) -> DataFrame:
+    """Dense 0..N-1 item index for ``negative_sample`` — the only
+    catalog-sized step of the sampler. At a 1e9-item catalog compute this
+    ONCE (one global row_number), persist it as a dimension table, and pass
+    it to every ``negative_sample`` call via ``item_index=``."""
+    return (
+        items.select(item_col)
+        .distinct()
+        .select(
+            F.col(item_col),
+            (F.row_number().over(Window.orderBy(F.col(item_col).asc())) - 1).alias("__i"),
+        )
+    )
+
+
 def negative_sample(
     interactions: DataFrame,
     items: DataFrame,
@@ -35,45 +50,64 @@ def negative_sample(
     n_per_user: int,
     salt: str = "neg",
     oversample: int = 4,
+    item_index: DataFrame | None = None,
+    n_items: int | None = None,
+    heavy_user_factor_cap: int = 64,
 ) -> DataFrame:
     """SE1: per-user negatives by hash-bucketed rejection sampling,
     deterministic and never materializing the |users|×|items| grid.
 
     Reference semantics: set difference + np.random.choice
-    (src/data/movielens.py:488-512). Each user draws ``oversample *
-    n_per_user`` candidate indices — draw ``t`` maps to item index
-    ``floor(hash_unit(salt, user, t) * |items|)`` — duplicates collapse to
-    their first draw, draws that hit a positive are rejected (anti join),
-    survivors rank by draw order and the first ``n_per_user`` win.
+    (src/data/movielens.py:488-512). Each user draws candidate indices —
+    draw ``t`` maps to item index ``floor(hash_unit(salt, user, t) *
+    |items|)`` — duplicates collapse to their first draw, draws that hit a
+    positive are rejected (anti join), survivors rank by draw order and the
+    first ``n_per_user`` win.
+
+    Draw budget: the base is ``oversample * n_per_user`` per user. Users
+    whose positives exceed HALF the catalog would reject most draws, so
+    their budget scales by ``ceil(N/(N-p)) * oversample`` (capped at
+    ``heavy_user_factor_cap``) — extra draws EXTEND the base sequence
+    (higher ``t``), so light users' output is bit-identical to the fixed
+    budget and a heavy user's first picks never change when the budget
+    grows. A user with every item positive draws nothing.
 
     Scale: work is O(|users| · k·n) rows, independent of catalog size — the
     draw frame is narrow, the item-index join keys on a dense bigint (AQE
-    broadcasts the index when small), and the positives anti join shuffles on
-    the natural (user, item) key. The only catalog-sized step is building the
-    dense item index (one global row_number — at 1e9 items precompute it once
-    as a dimension table instead of per query). Undershoot below n_per_user
-    needs a user whose positives cover most of k·n distinct draws — raise
-    ``oversample`` when positives approach catalog size.
+    broadcasts the index when small), and the positives anti join shuffles
+    on the natural (user, item) key. The only catalog-sized step is building
+    the dense item index; pass ``item_index=build_item_index(...)`` (and
+    ``n_items``) to amortize it across calls at 1e9 items.
     """
-    n_draws = oversample * n_per_user
-    idx = (
-        items.select(item_col)
-        .distinct()
-        .select(
-            F.col(item_col),
-            (F.row_number().over(Window.orderBy(F.col(item_col).asc())) - 1).alias("__i"),
-        )
+    base_draws = oversample * n_per_user
+    idx = item_index if item_index is not None else build_item_index(items, item_col)
+    if n_items is None:
+        n_items = idx.count()
+    pos = interactions.select(user_col, item_col).distinct()
+    pcount = pos.groupBy(user_col).agg(F.count("*").alias("__p"))
+    # per-user draw budget (pure expression over the tiny per-user count row)
+    comp = F.lit(n_items) - F.col("__p")
+    factor = F.least(
+        F.lit(heavy_user_factor_cap),
+        F.ceil(F.lit(n_items) / comp) * F.lit(oversample),
     )
-    n_items = idx.count()
-    users = interactions.select(user_col).distinct()
-    draws = users.select(
-        F.col(user_col), F.explode(F.sequence(F.lit(0), F.lit(n_draws - 1))).alias("__t")
+    d = (
+        F.when(comp <= 0, F.lit(0))
+        .when(F.col("__p") * 2 <= F.lit(n_items), F.lit(base_draws))
+        .otherwise(F.lit(base_draws) * factor)
     )
+    users = pcount.select(F.col(user_col), d.cast("int").alias("__d"))
+    # sequence(0, -1) would count DOWN (implicit -1 step); emit an empty
+    # array for zero-budget users so explode drops them instead
+    seq = F.when(
+        F.col("__d") > 0, F.sequence(F.lit(0), F.col("__d") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    draws = users.select(F.col(user_col), F.explode(seq).alias("__t"))
     u = hash_unit(F.lit(salt), F.col(user_col), F.col("__t"))
     draws = draws.withColumn("__i", F.floor(u * F.lit(float(n_items))).cast("long"))
     cand = (
         draws.join(idx, "__i")
-        .join(interactions.select(user_col, item_col).distinct(), [user_col, item_col], "left_anti")
+        .join(pos, [user_col, item_col], "left_anti")
         .groupBy(user_col, item_col)
         .agg(F.min("__t").alias("__t"))
     )

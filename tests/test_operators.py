@@ -406,3 +406,40 @@ def test_tree_scorer_is_single_arrow_stage(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_negative_sample_heavy_user_exact_n_and_index_path(spark):
+    """Adaptive draw budget: a user whose positives cover 80% of the catalog
+    still gets EXACTLY n negatives (the fixed base budget used to undershoot);
+    a fully-saturated user draws nothing; the precomputed-index path is
+    bit-identical to the inline one."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sampling import (
+        build_item_index,
+        negative_sample,
+    )
+
+    items = spark.createDataFrame([(i,) for i in range(20)], "i int")
+    rows = (
+        [(1, i) for i in range(16)]      # heavy: 16/20 positive, complement=4
+        + [(2, 0), (2, 1)]               # light
+        + [(3, i) for i in range(20)]    # saturated: complement empty
+    )
+    inter = spark.createDataFrame(rows, "u int, i int")
+    out = negative_sample(inter, items, "u", "i", n_per_user=4)
+    got = [(r["u"], r["i"]) for r in out.collect()]
+    from collections import Counter
+
+    per_user = Counter(u for u, _ in got)
+    assert per_user[1] == 4, per_user     # heavy user reaches exact n
+    assert per_user[2] == 4, per_user
+    assert 3 not in per_user, per_user    # nothing to draw from
+    assert not (set(got) & set(rows))
+
+    idx = build_item_index(items, "i")
+    again = [
+        (r["u"], r["i"])
+        for r in negative_sample(
+            inter, items, "u", "i", n_per_user=4, item_index=idx, n_items=20
+        ).collect()
+    ]
+    assert sorted(again) == sorted(got)
