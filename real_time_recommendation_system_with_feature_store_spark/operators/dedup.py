@@ -237,18 +237,28 @@ def minhash_lsh_dedup(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # One eager snapshot of the (slim) survivor set per call, after which
+    # every intermediate cache is released — persisting without a paired
+    # unpersist pins partitions in the CacheManager for the session lifetime
+    # (one leak per call in a long-lived driver); a localCheckpoint snapshot
+    # is GC-managed and freed when the caller drops the result.
     if verify_threshold is None:
+        cand = cand.localCheckpoint(eager=True)
+        (band_rows if kernel == "arrow" else sig).unpersist()
         return cand
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size("__sh_a") + F.size("__sh_b") - inter
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 6))
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
-    )
+    ).localCheckpoint(eager=True)
+    (band_rows if kernel == "arrow" else sig).unpersist()
+    sh.unpersist()
+    return out
 
 
 def simhash(text, bits: int = 64):
@@ -344,13 +354,17 @@ def simhash_dedup(
     a = banded.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"), "__band", "__bh")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"), "__band", "__bh")
     hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
-    return (
+    # snapshot the survivor pairs, then release the band cache (see
+    # minhash_lsh_dedup — an unpaired persist leaks for the session lifetime)
+    out = (
         a.join(b, ["__band", "__bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming)
         .select("id_a", "id_b", "hamming")
-    )
+    ).localCheckpoint(eager=True)
+    banded.unpersist()
+    return out
 
 
 def connected_components(
@@ -401,7 +415,14 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias("node_id"), F.col("label").alias("cluster_id"))
+    # snapshot the (|nodes|-sized) label table so the input caches can be
+    # released NOW — a bare `return labels.select(...)` would leak the final
+    # round's persist for the session lifetime (long-lived drivers accumulate)
+    out = labels.select(
+        F.col("node").alias("node_id"), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def cross_corpus_overlap(
@@ -433,7 +454,12 @@ def cross_corpus_overlap(
     if broadcast_eval is None:
         from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
 
-        broadcast_eval = _plan_size_bytes(eval_df.select(id_col, text_col)) <= (32 << 20)
+        # the broadcast payload is the EXPLODED shingle frame: each word lands
+        # in up to n shingles of n words, so it's ~n× the raw text estimate —
+        # scale the 32MB budget down by n so the gate bounds what actually ships
+        broadcast_eval = _plan_size_bytes(eval_df.select(id_col, text_col)) <= (
+            (32 << 20) // max(n, 1)
+        )
     tsh = train.select(
         F.col(id_col).alias("train_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__s"),
