@@ -1545,6 +1545,26 @@ def rec_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "als_item_embeddings",
+    oracle=None,
+    doc="In-engine embedding production (reference lifecycle "
+        "scripts/train_movielens.py -> two_tower.py:516-546): implicit-ALS "
+        "matrix factorization over click counts produces the (item_id, "
+        "embedding) table the ANN tiers consume. Rows-only: iterative ML has "
+        "no SQL form; tests/test_models.py checks shape, determinism of row "
+        "coverage, and ALS-top-k recall vs the popularity baseline.",
+)
+def als_item_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.models import train_item_embeddings
+
+    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
+        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
+    )
+    emb = train_item_embeddings(ev, "user_id", "item_id", rank=8, max_iter=5)
+    return emb.select("item_id", F.size("embedding").alias("dim")).orderBy("item_id")
+
+
 # ================================================================ multimodal plumbing
 
 @query(

@@ -113,6 +113,12 @@ def _running_totals_processor():
     typed-state successor to applyInPandasWithState (ValueState survives
     micro-batches in the RocksDB state store; no hand-rolled state tuple
     threading). Same ST4 semantics as session_depth_stream, modern API.
+
+    EXPERIMENTAL: the transformWithState runtime needs protobuf (its Python
+    worker <-> state-server protocol), which this container lacks, so this
+    twin has never executed here (its test self-skips). The SUPPORTED
+    stateful surface is ``applyInPandasWithState`` (session_depth_stream
+    above) — runtime-verified by tests/test_stateful_streaming.py.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
