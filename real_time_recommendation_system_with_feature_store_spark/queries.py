@@ -3082,69 +3082,65 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- driver window
 # The round driver records a correctness row for the FIRST 50 registered
-# queries only, so registration order is an evidence budget. The window holds
-# (a) queries whose output contract changed this round (canonicalization,
-# re-implemented sampling, the as-of carry fix), (b) everything that had no
-# driver row in round 1 (former entries 51-84), and (c) this round's new
-# operators. Queries verified green in round 1 and unchanged since keep that
-# standing evidence and move behind the window.
+# queries only, so registration order is an evidence budget. Round-3 window:
+# (a) everything whose code or shared operator changed this round (the IVF
+# session fix, plan-shape rework of deciles/splits/top-N ranking, the
+# adaptive negative sampler, dedup cache release, the new ALS producer),
+# (b) the 32 entries whose last green row is round 1 (shared infra moved
+# under them since), (c) r2-green queries sitting on changed files
+# (knn/topk/sampling/asof). Every excluded entry has a green round-2 row.
 _DRIVER_WINDOW = [
-    # canonicalization-fixed (r01 hash-mismatch, values verified equal)
-    "pricing_summary",
-    "top_building_orders",
-    "region_revenue",
-    "customer_order_profile",
-    "priority_mix",
-    "user_activity_windows",
-    "item_trending_scores",
-    "item_interaction_counts",
-    "sessionize_events",
-    "tumbling_window_counts",
-    "revenue_rollup",
-    "event_type_pivot",
-    # semantics changed this round -> fresh evidence
-    "negative_samples",
-    "asof_purchase_click",
-    # new this round
-    "ranking_metrics_multi_k",
-    "tree_rerank_topk",
-    # no driver row in round 1 (former entries 51-84)
-    "inter_event_gaps",
-    "price_deciles",
-    "status_priority_cube",
-    "embedding_near_dup",
     "ivf_ann_topk",
-    "doc_signatures",
-    "segment_code_map",
-    "nations_with_presence",
-    "customers_with_orders",
-    "event_value_norm",
-    "stratified_event_sample",
-    "session_window_stats",
+    "price_deciles",
+    "ranking_metrics_multi_k",
+    "negative_samples",
+    "minhash_dedup_candidates",
+    "simhash_dedup_candidates",
     "dedup_clusters",
-    "rolling_user_velocity",
-    "salted_event_counts",
-    "user_first_last_events",
-    "large_order_customers",
-    "small_qty_brand_revenue",
-    "rich_inactive_customers",
-    "nation_top_balance_customers",
-    "late_ship_priority_counts",
-    "view_click_attribution",
-    "token_budget_packing",
     "eval_contamination_pairs",
-    "corpus_filter_funnel",
+    "als_item_embeddings",
+    "event_type_stats",
+    "collect_event_types",
+    "time_split_orders",
+    "leave_one_out_events",
+    "kcore_events",
+    "point_in_time_features",
+    "segment_codes",
+    "acctbal_zscore",
+    "brand_top_parts",
+    "global_top_parts",
+    "supplier_running_totals",
+    "customers_without_orders",
+    "click_and_purchase_users",
+    "order_date_features",
+    "part_name_features",
+    "text_quality",
+    "lang_id_confusion",
+    "doc_dedup_exact",
+    "jaccard_similar_pairs",
+    "embedding_norms",
+    "knn_cosine_topk",
+    "segment_recommendations",
+    "popularity_ranking_metrics",
+    "coverage_novelty",
+    "rec_diversity",
+    "multimodal_metadata",
+    "linear_rerank_topk",
+    "tfidf_top_terms",
+    "sliding_window_counts",
+    "value_percentiles",
+    "part_type_multihot",
+    "user_event_arrays",
+    "lsh_ann_topk",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup",
     "two_stage_recommendations",
-    "gopher_quality_flags",
-    "daily_user_activity_spine",
-    "props_variant_stats",
-    "user_value_scd2",
-    "promo_revenue_share",
-    "nation_pair_trade_volume",
-    "brand_supplier_diversity",
     "weighted_doc_sample",
+    "stratified_event_sample",
+    "nation_top_balance_customers",
+    "user_value_scd2",
+    "asof_purchase_click",
 ]
-
 
 def _reorder_registry() -> None:
     assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
