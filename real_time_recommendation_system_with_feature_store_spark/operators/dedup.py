@@ -176,6 +176,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     verify_threshold: float | None = 0.8,
     kernel: str = "arrow",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs (optionally verified).
 
@@ -184,6 +185,12 @@ def minhash_lsh_dedup(
     banding: ``bands`` bands of r=num_hashes/bands rows; docs sharing any band
     hash become candidates (join key = (band_idx, band_hash) — uniform).
     verify: exact shingle Jaccard >= verify_threshold (None skips — pure LSH).
+
+    ``materialize=True`` (default) eagerly snapshots the result and releases
+    every intermediate cache before returning (no persist leaks in long-lived
+    drivers). ``materialize=False`` returns the lazy plan — the caller owns
+    the intermediate persists for the session lifetime; used by plan tests
+    that need to inspect the join shape.
 
     Returns (id_a, id_b [, jaccard]).
     """
@@ -243,6 +250,8 @@ def minhash_lsh_dedup(
     # (one leak per call in a long-lived driver); a localCheckpoint snapshot
     # is GC-managed and freed when the caller drops the result.
     if verify_threshold is None:
+        if not materialize:
+            return cand
         cand = cand.localCheckpoint(eager=True)
         (band_rows if kernel == "arrow" else sig).unpersist()
         return cand
@@ -255,7 +264,10 @@ def minhash_lsh_dedup(
         pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 6))
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
-    ).localCheckpoint(eager=True)
+    )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
     (band_rows if kernel == "arrow" else sig).unpersist()
     sh.unpersist()
     return out

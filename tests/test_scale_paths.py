@@ -268,7 +268,9 @@ def test_minhash_band_join_rows_are_slim(spark):
     band = _band_rows_arrow(sh, "doc_id", 32, 8)
     assert band.columns == ["doc_id", "__band", "__bh"]
 
-    out = minhash_lsh_dedup(d, "text", "doc_id", verify_threshold=None)
+    # materialize=False keeps the lazy plan visible (the default eagerly
+    # checkpoints, which collapses the executed plan to an RDD scan)
+    out = minhash_lsh_dedup(d, "text", "doc_id", verify_threshold=None, materialize=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     joins = plan.split("Join")
     band_join = next(p for p in joins if "__band" in p or "__bh" in p)
