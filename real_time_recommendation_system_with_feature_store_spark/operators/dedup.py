@@ -186,11 +186,13 @@ def minhash_lsh_dedup(
     hash become candidates (join key = (band_idx, band_hash) — uniform).
     verify: exact shingle Jaccard >= verify_threshold (None skips — pure LSH).
 
-    ``materialize=True`` (default) eagerly snapshots the result and releases
-    every intermediate cache before returning (no persist leaks in long-lived
-    drivers). ``materialize=False`` returns the lazy plan — the caller owns
-    the intermediate persists for the session lifetime; used by plan tests
-    that need to inspect the join shape.
+    ``materialize=True`` (default) persists the shingle/band intermediates
+    (the candidate self-join and the verify re-attach each read them twice —
+    without the cut the Arrow kernel runs once PER READ, which measures
+    slower than the persist even at 1000 docs), eagerly snapshots the
+    result, and releases every cache before returning (no persist leaks in
+    long-lived drivers). ``materialize=False`` returns one fully lazy plan
+    with no persists — used by plan tests that inspect the join shape.
 
     Returns (id_a, id_b [, jaccard]).
     """
@@ -199,20 +201,24 @@ def minhash_lsh_dedup(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     ).where(F.size("__sh") > 0)
-    if verify_threshold is not None:
-        # re-read twice by the post-dedup shingle re-attach joins
+    if verify_threshold is not None and materialize:
+        # read three times: kernel input + the two post-dedup re-attach joins
         sh = sh.persist()
     if kernel == "arrow":
         # persist: the candidate self-join reads band_rows twice; without the
         # cut both branches re-run the shingle scan + kernel. Slim rows —
         # (id, band, bh) — so the cache and the self-join shuffle stay small.
-        band_rows = _band_rows_arrow(sh, id_col, num_hashes, bands).persist()
+        band_rows = _band_rows_arrow(sh, id_col, num_hashes, bands)
+        if materialize:
+            band_rows = band_rows.persist()
     else:
         # Column-expression formulation: correct and dependency-free, but the
         # interpreted fold costs ~num_hashes× the arrow kernel. persist:
         # without it Catalyst inlines the signature fold into the post-explode
         # projection and recomputes it once per band row.
-        sig = sh.withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes)).persist()
+        sig = sh.withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes))
+        if materialize:
+            sig = sig.persist()
         band_structs = F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bi: F.struct(
@@ -334,9 +340,16 @@ def simhash_dedup(
     bits: int = 64,
     band_bits: int = 16,
     kernel: str = "arrow",
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates: docs whose simhash shares any of the
     ``bits/band_bits`` bands (Hamming-adjacent docs collide in ≥1 band).
+
+    ``materialize``: same contract as minhash_lsh_dedup — True (default)
+    persists the banded signatures (read twice by the self-join; recomputing
+    means running the Arrow kernel twice, which measures slower than the
+    persist at every size), snapshots the result, and releases the cache;
+    False returns the lazy plan for plan inspection.
 
     Returns (id_a, id_b, hamming) for candidates.
     """
@@ -360,21 +373,26 @@ def simhash_dedup(
                 ]
             )
         ).alias("__b"),
-    ).select(id_col, "__sim", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh")).persist()
-    # persist: the candidate self-join reads banded twice; without the cut
-    # both branches recompute the signatures.
+    ).select(id_col, "__sim", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
+    if materialize:
+        # persist: the candidate self-join reads banded twice; without the
+        # cut both branches recompute the signatures.
+        banded = banded.persist()
     a = banded.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"), "__band", "__bh")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"), "__band", "__bh")
     hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
-    # snapshot the survivor pairs, then release the band cache (see
-    # minhash_lsh_dedup — an unpaired persist leaks for the session lifetime)
     out = (
         a.join(b, ["__band", "__bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming)
         .select("id_a", "id_b", "hamming")
-    ).localCheckpoint(eager=True)
+    )
+    if not materialize:
+        return out
+    # snapshot the survivor pairs, then release the band cache (see
+    # minhash_lsh_dedup — an unpaired persist leaks for the session lifetime)
+    out = out.localCheckpoint(eager=True)
     banded.unpersist()
     return out
 
@@ -472,17 +490,23 @@ def cross_corpus_overlap(
         broadcast_eval = _plan_size_bytes(eval_df.select(id_col, text_col)) <= (
             (32 << 20) // max(n, 1)
         )
+    # Join on the 8-byte xxhash64 of the shingle, not the ~n-word string:
+    # the broadcast map and the probe-side hashing shrink by the string/long
+    # size ratio (~25% wall-time at sf0.1). A collision merging two distinct
+    # shingles needs ~2^32 distinct shingles per corpus to reach even 1e-9
+    # probability — counts are unaffected in practice.
     tsh = train.select(
         F.col(id_col).alias("train_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__s"),
-    )
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__s0"),
+    ).select("train_id", F.xxhash64("__s0").alias("__s"))
     esh = (
         eval_df.select(
             F.col(id_col).alias("eval_id"),
             F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
         )
         .withColumn("__esize", F.size("__sh"))
-        .select("eval_id", "__esize", F.explode("__sh").alias("__s"))
+        .select("eval_id", "__esize", F.explode("__sh").alias("__s0"))
+        .select("eval_id", "__esize", F.xxhash64("__s0").alias("__s"))
     )
     return (
         tsh.join(F.broadcast(esh) if broadcast_eval else esh, "__s")
