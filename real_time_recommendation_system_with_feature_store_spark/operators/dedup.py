@@ -17,7 +17,7 @@ Column-expression formulation kept as `kernel="expr"` for comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from real_time_recommendation_system_with_feature_store_spark.functions.text import fingerprint, tokens, word_shingles
@@ -108,19 +108,71 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def _band_rows_arrow(sh: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+# ---- portable (SQL-reproducible) hashing --------------------------------
+#
+# xxhash64 is Spark-only, so queries built on it can only get rows-only
+# driver checks. ``hash_fn="portable"`` swaps the base hash for the first 60
+# bits of md5 (both Spark and DuckDB can compute it: Spark
+# conv(substr(md5(s),1,15),16,10), DuckDB ('0x'||substr(md5(s),1,15))::BIGINT)
+# and the permutation family for the textbook a*h+b mod p with p=2^31-1 —
+# every term stays < 2^62, so the arithmetic is exact in signed 64-bit in
+# BOTH engines and under ANSI overflow checking. Production defaults remain
+# xxhash64 (one JVM intrinsic vs md5+conv per shingle).
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+
+def portable_hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — the cross-engine base
+    hash of the portable MinHash/SimHash tier."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_permutation_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """(a_i, b_i) for the portable permutation family, derived from SplitMix64
+    so Spark kernels and generated oracle SQL share literal constants."""
+    a = [(_splitmix64(2 * i) % (MERSENNE_P - 1)) + 1 for i in range(num_hashes)]
+    b = [_splitmix64(2 * i + 1) % MERSENNE_P for i in range(num_hashes)]
+    return a, b
+
+
+def _minhash_signature_portable(shingles, num_hashes: int):
+    """Portable-mode signature: same one-fold shape as ``_minhash_signature``
+    with (a_i*h + b_i) mod p permutations over the md5-60 base hash."""
+    a, b = minhash_permutation_constants(num_hashes)
+    arr_a = F.array(*[F.lit(x) for x in a])
+    arr_b = F.array(*[F.lit(x) for x in b])
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        F.transform(shingles, lambda s: portable_hash60(s) % MERSENNE_P),
+        F.transform(seeds, lambda i: F.lit(MERSENNE_P).cast("long")),
+        lambda acc, h: F.zip_with(
+            acc,
+            seeds,
+            lambda m, i: F.least(
+                m, (F.element_at(arr_a, i + 1) * h + F.element_at(arr_b, i + 1)) % MERSENNE_P
+            ),
+        ),
+    )
+
+
+def _band_rows_arrow(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(id, shingles) -> exploded SLIM (id, band, band_hash) rows via an
     Arrow/numpy kernel.
 
-    The JVM hashes each shingle string ONCE (xxhash64); the kernel then runs
-    the O(shingles x num_hashes) part — min over ``num_hashes``
-    multiply-shift permutations ``a_i*h + b_i (mod 2^64)`` — as one
-    vectorized uint64 matrix op per doc, and folds each band's slice into a
-    64-bit band hash. Only the hashed-long array crosses the Arrow boundary
-    (not the shingle strings), and the output carries no payload — the
-    downstream candidate self-join shuffles ~24-byte rows, never shingle
-    arrays (the 100 TB shuffle-cost point; shingles re-attach AFTER pair
-    dedup, see minhash_lsh_dedup).
+    The JVM hashes each shingle string ONCE (xxhash64, or md5-60 in
+    ``hash_fn="portable"`` mode); the kernel then runs the
+    O(shingles x num_hashes) part — min over ``num_hashes`` permutations
+    (multiply-shift ``a_i*h + b_i (mod 2^64)``; portable: ``a_i*h + b_i mod
+    2^31-1``, the family oracle SQL can reproduce) — as one vectorized
+    matrix op per doc, and folds each band's slice into a 64-bit band hash.
+    Only the hashed-long array crosses the Arrow boundary (not the shingle
+    strings), and the output carries no payload — the downstream candidate
+    self-join shuffles ~24-byte rows, never shingle arrays (the 100 TB
+    shuffle-cost point; shingles re-attach AFTER pair dedup, see
+    minhash_lsh_dedup).
     """
     import numpy as np
     import pandas as pd
@@ -135,8 +187,14 @@ def _band_rows_arrow(sh: DataFrame, id_col: str, num_hashes: int, bands: int) ->
         ]
     )
     rows_per_band = num_hashes // bands
-    mult = np.array([_splitmix64(2 * i) | 1 for i in range(num_hashes)], dtype=np.uint64)
-    add = np.array([_splitmix64(2 * i + 1) for i in range(num_hashes)], dtype=np.uint64)
+    portable = hash_fn == "portable"
+    if portable:
+        pa_, pb_ = minhash_permutation_constants(num_hashes)
+        mult = np.array(pa_, dtype=np.int64)
+        add = np.array(pb_, dtype=np.int64)
+    else:
+        mult = np.array([_splitmix64(2 * i) | 1 for i in range(num_hashes)], dtype=np.uint64)
+        add = np.array([_splitmix64(2 * i + 1) for i in range(num_hashes)], dtype=np.uint64)
     gold = np.uint64(0x9E3779B97F4A7C15)
     band_idx = np.arange(bands, dtype=np.int32)
 
@@ -144,8 +202,15 @@ def _band_rows_arrow(sh: DataFrame, id_col: str, num_hashes: int, bands: int) ->
         for pdf in batches:
             ids, bds, bhs = [], [], []
             for doc_id, base in zip(pdf[id_col], pdf["__h"]):
-                h = np.asarray(base, dtype=np.int64).view(np.uint64)
-                sig = (mult[:, None] * h[None, :] + add[:, None]).min(axis=1)
+                if portable:
+                    # h < p and a_i < p, so a_i*h + b_i < 2^62: exact in int64
+                    h = np.asarray(base, dtype=np.int64)
+                    sig = ((mult[:, None] * h[None, :] + add[:, None]) % MERSENNE_P).min(
+                        axis=1
+                    ).astype(np.uint64)
+                else:
+                    h = np.asarray(base, dtype=np.int64).view(np.uint64)
+                    sig = (mult[:, None] * h[None, :] + add[:, None]).min(axis=1)
                 sig_by_band = sig.reshape(bands, rows_per_band)
                 acc = np.zeros(bands, dtype=np.uint64)
                 for j in range(rows_per_band):
@@ -161,9 +226,10 @@ def _band_rows_arrow(sh: DataFrame, id_col: str, num_hashes: int, bands: int) ->
                 }
             )
 
-    hashed = sh.select(
-        id_col, F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h")
+    base_hash = (
+        (lambda s: portable_hash60(s) % MERSENNE_P) if portable else (lambda s: F.xxhash64(s))
     )
+    hashed = sh.select(id_col, F.transform("__sh", base_hash).alias("__h"))
     return hashed.mapInPandas(gen, out_schema)
 
 
@@ -177,11 +243,16 @@ def minhash_lsh_dedup(
     verify_threshold: float | None = 0.8,
     kernel: str = "arrow",
     materialize: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs (optionally verified).
 
     signatures: num_hashes minhashes per doc (deterministic — xxhash64 base
     hash; arrow kernel permutes with fixed multiply-shift constants).
+    ``hash_fn="portable"`` swaps in the md5-60 base hash + mod-p permutation
+    family that generated DuckDB oracle SQL can reproduce exactly (see the
+    portable-hashing block above) — the driver's hash-check gate runs the
+    whole MinHash pipeline differentially instead of rows-only.
     banding: ``bands`` bands of r=num_hashes/bands rows; docs sharing any band
     hash become candidates (join key = (band_idx, band_hash) — uniform).
     verify: exact shingle Jaccard >= verify_threshold (None skips — pure LSH).
@@ -208,7 +279,7 @@ def minhash_lsh_dedup(
         # persist: the candidate self-join reads band_rows twice; without the
         # cut both branches re-run the shingle scan + kernel. Slim rows —
         # (id, band, bh) — so the cache and the self-join shuffle stay small.
-        band_rows = _band_rows_arrow(sh, id_col, num_hashes, bands)
+        band_rows = _band_rows_arrow(sh, id_col, num_hashes, bands, hash_fn)
         if materialize:
             band_rows = band_rows.persist()
     else:
@@ -216,7 +287,10 @@ def minhash_lsh_dedup(
         # interpreted fold costs ~num_hashes× the arrow kernel. persist:
         # without it Catalyst inlines the signature fold into the post-explode
         # projection and recomputes it once per band row.
-        sig = sh.withColumn("__sig", _minhash_signature(F.col("__sh"), num_hashes))
+        signature = (
+            _minhash_signature_portable if hash_fn == "portable" else _minhash_signature
+        )
+        sig = sh.withColumn("__sig", signature(F.col("__sh"), num_hashes))
         if materialize:
             sig = sig.persist()
         band_structs = F.transform(
@@ -279,14 +353,16 @@ def minhash_lsh_dedup(
     return out
 
 
-def simhash(text, bits: int = 64):
+def simhash(text, bits: int = 64, hash_fn: str = "xxhash64"):
     """64-bit SimHash of whitespace tokens as a signed long Column.
 
-    Per token: xxhash64 → for each bit position, vote +1/-1; sign of the vote
-    total sets the bit. Pure higher-order-function expression.
+    Per token: xxhash64 (or md5-60 in portable mode) → for each bit
+    position, vote +1/-1; sign of the vote total sets the bit. Pure
+    higher-order-function expression.
     """
     toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    token_hash = portable_hash60 if hash_fn == "portable" else F.xxhash64
+    hashes = F.transform(toks, lambda t: token_hash(t))
     def bit_vote(i: int):
         votes = F.aggregate(
             hashes,
@@ -300,9 +376,11 @@ def simhash(text, bits: int = 64):
     return out
 
 
-def _simhash_arrow(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+def _simhash_arrow(
+    df: DataFrame, text_col: str, id_col: str, bits: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(id, text) -> (id, __sim): same SimHash values as ``simhash()`` —
-    identical xxhash64 token hashes (computed JVM-side, one per token), bit
+    identical token hashes (computed JVM-side, one per token), bit
     votes vectorized in numpy instead of 64 interpreted aggregate folds."""
     import numpy as np
     import pandas as pd
@@ -327,8 +405,10 @@ def _simhash_arrow(df: DataFrame, text_col: str, id_col: str, bits: int) -> Data
                 sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
             yield pd.DataFrame({id_col: ids, "__sim": np.asarray(sims, dtype=np.int64)})
 
+    token_hash = portable_hash60 if hash_fn == "portable" else F.xxhash64
     hashed = df.select(
-        F.col(id_col), F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h")
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: token_hash(t)).alias("__h"),
     )
     return hashed.mapInPandas(gen, out_schema)
 
@@ -341,6 +421,7 @@ def simhash_dedup(
     band_bits: int = 16,
     kernel: str = "arrow",
     materialize: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup candidates: docs whose simhash shares any of the
     ``bits/band_bits`` bands (Hamming-adjacent docs collide in ≥1 band).
@@ -351,14 +432,18 @@ def simhash_dedup(
     persist at every size), snapshots the result, and releases the cache;
     False returns the lazy plan for plan inspection.
 
+    ``hash_fn="portable"``: md5-60 token hashes reproducible in DuckDB SQL
+    (see the portable-hashing block above) so the driver's differential gate
+    can hash-check the full SimHash pipeline.
+
     Returns (id_a, id_b, hamming) for candidates.
     """
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     if kernel == "arrow":
-        sigs = _simhash_arrow(df, text_col, id_col, bits)
+        sigs = _simhash_arrow(df, text_col, id_col, bits, hash_fn)
     else:
-        sigs = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("__sim"))
+        sigs = df.select(F.col(id_col), simhash(F.col(text_col), bits, hash_fn).alias("__sim"))
     banded = sigs.select(
         id_col,
         "__sim",

@@ -11,8 +11,11 @@ Conventions for oracle hash-matching:
     truncation); the events table's ns timestamps floor to us on load exactly
     as DuckDB/pyarrow do.
 
-Approximate operators (LSH, MinHash, SimHash) have no SQL oracle — the driver
-records rows-only checks; their exact counterparts are oracle-checked.
+MinHash and SimHash run in hash_fn="portable" mode here (md5-60 base hash +
+mod-p permutations, reproducible in DuckDB SQL) so the driver hash-checks the
+full sketch pipelines differentially. The remaining rows-only entries are the
+embedding LSH/IVF tiers (data-dependent hyperplanes/centroids); their exact
+counterparts are oracle-checked.
 """
 
 from __future__ import annotations
@@ -1044,29 +1047,118 @@ def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.1)
 
 
+def _minhash_consts_values() -> str:
+    """(i, a_i, b_i) VALUES rows shared between the Spark portable kernel and
+    the generated oracle SQL — one source of truth for the constants."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import minhash_permutation_constants
+
+    a, b = minhash_permutation_constants(32)
+    return ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(32))
+
+
 @query(
     "minhash_dedup_candidates",
-    oracle=None,  # xxhash64-based MinHash has no portable SQL analog; the
-    # exact tier (jaccard_similar_pairs) is the oracle-checked counterpart.
-    doc="MinHash+LSH banding near-dup candidates, verified at J>=0.5 (rows-only check).",
+    # Full differential check of the MinHash pipeline: hash_fn="portable"
+    # uses the md5-60 base hash + (a*h+b) mod 2^31-1 permutations, which this
+    # generated SQL reproduces bit-for-bit (banding compared by signature
+    # slices — equality-equivalent to the kernel's band hash).
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    tok AS (
+      SELECT doc_id,
+        list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS w
+      FROM docs
+    ),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) >= 3
+          THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+          ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM tok
+    ),
+    shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    hr AS (
+      SELECT doc_id, ('0x' || substring(md5(s.s), 1, 15))::BIGINT % 2147483647 AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM shf) s(doc_id, s)
+    ),
+    consts(i, a, b) AS (VALUES {_minhash_consts_values()}),
+    perm AS (
+      SELECT hr.doc_id, c.i, MIN((c.a * hr.h + c.b) % 2147483647) AS sig
+      FROM hr CROSS JOIN consts c
+      GROUP BY hr.doc_id, c.i
+    ),
+    bandkey AS (
+      SELECT doc_id, i // 4 AS band, array_to_string(list(sig ORDER BY i), ',') AS bh
+      FROM perm GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bandkey x JOIN bandkey y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+      ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand c JOIN shf sa ON sa.doc_id = c.id_a JOIN shf sb ON sb.doc_id = c.id_b
+    WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+    """,
+    doc="MinHash+LSH banding near-dup candidates, verified at J>=0.5 "
+        "(portable hash family — full DuckDB differential check).",
 )
 def minhash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.dedup import minhash_lsh_dedup
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    return minhash_lsh_dedup(d, "text", "doc_id", n=3, num_hashes=32, bands=8, verify_threshold=0.5)
+    return minhash_lsh_dedup(
+        d, "text", "doc_id", n=3, num_hashes=32, bands=8, verify_threshold=0.5,
+        hash_fn="portable",
+    )
 
 
 @query(
     "simhash_dedup_candidates",
-    oracle=None,
-    doc="SimHash banded near-dup candidates with Hamming distance (rows-only check).",
+    # Differential check of the SimHash pipeline under the portable md5-60
+    # token hash: bit votes, 64-bit signature assembly, 16-bit banding, and
+    # the Hamming output all reproduced in SQL.
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    tok AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+      FROM docs
+    ),
+    hh AS (
+      SELECT doc_id, ('0x' || substring(md5(t.t), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(w) AS t FROM tok) t(doc_id, t)
+    ),
+    votes AS (
+      SELECT doc_id, bb.b AS bit, SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hh CROSS JOIN range(0, 64) bb(b)
+      GROUP BY doc_id, bb.b
+    ),
+    sims AS (
+      -- SUM(BIGINT) is HUGEINT in DuckDB; cast back (sim < 2^60 by
+      -- construction, bits 60-63 of the 60-bit base hash are always 0)
+      SELECT t.doc_id, CAST(COALESCE(s.sim, 0) AS BIGINT) AS sim
+      FROM tok t LEFT JOIN (
+        SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS sim
+        FROM votes GROUP BY doc_id
+      ) s ON t.doc_id = s.doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sim, bb.b AS band, (sim >> (bb.b * 16)) & 65535 AS bh
+      FROM sims CROSS JOIN range(0, 4) bb(b)
+    )
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, bit_count(xor(x.sim, y.sim)) AS hamming
+    FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    """,
+    doc="SimHash banded near-dup candidates with Hamming distance "
+        "(portable hash — full DuckDB differential check).",
 )
 def simhash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.dedup import simhash_dedup
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    return simhash_dedup(d, "text", "doc_id", band_bits=16)
+    return simhash_dedup(d, "text", "doc_id", band_bits=16, hash_fn="portable")
 
 
 # ================================================================ vectors / similarity search

@@ -188,6 +188,41 @@ def test_simhash_arrow_kernel_matches_expr(spark):
     assert a == x
 
 
+def test_portable_hash_kernels_match_across_formulations(spark):
+    """hash_fn="portable" must produce identical results from the Arrow
+    kernel and the Column-expression kernel — the oracle SQL is generated
+    from the same constants, so kernel divergence would silently break the
+    driver's differential check."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(F.col("doc_id") < 80)
+    a = sorted(
+        tuple(r)
+        for r in minhash_lsh_dedup(
+            d, "text", "doc_id", verify_threshold=0.5, kernel="arrow", hash_fn="portable"
+        ).collect()
+    )
+    x = sorted(
+        tuple(r)
+        for r in minhash_lsh_dedup(
+            d, "text", "doc_id", verify_threshold=0.5, kernel="expr", hash_fn="portable"
+        ).collect()
+    )
+    assert a == x
+    sa = sorted(
+        tuple(r)
+        for r in simhash_dedup(d, "text", "doc_id", kernel="arrow", hash_fn="portable").collect()
+    )
+    sx = sorted(
+        tuple(r)
+        for r in simhash_dedup(d, "text", "doc_id", kernel="expr", hash_fn="portable").collect()
+    )
+    assert sa == sx
+
+
 def test_minhash_kernels_find_verified_pairs(spark):
     """Both MinHash kernels use different (deterministic) permutation
     families, so candidate sets may differ — but every emitted pair is
