@@ -12,10 +12,12 @@ Conventions for oracle hash-matching:
     as DuckDB/pyarrow do.
 
 MinHash and SimHash run in hash_fn="portable" mode here (md5-60 base hash +
-mod-p permutations, reproducible in DuckDB SQL) so the driver hash-checks the
-full sketch pipelines differentially. The remaining rows-only entries are the
-embedding LSH/IVF tiers (data-dependent hyperplanes/centroids); their exact
-counterparts are oracle-checked.
+mod-p permutations, reproducible in DuckDB SQL) and the LSH ANN/near-dup
+tiers reproduce their SplitMix64 hyperplane bucketing in generated SQL — all
+four sketch pipelines are hash-checked differentially end to end. The one
+rows-only entry left is ivf_ann_topk: its k-means centroids come from an
+iterative algorithm with no SQL analog; its exact counterpart
+(knn_cosine_topk) is oracle-checked.
 """
 
 from __future__ import annotations
@@ -1212,10 +1214,69 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(q, it, "query_id", "item_id", k=5)
 
 
+def _sql_modmul64(x: str, c: int) -> str:
+    """a*b mod 2^64 in DuckDB without INT128 overflow: split the UBIGINT
+    operand into 32-bit halves so every intermediate product stays < 2^96."""
+    return (
+        f"CAST(((({x} >> 32)::HUGEINT * {c}) % 4294967296 * 4294967296 + "
+        f"({x} & 4294967295)::HUGEINT * {c}) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _lsh_buckets_cte() -> str:
+    """Oracle CTEs reproducing operators/knn.py::_bucket_rows_arrow exactly:
+    SplitMix64 over the flat (table,plane,component) index gives the ±1
+    hyperplanes (dim=64, n_planes=4, n_tables=8); the bucket key packs
+    (table << 4) | sign bits. Projections use the RAW double vectors — the
+    kernel projects L2-normalized rows, but the norm is positive so the sign
+    (all that the bucket needs) is identical."""
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    flat AS (
+      SELECT t.t, p.p, i.i, CAST((t.t * 4 + p.p) * 64 + i.i AS UBIGINT) AS f
+      FROM range(0, 8) t(t), range(0, 4) p(p), range(0, 64) i(i)
+    ),
+    s1 AS (SELECT t, p, i, CAST((f::HUGEINT + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x1 FROM flat),
+    s2 AS (SELECT t, p, i, {_sql_modmul64('xor(x1, x1 >> 30)', 13787848793156543929)} AS x2 FROM s1),
+    s3 AS (SELECT t, p, i, {_sql_modmul64('xor(x2, x2 >> 27)', 10723151780598845931)} AS x3 FROM s2),
+    sgn AS (SELECT t, p, i, CASE WHEN (xor(x3, x3 >> 31) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s FROM s3),
+    planes AS (SELECT t, p, list(s ORDER BY i) AS sv FROM sgn GROUP BY t, p),
+    proj AS (
+      SELECT e.vec_id, pl.t, pl.p, list_dot_product(e.v, pl.sv) AS proj
+      FROM e CROSS JOIN planes pl
+    ),
+    buckets AS (
+      SELECT vec_id, (t * 16) + SUM(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, t
+    )"""
+
+
 @query(
     "lsh_ann_topk",
-    oracle=None,  # approximate tier — exact counterpart is knn_cosine_topk
-    doc="Approximate ANN: sign-random-projection LSH buckets + exact rescoring (rows-only).",
+    # Full differential check: the hyperplane family is deterministic
+    # (SplitMix64), so the bucketing — not just the rescoring — is
+    # reproduced in SQL. list_cosine_similarity matches the kernel's
+    # normalized-dot round6 bit-for-bit (proven by knn_cosine_topk).
+    oracle=f"""
+    WITH {_lsh_buckets_cte()},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, i.vec_id AS iid
+      FROM buckets q JOIN buckets i ON q.bucket = i.bucket AND q.vec_id != i.vec_id
+      WHERE q.vec_id < 10
+    ),
+    s AS (
+      SELECT c.qid, c.iid, ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
+      FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.iid
+    ),
+    r AS (
+      SELECT qid AS query_id, iid AS item_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS INTEGER) AS rank
+      FROM s
+    )
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= 5
+    """,
+    doc="Approximate ANN: sign-random-projection LSH buckets + exact "
+        "rescoring (full DuckDB differential check incl. the bucketing).",
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import lsh_topk
@@ -1228,9 +1289,18 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_near_dup_lsh",
-    oracle=None,  # approximate tier — exact counterpart is embedding_near_dup
-    doc="Scale-path near-dup: LSH bucket self-join + exact rescore (rows-only; "
-        "emits a verified subset of embedding_near_dup).",
+    oracle=f"""
+    WITH {_lsh_buckets_cte()},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b, ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    """,
+    doc="Scale-path near-dup: LSH bucket self-join + exact rescore (full "
+        "DuckDB differential check; emits a verified subset of embedding_near_dup).",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import lsh_near_dup_pairs
