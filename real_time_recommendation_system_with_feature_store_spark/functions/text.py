@@ -134,3 +134,75 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     for j in range(1, n):
         acc = F.zip_with(acc, F.slice(toks, 1 + j, width), lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(k >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_repetition_profile(df, text_col: str, id_col: str):
+    """Gopher-style n-gram repetition signals per document (DataFrame-level —
+    the counts need a grouped pass, not a scalar expression).
+
+    Reference analog: the corpus-hygiene layer a pretraining pipeline applies
+    beyond gopher-style static bounds (Rae et al. 2021 §A1.1 repetition
+    rules), adapted to word fractions: with c(g) = occurrences of word n-gram
+    g in the doc and W = token count,
+
+      top2_frac = min(1, max_g c_2(g) * 2 / W)    (0 when W < 2)
+      top3_frac = min(1, max_g c_3(g) * 3 / W)    (0 when W < 3)
+      dup5_frac = min(1, sum over duplicated 5-grams of c_5(g) * 5 / W)
+
+    Occurrence-times-width over-counts overlapping repeats ("x x x x": the
+    top 2-gram occurs 3 times but covers only 4 words), so every fraction is
+    capped at 1.0 — a documented deviation from Gopher's character-coverage
+    form, which needs span arithmetic.
+
+    Plan shape: ONE scan explodes all three shingle widths tagged by n
+    (grams from the n<k fallback of word_shingles are excluded — a 1-word
+    doc has no 2-grams), one shuffle on (id, n, gram) for the counts, one on
+    (id) for the per-doc profile. Both keys are document-scoped: no global
+    hotspots at corpus scale.
+
+    Returns (id, n_words, top2_frac, top3_frac, dup5_frac).
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+
+    def tagged(n: int):
+        sh = word_shingles(F.col(text_col), n)
+        guarded = F.when(n_words >= n, sh).otherwise(F.array().cast("array<string>"))
+        return F.transform(guarded, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    grams = df.select(
+        F.col(id_col),
+        n_words.alias("__w"),
+        F.explode_outer(
+            F.concat(tagged(2), tagged(3), tagged(5))
+        ).alias("__t"),
+    )
+    counts = (
+        grams.groupBy(id_col, "__w", F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
+        .agg(F.count("*").alias("__c"))
+    )
+    prof = (
+        counts.groupBy(id_col, "__w")
+        .agg(
+            F.max(F.when(F.col("__n") == 2, F.col("__c"))).alias("__top2"),
+            F.max(F.when(F.col("__n") == 3, F.col("__c"))).alias("__top3"),
+            F.sum(
+                F.when((F.col("__n") == 5) & (F.col("__c") >= 2), F.col("__c"))
+            ).alias("__dup5"),
+        )
+    )
+    w = F.col("__w").cast("double")
+    def frac(count_col: Column, n: int) -> Column:
+        return F.round(
+            F.least(F.coalesce(count_col * n / w, F.lit(0.0)), F.lit(1.0)), 6
+        )
+
+    return prof.select(
+        F.col(id_col),
+        F.col("__w").cast("int").alias("n_words"),
+        frac(F.col("__top2"), 2).alias("top2_frac"),
+        frac(F.col("__top3"), 3).alias("top3_frac"),
+        frac(F.col("__dup5"), 5).alias("dup5_frac"),
+    )

@@ -2980,6 +2980,46 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_repetition_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+        list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(w) AS nw, n.n AS n,
+        unnest(CASE WHEN len(w) >= n.n
+          THEN list_transform(range(1, len(w) - n.n + 2), i -> array_to_string(w[i:i+n.n-1], ' '))
+          ELSE [] END) AS gram
+      FROM t, (SELECT unnest([2, 3, 5]) AS n) n
+    ),
+    counts AS (SELECT doc_id, nw, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, nw, n, gram),
+    prof AS (
+      SELECT doc_id,
+        MAX(CASE WHEN n = 2 THEN c END) AS top2,
+        MAX(CASE WHEN n = 3 THEN c END) AS top3,
+        CAST(SUM(CASE WHEN n = 5 AND c >= 2 THEN c END) AS BIGINT) AS dup5
+      FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.w) AS INTEGER) AS n_words,
+      ROUND(LEAST(COALESCE(p.top2 * 2.0 / len(t.w), 0.0), 1.0), 6) AS top2_frac,
+      ROUND(LEAST(COALESCE(p.top3 * 3.0 / len(t.w), 0.0), 1.0), 6) AS top3_frac,
+      ROUND(LEAST(COALESCE(p.dup5 * 5.0 / len(t.w), 0.0), 1.0), 6) AS dup5_frac
+    FROM t LEFT JOIN prof p ON t.doc_id = p.doc_id
+    """,
+    doc="Gopher-style n-gram repetition profile (top-2/3-gram fraction, "
+        "duplicated-5-gram fraction) — the repetition-rule layer of a "
+        "pretraining filter stack; one scan, doc-scoped shuffle keys.",
+)
+def ngram_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import ngram_repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_repetition_profile(d, "text", "doc_id")
+
+
+@query(
     "daily_user_activity_spine",
     oracle="""
     WITH users AS (SELECT DISTINCT user_id FROM events),
@@ -3300,7 +3340,9 @@ _DRIVER_WINDOW = [
     "weighted_doc_sample",
     "stratified_event_sample",
     "nation_top_balance_customers",
-    "user_value_scd2",
+    # ngram_repetition_signals is NEW in r3 (needs its first driver row);
+    # it displaces user_value_scd2, whose r2 green row stays ≤1 round old.
+    "ngram_repetition_signals",
     "asof_purchase_click",
 ]
 

@@ -443,3 +443,32 @@ def test_negative_sample_heavy_user_exact_n_and_index_path(spark):
         ).collect()
     ]
     assert sorted(again) == sorted(got)
+
+
+def test_ngram_repetition_profile_golden(spark):
+    """Hand-computed repetition fractions (SURVEY §5 golden-value pattern)."""
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import ngram_repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            # "a b" occurs 2x among 4 bigrams of 5 words -> 2*2/5 = 0.8;
+            # all trigrams unique -> 3/5 = 0.6; single 5-gram -> dup5 0
+            (1, "a b a b c"),
+            # "x x" occurs 5x in 6 words -> 5*2/6 = 1.67 capped at 1.0;
+            # "x x x" 4x -> 4*3/6 = 2.0 capped; "x x x x x" 2x -> cap 1.0
+            (2, "x x x x x x"),
+            # fewer words than every n -> all zero
+            (3, "solo"),
+            # "p q r s t" repeats: dup5 = 2*5/10 = 1.0; top2 "p q" 2x -> 0.4
+            (4, "p q r s t p q r s t"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_repetition_profile(df, "text", "doc_id").collect()
+    }
+    assert rows[1] == {"doc_id": 1, "n_words": 5, "top2_frac": 0.8, "top3_frac": 0.6, "dup5_frac": 0.0}
+    assert rows[2] == {"doc_id": 2, "n_words": 6, "top2_frac": 1.0, "top3_frac": 1.0, "dup5_frac": 1.0}
+    assert rows[3] == {"doc_id": 3, "n_words": 1, "top2_frac": 0.0, "top3_frac": 0.0, "dup5_frac": 0.0}
+    assert rows[4] == {"doc_id": 4, "n_words": 10, "top2_frac": 0.4, "top3_frac": 0.6, "dup5_frac": 1.0}
