@@ -11,13 +11,12 @@ Conventions for oracle hash-matching:
     truncation); the events table's ns timestamps floor to us on load exactly
     as DuckDB/pyarrow do.
 
-MinHash and SimHash run in hash_fn="portable" mode here (md5-60 base hash +
-mod-p permutations, reproducible in DuckDB SQL) and the LSH ANN/near-dup
-tiers reproduce their SplitMix64 hyperplane bucketing in generated SQL — all
-four sketch pipelines are hash-checked differentially end to end. The one
-rows-only entry left is ivf_ann_topk: its k-means centroids come from an
-iterative algorithm with no SQL analog; its exact counterpart
-(knn_cosine_topk) is oracle-checked.
+Every catalog entry carries a DuckDB oracle — including the approximate
+tiers. MinHash and SimHash run in hash_fn="portable" mode (md5-60 base hash
++ mod-p permutations, reproducible in SQL), the LSH tiers reproduce their
+SplitMix64 hyperplane bucketing in generated SQL, and the IVF oracle
+replays the deterministic k-means build (lowest-id seeds, one Lloyd step,
+lowest-cell tiebreaks) CTE by CTE.
 """
 
 from __future__ import annotations
@@ -2203,11 +2202,73 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
 
 
+_SQL_L2NORM = "list_transform({l}, x -> x / sqrt(list_sum(list_transform({l}, y -> y * y))))"
+
+
 @query(
     "ivf_ann_topk",
-    oracle=None,  # approximate tier — exact counterpart is knn_cosine_topk
+    # The whole IVF build is deterministic (lowest-id seeds, one Lloyd step,
+    # lowest-cell tiebreaks), so the oracle replays it: seed -> assign ->
+    # per-dimension mean -> renormalize -> reassign -> nprobe -> rescore.
+    # Float caveat: the kernel's numpy pairwise sums and SQL's sequential
+    # list_sum/AVG can differ at the last ulp, which would only diverge if an
+    # item sat within ~1e-12 of a cell boundary — not observed at any SF;
+    # scores go through the round6 contract as everywhere else.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell, nv AS cv
+      FROM norm QUALIFY cell <= 16
+    ),
+    a1 AS (
+      SELECT vec_id, nv, cell FROM (
+        SELECT n.vec_id, n.nv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cell, list(mval ORDER BY i) AS mv FROM (
+        SELECT a.cell, i.i, AVG(a.nv[i.i]) AS mval
+        FROM a1 a, range(1, 65) i(i) GROUP BY a.cell, i.i
+      ) GROUP BY cell
+    ),
+    cents AS (
+      SELECT c0.cell,
+        CASE WHEN m.mv IS NULL THEN {_SQL_L2NORM.format(l='c0.cv')}
+             ELSE {_SQL_L2NORM.format(l='m.mv')} END AS cv
+      FROM c0 LEFT JOIN m ON c0.cell = m.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT n.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN cents c WHERE n.vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    s AS (
+      SELECT p.qid, a2.vec_id AS iid, ROUND(list_cosine_similarity(qe.v, ie.v), 6) AS score
+      FROM p JOIN a2 ON p.cell = a2.cell AND p.qid != a2.vec_id
+      JOIN e qe ON qe.vec_id = p.qid JOIN e ie ON ie.vec_id = a2.vec_id
+    ),
+    r AS (
+      SELECT qid AS query_id, iid AS item_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS INTEGER) AS rank
+      FROM s
+    )
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= 5
+    """,
     doc="IVF-style ANN: deterministic-seed k-means cells + nprobe probing "
-        "(the reference's faiss IVF index as DataFrame joins; rows-only).",
+        "(the reference's faiss IVF index as DataFrame joins; full DuckDB "
+        "differential check incl. the Lloyd step).",
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_topk
