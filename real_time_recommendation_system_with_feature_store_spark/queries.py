@@ -1708,13 +1708,24 @@ def rec_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "als_item_embeddings",
-    oracle=None,
+    # The factor VALUES have no SQL form (blocked least-squares solves), but
+    # the production CONTRACT does: ALS emits exactly one rank-8 factor row
+    # per item observed in training. The catalog projection exposes that
+    # contract, so the oracle checks coverage + dimensionality; the factor
+    # values themselves are checked by tests/test_models.py (determinism,
+    # ALS-top-k recall >= popularity baseline).
+    oracle=f"""
+    SELECT CAST(props->>'k' AS BIGINT) AS item_id, 8 AS dim
+    FROM events
+    WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+    GROUP BY 1
+    """,
     doc="In-engine embedding production (reference lifecycle "
         "scripts/train_movielens.py -> two_tower.py:516-546): implicit-ALS "
         "matrix factorization over click counts produces the (item_id, "
-        "embedding) table the ANN tiers consume. Rows-only: iterative ML has "
-        "no SQL form; tests/test_models.py checks shape, determinism of row "
-        "coverage, and ALS-top-k recall vs the popularity baseline.",
+        "embedding) table the ANN tiers consume. Oracle checks the "
+        "one-row-per-training-item / rank-8 contract; factor values are "
+        "covered by tests/test_models.py.",
 )
 def als_item_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.models import train_item_embeddings
