@@ -32,13 +32,18 @@ def global_row_number(
     parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     with_pid = parted.withColumn("__pid", F.spark_partition_id())
 
-    # per-partition counts -> exclusive running offsets (tiny: one row/partition)
+    # per-partition counts -> exclusive running offsets (tiny: one row/partition;
+    # the constant partition key makes the single-task window INTENTIONAL —
+    # a bare orderBy here would log WindowExec's single-partition warning on
+    # a frame that is num_partitions rows by construction)
     sizes = with_pid.groupBy("__pid").agg(F.count("*").alias("__n"))
     offsets = sizes.withColumn(
         "__offset",
         F.coalesce(
             F.sum("__n").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                Window.partitionBy(F.lit(1))
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),

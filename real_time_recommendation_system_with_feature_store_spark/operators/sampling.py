@@ -27,19 +27,38 @@ def hash_sample(df: DataFrame, keys: Sequence[str], fraction: float, salt: str =
     return df.where(u < F.lit(fraction))
 
 
-def build_item_index(items: DataFrame, item_col: str) -> DataFrame:
+def build_item_index(
+    items: DataFrame, item_col: str, small_input_bytes: int = 64 << 20
+) -> DataFrame:
     """Dense 0..N-1 item index for ``negative_sample`` — the only
-    catalog-sized step of the sampler. At a 1e9-item catalog compute this
-    ONCE (one global row_number), persist it as a dimension table, and pass
-    it to every ``negative_sample`` call via ``item_index=``."""
-    return (
-        items.select(item_col)
-        .distinct()
-        .select(
-            F.col(item_col),
-            (F.row_number().over(Window.orderBy(F.col(item_col).asc())) - 1).alias("__i"),
+    catalog-sized step of the sampler.
+
+    Cost-gated like kcore_filter: below the plan-size threshold the distinct
+    catalog ranks in ONE intentionally-single-task window (constant
+    partition key — the frame is the distinct item list, and the range
+    machinery costs more than it saves); above it, ``global_row_number``
+    range-partitions the sort. Both produce identical indexes. At a
+    1e9-item catalog compute this ONCE, persist it as a dimension table,
+    and pass it to every ``negative_sample`` call via ``item_index=``."""
+    distinct_items = items.select(item_col).distinct()
+    from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number
+
+    if _plan_size_bytes(items.select(item_col)) <= small_input_bytes:
+        # partitionBy(lit(1)) does NOT survive optimization — Catalyst prunes
+        # foldable partition keys, leaving the bare single-partition window
+        # (and its WindowExec warning). spark_partition_id() is non-foldable
+        # and constant 0 after repartition(1), so the one-task sort stays
+        # declared-intentional. repartition (not coalesce: coalesce would
+        # collapse the distinct aggregation itself to one task) reproduces
+        # exactly the Exchange SinglePartition a bare global window inserts.
+        w = Window.partitionBy(F.spark_partition_id()).orderBy(F.col(item_col).asc())
+        return distinct_items.repartition(1).select(
+            F.col(item_col), (F.row_number().over(w) - 1).alias("__i")
         )
-    )
+    return global_row_number(
+        distinct_items, [F.col(item_col).asc()], rank_col="__rn"
+    ).select(F.col(item_col), (F.col("__rn") - 1).alias("__i"))
 
 
 def negative_sample(
