@@ -33,15 +33,17 @@ def global_row_number(
     with_pid = parted.withColumn("__pid", F.spark_partition_id())
 
     # per-partition counts -> exclusive running offsets (tiny: one row/partition;
-    # the constant partition key makes the single-task window INTENTIONAL —
-    # a bare orderBy here would log WindowExec's single-partition warning on
-    # a frame that is num_partitions rows by construction)
-    sizes = with_pid.groupBy("__pid").agg(F.count("*").alias("__n"))
+    # num_partitions rows by construction, so a one-task window is the point —
+    # declare it with a NON-FOLDABLE constant partition key: Catalyst prunes
+    # a foldable lit(1) key, resurrecting the bare window and its WindowExec
+    # single-partition warning; spark_partition_id() is non-foldable and
+    # constant 0 after repartition(1))
+    sizes = with_pid.groupBy("__pid").agg(F.count("*").alias("__n")).repartition(1)
     offsets = sizes.withColumn(
         "__offset",
         F.coalesce(
             F.sum("__n").over(
-                Window.partitionBy(F.lit(1))
+                Window.partitionBy(F.spark_partition_id())
                 .orderBy("__pid")
                 .rowsBetween(Window.unboundedPreceding, -1)
             ),
