@@ -473,11 +473,15 @@ def ivf_topk(
             k, n_cells, n_probe, refine_iters, exclude_self,
         )
     it = items.select(F.col(item_id).alias("__iid"), l2_normalize(F.col(item_vec)).alias("__iv"))
-    centroids = (
-        it.withColumn("__cell", F.row_number().over(Window.orderBy("__iid")))
-        .where(F.col("__cell") <= n_cells)
-        .select("__cell", F.col("__iv").alias("__cv"))
-    )
+    # seed pick = lowest n_cells ids: TakeOrderedAndProject (per-partition
+    # heap of n_cells rows), NOT a global row_number window — this expr path
+    # is the fallback for oversized inputs, exactly when a one-task sort of
+    # the whole catalog would hurt most
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    centroids = global_topn_ranked(
+        it, [F.col("__iid").asc()], n_cells, rank_col="__cell"
+    ).select(F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv"))
     for _ in range(max(refine_iters, 0)):
         step = _assign_cells(it, centroids)
         centroids = (
