@@ -772,3 +772,192 @@ def cosine_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---- product quantization (PQ) ------------------------------------------
+
+
+def _pq_codebooks_np(sub_mats, n_codes: int, refine_iters: int):
+    """Per-subspace k-means codebooks (numpy, driver-side — the codebook IS
+    the model: m × n_codes × sub_dim floats, KBs). Deterministic: seeds are
+    the first ``n_codes`` rows (callers pass id-sorted matrices), Lloyd
+    assignment is argmin squared-L2 with lowest-code tiebreak, empty codes
+    keep their previous codeword."""
+    import numpy as np
+
+    books = []
+    for sub in sub_mats:
+        cw = sub[:n_codes].copy()
+        for _ in range(max(refine_iters, 0)):
+            d = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
+            code = d.argmin(axis=1)  # argmin takes the FIRST (lowest) index on ties
+            for c in range(len(cw)):
+                members = sub[code == c]
+                if len(members):
+                    cw[c] = members.mean(axis=0)
+        books.append(cw)
+    return books
+
+
+def pq_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    query_id: str,
+    item_id: str,
+    dim: int,
+    query_vec: str = "embedding",
+    item_vec: str = "embedding",
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    train_rows: int = 4096,
+    rerank: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization with asymmetric
+    distance computation (ADC) — the reference's faiss index family
+    (src/serving/retrieval.py:88-108) at its catalog-scale operating point.
+
+    Build: L2-normalize items, split dim into ``n_sub`` subspaces, per
+    subspace train a ``n_codes``-codeword k-means codebook on the
+    ``train_rows`` lowest-id items (deterministic — no rand()), then encode
+    EVERY item as n_sub uint8-sized codes (an Arrow matmul per batch; the
+    8-byte code replaces the 512-byte vector — the 64× compression that
+    makes a 100 TB catalog index fit hot storage).
+
+    Search (ADC): each query precomputes a flat n_sub×n_codes table of
+    subvector·codeword dots; an item's approximate cosine is the sum of
+    n_sub TABLE LOOKUPS — pure JVM expressions over the broadcast query
+    frame, no per-item vector math, so the scan side stays in whole-stage
+    codegen and touches only the slim (id, codes) index.
+
+    Re-rank: the ADC pass over-fetches ``rerank × k`` candidates per query
+    (the reference's own over-fetch pattern, retrieval.py:170), re-attaches
+    the true vectors for that shortlist ONLY, and exact-rescored cosine
+    picks the final k — so emitted scores are true cosines, directly
+    comparable to ``brute_force_topk``. ``rerank=0`` returns the raw ADC
+    ranking.
+
+    The query side collects driver-side for table construction (gated like
+    ivf_topk — callers with an unbounded query side should pre-chunk).
+    Approximate tier: recall is bounded by quantization error at the
+    shortlist stage; the exact twin is ``brute_force_topk``.
+
+    Returns (query_id, item_id, score, rank<=k).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = items.sparkSession
+    sub_dim = dim // n_sub
+    empty_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType),
+            T.StructField(item_id, items.schema[item_id].dataType),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    train_pd = (
+        items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__v"))
+        .orderBy("__iid")
+        .limit(train_rows)
+        .toPandas()
+    )
+    if len(train_pd) == 0:
+        return spark.createDataFrame([], empty_schema)
+    tmat = _normalize_np(_stack_vecs(train_pd["__v"]))
+    books = _pq_codebooks_np(
+        [tmat[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)],
+        n_codes,
+        refine_iters,
+    )
+
+    # encode: one matmul-style argmin per Arrow batch against the broadcast
+    # codebook; output is the slim (id, array<int> codes) PQ index
+    code_schema = T.StructType(
+        [
+            T.StructField("__iid", items.schema[item_id].dataType),
+            T.StructField("__code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = _normalize_np(_stack_vecs(pdf[item_vec]))
+            codes = np.empty((len(vm), n_sub), dtype=np.int32)
+            for m, cw in enumerate(books):
+                sub = vm[:, m * sub_dim : (m + 1) * sub_dim]
+                d = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame({"__iid": pdf[item_id], "__code": list(codes)})
+
+    encoded = items.select(item_id, item_vec).mapInPandas(encode, code_schema)
+
+    if not _fits_driver(queries.select(query_id, query_vec)):
+        raise ValueError(
+            "pq_topk: query side exceeds the driver-collect gate; chunk the "
+            "queries (the ADC table is per-query driver state, like the IVF "
+            "probe list)"
+        )
+    q_pd = queries.select(query_id, query_vec).toPandas()
+    if len(q_pd) == 0:
+        return spark.createDataFrame([], empty_schema)
+    qmat = _normalize_np(_stack_vecs(q_pd[query_vec]))
+    rows = []
+    for j in range(len(q_pd)):
+        dt = np.concatenate([qmat[j, m * sub_dim : (m + 1) * sub_dim] @ books[m].T for m in range(n_sub)])
+        rows.append((q_pd[query_id].iloc[j].item(), [float(x) for x in dt]))
+    dt_schema = T.StructType(
+        [
+            T.StructField("__qid", queries.schema[query_id].dataType),
+            T.StructField("__dt", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    qdt = spark.createDataFrame(rows, dt_schema)
+
+    # ADC: approximate score = Σ_m dt[m·n_codes + code_m] — n_sub literal
+    # element_at lookups, fully codegen'd; no vectors on the scan side
+    score = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.col("__dt"), F.lit(m * n_codes) + F.element_at(F.col("__code"), m + 1) + 1
+        )
+        score = term if score is None else score + term
+    cand = encoded.crossJoin(F.broadcast(qdt))
+    if exclude_self:
+        cand = cand.where(F.col("__qid") != F.col("__iid"))
+    scored = cand.select(
+        F.col("__qid").alias(query_id),
+        F.col("__iid").alias(item_id),
+        F.round(score, 6).alias("score"),
+    )
+    if rerank <= 0:
+        return topk_per_key(
+            scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+        )
+    shortlist = topk_per_key(
+        scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], rerank * k
+    ).select(query_id, item_id)
+    # exact rescoring touches only |Q|·rerank·k rows: re-attach true vectors
+    # for the shortlist and broadcast the (tiny) normalized query vectors
+    qv = spark.createDataFrame(
+        [(q_pd[query_id].iloc[j].item(), [float(x) for x in qmat[j]]) for j in range(len(q_pd))],
+        T.StructType(
+            [
+                T.StructField(query_id, queries.schema[query_id].dataType),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    iv = items.select(F.col(item_id), l2_normalize(F.col(item_vec)).alias("__iv"))
+    exact = shortlist.join(iv, item_id).join(F.broadcast(qv), query_id).select(
+        query_id,
+        item_id,
+        F.round(dot(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+    )
+    return topk_per_key(exact, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k)

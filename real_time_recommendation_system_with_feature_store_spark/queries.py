@@ -2290,6 +2290,99 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, it, "query_id", "item_id", k=5, n_cells=16, n_probe=4)
 
 
+_SQL_PQ_SQDIST = (
+    "list_sum(list_transform(range(1, 9), j -> (s.sv[j] - c.cw[j]) * (s.sv[j] - c.cw[j])))"
+)
+
+
+@query(
+    "pq_ann_topk",
+    # Full differential check of the PQ pipeline: the codebook build is
+    # deterministic (lowest-id training rows seed each subspace's k-means,
+    # one Lloyd step, lowest-code tiebreak), so the oracle replays
+    # train -> per-subspace assign -> mean -> encode -> ADC table-lookup
+    # scoring -> over-fetch -> exact re-rank. ADC terms sum in subspace
+    # order on both sides (list_sum over list(... ORDER BY m) == the
+    # expression's left fold); all scores pass the round6 contract.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    train AS (
+      SELECT vec_id, nv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM norm QUALIFY rn <= 4096
+    ),
+    sub AS (
+      SELECT vec_id, m.m, nv[m.m * 8 + 1 : m.m * 8 + 8] AS sv, rn
+      FROM train, range(0, 8) m(m)
+    ),
+    seeds AS (SELECT m, CAST(rn AS INTEGER) AS code, sv AS cw FROM sub WHERE rn <= 16),
+    assign1 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {_SQL_PQ_SQDIST} ASC, c.code) AS rnk
+        FROM sub s JOIN seeds c ON s.m = c.m
+      ) WHERE rnk = 1
+    ),
+    means AS (
+      SELECT m, code, list(mval ORDER BY j) AS mv FROM (
+        SELECT a.m, a.code, j.j, AVG(s.sv[j.j]) AS mval
+        FROM assign1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m, range(1, 9) j(j)
+        GROUP BY a.m, a.code, j.j
+      ) GROUP BY m, code
+    ),
+    books AS (
+      SELECT se.m, se.code, COALESCE(me.mv, se.cw) AS cw
+      FROM seeds se LEFT JOIN means me ON se.m = me.m AND se.code = me.code
+    ),
+    allsub AS (
+      SELECT vec_id, m.m, nv[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+      FROM norm, range(0, 8) m(m)
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY {_SQL_PQ_SQDIST} ASC, c.code) AS rnk
+        FROM allsub s JOIN books c ON s.m = c.m
+      ) WHERE rnk = 1
+    ),
+    adc AS (
+      SELECT qs.vec_id AS qid, c.vec_id AS iid,
+        ROUND(list_sum(list(list_dot_product(qs.sv, b.cw) ORDER BY qs.m)), 6) AS s
+      FROM allsub qs
+      JOIN codes c ON qs.m = c.m
+      JOIN books b ON b.m = c.m AND b.code = c.code
+      WHERE qs.vec_id < 10 AND qs.vec_id != c.vec_id
+      GROUP BY qs.vec_id, c.vec_id
+    ),
+    short AS (
+      SELECT qid, iid FROM (
+        SELECT qid, iid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rnk FROM adc
+      ) WHERE rnk <= 20
+    ),
+    x AS (
+      SELECT sh.qid, sh.iid, ROUND(list_cosine_similarity(qe.v, ie.v), 6) AS score
+      FROM short sh JOIN e qe ON qe.vec_id = sh.qid JOIN e ie ON ie.vec_id = sh.iid
+    ),
+    r AS (
+      SELECT qid AS query_id, iid AS item_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS INTEGER) AS rank
+      FROM x
+    )
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= 5
+    """,
+    doc="Product-quantization ANN with ADC table-lookup scoring + exact "
+        "re-rank of the over-fetched shortlist (faiss-style PQ as pure "
+        "DataFrame ops; full DuckDB differential check incl. the per-"
+        "subspace k-means codebooks).",
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    it = e.select(F.col("vec_id").alias("item_id"), "embedding")
+    return pq_topk(q, it, "query_id", "item_id", dim=64, k=5, n_sub=8, n_codes=16, rerank=4)
+
+
 @query(
     "doc_signatures",
     oracle="""
@@ -3412,10 +3505,11 @@ _DRIVER_WINDOW = [
     "weighted_doc_sample",
     "stratified_event_sample",
     "nation_top_balance_customers",
-    # ngram_repetition_signals is NEW in r3 (needs its first driver row);
-    # it displaces user_value_scd2, whose r2 green row stays ≤1 round old.
+    # ngram_repetition_signals and pq_ann_topk are NEW in r3 (need their
+    # first driver rows); they displace user_value_scd2 and
+    # asof_purchase_click, whose r2 green rows stay ≤1 round old.
     "ngram_repetition_signals",
-    "asof_purchase_click",
+    "pq_ann_topk",
 ]
 
 def _reorder_registry() -> None:

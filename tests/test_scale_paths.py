@@ -455,3 +455,38 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     n_after = len(g.glob(f"{dst}/*.parquet"))
     assert n_after < 8
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """PQ tier: ADC shortlist + exact re-rank must recover a useful share of
+    true neighbors (the faiss-PQ trade: 64x index compression for bounded
+    recall loss)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk, pq_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    it = e.select(F.col("vec_id").alias("iid"), "embedding")
+    exact = brute_force_topk(q, it, "qid", "iid", k=5)
+    approx = pq_topk(q, it, "qid", "iid", dim=64, k=5, rerank=4)
+    truth = {(r["qid"], r["iid"]) for r in exact.collect()}
+    got = {(r["qid"], r["iid"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"PQ recall {recall:.2f} too low"
+    # re-ranked scores are TRUE cosines: every overlapping pair's score
+    # matches the exact tier bit-for-bit
+    ex_scores = {(r["qid"], r["iid"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["qid"], r["iid"])
+        if key in ex_scores:
+            assert r["score"] == ex_scores[key]
+
+
+def test_pq_handles_empty_sides(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import pq_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    none = e.where(F.col("vec_id") < 0)
+    it = e.select(F.col("vec_id").alias("iid"), "embedding")
+    q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    assert pq_topk(none.select(F.col("vec_id").alias("qid"), "embedding"), it, "qid", "iid", dim=64, k=5).count() == 0
+    assert pq_topk(q, none.select(F.col("vec_id").alias("iid"), "embedding"), "qid", "iid", dim=64, k=5).count() == 0
