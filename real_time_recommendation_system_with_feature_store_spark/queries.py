@@ -2925,6 +2925,132 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_export_pipeline",
+    # The flagship composition: every stage reuses a fragment whose oracle is
+    # independently proven green (gopher filter, exact-dedup fingerprint,
+    # jaccard inverted index, decontamination collisions, packing cumsum) —
+    # the chained SQL checks that the stages COMPOSE correctly, not just
+    # that each works alone.
+    oracle="""
+    WITH base AS (SELECT doc_id, source, text FROM documents WHERE source <> 'src19'),
+    gt AS (
+      SELECT doc_id, source, text, regexp_split_to_array(trim(text), '\\s+') AS gtoks FROM base
+    ),
+    flt AS (
+      SELECT doc_id, source, text FROM gt
+      WHERE len(gtoks) BETWEEN 40 AND 100000
+        AND CAST(len(list_distinct(gtoks)) AS DOUBLE) / GREATEST(len(gtoks), 1) >= 0.2
+    ),
+    ded AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+          ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+            ORDER BY doc_id
+          ) AS rn
+        FROM flt
+      ) WHERE rn = 1
+    ),
+    tok3 AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM ded
+    ),
+    sh3 AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM tok3
+    ),
+    ex3 AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh3),
+    pairs3 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza, b.sz AS szb, COUNT(*) AS common
+      FROM ex3 a JOIN ex3 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    nd_drop AS (
+      SELECT DISTINCT id_b AS doc_id FROM pairs3
+      WHERE ROUND(CAST(common AS DOUBLE) / (sza + szb - common), 6) >= 0.5
+    ),
+    d2 AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)),
+    etok AS (
+      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      FROM documents WHERE source = 'src19'
+    ),
+    esh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM etok
+    ),
+    cont AS (
+      SELECT t.doc_id
+      FROM (SELECT e3.doc_id, e3.s FROM ex3 e3 WHERE e3.doc_id IN (SELECT doc_id FROM d2)) t
+      JOIN (SELECT doc_id AS eid, unnest(sh) AS s FROM esh) e ON t.s = e.s
+      GROUP BY t.doc_id, e.eid HAVING COUNT(*) >= 2
+    ),
+    d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cont)),
+    ptok AS (
+      SELECT doc_id, source,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS n_tokens
+      FROM d3
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM ptok
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+      CAST(FLOOR(before / 2048) AS BIGINT) AS chunk_id,
+      CAST(before % 2048 AS BIGINT) AS chunk_offset
+    FROM packed
+    """,
+    doc="End-to-end pretraining-corpus export: Gopher-style quality filter "
+        "-> exact dedup (min-id fingerprint) -> near-dup drop (docs "
+        "3-gram-Jaccard >= 0.5 similar to a lower-id survivor of the same "
+        "stage input) -> benchmark decontamination (>= 2 shared 3-grams "
+        "with the eval corpus) -> per-source 2048-token sequence packing. "
+        "One lazy DAG; every stage is an already-proven operator.",
+)
+def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import token_count
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        cross_corpus_overlap,
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("source") != "src19")
+    ev = d.where(F.col("source") == "src19")
+    # 1. quality filter (the gopher_quality_flags length/repetition bounds)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n_words, F.lit(1))
+    q1 = train.where((n_words >= 40) & (n_words <= 100000) & (distinct_ratio >= 0.2))
+    # 2. exact dedup (keep the lowest id per normalized-text fingerprint)
+    q2 = exact_dedup(q1, "text", "doc_id")
+    # 3. near-dup drop: any doc Jaccard>=0.5-similar to a LOWER-id doc goes
+    # (pairwise rule — deterministic without transitive clustering; the
+    # clustering variant is dedup_clusters/connected_components)
+    pairs = ngram_jaccard_pairs(q2, "text", "doc_id", n=3, threshold=0.5)
+    q3 = q2.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    # 4. decontamination: drop survivors sharing >=2 3-grams with ANY eval doc
+    cont = cross_corpus_overlap(q3, ev, "text", "doc_id", n=3, min_common=2)
+    q4 = q3.join(
+        cont.select(F.col("train_id").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    # 5. pack the surviving stream into 2048-token chunks per source shard
+    sized = q4.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    return pack_by_token_budget(
+        sized, "n_tokens", [F.col("doc_id")], budget=2048, shard_col="source"
+    )
+
+
+@query(
     "eval_contamination_pairs",
     oracle="""
     WITH tok AS (
@@ -3459,7 +3585,9 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     "ivf_ann_topk",
     "price_deciles",
-    "ranking_metrics_multi_k",
+    # corpus_export_pipeline is NEW in r3; it displaces
+    # ranking_metrics_multi_k (r2-green, metrics code unchanged this round)
+    "corpus_export_pipeline",
     "negative_samples",
     "minhash_dedup_candidates",
     "simhash_dedup_candidates",
