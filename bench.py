@@ -41,7 +41,12 @@ HEADLINE = [
     "two_stage_recommendations",
     "tumbling_window_counts",
     # round-2 additions: previously-unbenched heavy paths — regressions here
-    # must show up round over round
+    # must show up round over round.
+    # The set is FROZEN as of r2 so totals stay comparable across rounds;
+    # r3's new queries (pq_ann_topk ~1s, ngram_repetition_signals ~1s,
+    # corpus_export_pipeline ~9s at sf0.1 — dominated by the deliberate
+    # all-pairs jaccard stage on this word-soup corpus) are profiled in
+    # their commits, not totaled here.
     "user_value_scd2",
     "eval_contamination_pairs",
     "token_budget_packing",

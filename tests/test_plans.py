@@ -154,3 +154,21 @@ def test_time_fraction_split_scale_path_routing(spark):
     a = sorted(map(tuple, large.collect()))
     b = sorted(map(tuple, small.collect()))
     assert a == b
+
+
+def test_pq_adc_scan_side_is_slim(spark):
+    """The PQ ADC pass must join the slim (id, codes) index against a
+    BROADCAST table frame — no item vectors and no shuffle on the scan side
+    until the shortlist re-rank."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import pq_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    it = e.select(F.col("vec_id").alias("iid"), "embedding")
+    out = pq_topk(q, it, "qid", "iid", dim=64, k=5, rerank=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # the ADC join carries codes + the broadcast dt, never the embeddings
+    joins = plan.split("Join")
+    adc_join = next(p for p in joins if "__dt" in p)
+    assert "embedding" not in adc_join
