@@ -1117,6 +1117,74 @@ def minhash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_candidates",
+    # Incremental near-dup: the corpus (doc_id < 250) is sketched once into
+    # a band index; only the new batch (>= 250) runs the MinHash kernel and
+    # probes it. Output = every verified pair touching the batch. The
+    # oracle computes bands for everything and restricts to pairs that
+    # touch the batch — set-identical to the incremental plan.
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    tok AS (
+      SELECT doc_id,
+        list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS w
+      FROM docs
+    ),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) >= 3
+          THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+          ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM tok
+    ),
+    shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    hr AS (
+      SELECT doc_id, ('0x' || substring(md5(s.s), 1, 15))::BIGINT % 2147483647 AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM shf) s(doc_id, s)
+    ),
+    consts(i, a, b) AS (VALUES {_minhash_consts_values()}),
+    perm AS (
+      SELECT hr.doc_id, c.i, MIN((c.a * hr.h + c.b) % 2147483647) AS sig
+      FROM hr CROSS JOIN consts c
+      GROUP BY hr.doc_id, c.i
+    ),
+    bandkey AS (
+      SELECT doc_id, i // 4 AS band, array_to_string(list(sig ORDER BY i), ',') AS bh
+      FROM perm GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bandkey x JOIN bandkey y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      WHERE x.doc_id >= 250 OR y.doc_id >= 250
+    )
+    SELECT c.id_a, c.id_b,
+      ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand c JOIN shf sa ON sa.doc_id = c.id_a JOIN shf sb ON sb.doc_id = c.id_b
+    WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+    """,
+    doc="Incremental MinHash dedup: a new batch probes the corpus's "
+        "persisted band index (the corpus never re-sketches) and emits "
+        "verified pairs touching the batch (portable hash — full "
+        "differential check).",
+)
+def incremental_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    corpus = d.where(F.col("doc_id") < 250)
+    new = d.where(F.col("doc_id") >= 250)
+    index = minhash_band_index(corpus, "text", "doc_id", hash_fn="portable")
+    return minhash_dedup_incremental(
+        new, index, d, "text", "doc_id", verify_threshold=0.5, hash_fn="portable"
+    )
+
+
+@query(
     "simhash_dedup_candidates",
     # Differential check of the SimHash pipeline under the portable md5-60
     # token hash: bit votes, 64-bit signature assembly, 16-bit banding, and
@@ -3632,10 +3700,11 @@ _DRIVER_WINDOW = [
     "two_stage_recommendations",
     "weighted_doc_sample",
     "stratified_event_sample",
-    "nation_top_balance_customers",
-    # ngram_repetition_signals and pq_ann_topk are NEW in r3 (need their
-    # first driver rows); they displace user_value_scd2 and
-    # asof_purchase_click, whose r2 green rows stay ≤1 round old.
+    # incremental_dedup_candidates, ngram_repetition_signals and pq_ann_topk
+    # are NEW in r3 (need their first driver rows); they displace
+    # nation_top_balance_customers, user_value_scd2 and asof_purchase_click,
+    # whose r2 green rows stay ≤1 round old.
+    "incremental_dedup_candidates",
     "ngram_repetition_signals",
     "pq_ann_topk",
 ]

@@ -490,3 +490,35 @@ def test_pq_handles_empty_sides(spark):
     q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
     assert pq_topk(none.select(F.col("vec_id").alias("qid"), "embedding"), it, "qid", "iid", dim=64, k=5).count() == 0
     assert pq_topk(q, none.select(F.col("vec_id").alias("iid"), "embedding"), "qid", "iid", dim=64, k=5).count() == 0
+
+
+def test_incremental_minhash_equals_full(spark):
+    """Incremental dedup invariant: corpus-only pairs ∪ batch-probe pairs
+    == full-corpus dedup pairs (same params). The incremental plan must not
+    lose or invent candidates."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_incremental,
+        minhash_lsh_dedup,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = d.where(F.col("doc_id") < 250)
+    new = d.where(F.col("doc_id") >= 250)
+    full = {
+        tuple(r)
+        for r in minhash_lsh_dedup(d, "text", "doc_id", verify_threshold=0.5).collect()
+    }
+    corpus_only = {
+        tuple(r)
+        for r in minhash_lsh_dedup(corpus, "text", "doc_id", verify_threshold=0.5).collect()
+    }
+    index = minhash_band_index(corpus, "text", "doc_id")
+    inc = {
+        tuple(r)
+        for r in minhash_dedup_incremental(
+            new, index, d, "text", "doc_id", verify_threshold=0.5
+        ).collect()
+    }
+    assert corpus_only | inc == full
+    assert corpus_only.isdisjoint(inc)
