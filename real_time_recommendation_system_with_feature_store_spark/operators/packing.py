@@ -51,3 +51,55 @@ def pack_by_token_budget(
     return df.withColumn(chunk_col, F.floor(before / F.lit(budget)).cast("long")).withColumn(
         offset_col, (before % F.lit(budget)).cast("long")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining splitter: cut
+    each document into windows of ``max_tokens`` whitespace tokens advancing
+    by ``max_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens of context.
+
+    Chunk count per doc is 1 when n <= max_tokens, else
+    ``floor((n - max_tokens + step - 1)/step) + 1`` — the last chunk is the
+    first window reaching the document's end (no degenerate fully-covered
+    tail windows). Zero-token docs emit no chunks.
+
+    Pure expressions: tokens once, a ``sequence`` of window starts, one
+    ``posexplode`` — the row expansion is ~n/step per doc and the shuffle
+    key stays the document, so the op is embarrassingly parallel at corpus
+    scale (same shape as multimodal frame sampling).
+
+    Returns (id, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+    """
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import tokens
+
+    step = max_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.floor((n - max_tokens + step - 1) / F.lit(step)).cast("long") + 1
+    )
+    starts = F.sequence(F.lit(0).cast("long"), (n_chunks - 1) * step, F.lit(step).cast("long"))
+    rows = df.where(n > 0).select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_idx", "start_token"),
+    )
+    width = F.least(F.lit(max_tokens).cast("long"), F.col("__n") - F.col("start_token"))
+    chunk = F.slice(F.col("__toks"), F.col("start_token").cast("int") + 1, width.cast("int"))
+    return rows.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "start_token",
+        width.cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -3119,6 +3119,36 @@ def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_token_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, len(w) AS n,
+        CASE WHEN len(w) <= 40 THEN 1
+             ELSE CAST(FLOOR((len(w) - 40 + 29) / 30.0) AS BIGINT) + 1 END AS nc
+      FROM t WHERE len(w) > 0
+    ),
+    ch AS (SELECT doc_id, w, n, unnest(range(0, nc)) AS i FROM c)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, CAST(i * 30 AS BIGINT) AS start_token,
+      CAST(LEAST(40, n - i * 30) AS INTEGER) AS n_chunk_tokens,
+      array_to_string(w[i * 30 + 1 : i * 30 + LEAST(40, n - i * 30)], ' ') AS chunk_text
+    FROM ch
+    """,
+    doc="Sliding-window document chunking (40-token windows, 10-token "
+        "overlap) — the RAG/pretraining splitter; one posexplode per doc, "
+        "no shuffle (operators/packing.py::chunk_documents).",
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", max_tokens=40, overlap=10)
+
+
+@query(
     "eval_contamination_pairs",
     oracle="""
     WITH tok AS (
@@ -3696,7 +3726,9 @@ _DRIVER_WINDOW = [
     "user_event_arrays",
     "lsh_ann_topk",
     "embedding_near_dup_lsh",
-    "embedding_near_dup",
+    # doc_token_chunks is NEW in r3; displaces r2-green embedding_near_dup
+    # (its LSH twin above now carries the same rescoring oracle)
+    "doc_token_chunks",
     "two_stage_recommendations",
     "weighted_doc_sample",
     "stratified_event_sample",

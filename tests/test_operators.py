@@ -472,3 +472,26 @@ def test_ngram_repetition_profile_golden(spark):
     assert rows[2] == {"doc_id": 2, "n_words": 6, "top2_frac": 1.0, "top3_frac": 1.0, "dup5_frac": 1.0}
     assert rows[3] == {"doc_id": 3, "n_words": 1, "top2_frac": 0.0, "top3_frac": 0.0, "dup5_frac": 0.0}
     assert rows[4] == {"doc_id": 4, "n_words": 10, "top2_frac": 0.4, "top3_frac": 0.6, "dup5_frac": 1.0}
+
+
+def test_chunk_documents_golden(spark):
+    """Hand-computed sliding windows: max=5, overlap=2 (step 3)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # n=8 -> chunks at 0 ([a..e]) and 3 ([d..h])
+            (2, "x y"),               # n=2 <= max -> one whole chunk
+            (3, "   "),               # no tokens -> no rows
+        ],
+        "doc_id int, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "text", "doc_id", max_tokens=5, overlap=2).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 5, "a b c d e"),
+        (1, 1, 3, 5, "d e f g h"),
+        (2, 0, 0, 2, "x y"),
+    ]
