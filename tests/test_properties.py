@@ -266,3 +266,80 @@ def test_negative_sample_invariants(spark, rrows, n):
         inter.repartition(7, "i"), items, "u", "i", n_per_user=n
     ).collect()]
     assert sorted(again) == sorted(got)
+
+
+# whitespace-y documents with repeated words (chunking / repetition inputs)
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"]),
+            min_size=0,
+            max_size=30,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(
+    docs=docs_strategy,
+    max_tokens=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=0, max_value=3),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_covers_every_token_exactly(spark, docs, max_tokens, overlap):
+    """Invariants vs a driver-side reference: (1) chunk starts advance by
+    step and the last chunk reaches the end, (2) the union of chunk token
+    ranges covers [0, n), (3) reassembling each chunk's text from the
+    original tokens reproduces chunk_text."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import chunk_documents
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    step = max_tokens - overlap
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in docs], "doc_id int, text string"
+    )
+    out = chunk_documents(df, "text", "doc_id", max_tokens=max_tokens, overlap=overlap)
+    got: dict[int, list] = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for i, words in docs:
+        n = len(words)
+        if n == 0:
+            assert i not in got
+            continue
+        chunks = sorted(got[i], key=lambda r: r["chunk_idx"])
+        expected_c = 1 if n <= max_tokens else (n - max_tokens + step - 1) // step + 1
+        assert len(chunks) == expected_c
+        covered = set()
+        for idx, r in enumerate(chunks):
+            assert r["chunk_idx"] == idx
+            assert r["start_token"] == idx * step
+            w = words[r["start_token"] : r["start_token"] + max_tokens]
+            assert r["n_chunk_tokens"] == len(w)
+            assert r["chunk_text"] == " ".join(w)
+            covered.update(range(r["start_token"], r["start_token"] + len(w)))
+        assert covered == set(range(n))
+
+
+@given(texts=st.lists(st.text(alphabet="ab xyz", max_size=24), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_portable_hash_matches_duckdb_on_random_strings(spark, texts):
+    """portable_hash60 must agree with the DuckDB formulation for arbitrary
+    strings — the foundation of every portable-mode oracle."""
+    import duckdb
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import portable_hash60
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, s string")
+    got = {r["i"]: r["h"] for r in df.select("i", portable_hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", [t]
+        ).fetchone()[0]
+        assert got[i] == want
