@@ -839,10 +839,11 @@ def pq_topk(
     comparable to ``brute_force_topk``. ``rerank=0`` returns the raw ADC
     ranking.
 
-    The query side collects driver-side for table construction (gated like
-    ivf_topk — callers with an unbounded query side should pre-chunk).
-    Approximate tier: recall is bounded by quantization error at the
-    shortlist stage; the exact twin is ``brute_force_topk``.
+    The per-query tables are built DISTRIBUTED (one Arrow pass against the
+    broadcast codebook — nothing query-sized touches the driver), so the
+    query side may be unbounded; only the ADC join's broadcast hint is
+    plan-size gated. Approximate tier: recall is bounded by quantization
+    error at the shortlist stage; the exact twin is ``brute_force_topk``.
 
     Returns (query_id, item_id, score, rank<=k).
     """
@@ -898,27 +899,34 @@ def pq_topk(
 
     encoded = items.select(item_id, item_vec).mapInPandas(encode, code_schema)
 
-    if not _fits_driver(queries.select(query_id, query_vec)):
-        raise ValueError(
-            "pq_topk: query side exceeds the driver-collect gate; chunk the "
-            "queries (the ADC table is per-query driver state, like the IVF "
-            "probe list)"
-        )
-    q_pd = queries.select(query_id, query_vec).toPandas()
-    if len(q_pd) == 0:
-        return spark.createDataFrame([], empty_schema)
-    qmat = _normalize_np(_stack_vecs(q_pd[query_vec]))
-    rows = []
-    for j in range(len(q_pd)):
-        dt = np.concatenate([qmat[j, m * sub_dim : (m + 1) * sub_dim] @ books[m].T for m in range(n_sub)])
-        rows.append((q_pd[query_id].iloc[j].item(), [float(x) for x in dt]))
+    # Query tables are built DISTRIBUTED (mapInPandas against the broadcast
+    # codebook) — no driver collect, so an unbounded query side works; the
+    # broadcast hint on the join is still gated on the plan-size estimate
+    # (oversized query frames leave the join strategy to AQE).
     dt_schema = T.StructType(
         [
             T.StructField("__qid", queries.schema[query_id].dataType),
+            T.StructField("__qv", T.ArrayType(T.DoubleType())),
             T.StructField("__dt", T.ArrayType(T.DoubleType())),
         ]
     )
-    qdt = spark.createDataFrame(rows, dt_schema)
+
+    def query_tables(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _normalize_np(_stack_vecs(pdf[query_vec]))
+            dt = np.concatenate(
+                [qm[:, m * sub_dim : (m + 1) * sub_dim] @ books[m].T for m in range(n_sub)],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {"__qid": pdf[query_id], "__qv": list(qm), "__dt": list(dt)}
+            )
+
+    q_small = _fits_driver(queries.select(query_id, query_vec))
+    qtab = queries.select(query_id, query_vec).mapInPandas(query_tables, dt_schema)
+    qdt = qtab.select("__qid", "__dt")
 
     # ADC: approximate score = Σ_m dt[m·n_codes + code_m] — n_sub literal
     # element_at lookups, fully codegen'd; no vectors on the scan side
@@ -928,7 +936,7 @@ def pq_topk(
             F.col("__dt"), F.lit(m * n_codes) + F.element_at(F.col("__code"), m + 1) + 1
         )
         score = term if score is None else score + term
-    cand = encoded.crossJoin(F.broadcast(qdt))
+    cand = encoded.crossJoin(F.broadcast(qdt) if q_small else qdt)
     if exclude_self:
         cand = cand.where(F.col("__qid") != F.col("__iid"))
     scored = cand.select(
@@ -944,18 +952,11 @@ def pq_topk(
         scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], rerank * k
     ).select(query_id, item_id)
     # exact rescoring touches only |Q|·rerank·k rows: re-attach true vectors
-    # for the shortlist and broadcast the (tiny) normalized query vectors
-    qv = spark.createDataFrame(
-        [(q_pd[query_id].iloc[j].item(), [float(x) for x in qmat[j]]) for j in range(len(q_pd))],
-        T.StructType(
-            [
-                T.StructField(query_id, queries.schema[query_id].dataType),
-                T.StructField("__qv", T.ArrayType(T.DoubleType())),
-            ]
-        ),
-    )
+    # for the shortlist and the normalized query vectors (from the same
+    # distributed table pass)
+    qv = qtab.select(F.col("__qid").alias(query_id), "__qv")
     iv = items.select(F.col(item_id), l2_normalize(F.col(item_vec)).alias("__iv"))
-    exact = shortlist.join(iv, item_id).join(F.broadcast(qv), query_id).select(
+    exact = shortlist.join(iv, item_id).join(F.broadcast(qv) if q_small else qv, query_id).select(
         query_id,
         item_id,
         F.round(dot(F.col("__qv"), F.col("__iv")), 6).alias("score"),
