@@ -675,7 +675,18 @@ def minhash_dedup_incremental(
         out = cand.localCheckpoint(eager=True)
         new_bands.unpersist()
         return out
-    sh = verify_docs.select(
+    # snapshot the slim candidate set so the id semi-join below reads a
+    # materialized ~16-byte-row table, then shingle ONLY the docs named in
+    # some candidate pair — shingling all of verify_docs would re-tokenize
+    # the corpus and defeat the incremental plan
+    cand = cand.localCheckpoint(eager=True)
+    new_bands.unpersist()
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = verify_docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     )
@@ -684,10 +695,8 @@ def minhash_dedup_incremental(
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size("__sh_a") + F.size("__sh_b") - inter
-    out = (
+    return (
         pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 6))
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     ).localCheckpoint(eager=True)
-    new_bands.unpersist()
-    return out
