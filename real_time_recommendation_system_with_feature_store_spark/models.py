@@ -63,7 +63,14 @@ def _fit_als(
 
 
 
-def train_item_embeddings(
+def _factors_df(factors: DataFrame, id_out: str) -> DataFrame:
+    return factors.select(
+        F.col("id").cast("long").alias(id_out),
+        F.transform("features", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def train_embeddings(
     interactions: DataFrame,
     user_col: str,
     item_col: str,
@@ -72,25 +79,35 @@ def train_item_embeddings(
     max_iter: int = 10,
     alpha: float = 10.0,
     seed: int = 42,
-) -> DataFrame:
-    """Factorize implicit-feedback interactions into item embeddings.
+) -> tuple[DataFrame, DataFrame]:
+    """ONE factorization, both towers: returns ``(user_df, item_df)`` —
+    each ``(id, embedding array<double>)`` — from a single ALS fit, so the
+    same-factorization guarantee between query and item towers is
+    structural, not a same-seed coincidence, and callers needing both pay
+    the iterative cost once.
 
-    Returns ``(item_col, embedding array<double>)`` — the drop-in producer
-    for the embeddings table the knn/ANN operators consume. Event
-    multiplicity becomes the implicit confidence strength (one groupBy —
-    the only pass over the raw interaction log).
-
-    ALS ids must be 32-bit ints; callers with wider keys should pass a
-    dense-encoded column (operators/encode.py) and re-attach the natural key.
+    Event multiplicity becomes the implicit confidence strength (one
+    groupBy — the only pass over the raw interaction log). ALS ids must be
+    32-bit ints; callers with wider keys should pass a dense-encoded column
+    (operators/encode.py) and re-attach the natural key.
     """
     model = _fit_als(
         interactions, user_col, item_col,
         rank=rank, reg_param=reg_param, max_iter=max_iter, alpha=alpha, seed=seed,
     )
-    return model.itemFactors.select(
-        F.col("id").cast("long").alias(item_col),
-        F.transform("features", lambda x: x.cast("double")).alias("embedding"),
-    )
+    return _factors_df(model.userFactors, user_col), _factors_df(model.itemFactors, item_col)
+
+
+def train_item_embeddings(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    **als_kwargs,
+) -> DataFrame:
+    """Item tower only — the drop-in producer for the embeddings table the
+    knn/ANN operators consume. Needing both towers? ``train_embeddings``
+    shares one fit."""
+    return train_embeddings(interactions, user_col, item_col, **als_kwargs)[1]
 
 
 def train_user_embeddings(
@@ -99,9 +116,5 @@ def train_user_embeddings(
     item_col: str,
     **als_kwargs,
 ) -> DataFrame:
-    """User-side factors of the same factorization (the query tower)."""
-    model = _fit_als(interactions, user_col, item_col, **als_kwargs)
-    return model.userFactors.select(
-        F.col("id").cast("long").alias(user_col),
-        F.transform("features", lambda x: x.cast("double")).alias("embedding"),
-    )
+    """User tower only; see ``train_embeddings`` to get both from one fit."""
+    return train_embeddings(interactions, user_col, item_col, **als_kwargs)[0]

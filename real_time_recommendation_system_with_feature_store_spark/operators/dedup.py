@@ -686,6 +686,18 @@ def minhash_dedup_incremental(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # fail LOUDLY if verify_docs doesn't cover every candidate id — an inner
+    # verify join would silently drop real cross-batch duplicates when a
+    # caller passes only the new batch here (both id-sized slim frames, so
+    # this probe is a tiny job)
+    missing = cand_ids.join(verify_docs.select(id_col), id_col, "left_anti").limit(5).collect()
+    if missing:
+        raise ValueError(
+            "minhash_dedup_incremental: verify_docs is missing candidate ids "
+            f"(e.g. {[r[0] for r in missing]}); pass a frame covering BOTH the "
+            "corpus and the new batch, or verify_threshold=None to skip "
+            "verification"
+        )
     sh = verify_docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),

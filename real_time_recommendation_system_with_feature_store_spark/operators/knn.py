@@ -926,6 +926,11 @@ def pq_topk(
 
     q_small = _fits_driver(queries.select(query_id, query_vec))
     qtab = queries.select(query_id, query_vec).mapInPandas(query_tables, dt_schema)
+    if rerank > 0:
+        # consumed twice (ADC join + re-rank qv join): snapshot so the
+        # normalization+codebook-matmul kernel runs once, not per consumer
+        # (GC-managed blocks — no CacheManager leak)
+        qtab = qtab.localCheckpoint(eager=True)
     qdt = qtab.select("__qid", "__dt")
 
     # ADC: approximate score = Σ_m dt[m·n_codes + code_m] — n_sub literal

@@ -66,9 +66,11 @@ def global_topn_ranked(
     rank.py:1-13 trap; at a 1e9-item catalog that's a one-task sort of 1e9
     rows). Here ``orderBy().limit(n)`` compiles to TakeOrderedAndProject
     (per-partition heap of n rows, driver merge — no global sort), and only
-    the ≤ n survivors are then numbered. The survivor window partitions on a
-    constant, so it shuffles ≤ n rows and skips WindowExec's
-    "No Partition Defined" single-partition funnel warning.
+    the ≤ n survivors are then numbered. The survivor window partitions on
+    the NON-FOLDABLE spark_partition_id() (constant 0 on the limit's single
+    output partition): a foldable ``lit(1)`` key would be pruned by
+    Catalyst, resurrecting the bare window — see the same idiom in
+    operators/rank.py and operators/sampling.py.
 
     Identical output to the naive form whenever ``order_by`` is a total
     order (unique tiebreak last): the top-n set and the rank within it are
@@ -76,7 +78,7 @@ def global_topn_ranked(
     """
     cols = _ordering(order_by)
     top = df.orderBy(*cols).limit(n)
-    w = Window.partitionBy(F.lit(1)).orderBy(*cols)
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(*cols)
     return top.withColumn(rank_col, F.row_number().over(w))
 
 

@@ -671,12 +671,24 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT item_id FROM inter)
     ),
     ni AS (SELECT COUNT(*) AS n FROM idx),
+    -- per-user draw budget mirrors operators/sampling.py::negative_sample:
+    -- 0 when the user holds every item, base 20 (= oversample 4 x n 5) for
+    -- light users, scaled by LEAST(64, ceil(n/comp)*4) for heavy users
+    -- whose positives exceed half the catalog
+    pc AS (SELECT user_id, COUNT(*) AS p FROM inter GROUP BY 1),
+    budget AS (
+      SELECT pc.user_id, ni.n,
+        CASE WHEN ni.n - pc.p <= 0 THEN 0
+             WHEN pc.p * 2 <= ni.n THEN 20
+             ELSE 20 * LEAST(64, CAST(ceil(CAST(ni.n AS DOUBLE) / (ni.n - pc.p)) AS BIGINT) * 4)
+        END AS d
+      FROM pc CROSS JOIN ni
+    ),
     draws AS (
-      SELECT u.user_id, t.t,
-        CAST(floor(
-          (('0x' || substring(md5('neg' || chr(31) || CAST(u.user_id AS VARCHAR) || chr(31) || CAST(t.t AS VARCHAR)), 1, 8))::UBIGINT
-           / 4294967296.0) * ni.n) AS BIGINT) AS i
-      FROM users u CROSS JOIN generate_series(0, 19) t(t) CROSS JOIN ni
+      SELECT user_id, t, CAST(floor(
+          (('0x' || substring(md5('neg' || chr(31) || CAST(user_id AS VARCHAR) || chr(31) || CAST(t AS VARCHAR)), 1, 8))::UBIGINT
+           / 4294967296.0) * n) AS BIGINT) AS i
+      FROM (SELECT user_id, n, unnest(range(0, d)) AS t FROM budget)
     ),
     cand AS (
       SELECT d.user_id, x.item_id, MIN(d.t) AS t

@@ -31,10 +31,7 @@ def _clicks(spark):
 
 def test_als_embeddings_feed_knn_and_beat_or_match_noise(spark):
     from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_metrics
-    from real_time_recommendation_system_with_feature_store_spark.models import (
-        train_item_embeddings,
-        train_user_embeddings,
-    )
+    from real_time_recommendation_system_with_feature_store_spark.models import train_embeddings
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
 
     ev = _clicks(spark)
@@ -42,8 +39,8 @@ def test_als_embeddings_feed_knn_and_beat_or_match_noise(spark):
     train = ev.where(F.col("ts") < split)
     truth = ev.where(F.col("ts") >= split).select("user_id", "item_id").distinct()
 
-    item_emb = train_item_embeddings(train, "user_id", "item_id", rank=8, max_iter=5)
-    user_emb = train_user_embeddings(train, "user_id", "item_id", rank=8, max_iter=5)
+    # one fit, both towers (the same-factorization guarantee is structural)
+    user_emb, item_emb = train_embeddings(train, "user_id", "item_id", rank=8, max_iter=5)
 
     # shape contract: one row per training item, dense rank-8 doubles
     n_items = train.select("item_id").distinct().count()

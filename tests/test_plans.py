@@ -172,3 +172,22 @@ def test_pq_adc_scan_side_is_slim(spark):
     joins = plan.split("Join")
     adc_join = next(p for p in joins if "__dt" in p)
     assert "embedding" not in adc_join
+
+
+def test_dedup_lazy_plans_have_no_cartesian_product(spark):
+    """The catalog dedup queries eagerly checkpoint (their executed plans
+    collapse to an RDD scan, so the registry-wide cartesian sweep can't see
+    inside them) — assert the LAZY operator plans directly."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(F.col("doc_id") < 60)
+    for out in (
+        minhash_lsh_dedup(d, "text", "doc_id", verify_threshold=0.5, materialize=False),
+        minhash_lsh_dedup(d, "text", "doc_id", verify_threshold=None, materialize=False),
+        simhash_dedup(d, "text", "doc_id", materialize=False),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
