@@ -3090,7 +3090,9 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3-gram-Jaccard >= 0.5 similar to a lower-id survivor of the same "
         "stage input) -> benchmark decontamination (>= 2 shared 3-grams "
         "with the eval corpus) -> per-source 2048-token sequence packing. "
-        "One lazy DAG; every stage is an already-proven operator.",
+        "One lazy DAG; every stage is an already-proven operator. At 100 TB "
+        "swap stage 3's exact inverted index for minhash_lsh_dedup pairs "
+        "(same (id_a, id_b, jaccard) contract, banded instead of all-pairs).",
 )
 def corpus_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.functions.text import token_count
