@@ -206,3 +206,72 @@ def upsert_online_store(store, view_name: str):
         store.push(view_name, batch_df)
 
     return _upsert
+
+
+def near_dup_dedup_stream(
+    index_dir: str,
+    docs_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.8,
+    hash_fn: str = "xxhash64",
+):
+    """ST9 × dedup: streaming incremental near-dup — a foreachBatch sink
+    where each micro-batch probes the PERSISTED MinHash band index, emits
+    the verified near-dup pairs touching the batch to ``pairs_dir``, then
+    appends its own bands (and raw docs, for later verify reads) to the
+    index. The corpus is sketched exactly once, as it arrives — the
+    streaming face of ``operators/dedup.minhash_dedup_incremental``, whose
+    union-equals-full invariant carries over batch by batch.
+
+    State lives in parquet (index_dir / docs_dir), not executor memory, so
+    the stream restarts cleanly and the index doubles as the offline
+    dimension table (S10 pattern). At corpus scale, compact index_dir
+    periodically (sources/layout.compact_to_target_size).
+    """
+    import os
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_dedup_incremental,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            if batch.limit(1).count() == 0:
+                return
+            have_index = os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)
+            )
+            if have_index:
+                index = spark.read.parquet(index_dir)
+                verify = (
+                    spark.read.parquet(docs_dir)
+                    .select(id_col, text_col)
+                    .unionByName(batch)
+                )
+            else:
+                index = minhash_band_index(
+                    batch.limit(0), text_col, id_col, n, num_hashes, bands, hash_fn
+                )
+                verify = batch
+            pairs = minhash_dedup_incremental(
+                batch, index, verify, text_col, id_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                verify_threshold=verify_threshold, hash_fn=hash_fn,
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+            minhash_band_index(
+                batch, text_col, id_col, n, num_hashes, bands, hash_fn
+            ).write.mode("append").parquet(index_dir)
+            batch.write.mode("append").parquet(docs_dir)
+        finally:
+            batch.unpersist()
+
+    return _process

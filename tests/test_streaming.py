@@ -317,3 +317,51 @@ def test_stream_static_enrichment(spark, events_batch):
         )
     )
     assert len(got) > 0 and got == expected
+
+
+def test_near_dup_dedup_stream_matches_batch(spark):
+    """Streaming incremental near-dup: replaying the corpus as one-file
+    micro-batches through the foreachBatch index sink yields EXACTLY the
+    batch minhash dedup's pair set (the union-equals-full invariant,
+    batch by batch)."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import minhash_lsh_dedup
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import near_dup_dedup_stream
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_tables(spark, sf_dir, register=False)["documents"].select("doc_id", "text")
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp")
+    stage = _os.path.join(tmp, "nd_stage")
+    dirs = {k: _os.path.join(tmp, f"nd_{k}") for k in ("index", "docs", "pairs")}
+    for p in [stage, *dirs.values()]:
+        shutil.rmtree(p, ignore_errors=True)
+    n = docs.count()
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sink = near_dup_dedup_stream(
+        dirs["index"], dirs["docs"], dirs["pairs"], verify_threshold=0.5
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(dirs["pairs"]).collect()}
+    expected = {
+        tuple(r)
+        for r in minhash_lsh_dedup(docs, "text", "doc_id", verify_threshold=0.5).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
