@@ -12,9 +12,7 @@ detector (same join, thresholded instead of ranked).
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
