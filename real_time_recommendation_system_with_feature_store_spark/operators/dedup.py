@@ -712,3 +712,59 @@ def minhash_dedup_incremental(
         .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     ).localCheckpoint(eager=True)
+
+
+def verbatim_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_chars: int = 50,
+    mod_stride: int = 8,
+    min_shared: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Verbatim substring overlap between documents (the exact-substring
+    dedup family, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"): two docs pair when they share at least
+    ``min_shared`` SAMPLED character ``gram_chars``-grams.
+
+    Sampling is CONTENT-DEFINED — a gram is kept iff hash(gram) %
+    mod_stride == 0 — so both documents select the same grams of any shared
+    substring regardless of alignment (a positional stride would miss
+    overlaps shifted by a non-multiple; this is the winnowing/CDC trick).
+    Expected sample density is len/mod_stride per doc; a shared verbatim
+    span of s >= gram_chars chars contributes ~(s - gram_chars)/mod_stride
+    expected shared grams, so n_shared estimates overlap length.
+
+    Same slim-join shape as the other dedup tiers: only (id, 8-byte hash)
+    rows reach the self-join; hash collisions (~2^-60) are the only false
+    pairs — no verify pass needed for the "shares a verbatim span" claim.
+
+    Returns (id_a, id_b, n_shared), id_a < id_b.
+    """
+    text = F.col(text_col)
+    base_hash = (
+        (lambda c: portable_hash60(c)) if hash_fn == "portable" else (lambda c: F.xxhash64(c))
+    )
+    # sequence(a, b) DESCENDS when a > b — docs shorter than the gram must
+    # yield an empty position list, not positions [1, 0]
+    n_pos = F.length(text) - (gram_chars - 1)
+    positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.array_distinct(
+        F.filter(
+            F.transform(positions, lambda p: base_hash(F.substring(text, p, gram_chars))),
+            lambda h: h % mod_stride == 0,
+        )
+    )
+    g = df.select(F.col(id_col), F.explode(hashes).alias("__h"))
+    a = g.select(F.col(id_col).alias("id_a"), "__h")
+    b = g.select(F.col(id_col).alias("id_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1129,6 +1129,39 @@ def minhash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "verbatim_span_pairs",
+    # Content-defined sampling: a 50-char gram is kept iff its md5-60 hash
+    # % 8 == 0, so shared verbatim spans sample identically on both docs
+    # regardless of alignment. The oracle replays the sampling (range is
+    # EXCLUSIVE of its end in DuckDB, inclusive in Spark's sequence — hence
+    # the -48 bound).
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+        list_transform(range(1, GREATEST(len(text) - 48, 1)),
+          p -> ('0x' || substring(md5(substring(text, p, 50)), 1, 15))::BIGINT),
+        h -> h % 8 = 0))) AS h
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Verbatim substring overlap (exact-substring dedup family, Lee et "
+        "al. 2022): doc pairs sharing content-defined-sampled 50-char "
+        "grams; n_shared estimates the shared span length "
+        "(operators/dedup.py::verbatim_span_pairs, portable hash).",
+)
+def verbatim_span_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import verbatim_span_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return verbatim_span_pairs(
+        d, "text", "doc_id", gram_chars=50, mod_stride=8, hash_fn="portable"
+    )
+
+
+@query(
     "incremental_dedup_candidates",
     # Incremental near-dup: the corpus (doc_id < 250) is sketched once into
     # a band index; only the new batch (>= 250) runs the MinHash kernel and
@@ -3745,11 +3778,13 @@ _DRIVER_WINDOW = [
     "doc_token_chunks",
     "two_stage_recommendations",
     "weighted_doc_sample",
-    "stratified_event_sample",
-    # incremental_dedup_candidates, ngram_repetition_signals and pq_ann_topk
-    # are NEW in r3 (need their first driver rows); they displace
+    # the r3-NEW entries below (verbatim_span_pairs,
+    # incremental_dedup_candidates, ngram_repetition_signals, pq_ann_topk —
+    # plus corpus_export_pipeline and doc_token_chunks fronted earlier) need
+    # their first driver rows; they displace stratified_event_sample,
     # nation_top_balance_customers, user_value_scd2 and asof_purchase_click,
     # whose r2 green rows stay ≤1 round old.
+    "verbatim_span_pairs",
     "incremental_dedup_candidates",
     "ngram_repetition_signals",
     "pq_ann_topk",

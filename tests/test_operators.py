@@ -495,3 +495,27 @@ def test_chunk_documents_golden(spark):
         (1, 1, 3, 5, "d e f g h"),
         (2, 0, 0, 2, "x y"),
     ]
+
+
+def test_verbatim_span_pairs_alignment_independent(spark):
+    """Content-defined sampling must catch a shared verbatim span at
+    DIFFERENT character offsets in the two docs (a positional stride would
+    only match span shifts that are stride multiples), and emit nothing for
+    disjoint docs."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import verbatim_span_pairs
+
+    span = " ".join(f"tok{i}" for i in range(40))  # ~240 chars of shared text
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + span),     # span at offset 17
+            (2, span + " trailing remark"),      # span at offset 0
+            (3, " ".join(f"other{i}" for i in range(60))),  # disjoint
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in verbatim_span_pairs(df, "text", "doc_id", gram_chars=50, mod_stride=8).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] >= 1
+    assert all(k == (1, 2) for k in rows)
