@@ -343,3 +343,53 @@ def test_portable_hash_matches_duckdb_on_random_strings(spark, texts):
             "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", [t]
         ).fetchone()[0]
         assert got[i] == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.text(alphabet="abc d", min_size=0, max_size=90),
+        ),
+        min_size=2,
+        max_size=6,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**SETTINGS)
+def test_verbatim_span_pairs_matches_python_reference(spark, docs):
+    """Content-defined sampling semantics pinned against a hashlib-md5
+    driver-side reference (same gram positions, same mod rule)."""
+    import hashlib
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import verbatim_span_pairs
+
+    G, S = 20, 4
+
+    def sample(text):
+        out = set()
+        for p in range(0, max(len(text) - G + 1, 0)):
+            gram = text[p : p + G]
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+            if h % S == 0:
+                out.add(h)
+        return out
+
+    expected = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in [d for d in docs[i + 1 :]]:
+            lo, hi = min(ia, ib), max(ia, ib)
+            sa = sample(ta if ia == lo else tb)
+            sb = sample(tb if ia == lo else ta)
+            shared = len(sa & sb)
+            if shared:
+                expected[(lo, hi)] = shared
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in verbatim_span_pairs(
+            df, "text", "doc_id", gram_chars=G, mod_stride=S, hash_fn="portable"
+        ).collect()
+    }
+    assert got == expected
