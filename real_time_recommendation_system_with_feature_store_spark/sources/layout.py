@@ -79,21 +79,45 @@ def write_zordered(
     small-range files even when AQE coalesces the sort to few partitions
     (at real scale the range partitioning itself yields the file count).
 
-    Columns are rank-normalized onto the full ``bits`` range first (ntile):
-    raw interleaving degenerates to a single-column sort when the columns'
-    cardinalities differ (the narrow column's high bits are constant zero).
-    ntile's global window is fine below driver scale; a 100 TB run swaps it
-    for approxQuantile-sampled range boundaries per column — same key shape,
-    one sampling pass instead of a global sort per column.
+    Columns are rank-normalized onto the full ``bits`` range first (an
+    equal-size bucket assignment == SQL ntile): raw interleaving
+    degenerates to a single-column sort when the columns' cardinalities
+    differ (the narrow column's high bits are constant zero). The buckets
+    derive from ``global_row_number`` (range-partitioned parallel sort +
+    broadcast offsets — the same machinery as price_deciles), NOT an
+    unpartitioned ntile window, so the write path scales: no one-task sort
+    per column. Ties within a key column land in an arbitrary-but-valid
+    bucket order (any tie order is an equally good layout key).
     """
-    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number
 
+    n_buckets = 1 << bits
+    counted = df.crossJoin(F.broadcast(df.agg(F.count("*").alias("__n"))))
+
+    def bucket(rn: F.Column, n: F.Column) -> F.Column:
+        # SQL-standard ntile(n_buckets): first n%nb buckets get one extra row
+        q = F.floor(n / n_buckets)
+        r = n % n_buckets
+        big_rows = r * (q + 1)
+        return (
+            F.when(q == 0, rn - 1)
+            .when(rn <= big_rows, F.floor((rn - 1) / (q + 1)))
+            .otherwise(r + F.floor((rn - 1 - big_rows) / q))
+        ).cast("long")
+
+    step1 = global_row_number(counted, [F.col(col_a)], "__ra").withColumn(
+        "__za", bucket(F.col("__ra"), F.col("__n"))
+    )
     keyed = (
-        df.withColumn("__za", F.ntile(1 << bits).over(Window.orderBy(F.col(col_a))) - 1)
-        .withColumn("__zb", F.ntile(1 << bits).over(Window.orderBy(F.col(col_b))) - 1)
+        global_row_number(step1, [F.col(col_b)], "__rb")
+        .withColumn("__zb", bucket(F.col("__rb"), F.col("__n")))
         .withColumn("__zkey", morton_code(F.col("__za"), F.col("__zb"), bits))
     )
-    w = keyed.orderBy("__zkey").drop("__za", "__zb", "__zkey").write.mode(mode)
+    w = (
+        keyed.orderBy("__zkey")
+        .drop("__za", "__zb", "__zkey", "__ra", "__rb", "__n")
+        .write.mode(mode)
+    )
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
