@@ -107,12 +107,27 @@ def test_no_cartesian_product_in_any_query_plan(spark):
     allowed."""
     from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
 
-    offenders = []
+    # Queries allowed an Exchange SinglePartition: each funnels only a
+    # tiny-by-construction frame — global scalar aggregates (1 output row),
+    # the ≤32-row offset table inside global_row_number, a ≤n-row
+    # TakeOrdered survivor set, or a catalog-sized distinct for encoding.
+    # Audited 2026-08-14; a NEW name appearing here means a fact-sized
+    # single-partition funnel slipped into a plan.
+    single_partition_ok = {
+        "acctbal_zscore", "coverage_novelty", "event_type_stats",
+        "negative_samples", "popularity_ranking_metrics", "price_deciles",
+        "promo_revenue_share", "rec_diversity", "rich_inactive_customers",
+        "segment_codes", "tfidf_top_terms", "time_split_orders",
+    }
+    offenders, sp_offenders = [], []
     for name, spec in QUERIES.items():
         plan = explain_str(spec.fn(spark, SF_DIR))
         if "CartesianProduct" in plan:
             offenders.append(name)
+        if "Exchange SinglePartition" in plan and name not in single_partition_ok:
+            sp_offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+    assert not sp_offenders, f"unexpected Exchange SinglePartition in: {sp_offenders}"
 
 def test_price_deciles_no_single_partition_window(spark):
     """ntile/percent_rank must derive from the range-partitioned global rank,
