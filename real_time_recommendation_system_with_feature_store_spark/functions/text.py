@@ -161,48 +161,86 @@ def ngram_repetition_profile(df, text_col: str, id_col: str):
     hotspots at corpus scale.
 
     Returns (id, n_words, top2_frac, top3_frac, dup5_frac).
+    Plan shape: a doc's gram multiplicities never collapse across docs, so a
+    relational explode → count-per-(doc, gram) shuffle moves ~15× the rows
+    it aggregates away (measured 12s vs 1s at sf0.1). The counts are
+    document-LOCAL, so the whole profile is one scan + one Arrow kernel:
+    the JVM builds the three hashed gram arrays per doc (one xxhash64 long
+    per gram crosses the boundary, never the strings), numpy counts
+    multiplicities per row — zero shuffles, embarrassingly parallel.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    toks = tokens(F.col(text_col))
-    n_words = F.size(toks)
-
-    def tagged(n: int):
-        sh = word_shingles(F.col(text_col), n)
-        guarded = F.when(n_words >= n, sh).otherwise(F.array().cast("array<string>"))
-        return F.transform(guarded, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
-
-    grams = df.select(
+    # Tokens hash ONCE in the JVM (lowercased, matching word_shingles'
+    # normalization); the kernel derives every width's gram identities from
+    # that single long array with a vectorized rolling xor-rotate — gram
+    # equality is preserved (position-rotated token hashes collide across
+    # distinct grams with ~2^-64 odds), and no gram strings are ever built.
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    hashed_df = df.select(
         F.col(id_col),
-        n_words.alias("__w"),
-        F.explode_outer(
-            F.concat(tagged(2), tagged(3), tagged(5))
-        ).alias("__t"),
+        F.size(toks).alias("__w"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__ht"),
     )
-    counts = (
-        grams.groupBy(id_col, "__w", F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
-        .agg(F.count("*").alias("__c"))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("top2_frac", T.DoubleType()),
+            T.StructField("top3_frac", T.DoubleType()),
+            T.StructField("dup5_frac", T.DoubleType()),
+        ]
     )
-    prof = (
-        counts.groupBy(id_col, "__w")
-        .agg(
-            F.max(F.when(F.col("__n") == 2, F.col("__c"))).alias("__top2"),
-            F.max(F.when(F.col("__n") == 3, F.col("__c"))).alias("__top3"),
-            F.sum(
-                F.when((F.col("__n") == 5) & (F.col("__c") >= 2), F.col("__c"))
-            ).alias("__dup5"),
-        )
-    )
-    w = F.col("__w").cast("double")
-    def frac(count_col: Column, n: int) -> Column:
-        return F.round(
-            F.least(F.coalesce(count_col * n / w, F.lit(0.0)), F.lit(1.0)), 6
-        )
 
-    return prof.select(
-        F.col(id_col),
-        F.col("__w").cast("int").alias("n_words"),
-        frac(F.col("__top2"), 2).alias("top2_frac"),
-        frac(F.col("__top3"), 3).alias("top3_frac"),
-        frac(F.col("__dup5"), 5).alias("dup5_frac"),
-    )
+    def round6(x: float) -> float:
+        # Spark ROUND is half-up; Python round() is half-even
+        return np.floor(x * 1e6 + 0.5) / 1e6 if x > 0 else 0.0
+
+    def gram_counts(h: "np.ndarray", n: int) -> "np.ndarray":
+        """Multiplicity of each distinct n-gram of the token-hash array."""
+        width = len(h) - n + 1
+        if width <= 0:
+            return np.zeros(0, dtype=np.int64)
+        acc = h[:width].copy()
+        for j in range(1, n):
+            x = h[j : j + width]
+            r = np.uint64((17 * j) % 64)
+            acc ^= (x << r) | (x >> np.uint64(64 - int(r)))
+        return np.unique(acc, return_counts=True)[1]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ws, f2, f3, f5 = [], [], [], [], []
+            for doc_id, w, ht in zip(pdf[id_col], pdf["__w"], pdf["__ht"]):
+                w = int(w)
+                h = np.asarray(ht, dtype=np.int64).view(np.uint64)
+
+                # same arithmetic as the SQL oracle: count*width/w as one
+                # double division, capped, then half-up round6
+                def frac(count: int, n: int) -> float:
+                    if w == 0 or count == 0:
+                        return 0.0
+                    return round6(min(count * n / w, 1.0))
+
+                c2 = gram_counts(h, 2)
+                c3 = gram_counts(h, 3)
+                c5 = gram_counts(h, 5)
+                ids.append(doc_id)
+                ws.append(w)
+                f2.append(frac(int(c2.max()) if len(c2) else 0, 2))
+                f3.append(frac(int(c3.max()) if len(c3) else 0, 3))
+                f5.append(frac(int(c5[c5 >= 2].sum()) if len(c5) else 0, 5))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": np.asarray(ws, dtype=np.int32),
+                    "top2_frac": f2,
+                    "top3_frac": f3,
+                    "dup5_frac": f5,
+                }
+            )
+
+    return hashed_df.mapInPandas(gen, out_schema)
