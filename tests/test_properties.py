@@ -393,3 +393,40 @@ def test_verbatim_span_pairs_matches_python_reference(spark, docs):
         ).collect()
     }
     assert got == expected
+
+
+@given(docs=docs_strategy)
+@settings(**SETTINGS)
+def test_ngram_repetition_profile_matches_python_reference(spark, docs):
+    """The rolling-hash kernel's fractions must equal a Counter-based
+    driver-side reference computing gram multiplicities on the actual
+    token tuples (pins the xor-rotate gram identity + the cap/round)."""
+    import math
+    from collections import Counter
+
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import ngram_repetition_profile
+
+    def ref(words):
+        w = len(words)
+        out = {"n_words": w}
+        for n, key, dup in [(2, "top2_frac", False), (3, "top3_frac", False), (5, "dup5_frac", True)]:
+            grams = [tuple(words[i : i + n]) for i in range(w - n + 1)] if w >= n else []
+            counts = Counter(grams)
+            c = (
+                sum(v for v in counts.values() if v >= 2)
+                if dup
+                else (max(counts.values()) if counts else 0)
+            )
+            v = 0.0 if (w == 0 or c == 0) else min(c * n / w, 1.0)
+            out[key] = math.floor(v * 1e6 + 0.5) / 1e6 if v > 0 else 0.0
+        return out
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in docs], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: {k: r[k] for k in ("n_words", "top2_frac", "top3_frac", "dup5_frac")}
+        for r in ngram_repetition_profile(df, "text", "doc_id").collect()
+    }
+    expected = {i: ref(words) for i, words in docs}
+    assert got == expected
