@@ -23,6 +23,13 @@ from real_time_recommendation_system_with_feature_store_spark.operators.sessioni
 from real_time_recommendation_system_with_feature_store_spark.operators.split import leave_one_out_split, time_fraction_split
 from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn, topk_per_key
 
+from real_time_recommendation_system_with_feature_store_spark.operators.corpus import (
+    char_bigram_lm_scores,
+    cluster_keepers,
+    grouped_fraction_split,
+    mixture_resample,
+)
+
 from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
 from real_time_recommendation_system_with_feature_store_spark.operators.scd import (
     scd2_apply_increment,
@@ -57,6 +64,10 @@ __all__ = [
     "global_topn",
     "topk_per_key",
     "asof_join_union",
+    "char_bigram_lm_scores",
+    "cluster_keepers",
+    "grouped_fraction_split",
+    "mixture_resample",
     "scd2_from_changelog",
     "scd2_apply_increment",
     "snapshot_at",

@@ -1,0 +1,207 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Four primitives a pretraining-data pipeline needs on top of the dedup /
+quality / sampling stack (reference scope: the feature-store's batch
+pipelines, `src/features/feature_pipeline.py`, stop at interaction-level
+features — these extend the same deterministic md5-keyed design to
+corpus-level curation, per the public CCNet / Gopher data recipes):
+
+  mixture_resample       downsample domains so the surviving corpus hits a
+                         target domain/language mixture (binding-constraint
+                         rule: the scarcest domain caps the total)
+  grouped_fraction_split leakage-safe train/valid/test folds — every row of
+                         a group (e.g. an exact-dup fingerprint or a near-dup
+                         cluster) lands in the SAME fold
+  cluster_keepers        pick ONE representative per duplicate cluster by
+                         quality (longest doc wins, not min-id)
+  char_bigram_lm_scores  CCNet-style quality filter: train a char-bigram LM
+                         on the corpus itself, score each doc by average
+                         negative log-likelihood (high avg-NLL = gibberish)
+
+All pseudo-randomness is md5-of-key (`hash_unit`) so results are identical
+under any partitioning/AQE re-plan and replayable in the ANSI-SQL oracles
+(SURVEY.md §4.3).
+
+Scale notes (100 TB):
+  * mixture_resample: one tiny groupBy(domain) count (|domains| rows), the
+    rate table broadcasts back — the fact scan is filtered map-side.
+  * grouped_fraction_split: pure map-side expression, zero shuffles.
+  * cluster_keepers: the label table of connected_components is |nodes in
+    any pair| (duplicates only, << corpus), broadcast back onto the corpus;
+    the per-cluster argmax is a shuffle on cluster_id (clusters are tiny).
+  * char_bigram_lm_scores: one shuffle keyed (doc_id, bigram) for per-doc
+    counts; the model is at most |charset|^2 rows and broadcasts into the
+    scoring join, so scoring never shuffles the corpus again.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_recommendation_system_with_feature_store_spark.functions.scalars import hash_unit
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    targets: Mapping[str, float],
+    key_cols: Sequence[str],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically downsample so surviving domain shares match
+    ``targets`` (e.g. ``{"en": .5, "code": .3, "de": .2}``).
+
+    The achievable corpus size is capped by the scarcest domain:
+    ``T = min_d(n_d / share_d)``; each domain then keeps
+    ``rate_d = share_d * T / n_d`` of its rows (the binding domain keeps
+    100%). Domains absent from ``targets`` are dropped — resampling to a
+    mixture IS a domain filter. Rows are kept by md5-of-key uniform, so the
+    sample is stable under re-partitioning and reproducible in SQL.
+    """
+    if not targets:
+        raise ValueError("targets must be a non-empty {domain: share} mapping")
+    total = float(sum(targets.values()))
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(str(d), float(s) / total) for d, s in sorted(targets.items())],
+        f"{domain_col} string, __share double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    # scalar aggregate: 1-row cap table (an intentional single-row Exchange)
+    cap = (
+        counts.join(tgt, domain_col)
+        .agg(F.min(F.col("__n") / F.col("__share")).alias("__cap"))
+    )
+    rates = (
+        counts.join(tgt, domain_col)
+        .join(F.broadcast(cap))
+        .select(
+            domain_col,
+            F.least(F.lit(1.0), F.col("__share") * F.col("__cap") / F.col("__n")).alias(
+                "__rate"
+            ),
+        )
+    )
+    u = hash_unit(F.lit(salt), *[F.col(k) for k in key_cols])
+    return df.join(F.broadcast(rates), domain_col).where(u < F.col("__rate")).drop("__rate")
+
+
+def grouped_fraction_split(
+    df: DataFrame,
+    group: Column | str,
+    folds: Sequence[tuple[str, float]],
+    salt: str = "gsplit",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe fold assignment: the uniform is drawn from the GROUP key,
+    so all rows of a group land in the same fold (duplicate documents can
+    never straddle train/test — the contamination mode a row-level split
+    invites). ``folds`` is ordered ``[("train", .8), ("valid", .1),
+    ("test", .1)]``; fractions are normalized and carved as half-open
+    intervals of the unit uniform, so the assignment is exhaustive."""
+    if not folds:
+        raise ValueError("folds must be a non-empty ordered [(name, fraction)] list")
+    g = F.col(group) if isinstance(group, str) else group
+    u = hash_unit(F.lit(salt), g)
+    total = float(sum(f for _, f in folds))
+    expr = F.lit(folds[-1][0])  # last fold catches the remainder exactly
+    cum = 0.0
+    conds = []
+    for name, frac in folds[:-1]:
+        cum += float(frac) / total
+        conds.append((name, cum))
+    for name, bound in reversed(conds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(fold_col, expr)
+
+
+def cluster_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality: Column,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-keeper dedup: assign duplicate clusters (connected components
+    over ``pairs``), then keep the highest-``quality`` doc per cluster
+    (ties break to the smallest id). Docs in no pair are their own cluster
+    and always keepers. Returns (id_col, cluster_id, is_keeper).
+
+    This upgrades the reference's MIN-id keep rule (`exact_dedup`) to the
+    curation-grade rule public pipelines use: keep the longest / highest-
+    quality member, drop the rest."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import connected_components
+
+    labels = connected_components(pairs, id_a, id_b)  # (node_id, cluster_id), dup docs only
+    base = docs.select(
+        F.col(id_col), quality.cast("double").alias("__q")
+    ).join(
+        F.broadcast(labels.withColumnRenamed("node_id", id_col)), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("__q").desc(), F.col(id_col).asc())
+    return base.select(
+        id_col,
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
+def char_bigram_lm_scores(
+    df: DataFrame, text_col: str, id_col: str, alpha: float = 1.0
+) -> DataFrame:
+    """CCNet-style in-corpus LM quality scoring, character-bigram edition.
+
+    Trains a Laplace-smoothed char-bigram model ON the corpus itself
+    (``P(c2|c1) = (count(c1c2)+alpha) / (count(c1.)+alpha*V)``, V = distinct
+    successor chars), then scores every doc by average negative
+    log-likelihood per bigram. Outlier docs (repetitive gibberish, wrong
+    charset) score far from the corpus mode, which is the public CCNet
+    recipe's perplexity-bucket filter with the kenlm stage swapped for an
+    in-engine model — no external artifacts, fully SQL-replayable.
+
+    Plan: explode to bigrams (map-side), ONE shuffle to (doc, bigram)
+    counts, model = tiny re-agg of those counts, broadcast model back onto
+    the per-doc counts. Docs shorter than one bigram after trim drop out.
+    Returns (id_col, n_bigrams, avg_nll) with avg_nll rounded to 6.
+    """
+    t = df.select(
+        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__t")
+    ).where(F.length("__t") >= 2)
+    grams = t.select(
+        id_col,
+        F.explode(
+            F.expr("transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))")
+        ).alias("__bg"),
+    )
+    doc_counts = grams.groupBy(id_col, "__bg").agg(F.count("*").alias("__c"))
+    model = doc_counts.groupBy("__bg").agg(F.sum("__c").alias("__cb"))
+    prefix = model.groupBy(F.substring("__bg", 1, 1).alias("__c1")).agg(
+        F.sum("__cb").alias("__cp")
+    )
+    vocab = model.agg(F.countDistinct(F.substring("__bg", 2, 1)).alias("__v"))
+    scored_model = (
+        model.withColumn("__c1", F.substring("__bg", 1, 1))
+        .join(F.broadcast(prefix), "__c1")
+        .join(F.broadcast(vocab))
+        .select(
+            "__bg",
+            F.log(
+                (F.col("__cb") + F.lit(alpha))
+                / (F.col("__cp") + F.lit(alpha) * F.col("__v"))
+            ).alias("__logp"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(scored_model), "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_bigrams"),
+            F.round(-F.sum(F.col("__c") * F.col("__logp")) / F.sum("__c"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )

@@ -519,3 +519,93 @@ def test_verbatim_span_pairs_alignment_independent(spark):
     }
     assert (1, 2) in rows and rows[(1, 2)] >= 1
     assert all(k == (1, 2) for k in rows)
+
+
+def test_mixture_resample_hits_targets_and_is_partition_stable(spark):
+    """Achieved shares track targets; the binding (scarcest-vs-target) domain
+    keeps every row; output is identical under a different partitioning."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import mixture_resample
+
+    rows = (
+        [(i, "en") for i in range(4000)]
+        + [(i + 10_000, "de") for i in range(1000)]
+        + [(i + 20_000, "fr") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    targets = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = mixture_resample(df, "lang", targets, ["doc_id"]).toPandas()
+    got = out.groupby("lang").size().to_dict()
+    # fr is binding: T = 200/.25 = 800 -> en .5*800=400 of 4000, de 200 of 1000
+    assert got["fr"] == 200
+    for lang, expect in {"en": 400, "de": 200}.items():
+        assert abs(got[lang] - expect) / expect < 0.2, (lang, got)
+    out2 = mixture_resample(df.repartition(13, "lang"), "lang", targets, ["doc_id"]).toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_grouped_fraction_split_groups_never_straddle(spark):
+    """Every row of a group shares a fold; folds are exhaustive and track
+    their fractions."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import grouped_fraction_split
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 400}") for i in range(2000)], "row_id long, grp string"
+    )
+    out = grouped_fraction_split(
+        df, "grp", [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    ).toPandas()
+    assert out.fold.notna().all() and set(out.fold) <= {"train", "valid", "test"}
+    assert (out.groupby("grp").fold.nunique() == 1).all()
+    shares = out.groupby("fold").size() / len(out)
+    assert 0.6 < shares.get("train", 0) < 0.95
+
+
+def test_cluster_keepers_quality_rule(spark):
+    """One keeper per cluster, and it is the longest member (tie -> min id);
+    docs in no pair are their own keepers."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import cluster_keepers
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (9, 50), (4, 1)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    out = cluster_keepers(docs, pairs, "doc_id", F.col("n_chars")).toPandas()
+    keep = set(out[out.is_keeper].doc_id)
+    assert keep == {2, 9, 4}  # 2 beats 3 on id at equal length; 9 longest; 4 singleton
+    assert (out.groupby("cluster_id").is_keeper.sum() == 1).all()
+
+
+def test_char_bigram_lm_scores_match_python_reference(spark):
+    """Laplace char-bigram avg-NLL agrees with a Counter-based reference."""
+    import math
+    from collections import Counter
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import char_bigram_lm_scores
+
+    texts = {1: "abab", 2: "abcd", 3: "aaaa", 4: "zq", 5: "x"}  # 5 has no bigram
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    big = Counter()
+    for t in texts.values():
+        t = t.lower().strip()
+        big.update(t[i : i + 2] for i in range(len(t) - 1))
+    pre = Counter()
+    for bg, c in big.items():
+        pre[bg[0]] += c
+    v = len({bg[1] for bg in big})
+    expect = {}
+    for d, t in texts.items():
+        t = t.lower().strip()
+        gs = [t[i : i + 2] for i in range(len(t) - 1)]
+        if not gs:
+            continue
+        nll = -sum(math.log((big[g] + 1.0) / (pre[g[0]] + 1.0 * v)) for g in gs) / len(gs)
+        expect[d] = round(nll, 6)
+    got = {
+        r["doc_id"]: r["avg_nll"]
+        for r in char_bigram_lm_scores(df, "text", "doc_id").collect()
+    }
+    assert set(got) == set(expect)
+    for d in expect:
+        assert abs(got[d] - expect[d]) < 1e-9, (d, got[d], expect[d])
