@@ -206,3 +206,18 @@ def test_dedup_lazy_plans_have_no_cartesian_product(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_curation_plan_shapes(spark):
+    """The corpus ops' scale posture, visible in the plan: fold assignment is
+    shuffle-free; the mixture rate dim and the char-bigram model reach the
+    corpus via broadcast joins, never a sort-merge shuffle of the facts."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    folds = explain_str(QUERIES["leakage_safe_folds"].fn(spark, SF_DIR))
+    assert "Exchange" not in folds, folds
+
+    for name in ("domain_mixture_sample", "charlm_doc_scores"):
+        plan = explain_str(QUERIES[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, (name, plan)
