@@ -430,3 +430,76 @@ def test_ngram_repetition_profile_matches_python_reference(spark, docs):
     }
     expected = {i: ref(words) for i, words in docs}
     assert got == expected
+
+
+folds_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(min_value=0.05, max_value=5.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda f: f[0],
+)
+
+
+@given(
+    folds=folds_strategy,
+    rows=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_grouped_split_exhaustive_and_group_consistent(spark, folds, rows):
+    """Arbitrary (un-normalized) fold fractions: every row gets a declared
+    fold, all rows of a group agree, and the assignment is a pure function
+    of the group key (stable under repartitioning)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import grouped_fraction_split
+
+    df = spark.createDataFrame(rows, "row_id long, grp long")
+    out = grouped_fraction_split(df, "grp", folds).collect()
+    names = {n for n, _ in folds}
+    assert len(out) == len(rows)
+    by_group: dict[int, set[str]] = {}
+    for r in out:
+        assert r["fold"] in names
+        by_group.setdefault(r["grp"], set()).add(r["fold"])
+    assert all(len(v) == 1 for v in by_group.values())
+    out2 = grouped_fraction_split(df.repartition(7), "grp", folds).collect()
+    assert {(r["row_id"], r["fold"]) for r in out2} == {
+        (r["row_id"], r["fold"]) for r in out
+    }
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=60), min_size=2, max_size=4),
+    shares=st.lists(st.floats(min_value=0.1, max_value=1.0), min_size=2, max_size=4),
+)
+@settings(**SETTINGS)
+def test_mixture_resample_binding_domain_keeps_everything(spark, counts, shares):
+    """The domain with the smallest n/share ratio gets rate 1.0 and keeps
+    every row; every domain keeps <= its row count; domains outside the
+    target mixture are dropped."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import mixture_resample
+
+    k = min(len(counts), len(shares))
+    counts, shares = counts[:k], shares[:k]
+    langs = [f"l{i}" for i in range(k)]
+    rows, next_id = [], 0
+    for lang, n in zip(langs, counts):
+        rows += [(next_id + j, lang) for j in range(n)]
+        next_id += n
+    rows.append((next_id, "excluded"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    targets = dict(zip(langs, shares))
+    total = sum(shares)
+    got = mixture_resample(df, "lang", targets, ["doc_id"]).toPandas()
+    kept = got.groupby("lang").size().to_dict()
+    assert "excluded" not in kept
+    binding = min(range(k), key=lambda i: counts[i] / (shares[i] / total))
+    assert kept.get(langs[binding], 0) == counts[binding]
+    for lang, n in zip(langs, counts):
+        assert kept.get(lang, 0) <= n
