@@ -365,3 +365,77 @@ def test_near_dup_dedup_stream_matches_batch(spark):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_curation_gate_matches_batch(spark):
+    """The curation surface is stream-ready: the SAME stateless expressions
+    (quality gate + leakage-safe fold + precomputed mixture rates joined as
+    a static dim) applied to a file stream produce exactly the batch rows —
+    ingest-time curation needs no second batch pass."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import hash_unit
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import grouped_fraction_split, mixture_resample
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_tables(spark, sf_dir, register=False)["documents"].select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+
+    def curate(df, rates):
+        gated = df.where(F.col("n_chars") >= 50)
+        folded = grouped_fraction_split(
+            gated, F.md5(F.lower(F.trim(F.col("text")))), [("train", 0.9), ("test", 0.1)]
+        )
+        u = hash_unit(F.lit("mix"), F.col("doc_id"))
+        return (
+            folded.join(F.broadcast(rates), "lang")
+            .where(u < F.col("__rate"))
+            .select("doc_id", "lang", "fold")
+        )
+
+    # rates computed ONCE in batch (a corpus-level stat), then joined into
+    # the stream as a static dim — the streamable form of mixture_resample
+    targets = {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125}
+    kept = mixture_resample(docs.select("doc_id", "lang"), "lang", targets, ["doc_id"])
+    counts = docs.groupBy("lang").agg(F.count("*").alias("__n"))
+    tgt = spark.createDataFrame(sorted(targets.items()), "lang string, __share double")
+    cap = counts.join(tgt, "lang").agg(F.min(F.col("__n") / F.col("__share")).alias("__cap"))
+    rates = (
+        counts.join(tgt, "lang")
+        .join(F.broadcast(cap))
+        .select("lang", F.least(F.lit(1.0), F.col("__share") * F.col("__cap") / F.col("__n")).alias("__rate"))
+    )
+    batch_out = {(r["doc_id"], r["lang"], r["fold"]) for r in curate(docs, rates).collect()}
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} >= {d for d, _, _ in batch_out}
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp")
+    stage = _os.path.join(tmp, "curation_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    n = docs.count()
+    for lo, hi in [(0, n // 2), (n // 2, n + 1)]:
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    rates_static = spark.createDataFrame(rates.collect())  # frozen dim
+    q = (
+        curate(stream, rates_static)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curation_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {
+        (r["doc_id"], r["lang"], r["fold"])
+        for r in spark.sql("SELECT * FROM curation_out").collect()
+    }
+    shutil.rmtree(stage, ignore_errors=True)
+    assert stream_out == batch_out
