@@ -151,7 +151,12 @@ def cluster_keepers(
 
 
 def char_bigram_lm_scores(
-    df: DataFrame, text_col: str, id_col: str, alpha: float = 1.0
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+    kernel: str = "auto",
+    max_model_rows: int = 1 << 16,
 ) -> DataFrame:
     """CCNet-style in-corpus LM quality scoring, character-bigram edition.
 
@@ -163,40 +168,67 @@ def char_bigram_lm_scores(
     recipe's perplexity-bucket filter with the kenlm stage swapped for an
     in-engine model — no external artifacts, fully SQL-replayable.
 
-    Plan: explode to bigrams (map-side), ONE shuffle to (doc, bigram)
-    counts, model = tiny re-agg of those counts, broadcast model back onto
-    the per-doc counts. Docs shorter than one bigram after trim drop out.
-    Returns (id_col, n_bigrams, avg_nll) with avg_nll rounded to 6.
+    Two physical strategies, same rounded-6 outputs (asserted in
+    test_scale_paths):
+      kernel="arrow" (default when the model fits ``max_model_rows``):
+        model build is the ONLY shuffle — map-side partial counts over at
+        most |charset|^2 keys, so the exchange is tiny no matter the corpus
+        size; the (bigram -> logp) table is collected (bounded by the gate),
+        broadcast, and scoring runs as a zero-shuffle Arrow pass over the
+        docs. This is the 100 TB shape: nothing doc-sized is ever shuffled.
+      kernel="expr": fully relational — ONE shuffle to (doc, bigram) counts,
+        model re-aggregated from them, broadcast back onto the per-doc
+        counts. No driver collect; the fallback when the charset is
+        unbounded (pathological inputs) and the SQL-oracle reference shape.
+    Docs shorter than one bigram after trim drop out. Returns
+    (id_col, n_bigrams, avg_nll) with avg_nll rounded half-up to 6.
     """
+    if kernel not in ("auto", "arrow", "expr"):
+        raise ValueError(f"unknown kernel: {kernel!r}")
     t = df.select(
         F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("__t")
     ).where(F.length("__t") >= 2)
-    grams = t.select(
-        id_col,
-        F.explode(
-            F.expr("transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))")
-        ).alias("__bg"),
-    )
+    bigrams_expr = "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))"
+
+    def _scored_model(model: DataFrame) -> DataFrame:
+        prefix = model.groupBy(F.substring("__bg", 1, 1).alias("__c1")).agg(
+            F.sum("__cb").alias("__cp")
+        )
+        vocab = model.agg(F.countDistinct(F.substring("__bg", 2, 1)).alias("__v"))
+        return (
+            model.withColumn("__c1", F.substring("__bg", 1, 1))
+            .join(F.broadcast(prefix), "__c1")
+            .join(F.broadcast(vocab))
+            .select(
+                "__bg",
+                F.log(
+                    (F.col("__cb") + F.lit(alpha))
+                    / (F.col("__cp") + F.lit(alpha) * F.col("__v"))
+                ).alias("__logp"),
+            )
+        )
+
+    if kernel != "expr":
+        # model from a bare bigram explode: partial aggregation caps each
+        # task's contribution at |charset|^2 rows, so the shuffle is tiny
+        model = (
+            t.select(F.explode(F.expr(bigrams_expr)).alias("__bg"))
+            .groupBy("__bg")
+            .agg(F.count("*").alias("__cb"))
+            .persist()
+        )
+        n_model = model.count()
+        if kernel == "arrow" or n_model <= max_model_rows:
+            logp_rows = _scored_model(model).collect()
+            model.unpersist()
+            return _charlm_score_arrow(t, id_col, {r["__bg"]: r["__logp"] for r in logp_rows})
+        model.unpersist()  # charset too large to broadcast -> relational path
+
+    grams = t.select(id_col, F.explode(F.expr(bigrams_expr)).alias("__bg"))
     doc_counts = grams.groupBy(id_col, "__bg").agg(F.count("*").alias("__c"))
     model = doc_counts.groupBy("__bg").agg(F.sum("__c").alias("__cb"))
-    prefix = model.groupBy(F.substring("__bg", 1, 1).alias("__c1")).agg(
-        F.sum("__cb").alias("__cp")
-    )
-    vocab = model.agg(F.countDistinct(F.substring("__bg", 2, 1)).alias("__v"))
-    scored_model = (
-        model.withColumn("__c1", F.substring("__bg", 1, 1))
-        .join(F.broadcast(prefix), "__c1")
-        .join(F.broadcast(vocab))
-        .select(
-            "__bg",
-            F.log(
-                (F.col("__cb") + F.lit(alpha))
-                / (F.col("__cp") + F.lit(alpha) * F.col("__v"))
-            ).alias("__logp"),
-        )
-    )
     return (
-        doc_counts.join(F.broadcast(scored_model), "__bg")
+        doc_counts.join(F.broadcast(_scored_model(model)), "__bg")
         .groupBy(id_col)
         .agg(
             F.sum("__c").alias("n_bigrams"),
@@ -205,3 +237,42 @@ def char_bigram_lm_scores(
             ),
         )
     )
+
+
+def _charlm_score_arrow(t: DataFrame, id_col: str, logp: dict) -> DataFrame:
+    """Zero-shuffle scoring pass: broadcast (bigram -> logp), one Arrow sweep.
+
+    Sums per DISTINCT bigram (count * logp), matching the relational path's
+    aggregation shape, then rounds half-up like Spark/DuckDB ROUND."""
+    from pyspark.sql import types as T
+
+    spark = t.sparkSession
+    bc = spark.sparkContext.broadcast(logp)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, t.schema[id_col].dataType),
+            T.StructField("n_bigrams", T.LongType()),
+            T.StructField("avg_nll", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from collections import Counter
+
+        lp = bc.value
+        for pdf in batches:
+            ids, ns, nlls = [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf["__t"]):
+                counts = Counter(txt[i : i + 2] for i in range(len(txt) - 1))
+                n = len(txt) - 1
+                s = 0.0
+                for bg, c in counts.items():
+                    s += c * lp[bg]
+                ids.append(doc_id)
+                ns.append(n)
+                nlls.append(float(np.floor((-s / n) * 1e6 + 0.5) / 1e6))
+            yield pd.DataFrame({id_col: ids, "n_bigrams": ns, "avg_nll": nlls})
+
+    return t.mapInPandas(gen, schema=schema)

@@ -217,7 +217,19 @@ def test_corpus_curation_plan_shapes(spark):
     folds = explain_str(QUERIES["leakage_safe_folds"].fn(spark, SF_DIR))
     assert "Exchange" not in folds, folds
 
-    for name in ("domain_mixture_sample", "charlm_doc_scores"):
-        plan = explain_str(QUERIES[name].fn(spark, SF_DIR))
-        assert "BroadcastHashJoin" in plan, name
-        assert "SortMergeJoin" not in plan, (name, plan)
+    plan = explain_str(QUERIES["domain_mixture_sample"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # default charlm: model built eagerly (tiny-key shuffle), scoring is a
+    # single zero-shuffle Arrow pass over the docs
+    charlm = explain_str(QUERIES["charlm_doc_scores"].fn(spark, SF_DIR))
+    assert "MapInPandas" in charlm and "Exchange" not in charlm, charlm
+
+    # relational fallback: per-doc counts join the broadcast model, no SMJ
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import char_bigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expr_plan = explain_str(char_bigram_lm_scores(docs, "text", "doc_id", kernel="expr"))
+    assert "BroadcastHashJoin" in expr_plan
+    assert "SortMergeJoin" not in expr_plan, expr_plan

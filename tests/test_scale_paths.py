@@ -522,3 +522,20 @@ def test_incremental_minhash_equals_full(spark):
     }
     assert corpus_only | inc == full
     assert corpus_only.isdisjoint(inc)
+
+
+def test_charlm_arrow_kernel_matches_expr_path(spark):
+    """The zero-shuffle Arrow scoring pass and the relational join path share
+    the model definition — rounded avg-NLLs must be identical."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import char_bigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    arrow = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in char_bigram_lm_scores(docs, "text", "doc_id", kernel="arrow").collect()
+    }
+    expr = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in char_bigram_lm_scores(docs, "text", "doc_id", kernel="expr").collect()
+    }
+    assert arrow == expr
