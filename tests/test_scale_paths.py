@@ -539,3 +539,19 @@ def test_charlm_arrow_kernel_matches_expr_path(spark):
         for r in char_bigram_lm_scores(docs, "text", "doc_id", kernel="expr").collect()
     }
     assert arrow == expr
+
+
+def test_freq_items_covers_heavy_hitters(spark):
+    """Single-pass mergeable heavy-hitters (Karp et al. via df.stat.freqItems):
+    every item whose true frequency exceeds the support threshold must be in
+    the returned superset — the approximate trending-items primitive when an
+    exact per-item groupBy is not worth a shuffle."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_type")
+    support = 0.2
+    approx = set(ev.stat.freqItems(["event_type"], support).collect()[0][0])
+    total = ev.count()
+    exact = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().where(F.col("count") > support * total).collect()
+    }
+    assert exact <= approx, (exact, approx)
