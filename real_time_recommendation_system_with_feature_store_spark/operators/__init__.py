@@ -23,6 +23,7 @@ from real_time_recommendation_system_with_feature_store_spark.operators.sessioni
 from real_time_recommendation_system_with_feature_store_spark.operators.split import leave_one_out_split, time_fraction_split
 from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn, topk_per_key
 
+from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode, bpe_train, word_vocab
 from real_time_recommendation_system_with_feature_store_spark.operators.corpus import (
     char_bigram_lm_scores,
     cluster_keepers,
@@ -64,6 +65,9 @@ __all__ = [
     "global_topn",
     "topk_per_key",
     "asof_join_union",
+    "bpe_encode",
+    "bpe_train",
+    "word_vocab",
     "char_bigram_lm_scores",
     "cluster_keepers",
     "grouped_fraction_split",

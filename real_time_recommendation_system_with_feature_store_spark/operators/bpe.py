@@ -1,0 +1,140 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016).
+
+The missing step between the corpus-curation ops and `pack_by_token_budget`:
+learn a byte-pair-encoding merge table ON the corpus, then tokenize with it —
+all in-engine, no external tokenizer artifacts.
+
+Design for scale (the kcore_filter playbook, kcore.py:51):
+  * Training never touches the corpus after ONE initial shuffle: the state is
+    the WORD VOCAB frame (word, seq, freq) — |distinct words|, not |corpus|.
+  * Each merge round is (a) a pair-count aggregation over the vocab frame
+    (map-side partial agg; pair keys are bounded by the live token vocab),
+    (b) a 1-row TakeOrdered argmax (total tie-break: count desc, left, right),
+    (c) a map-side `replace` applying the merge. The only driver data is the
+    single winning pair per round.
+  * Lineage is cut with localCheckpoint every ``checkpoint_every`` rounds so
+    N-merge training doesn't stack N plan layers.
+
+Token sequences are marker-delimited strings (``tok<RS>tok<RS>...<RS>``,
+RS = chr(30)): merging pair (l, r) is ``replace(seq, 'l<RS>r<RS>', 'lr<RS>')``
+— left-to-right non-overlapping, exactly BPE's greedy fusion, and the SAME
+string primitive exists in ANSI SQL, so the oracle replays training rounds
+verbatim (parity of replace/split semantics is pinned by a test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MARKER = "\x1e"
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, seq, freq): distinct lowercased whitespace words with corpus
+    frequencies — the one corpus-sized shuffle of BPE training. ``seq`` is
+    the char-level marker-delimited start state. Words containing the
+    delimiter (chr 30, a control char that never survives text cleaning)
+    are dropped defensively."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    ).where((F.length("word") > 0) & (~F.col("word").contains(MARKER)))
+    return words.groupBy("word").agg(F.count("*").alias("freq")).withColumn(
+        "seq",
+        F.expr(
+            "concat_ws('', transform(sequence(1, length(word)),"
+            f" i -> concat(substring(word, i, 1), '{MARKER}')))"
+        ),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """freq-weighted adjacent-pair counts over the current token sequences.
+    Pairs are counted per position (BPE convention: 'aaa' holds (a,a) twice)."""
+    t = vocab.select(
+        F.expr(f"filter(split(seq, '{MARKER}'), x -> x != '')").alias("__toks"),
+        "freq",
+    ).where(F.size("__toks") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> struct(__toks[i - 1] AS l, __toks[i] AS r))"
+    )
+    return (
+        t.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_count: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges on the corpus; returns the merge table
+    (round, left, right, pair_count) in learned order. Stops early when no
+    pair reaches ``min_count``. Reference lifecycle slot: the tokenizer the
+    reference assumes as a preprocessing given (its MovieLens pipeline has
+    no text stage); public recipe per Sennrich et al. 2016."""
+    spark = df.sparkSession
+    vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .where(F.col("pair_count") >= min_count)
+            .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rnd, l, r, c))
+        vocab = vocab.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"), F.lit(f"{l}{MARKER}{r}{MARKER}"), F.lit(f"{l}{r}{MARKER}")
+            ),
+        )
+        if rnd % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str, id_col: str, merges: DataFrame
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge table: per word, apply the
+    merges in learned order (each a marker-delimited replace), then flatten
+    to the doc's token array. The merge table is tiny by construction
+    (n_merges rows) and folds into the expression as literals — encoding is
+    a zero-shuffle map-side pass. Returns (id_col, tokens, n_tokens)."""
+    ordered = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("round").collect()
+    ]
+    word_seq = F.expr(
+        "transform(filter(split(lower(trim(__txt)), '\\\\s+'), w -> w != ''),"
+        f" w -> concat_ws('', transform(sequence(1, length(w)),"
+        f" i -> concat(substring(w, i, 1), '{MARKER}'))))"
+    )
+    out = df.select(F.col(id_col), F.col(text_col).alias("__txt")).withColumn(
+        "__seqs", word_seq
+    )
+    def _apply_merge(l: str, r: str):
+        pat, rep = F.lit(f"{l}{MARKER}{r}{MARKER}"), F.lit(f"{l}{r}{MARKER}")
+        return lambda s: F.replace(s, pat, rep)
+
+    for l, r in ordered:
+        out = out.withColumn("__seqs", F.transform(F.col("__seqs"), _apply_merge(l, r)))
+    toks = F.expr(
+        f"flatten(transform(__seqs, s -> filter(split(s, '{MARKER}'), x -> x != '')))"
+    )
+    return out.select(
+        id_col, toks.alias("tokens"), F.size(toks).alias("n_tokens")
+    )

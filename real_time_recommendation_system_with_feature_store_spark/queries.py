@@ -2875,6 +2875,130 @@ def charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_bigram_lm_scores(d, "text", "doc_id")
 
 
+# shared CTE chain: BPE word vocab + 3 training rounds, replayed in SQL with
+# the same marker-delimited replace primitive the Spark operator uses
+# (operators/bpe.py; replace/split parity is pinned by a test)
+_BPE_ROUNDS_CTE = """
+    w AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x != '')) AS word
+        FROM documents
+      ) WHERE word NOT LIKE '%' || chr(30) || '%' GROUP BY 1
+    ),
+    v0 AS (
+      SELECT array_to_string(list_transform(range(1, len(word) + 1),
+                                            i -> word[i] || chr(30)), '') AS seq, freq
+      FROM w
+    ),
+    g1 AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> struct_pack(l := toks[i], r := toks[i+1]))) AS p, freq
+      FROM (SELECT list_filter(string_split(seq, chr(30)), x -> x != '') AS toks, freq FROM v0)
+      WHERE len(toks) >= 2
+    ),
+    c1 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM g1 GROUP BY 1, 2),
+    m1 AS (SELECT l, r, pair_count FROM c1 WHERE pair_count >= 2 ORDER BY pair_count DESC, l, r LIMIT 1),
+    v1 AS (SELECT replace(seq, (SELECT l || chr(30) || r || chr(30) FROM m1),
+                               (SELECT l || r || chr(30) FROM m1)) AS seq, freq FROM v0),
+    g2 AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> struct_pack(l := toks[i], r := toks[i+1]))) AS p, freq
+      FROM (SELECT list_filter(string_split(seq, chr(30)), x -> x != '') AS toks, freq FROM v1)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM g2 GROUP BY 1, 2),
+    m2 AS (SELECT l, r, pair_count FROM c2 WHERE pair_count >= 2 ORDER BY pair_count DESC, l, r LIMIT 1),
+    v2 AS (SELECT replace(seq, (SELECT l || chr(30) || r || chr(30) FROM m2),
+                               (SELECT l || r || chr(30) FROM m2)) AS seq, freq FROM v1),
+    g3 AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> struct_pack(l := toks[i], r := toks[i+1]))) AS p, freq
+      FROM (SELECT list_filter(string_split(seq, chr(30)), x -> x != '') AS toks, freq FROM v2)
+      WHERE len(toks) >= 2
+    ),
+    c3 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM g3 GROUP BY 1, 2),
+    m3 AS (SELECT l, r, pair_count FROM c3 WHERE pair_count >= 2 ORDER BY pair_count DESC, l, r LIMIT 1)
+"""
+
+
+@query(
+    "bpe_merge_table",
+    oracle=f"""
+    WITH {_BPE_ROUNDS_CTE}
+    SELECT 1 AS merge_round, l AS lhs, r AS rhs, pair_count FROM m1
+    UNION ALL SELECT 2, l, r, pair_count FROM m2
+    UNION ALL SELECT 3, l, r, pair_count FROM m3
+    """,
+    doc="In-engine BPE tokenizer training (operators/bpe.py::bpe_train, "
+        "Sennrich et al. 2016): 3 merge rounds learned on the documents "
+        "corpus. State is the word-vocab frame (one corpus shuffle total); "
+        "each round is a pair-count agg + 1-row argmax + map-side replace. "
+        "The oracle replays all 3 rounds CTE by CTE.",
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    m = bpe_train(d, "text", n_merges=3, min_count=2)
+    return m.select(
+        F.col("round").alias("merge_round"),
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "pair_count",
+    )
+
+
+@query(
+    "bpe_tokenized_docs",
+    oracle=f"""
+    WITH {_BPE_ROUNDS_CTE},
+    docs AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 x -> x != '') AS ws
+      FROM documents
+    ),
+    seqs AS (
+      SELECT doc_id, list_transform(ws, w -> array_to_string(
+        list_transform(range(1, len(w) + 1), i -> w[i] || chr(30)), '')) AS ss
+      FROM docs
+    ),
+    a1 AS (SELECT doc_id, list_transform(ss, s -> replace(s, pat, rep)) AS ss
+           FROM seqs CROSS JOIN
+             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m1)),
+    a2 AS (SELECT doc_id, list_transform(ss, s -> replace(s, pat, rep)) AS ss
+           FROM a1 CROSS JOIN
+             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m2)),
+    a3 AS (SELECT doc_id, list_transform(ss, s -> replace(s, pat, rep)) AS ss
+           FROM a2 CROSS JOIN
+             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m3)),
+    toks AS (
+      SELECT doc_id, flatten(list_transform(ss,
+        s -> list_filter(string_split(s, chr(30)), x -> x != ''))) AS tokens
+      FROM a3
+    )
+    SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
+      array_to_string(list_slice(tokens, 1, 5), ' ') AS preview
+    FROM toks
+    """,
+    doc="BPE encoding with the learned merge table (operators/bpe.py::"
+        "bpe_encode): merges fold into the expression as literals, so "
+        "tokenization is a zero-shuffle map-side pass — the tokenizer->"
+        "tokens->packing lifecycle closes in-engine.",
+)
+def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=3, min_count=2)
+    enc = bpe_encode(d, "text", "doc_id", merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("preview"),
+    )
+
+
 @query(
     "rolling_user_velocity",
     oracle="""
@@ -3902,12 +4026,14 @@ _DRIVER_WINDOW = [
     "leakage_safe_folds",
     "dedup_cluster_keepers",
     "charlm_doc_scores",
+    # the BPE pair is NEW in r3; displaces acctbal_zscore and segment_codes
+    # (r1-green single-table queries on encode.py, untouched since r1)
+    "bpe_merge_table",
+    "bpe_tokenized_docs",
     "time_split_orders",
     "leave_one_out_events",
     "kcore_events",
     "point_in_time_features",
-    "segment_codes",
-    "acctbal_zscore",
     "brand_top_parts",
     "global_top_parts",
     "supplier_running_totals",

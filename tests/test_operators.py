@@ -609,3 +609,38 @@ def test_char_bigram_lm_scores_match_python_reference(spark):
     assert set(got) == set(expect)
     for d in expect:
         assert abs(got[d] - expect[d]) < 1e-9, (d, got[d], expect[d])
+
+
+def test_bpe_train_and_encode_golden(spark):
+    """Known corpus, known merges: l+o -> lo, lo+w -> low, e+r -> er, e+w -> ew
+    (freq-weighted argmax with count-desc/left/right tie-break); encoding
+    applies merges in learned order with greedy left-to-right fusion."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low lowest"), (2, "newer newer wider")], "doc_id long, text string"
+    )
+    m = bpe_train(df, "text", n_merges=4, min_count=2)
+    got = [(r["round"], r["left"], r["right"], r["pair_count"]) for r in m.orderBy("round").collect()]
+    assert got == [(1, "l", "o", 4), (2, "lo", "w", 4), (3, "e", "r", 3), (4, "e", "w", 2)]
+    enc = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, "text", "doc_id", m).collect()}
+    assert enc[1] == ["low", "low", "low", "low", "e", "s", "t"]
+    assert enc[2] == ["n", "ew", "er", "n", "ew", "er", "w", "i", "d", "er"]
+
+
+def test_bpe_encode_greedy_overlap(spark):
+    """BPE's greedy left-to-right fusion on runs: merging (a,a) over 'aaaa'
+    gives [aa, aa]; over 'aaaaa' gives [aa, aa, a] — and a merge never fuses
+    across a longer token's prefix (a + ab stays un-merged)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode
+
+    merges = spark.createDataFrame(
+        [(1, "a", "a", 99)], "round int, left string, right string, pair_count bigint"
+    )
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaaa"), (3, "ab aab")], "doc_id long, text string"
+    )
+    enc = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+    assert enc[1] == ["aa", "aa"]
+    assert enc[2] == ["aa", "aa", "a"]
+    assert enc[3] == ["a", "b", "aa", "b"]

@@ -503,3 +503,29 @@ def test_mixture_resample_binding_domain_keeps_everything(spark, counts, shares)
     assert kept.get(langs[binding], 0) == counts[binding]
     for lang, n in zip(langs, counts):
         assert kept.get(lang, 0) <= n
+
+
+@given(
+    toks=st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=10),
+    pair=st.tuples(st.text(alphabet="abc", min_size=1, max_size=2),
+                   st.text(alphabet="abc", min_size=1, max_size=2)),
+)
+@settings(**SETTINGS)
+def test_bpe_replace_semantics_match_duckdb(spark, toks, pair):
+    """The marker-delimited merge primitive (greedy left-to-right replace)
+    produces byte-identical sequences in Spark and DuckDB — the contract the
+    unrolled BPE oracles stand on."""
+    import duckdb
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import MARKER
+
+    seq = "".join(t + MARKER for t in toks)
+    l, r = pair
+    pat, rep = f"{l}{MARKER}{r}{MARKER}", f"{l}{r}{MARKER}"
+    got = (
+        spark.createDataFrame([(seq,)], "s string")
+        .select(F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("m"))
+        .collect()[0]["m"]
+    )
+    want = duckdb.sql("SELECT replace(?, ?, ?)", params=[seq, pat, rep]).fetchone()[0]
+    assert got == want
