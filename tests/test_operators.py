@@ -644,3 +644,22 @@ def test_bpe_encode_greedy_overlap(spark):
     assert enc[1] == ["aa", "aa"]
     assert enc[2] == ["aa", "aa", "a"]
     assert enc[3] == ["a", "b", "aa", "b"]
+
+
+def test_bpe_many_rounds_converges_words(spark):
+    """Long training (crossing the lineage-checkpoint boundary) drives every
+    frequent word to a single token; encoding then yields one token per word."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta"), (2, "beta gamma alpha gamma")],
+        "doc_id long, text string",
+    )
+    m = bpe_train(df, "text", n_merges=20, min_count=1, checkpoint_every=4)
+    rounds = [r["round"] for r in m.orderBy("round").collect()]
+    assert rounds == list(range(1, len(rounds) + 1))
+    # alpha/beta/gamma need 4+3+4 = 11 merges to fuse completely
+    assert len(rounds) == 11
+    enc = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, "text", "doc_id", m).collect()}
+    assert enc[1] == ["alpha", "beta", "gamma", "alpha", "beta"]
+    assert enc[2] == ["beta", "gamma", "alpha", "gamma"]
