@@ -107,13 +107,19 @@ def bpe_train(
 
 
 def bpe_encode(
-    df: DataFrame, text_col: str, id_col: str, merges: DataFrame
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: DataFrame,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tokenize ``text_col`` with a learned merge table: per word, apply the
     merges in learned order (each a marker-delimited replace), then flatten
     to the doc's token array. The merge table is tiny by construction
     (n_merges rows) and folds into the expression as literals — encoding is
-    a zero-shuffle map-side pass. Returns (id_col, tokens, n_tokens)."""
+    a zero-shuffle map-side pass. Returns (id_col, *keep_cols, tokens,
+    n_tokens); ``keep_cols`` ride along so downstream stages (packing by
+    shard) never need a doc-sized join back."""
     ordered = [
         (r["left"], r["right"])
         for r in merges.orderBy("round").collect()
@@ -123,9 +129,9 @@ def bpe_encode(
         f" w -> concat_ws('', transform(sequence(1, length(w)),"
         f" i -> concat(substring(w, i, 1), '{MARKER}'))))"
     )
-    out = df.select(F.col(id_col), F.col(text_col).alias("__txt")).withColumn(
-        "__seqs", word_seq
-    )
+    out = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.col(text_col).alias("__txt")
+    ).withColumn("__seqs", word_seq)
     def _apply_merge(l: str, r: str):
         pat, rep = F.lit(f"{l}{MARKER}{r}{MARKER}"), F.lit(f"{l}{r}{MARKER}")
         return lambda s: F.replace(s, pat, rep)
@@ -136,5 +142,5 @@ def bpe_encode(
         f"flatten(transform(__seqs, s -> filter(split(s, '{MARKER}'), x -> x != '')))"
     )
     return out.select(
-        id_col, toks.alias("tokens"), F.size(toks).alias("n_tokens")
+        id_col, *keep_cols, toks.alias("tokens"), F.size(toks).alias("n_tokens")
     )

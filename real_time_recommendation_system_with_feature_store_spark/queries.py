@@ -2949,34 +2949,41 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# applies the 3 learned merges to every document (carries source for the
+# packed-corpus composition); yields toks(doc_id, source, tokens)
+_BPE_APPLY_CTE = """
+    docs AS (
+      SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                         x -> x != '') AS ws
+      FROM documents
+    ),
+    seqs AS (
+      SELECT doc_id, source, list_transform(ws, w -> array_to_string(
+        list_transform(range(1, len(w) + 1), i -> w[i] || chr(30)), '')) AS ss
+      FROM docs
+    ),
+    a1 AS (SELECT doc_id, source, list_transform(ss, s -> replace(s, pat, rep)) AS ss
+           FROM seqs CROSS JOIN
+             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m1)),
+    a2 AS (SELECT doc_id, source, list_transform(ss, s -> replace(s, pat, rep)) AS ss
+           FROM a1 CROSS JOIN
+             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m2)),
+    a3 AS (SELECT doc_id, source, list_transform(ss, s -> replace(s, pat, rep)) AS ss
+           FROM a2 CROSS JOIN
+             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m3)),
+    toks AS (
+      SELECT doc_id, source, flatten(list_transform(ss,
+        s -> list_filter(string_split(s, chr(30)), x -> x != ''))) AS tokens
+      FROM a3
+    )
+"""
+
+
 @query(
     "bpe_tokenized_docs",
     oracle=f"""
     WITH {_BPE_ROUNDS_CTE},
-    docs AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                                 x -> x != '') AS ws
-      FROM documents
-    ),
-    seqs AS (
-      SELECT doc_id, list_transform(ws, w -> array_to_string(
-        list_transform(range(1, len(w) + 1), i -> w[i] || chr(30)), '')) AS ss
-      FROM docs
-    ),
-    a1 AS (SELECT doc_id, list_transform(ss, s -> replace(s, pat, rep)) AS ss
-           FROM seqs CROSS JOIN
-             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m1)),
-    a2 AS (SELECT doc_id, list_transform(ss, s -> replace(s, pat, rep)) AS ss
-           FROM a1 CROSS JOIN
-             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m2)),
-    a3 AS (SELECT doc_id, list_transform(ss, s -> replace(s, pat, rep)) AS ss
-           FROM a2 CROSS JOIN
-             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m3)),
-    toks AS (
-      SELECT doc_id, flatten(list_transform(ss,
-        s -> list_filter(string_split(s, chr(30)), x -> x != ''))) AS tokens
-      FROM a3
-    )
+    {_BPE_APPLY_CTE}
     SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
       array_to_string(list_slice(tokens, 1, 5), ' ') AS preview
     FROM toks
@@ -2996,6 +3003,47 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tokens"),
         F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("preview"),
+    )
+
+
+@query(
+    "bpe_packed_corpus",
+    # tokenizer -> tokens -> packing, end to end: the chained oracle proves
+    # the learned token counts COMPOSE with the per-shard packing cumsum
+    oracle=f"""
+    WITH {_BPE_ROUNDS_CTE},
+    {_BPE_APPLY_CTE},
+    tk AS (
+      SELECT doc_id, source, CAST(len(tokens) AS BIGINT) AS n_tokens FROM toks
+    ),
+    p AS (
+      SELECT doc_id, source, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM tk
+    )
+    SELECT doc_id, source, n_tokens,
+      CAST(FLOOR(before / 512) AS BIGINT) AS chunk_id,
+      CAST(before % 512 AS BIGINT) AS chunk_offset
+    FROM p
+    """,
+    doc="The tokenizer lifecycle end to end: learn BPE merges -> tokenize "
+        "(zero-shuffle) -> GPT-style pack each source's token stream into "
+        "512-token chunks (per-shard window cumsum). Composition of "
+        "bpe_train/bpe_encode/pack_by_token_budget, all individually "
+        "oracle-proven.",
+)
+def bpe_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=3, min_count=2)
+    sized = bpe_encode(d, "text", "doc_id", merges, keep_cols=("source",)).select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_by_token_budget(
+        sized, "n_tokens", [F.col("doc_id")], budget=512, shard_col="source"
     )
 
 
@@ -4030,6 +4078,9 @@ _DRIVER_WINDOW = [
     # (r1-green single-table queries on encode.py, untouched since r1)
     "bpe_merge_table",
     "bpe_tokenized_docs",
+    # bpe_packed_corpus (NEW) displaces customers_without_orders — its anti
+    # join shape stays windowed via leave_one_out_events (J6)
+    "bpe_packed_corpus",
     "time_split_orders",
     "leave_one_out_events",
     "kcore_events",
@@ -4037,7 +4088,6 @@ _DRIVER_WINDOW = [
     "brand_top_parts",
     "global_top_parts",
     "supplier_running_totals",
-    "customers_without_orders",
     "click_and_purchase_users",
     "text_quality",
     "lang_id_confusion",
