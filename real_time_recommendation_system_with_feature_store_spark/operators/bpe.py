@@ -14,12 +14,20 @@ Design for scale (the kcore_filter playbook, kcore.py:51):
     single winning pair per round.
   * Lineage is cut with localCheckpoint every ``checkpoint_every`` rounds so
     N-merge training doesn't stack N plan layers.
+  * Encoding folds small merge tables into pure expressions; above
+    ``max_expr_merges`` it switches to an Arrow pass applying the same
+    replaces in a Python loop (expression trees nest one level per merge, so
+    a 30k-merge production table must not become a 30k-deep Catalyst plan).
 
-Token sequences are marker-delimited strings (``tok<RS>tok<RS>...<RS>``,
-RS = chr(30)): merging pair (l, r) is ``replace(seq, 'l<RS>r<RS>', 'lr<RS>')``
-— left-to-right non-overlapping, exactly BPE's greedy fusion, and the SAME
-string primitive exists in ANSI SQL, so the oracle replays training rounds
-verbatim (parity of replace/split semantics is pinned by a test).
+Token sequences are strings with DOUBLED boundary markers
+(``<RS><RS>tok<RS><RS>tok<RS><RS>``, RS = chr(30)): merging pair (l, r) is
+``replace(seq, '<RS>l<RS><RS>r<RS>', '<RS>lr<RS>')``. The pattern consumes
+only the INNER marker of each doubled boundary, so a replacement leaves the
+adjacent boundaries intact — runs fuse greedily left-to-right ('a a a a' ->
+'aa aa', exactly BPE) while a token can never match as the SUFFIX of a longer
+token ('ab'+'b' never merges via (b,b)). The same string primitive exists in
+ANSI SQL, so the oracle replays training rounds verbatim (replace/split
+parity across engines is pinned by a property test).
 """
 
 from __future__ import annotations
@@ -28,12 +36,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MARKER = "\x1e"
+_B = MARKER + MARKER  # doubled token boundary
+
+
+def merge_pattern(left: str, right: str) -> tuple[str, str]:
+    """(search, replacement) applying merge (left, right) to a boundary-
+    doubled token sequence."""
+    return (
+        f"{MARKER}{left}{_B}{right}{MARKER}",
+        f"{MARKER}{left}{right}{MARKER}",
+    )
 
 
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """(word, seq, freq): distinct lowercased whitespace words with corpus
     frequencies — the one corpus-sized shuffle of BPE training. ``seq`` is
-    the char-level marker-delimited start state. Words containing the
+    the char-level boundary-doubled start state. Words containing the
     delimiter (chr 30, a control char that never survives text cleaning)
     are dropped defensively."""
     words = df.select(
@@ -42,8 +60,8 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     return words.groupBy("word").agg(F.count("*").alias("freq")).withColumn(
         "seq",
         F.expr(
-            "concat_ws('', transform(sequence(1, length(word)),"
-            f" i -> concat(substring(word, i, 1), '{MARKER}')))"
+            f"concat('{_B}', concat_ws('', transform(sequence(1, length(word)),"
+            f" i -> concat(substring(word, i, 1), '{_B}'))))"
         ),
     )
 
@@ -93,12 +111,8 @@ def bpe_train(
             break
         l, r, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((rnd, l, r, c))
-        vocab = vocab.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"), F.lit(f"{l}{MARKER}{r}{MARKER}"), F.lit(f"{l}{r}{MARKER}")
-            ),
-        )
+        pat, rep = merge_pattern(l, r)
+        vocab = vocab.withColumn("seq", F.replace(F.col("seq"), F.lit(pat), F.lit(rep)))
         if rnd % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return spark.createDataFrame(
@@ -112,29 +126,44 @@ def bpe_encode(
     id_col: str,
     merges: DataFrame,
     keep_cols: tuple[str, ...] = (),
+    kernel: str = "auto",
+    max_expr_merges: int = 64,
 ) -> DataFrame:
     """Tokenize ``text_col`` with a learned merge table: per word, apply the
-    merges in learned order (each a marker-delimited replace), then flatten
-    to the doc's token array. The merge table is tiny by construction
-    (n_merges rows) and folds into the expression as literals — encoding is
-    a zero-shuffle map-side pass. Returns (id_col, *keep_cols, tokens,
-    n_tokens); ``keep_cols`` ride along so downstream stages (packing by
-    shard) never need a doc-sized join back."""
-    ordered = [
-        (r["left"], r["right"])
-        for r in merges.orderBy("round").collect()
-    ]
+    merges in learned order (each a boundary-doubled replace), then flatten
+    to the doc's token array. Zero-shuffle either way; two physical forms:
+
+      kernel="expr" (default for tables <= ``max_expr_merges``): merges fold
+        into the expression as literals — the SQL-oracle reference shape.
+        Expression trees nest one level per merge, so this form is gated.
+      kernel="arrow": one mapInPandas pass applying the same replaces in a
+        Python loop over the broadcast merge list — O(1) plan depth for
+        production-sized (30k-merge) tables; Python str.replace shares the
+        left-to-right non-overlapping semantics (pinned by the parity test).
+
+    Returns (id_col, *keep_cols, tokens, n_tokens); ``keep_cols`` ride along
+    so downstream stages (packing by shard) never need a doc-sized join."""
+    if kernel not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown kernel: {kernel!r}")
+    ordered = [(r["left"], r["right"]) for r in merges.orderBy("round").collect()]
+    if kernel == "auto":
+        kernel = "expr" if len(ordered) <= max_expr_merges else "arrow"
+    if kernel == "arrow":
+        return _bpe_encode_arrow(df, text_col, id_col, ordered, keep_cols)
+
     word_seq = F.expr(
         "transform(filter(split(lower(trim(__txt)), '\\\\s+'), w -> w != ''),"
-        f" w -> concat_ws('', transform(sequence(1, length(w)),"
-        f" i -> concat(substring(w, i, 1), '{MARKER}'))))"
+        f" w -> concat('{_B}', concat_ws('', transform(sequence(1, length(w)),"
+        f" i -> concat(substring(w, i, 1), '{_B}')))))"
     )
     out = df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols], F.col(text_col).alias("__txt")
     ).withColumn("__seqs", word_seq)
+
     def _apply_merge(l: str, r: str):
-        pat, rep = F.lit(f"{l}{MARKER}{r}{MARKER}"), F.lit(f"{l}{r}{MARKER}")
-        return lambda s: F.replace(s, pat, rep)
+        pat, rep = merge_pattern(l, r)
+        lpat, lrep = F.lit(pat), F.lit(rep)
+        return lambda s: F.replace(s, lpat, lrep)
 
     for l, r in ordered:
         out = out.withColumn("__seqs", F.transform(F.col("__seqs"), _apply_merge(l, r)))
@@ -144,3 +173,51 @@ def bpe_encode(
     return out.select(
         id_col, *keep_cols, toks.alias("tokens"), F.size(toks).alias("n_tokens")
     )
+
+
+def _bpe_encode_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ordered: list[tuple[str, str]],
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """Arrow encoding pass: same boundary-doubled replaces, Python loop."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast([merge_pattern(l, r) for l, r in ordered])
+    src = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.col(text_col).alias("__txt")
+    )
+    schema = T.StructType(
+        [src.schema[id_col]]
+        + [src.schema[c] for c in keep_cols]
+        + [
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        reps = bc.value
+        for pdf in batches:
+            toks_col, n_col = [], []
+            for txt in pdf["__txt"]:
+                words = [w for w in (txt or "").lower().strip().split() if w]
+                doc_toks = []
+                for w in words:
+                    s = _B + _B.join(w) + _B
+                    for pat, rep in reps:
+                        s = s.replace(pat, rep)
+                    doc_toks.extend(t for t in s.split(MARKER) if t)
+                toks_col.append(doc_toks)
+                n_col.append(len(doc_toks))
+            out = pdf[[id_col, *keep_cols]].copy()
+            out["tokens"] = toks_col
+            out["n_tokens"] = pd.array(n_col, dtype="int32")
+            yield out
+
+    return src.mapInPandas(gen, schema=schema)

@@ -2887,8 +2887,8 @@ _BPE_ROUNDS_CTE = """
       ) WHERE word NOT LIKE '%' || chr(30) || '%' GROUP BY 1
     ),
     v0 AS (
-      SELECT array_to_string(list_transform(range(1, len(word) + 1),
-                                            i -> word[i] || chr(30)), '') AS seq, freq
+      SELECT chr(30) || chr(30) || array_to_string(list_transform(range(1, len(word) + 1),
+                                            i -> word[i] || chr(30) || chr(30)), '') AS seq, freq
       FROM w
     ),
     g1 AS (
@@ -2899,8 +2899,8 @@ _BPE_ROUNDS_CTE = """
     ),
     c1 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM g1 GROUP BY 1, 2),
     m1 AS (SELECT l, r, pair_count FROM c1 WHERE pair_count >= 2 ORDER BY pair_count DESC, l, r LIMIT 1),
-    v1 AS (SELECT replace(seq, (SELECT l || chr(30) || r || chr(30) FROM m1),
-                               (SELECT l || r || chr(30) FROM m1)) AS seq, freq FROM v0),
+    v1 AS (SELECT replace(seq, (SELECT chr(30) || l || chr(30) || chr(30) || r || chr(30) FROM m1),
+                               (SELECT chr(30) || l || r || chr(30) FROM m1)) AS seq, freq FROM v0),
     g2 AS (
       SELECT unnest(list_transform(range(1, len(toks)),
                                    i -> struct_pack(l := toks[i], r := toks[i+1]))) AS p, freq
@@ -2909,8 +2909,8 @@ _BPE_ROUNDS_CTE = """
     ),
     c2 AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM g2 GROUP BY 1, 2),
     m2 AS (SELECT l, r, pair_count FROM c2 WHERE pair_count >= 2 ORDER BY pair_count DESC, l, r LIMIT 1),
-    v2 AS (SELECT replace(seq, (SELECT l || chr(30) || r || chr(30) FROM m2),
-                               (SELECT l || r || chr(30) FROM m2)) AS seq, freq FROM v1),
+    v2 AS (SELECT replace(seq, (SELECT chr(30) || l || chr(30) || chr(30) || r || chr(30) FROM m2),
+                               (SELECT chr(30) || l || r || chr(30) FROM m2)) AS seq, freq FROM v1),
     g3 AS (
       SELECT unnest(list_transform(range(1, len(toks)),
                                    i -> struct_pack(l := toks[i], r := toks[i+1]))) AS p, freq
@@ -2958,19 +2958,19 @@ _BPE_APPLY_CTE = """
       FROM documents
     ),
     seqs AS (
-      SELECT doc_id, source, list_transform(ws, w -> array_to_string(
-        list_transform(range(1, len(w) + 1), i -> w[i] || chr(30)), '')) AS ss
+      SELECT doc_id, source, list_transform(ws, w -> chr(30) || chr(30) || array_to_string(
+        list_transform(range(1, len(w) + 1), i -> w[i] || chr(30) || chr(30)), '')) AS ss
       FROM docs
     ),
     a1 AS (SELECT doc_id, source, list_transform(ss, s -> replace(s, pat, rep)) AS ss
            FROM seqs CROSS JOIN
-             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m1)),
+             (SELECT chr(30) || l || chr(30) || chr(30) || r || chr(30) AS pat, chr(30) || l || r || chr(30) AS rep FROM m1)),
     a2 AS (SELECT doc_id, source, list_transform(ss, s -> replace(s, pat, rep)) AS ss
            FROM a1 CROSS JOIN
-             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m2)),
+             (SELECT chr(30) || l || chr(30) || chr(30) || r || chr(30) AS pat, chr(30) || l || r || chr(30) AS rep FROM m2)),
     a3 AS (SELECT doc_id, source, list_transform(ss, s -> replace(s, pat, rep)) AS ss
            FROM a2 CROSS JOIN
-             (SELECT l || chr(30) || r || chr(30) AS pat, l || r || chr(30) AS rep FROM m3)),
+             (SELECT chr(30) || l || chr(30) || chr(30) || r || chr(30) AS pat, chr(30) || l || r || chr(30) AS rep FROM m3)),
     toks AS (
       SELECT doc_id, source, flatten(list_transform(ss,
         s -> list_filter(string_split(s, chr(30)), x -> x != ''))) AS tokens

@@ -663,3 +663,43 @@ def test_bpe_many_rounds_converges_words(spark):
     enc = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, "text", "doc_id", m).collect()}
     assert enc[1] == ["alpha", "beta", "gamma", "alpha", "beta"]
     assert enc[2] == ["beta", "gamma", "alpha", "gamma"]
+
+
+def test_bpe_merge_never_fires_on_token_suffix(spark):
+    """Regression (review finding): with merges [(a,b), (b,b)] the word 'abb'
+    must encode as [ab, b] — the (b,b) merge may not match the 'b' inside the
+    already-merged token 'ab'. Training on such a corpus must likewise never
+    count a pair across a token's interior."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab ab"), (2, "bb bb bb"), (3, "abb")], "doc_id long, text string"
+    )
+    m = bpe_train(df, "text", n_merges=2, min_count=2)
+    got = [(r["left"], r["right"]) for r in m.orderBy("round").collect()]
+    assert got == [("a", "b"), ("b", "b")]
+    enc = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, "text", "doc_id", m).collect()}
+    assert enc[3] == ["ab", "b"], enc[3]
+    # learned vocabulary is closed: every emitted token is a char or a merge product
+    learned = {"a", "b", "ab", "bb"}
+    assert set(t for ts in enc.values() for t in ts) <= learned
+
+
+def test_bpe_encode_arrow_kernel_matches_expr(spark):
+    """The Python-loop Arrow encoder (production-sized merge tables) and the
+    folded-expression encoder produce identical token arrays."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(
+        f"{__import__('os').environ.get('SPARK_GRAFT_TEST_SF_DIR', '/root/testdata/sf0.001')}/documents.parquet"
+    )
+    m = bpe_train(docs, "text", n_merges=6, min_count=2)
+    expr = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode(docs, "text", "doc_id", m, kernel="expr").collect()
+    }
+    arrow = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode(docs, "text", "doc_id", m, kernel="arrow").collect()
+    }
+    assert expr == arrow

@@ -517,11 +517,12 @@ def test_bpe_replace_semantics_match_duckdb(spark, toks, pair):
     unrolled BPE oracles stand on."""
     import duckdb
 
-    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import MARKER
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import MARKER, merge_pattern
 
-    seq = "".join(t + MARKER for t in toks)
+    boundary = MARKER + MARKER
+    seq = boundary + boundary.join(toks) + boundary if toks else ""
     l, r = pair
-    pat, rep = f"{l}{MARKER}{r}{MARKER}", f"{l}{r}{MARKER}"
+    pat, rep = merge_pattern(l, r)
     got = (
         spark.createDataFrame([(seq,)], "s string")
         .select(F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("m"))
