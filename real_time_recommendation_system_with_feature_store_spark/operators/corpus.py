@@ -58,8 +58,11 @@ def mixture_resample(
     ``T = min_d(n_d / share_d)``; each domain then keeps
     ``rate_d = share_d * T / n_d`` of its rows (the binding domain keeps
     100%). Domains absent from ``targets`` are dropped — resampling to a
-    mixture IS a domain filter. Rows are kept by md5-of-key uniform, so the
-    sample is stable under re-partitioning and reproducible in SQL.
+    mixture IS a domain filter. A target domain with NO corpus rows caps T
+    at 0 and the result is EMPTY: no corpus can hit a positive share of a
+    missing domain, and a misspelled domain key should be loudly visible,
+    not silently renormalized away. Rows are kept by md5-of-key uniform, so
+    the sample is stable under re-partitioning and reproducible in SQL.
     """
     if not targets:
         raise ValueError("targets must be a non-empty {domain: share} mapping")
@@ -70,10 +73,12 @@ def mixture_resample(
         f"{domain_col} string, __share double",
     )
     counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
-    # scalar aggregate: 1-row cap table (an intentional single-row Exchange)
+    # scalar aggregate: 1-row cap table (an intentional single-row Exchange).
+    # LEFT join from targets: a target domain missing from the corpus
+    # contributes 0/share = 0 to the min instead of dropping out of it.
     cap = (
-        counts.join(tgt, domain_col)
-        .agg(F.min(F.col("__n") / F.col("__share")).alias("__cap"))
+        tgt.join(counts, domain_col, "left")
+        .agg(F.min(F.coalesce(F.col("__n"), F.lit(0)) / F.col("__share")).alias("__cap"))
     )
     rates = (
         counts.join(tgt, domain_col)
@@ -133,21 +138,26 @@ def cluster_keepers(
 
     This upgrades the reference's MIN-id keep rule (`exact_dedup`) to the
     curation-grade rule public pipelines use: keep the longest / highest-
-    quality member, drop the rest."""
+    quality member, drop the rest.
+
+    Only the docs that appear in some pair (<< corpus) enter the argmax
+    window — singletons are emitted map-side as their own keepers, so
+    nothing corpus-sized is ever shuffled by cluster_id."""
     from real_time_recommendation_system_with_feature_store_spark.operators.dedup import connected_components
 
     labels = connected_components(pairs, id_a, id_b)  # (node_id, cluster_id), dup docs only
-    base = docs.select(
-        F.col(id_col), quality.cast("double").alias("__q")
-    ).join(
+    base = docs.select(F.col(id_col), quality.cast("double").alias("__q")).join(
         F.broadcast(labels.withColumnRenamed("node_id", id_col)), id_col, "left"
-    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
-    w = Window.partitionBy("cluster_id").orderBy(F.col("__q").desc(), F.col(id_col).asc())
-    return base.select(
-        id_col,
-        "cluster_id",
-        (F.row_number().over(w) == 1).alias("is_keeper"),
     )
+    dups = base.where(F.col("cluster_id").isNotNull())
+    w = Window.partitionBy("cluster_id").orderBy(F.col("__q").desc(), F.col(id_col).asc())
+    ranked = dups.select(
+        id_col, "cluster_id", (F.row_number().over(w) == 1).alias("is_keeper")
+    )
+    singletons = base.where(F.col("cluster_id").isNull()).select(
+        id_col, F.col(id_col).alias("cluster_id"), F.lit(True).alias("is_keeper")
+    )
+    return ranked.unionByName(singletons)
 
 
 def char_bigram_lm_scores(
@@ -257,11 +267,19 @@ def _charlm_score_arrow(t: DataFrame, id_col: str, logp: dict) -> DataFrame:
     )
 
     def gen(batches):
-        import numpy as np
         import pandas as pd
         from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
 
         lp = bc.value
+        six = Decimal("0.000001")
+
+        def round6(x: float) -> float:
+            # Spark's ROUND(double, 6) = BigDecimal HALF_UP over the SHORTEST
+            # decimal repr (Double.toString == Python repr) — not the raw
+            # binary value, so floor(x*1e6+0.5) can disagree on knife edges
+            return float(Decimal(repr(x)).quantize(six, rounding=ROUND_HALF_UP))
+
         for pdf in batches:
             ids, ns, nlls = [], [], []
             for doc_id, txt in zip(pdf[id_col], pdf["__t"]):
@@ -272,7 +290,7 @@ def _charlm_score_arrow(t: DataFrame, id_col: str, logp: dict) -> DataFrame:
                     s += c * lp[bg]
                 ids.append(doc_id)
                 ns.append(n)
-                nlls.append(float(np.floor((-s / n) * 1e6 + 0.5) / 1e6))
+                nlls.append(round6(-s / n))
             yield pd.DataFrame({id_col: ids, "n_bigrams": ns, "avg_nll": nlls})
 
     return t.mapInPandas(gen, schema=schema)

@@ -2739,7 +2739,8 @@ _MIX_TARGETS = {"en": 0.5, "de": 0.25, "es": 0.125, "fr": 0.125}
     oracle=f"""
     WITH tgt(lang, share) AS (VALUES ('de', 0.25), ('en', 0.5), ('es', 0.125), ('fr', 0.125)),
     counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
-    cap AS (SELECT MIN(c.n / t.share) AS total FROM counts c JOIN tgt t USING (lang)),
+    cap AS (SELECT MIN(COALESCE(c.n, 0) / t.share) AS total
+            FROM tgt t LEFT JOIN counts c USING (lang)),
     rates AS (
       SELECT t.lang, LEAST(1.0, t.share * cap.total / c.n) AS rate
       FROM tgt t JOIN counts c USING (lang) CROSS JOIN cap

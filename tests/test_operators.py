@@ -703,3 +703,14 @@ def test_bpe_encode_arrow_kernel_matches_expr(spark):
         for r in bpe_encode(docs, "text", "doc_id", m, kernel="arrow").collect()
     }
     assert expr == arrow
+
+
+def test_mixture_resample_missing_target_domain_empties_result(spark):
+    """A target domain with zero corpus rows caps the mixture at T=0: the
+    result is empty rather than silently renormalized (a misspelled domain
+    key must be loudly visible)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import mixture_resample
+
+    df = spark.createDataFrame([(i, "en") for i in range(50)], "doc_id long, lang string")
+    out = mixture_resample(df, "lang", {"en": 0.5, "xx": 0.5}, ["doc_id"])
+    assert out.count() == 0
