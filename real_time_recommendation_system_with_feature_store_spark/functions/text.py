@@ -154,13 +154,9 @@ def ngram_repetition_profile(df, text_col: str, id_col: str):
     capped at 1.0 — a documented deviation from Gopher's character-coverage
     form, which needs span arithmetic.
 
-    Plan shape: ONE scan explodes all three shingle widths tagged by n
-    (grams from the n<k fallback of word_shingles are excluded — a 1-word
-    doc has no 2-grams), one shuffle on (id, n, gram) for the counts, one on
-    (id) for the per-doc profile. Both keys are document-scoped: no global
-    hotspots at corpus scale.
+    Returns (id, n_words, top2_frac, top3_frac, dup5_frac); NULL texts are
+    filtered out (no token stream to profile).
 
-    Returns (id, n_words, top2_frac, top3_frac, dup5_frac).
     Plan shape: a doc's gram multiplicities never collapse across docs, so a
     relational explode → count-per-(doc, gram) shuffle moves ~15× the rows
     it aggregates away (measured 12s vs 1s at sf0.1). The counts are
@@ -180,7 +176,7 @@ def ngram_repetition_profile(df, text_col: str, id_col: str):
     # equality is preserved (position-rotated token hashes collide across
     # distinct grams with ~2^-64 odds), and no gram strings are ever built.
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
-    hashed_df = df.select(
+    hashed_df = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.size(toks).alias("__w"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__ht"),

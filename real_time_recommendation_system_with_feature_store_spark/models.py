@@ -42,11 +42,20 @@ def _fit_als(
         interactions.groupBy(user_col, item_col)
         .agg(F.count("*").alias("__strength"))
         .select(
-            F.col(user_col).cast("int").alias("__u"),
-            F.col(item_col).cast("int").alias("__i"),
+            # try_cast: an id outside int32 becomes NULL instead of silently
+            # WRAPPING (non-ANSI cast), which would fabricate/collide ids
+            F.expr(f"try_cast({user_col} AS INT)").alias("__u"),
+            F.expr(f"try_cast({item_col} AS INT)").alias("__i"),
             F.col("__strength").cast("float"),
         )
     )
+    bad = pairs.where(F.col("__u").isNull() | F.col("__i").isNull()).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"ALS ids must fit int32: {user_col}/{item_col} contain values outside "
+            "[-2^31, 2^31) (or non-numeric) — dense-encode them first "
+            "(operators/encode.label_encode)"
+        )
     als = ALS(
         userCol="__u",
         itemCol="__i",

@@ -335,22 +335,30 @@ def minhash_lsh_dedup(
         cand = cand.localCheckpoint(eager=True)
         (band_rows if kernel == "arrow" else sig).unpersist()
         return cand
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
-    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    union = F.size("__sh_a") + F.size("__sh_b") - inter
-    out = (
-        pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 6))
-        .where(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    out = _verify_exact_jaccard(cand, sh, id_col, verify_threshold)
     if not materialize:
         return out
     out = out.localCheckpoint(eager=True)
     (band_rows if kernel == "arrow" else sig).unpersist()
     sh.unpersist()
     return out
+
+
+def _verify_exact_jaccard(cand: DataFrame, sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidates against per-doc
+    distinct shingle arrays ``sh(id_col, __sh)`` — the shared tail of
+    minhash_lsh_dedup and minhash_dedup_incremental. Rounds to 6 BEFORE the
+    threshold (the convention the SQL oracles replay)."""
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(text, bits: int = 64, hash_fn: str = "xxhash64"):
@@ -702,16 +710,9 @@ def minhash_dedup_incremental(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
-    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    union = F.size("__sh_a") + F.size("__sh_b") - inter
-    return (
-        pairs.withColumn("jaccard", F.round(inter / union.cast("double"), 6))
-        .where(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
-    ).localCheckpoint(eager=True)
+    return _verify_exact_jaccard(cand, sh, id_col, verify_threshold).localCheckpoint(
+        eager=True
+    )
 
 
 def verbatim_span_pairs(

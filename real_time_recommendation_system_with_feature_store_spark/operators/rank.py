@@ -58,3 +58,20 @@ def global_row_number(
         .withColumn(rank_col, (F.col("__offset") + F.col("__local")).cast("long"))
         .drop("__pid", "__local", "__offset")
     )
+
+
+def ntile_from_rank(rn: Column, n: Column, n_buckets: int) -> Column:
+    """SQL-standard NTILE(n_buckets) derived from a 1-based global rank and
+    the total count — the scalable replacement for ntile() over an
+    unpartitioned window (the one-task-sort trap above). The first
+    ``n % n_buckets`` buckets hold one extra row, matching Spark and DuckDB.
+    Returns the 0-based bucket; add 1 for NTILE's 1-based numbering. The
+    ``n < n_buckets`` degenerate case falls out of the same formula
+    (q = 0 -> every row lives in its own 'big' bucket: floor((rn-1)/1))."""
+    q = F.floor(n / n_buckets)
+    r = n % n_buckets
+    big_rows = r * (q + 1)
+    return (
+        F.when(rn <= big_rows, F.floor((rn - 1) / (q + 1)))
+        .otherwise(r + F.floor((rn - 1 - big_rows) / q))
+    ).cast("long")

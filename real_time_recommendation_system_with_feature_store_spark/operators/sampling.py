@@ -102,8 +102,23 @@ def negative_sample(
     idx = item_index if item_index is not None else build_item_index(items, item_col)
     if n_items is None:
         n_items = idx.count()
-    pos = interactions.select(user_col, item_col).distinct()
-    pcount = pos.groupBy(user_col).agg(F.count("*").alias("__p"))
+    # only positives IN the catalog can reject a draw — count those for the
+    # budget (a user with 30 positives of which 5 are catalog items must
+    # budget against p=5, not p=30, or they'd get zero/undersized draws) and
+    # anti-join against them (out-of-catalog positives never match a draw)
+    pos = (
+        interactions.select(user_col, item_col)
+        .distinct()
+        .join(idx.select(item_col), item_col, "left_semi")
+    )
+    # every interacting user draws — including one whose positives are ALL
+    # out-of-catalog (p = 0, full base budget), who must not vanish
+    pcount = (
+        interactions.select(user_col)
+        .distinct()
+        .join(pos.groupBy(user_col).agg(F.count("*").alias("__p")), user_col, "left")
+        .withColumn("__p", F.coalesce(F.col("__p"), F.lit(0)))
+    )
     # per-user draw budget (pure expression over the tiny per-user count row)
     comp = F.lit(n_items) - F.col("__p")
     factor = F.least(

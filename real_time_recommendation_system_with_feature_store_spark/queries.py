@@ -1069,13 +1069,12 @@ def _minhash_consts_values() -> str:
     return ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(32))
 
 
-@query(
-    "minhash_dedup_candidates",
-    # Full differential check of the MinHash pipeline: hash_fn="portable"
-    # uses the md5-60 base hash + (a*h+b) mod 2^31-1 permutations, which this
-    # generated SQL reproduces bit-for-bit (banding compared by signature
-    # slices — equality-equivalent to the kernel's band hash).
-    oracle=f"""
+def _minhash_pairs_oracle(cand_where: str = "") -> str:
+    """The full MinHash-banding replay (portable md5-60 hash + mod-p
+    permutations + band keys + exact-Jaccard verify at 0.5), shared by the
+    full-corpus and incremental entries — they differ ONLY by the candidate
+    restriction injected as ``cand_where``."""
+    return f"""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
     tok AS (
       SELECT doc_id,
@@ -1107,6 +1106,7 @@ def _minhash_consts_values() -> str:
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM bandkey x JOIN bandkey y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      {cand_where}
     )
     SELECT c.id_a, c.id_b,
       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
@@ -1114,7 +1114,16 @@ def _minhash_consts_values() -> str:
     FROM cand c JOIN shf sa ON sa.doc_id = c.id_a JOIN shf sb ON sb.doc_id = c.id_b
     WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
-    """,
+    """
+
+
+@query(
+    "minhash_dedup_candidates",
+    # Full differential check of the MinHash pipeline: hash_fn="portable"
+    # uses the md5-60 base hash + (a*h+b) mod 2^31-1 permutations, which this
+    # generated SQL reproduces bit-for-bit (banding compared by signature
+    # slices — equality-equivalent to the kernel's band hash).
+    oracle=_minhash_pairs_oracle(),
     doc="MinHash+LSH banding near-dup candidates, verified at J>=0.5 "
         "(portable hash family — full DuckDB differential check).",
 )
@@ -1168,47 +1177,7 @@ def verbatim_span_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes it. Output = every verified pair touching the batch. The
     # oracle computes bands for everything and restricts to pairs that
     # touch the batch — set-identical to the incremental plan.
-    oracle=f"""
-    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
-    tok AS (
-      SELECT doc_id,
-        list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), t -> lower(t)) AS w
-      FROM docs
-    ),
-    sh AS (
-      SELECT doc_id,
-        list_distinct(CASE WHEN len(w) >= 3
-          THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-          ELSE [array_to_string(w, ' ')] END) AS sh
-      FROM tok
-    ),
-    shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-    hr AS (
-      SELECT doc_id, ('0x' || substring(md5(s.s), 1, 15))::BIGINT % 2147483647 AS h
-      FROM (SELECT doc_id, unnest(sh) AS s FROM shf) s(doc_id, s)
-    ),
-    consts(i, a, b) AS (VALUES {_minhash_consts_values()}),
-    perm AS (
-      SELECT hr.doc_id, c.i, MIN((c.a * hr.h + c.b) % 2147483647) AS sig
-      FROM hr CROSS JOIN consts c
-      GROUP BY hr.doc_id, c.i
-    ),
-    bandkey AS (
-      SELECT doc_id, i // 4 AS band, array_to_string(list(sig ORDER BY i), ',') AS bh
-      FROM perm GROUP BY doc_id, i // 4
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM bandkey x JOIN bandkey y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-      WHERE x.doc_id >= 250 OR y.doc_id >= 250
-    )
-    SELECT c.id_a, c.id_b,
-      ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
-    FROM cand c JOIN shf sa ON sa.doc_id = c.id_a JOIN shf sb ON sb.doc_id = c.id_b
-    WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
-    """,
+    oracle=_minhash_pairs_oracle("WHERE x.doc_id >= 250 OR y.doc_id >= 250"),
     doc="Incremental MinHash dedup: a new batch probes the corpus's "
         "persisted band index (the corpus never re-sketches) and emits "
         "verified pairs touching the batch (portable hash — full "
@@ -2264,18 +2233,13 @@ def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n%10 buckets ceil(n/10) rows and the rest floor(n/10) (SQL-standard,
     # matched by Spark and DuckDB); percent_rank over a total order (unique
     # o_orderkey tiebreak => no peer rows) is (rn-1)/(n-1).
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import ntile_from_rank
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranked = global_row_number(o, ["o_totalprice", "o_orderkey"], "__rn")
     n = o.agg(F.count("*").alias("__n"))
     rn, cnt = F.col("__rn"), F.col("__n")
-    q = F.floor(cnt / 10)
-    r = cnt % 10
-    big = r * (q + 1)  # rows living in the first r (larger) buckets
-    decile = (
-        F.when(rn <= big, F.floor((rn - 1) / (q + 1)))
-        .otherwise(r + F.floor((rn - 1 - big) / q))
-        + 1
-    ).cast("int")
+    decile = (ntile_from_rank(rn, cnt, 10) + 1).cast("int")
     pct = F.when(cnt == 1, F.lit(0.0)).otherwise(
         (rn - 1).cast("double") / (cnt - 1).cast("double")
     )
@@ -3409,8 +3373,10 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3, 4
     ),
     nd_drop AS (
+      -- unrounded filter, matching ngram_jaccard_pairs (rounding is an
+      -- output convention, not a threshold semantic)
       SELECT DISTINCT id_b AS doc_id FROM pairs3
-      WHERE ROUND(CAST(common AS DOUBLE) / (sza + szb - common), 6) >= 0.5
+      WHERE CAST(common AS DOUBLE) / (sza + szb - common) >= 0.5
     ),
     d2 AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)),
     etok AS (

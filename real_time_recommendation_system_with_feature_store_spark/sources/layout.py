@@ -89,21 +89,13 @@ def write_zordered(
     per column. Ties within a key column land in an arbitrary-but-valid
     bucket order (any tie order is an equally good layout key).
     """
-    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number, ntile_from_rank
 
     n_buckets = 1 << bits
     counted = df.crossJoin(F.broadcast(df.agg(F.count("*").alias("__n"))))
 
     def bucket(rn: F.Column, n: F.Column) -> F.Column:
-        # SQL-standard ntile(n_buckets): first n%nb buckets get one extra row
-        q = F.floor(n / n_buckets)
-        r = n % n_buckets
-        big_rows = r * (q + 1)
-        return (
-            F.when(q == 0, rn - 1)
-            .when(rn <= big_rows, F.floor((rn - 1) / (q + 1)))
-            .otherwise(r + F.floor((rn - 1 - big_rows) / q))
-        ).cast("long")
+        return ntile_from_rank(rn, n, n_buckets)
 
     step1 = global_row_number(counted, [F.col(col_a)], "__ra").withColumn(
         "__za", bucket(F.col("__ra"), F.col("__n"))

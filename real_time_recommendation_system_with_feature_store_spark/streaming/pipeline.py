@@ -223,22 +223,36 @@ def near_dup_dedup_stream(
     """ST9 × dedup: streaming incremental near-dup — a foreachBatch sink
     where each micro-batch probes the PERSISTED MinHash band index, emits
     the verified near-dup pairs touching the batch to ``pairs_dir``, then
-    appends its own bands (and raw docs, for later verify reads) to the
+    adds its own bands (and raw docs, for later verify reads) to the
     index. The corpus is sketched exactly once, as it arrives — the
     streaming face of ``operators/dedup.minhash_dedup_incremental``, whose
     union-equals-full invariant carries over batch by batch.
+
+    Every sink is an ``epoch=N`` partition written with overwrite, and a
+    batch's reads exclude its own epoch — so foreachBatch's at-least-once
+    replay of a partially-committed epoch rewrites exactly that epoch's
+    output instead of duplicating pairs/bands (idempotent restarts).
+    Readers consume each dir as one epoch-partitioned parquet dataset
+    (``.drop("epoch")``).
 
     State lives in parquet (index_dir / docs_dir), not executor memory, so
     the stream restarts cleanly and the index doubles as the offline
     dimension table (S10 pattern). At corpus scale, compact index_dir
     periodically (sources/layout.compact_to_target_size).
     """
-    import os
-
     from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
         minhash_band_index,
         minhash_dedup_incremental,
     )
+
+    def _read_or_none(spark, path: str):
+        # FS-agnostic existence probe: a failed parquet read (missing path /
+        # no files yet) means "state not created", on local disk OR s3/hdfs —
+        # driver-local os.path would silently miss remote filesystems
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -246,13 +260,15 @@ def near_dup_dedup_stream(
         try:
             if batch.limit(1).count() == 0:
                 return
-            have_index = os.path.isdir(index_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(index_dir)
-            )
-            if have_index:
-                index = spark.read.parquet(index_dir)
+            prior_docs = _read_or_none(spark, docs_dir)
+            prior_index = _read_or_none(spark, index_dir)
+            if prior_index is not None:
+                # exclude THIS epoch's partitions: under foreachBatch's
+                # at-least-once replay the epoch may have partially committed
+                # before the crash, and its own output must not feed its re-run
+                index = prior_index.where(F.col("epoch") != epoch_id).drop("epoch")
                 verify = (
-                    spark.read.parquet(docs_dir)
+                    prior_docs.where(F.col("epoch") != epoch_id)
                     .select(id_col, text_col)
                     .unionByName(batch)
                 )
@@ -266,11 +282,14 @@ def near_dup_dedup_stream(
                 n=n, num_hashes=num_hashes, bands=bands,
                 verify_threshold=verify_threshold, hash_fn=hash_fn,
             )
-            pairs.write.mode("append").parquet(pairs_dir)
+            # every sink writes to an epoch=N partition with overwrite:
+            # a replayed epoch rewrites exactly its own output (idempotent),
+            # and readers see one epoch-partitioned parquet dataset
+            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
             minhash_band_index(
                 batch, text_col, id_col, n, num_hashes, bands, hash_fn
-            ).write.mode("append").parquet(index_dir)
-            batch.write.mode("append").parquet(docs_dir)
+            ).write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+            batch.write.mode("overwrite").parquet(f"{docs_dir}/epoch={epoch_id}")
         finally:
             batch.unpersist()
 

@@ -80,7 +80,10 @@ def test_als_embeddings_feed_knn_and_beat_or_match_noise(spark):
 
     # synthetic uniform-ish clicks carry little signal, so no strict
     # ALS > popularity claim; the contract is: the trained embeddings
-    # retrieve REAL items with nonzero hit mass at k=10
-    assert m_als["recall_at_10"] >= 0.0
+    # retrieve REAL items with NONZERO hit mass at k=10 (seeded fit —
+    # deterministic; measured recall ~0.04 / hit-rate 0.2 at sf0.001, so a
+    # degenerate all-zero-factor regression fails these, not just >= 0)
+    assert m_als["recall_at_10"] > 0.0
+    assert m_als["hit_rate_at_10"] > 0.0
     assert m_pop["recall_at_10"] >= 0.0
     assert recs.count() > 0

@@ -714,3 +714,38 @@ def test_mixture_resample_missing_target_domain_empties_result(spark):
     df = spark.createDataFrame([(i, "en") for i in range(50)], "doc_id long, lang string")
     out = mixture_resample(df, "lang", {"en": 0.5, "xx": 0.5}, ["doc_id"])
     assert out.count() == 0
+
+
+def test_ngram_repetition_profile_null_text(spark):
+    """NULL texts must be filtered, not crash the Arrow kernel."""
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import ngram_repetition_profile
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in ngram_repetition_profile(df, "text", "doc_id").collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["top2_frac"] > 0.9
+    assert rows[3]["n_words"] == 0 and rows[3]["dup5_frac"] == 0.0
+
+
+def test_negative_sample_out_of_catalog_positives(spark):
+    """Positives outside the items catalog must not consume draw budget or
+    hide users: a user whose 30 positives include only 5 catalog items
+    budgets against p=5 and still receives n negatives from the remaining
+    catalog complement."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sampling import negative_sample
+
+    inter = spark.createDataFrame(
+        [(1, i) for i in range(100, 125)]  # 25 retired items, not in catalog
+        + [(1, i) for i in range(5)]       # 5 catalog positives
+        + [(2, 200)],                      # user 2: ONLY out-of-catalog positives
+        "user_id long, item_id long",
+    )
+    items = spark.createDataFrame([(i,) for i in range(20)], "item_id long")
+    out = negative_sample(inter, items, "user_id", "item_id", n_per_user=5)
+    got = out.toPandas()
+    by_user = got.groupby("user_id").item_id.apply(set).to_dict()
+    assert len(by_user.get(1, set())) == 5
+    assert by_user[1].isdisjoint(set(range(5)))  # never a catalog positive
+    assert len(by_user.get(2, set())) == 5       # full budget despite p_raw=1

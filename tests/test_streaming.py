@@ -358,13 +358,20 @@ def test_near_dup_dedup_stream_matches_batch(spark):
     finally:
         q.stop()
 
-    got = {tuple(r) for r in spark.read.parquet(dirs["pairs"]).collect()}
+    got = {tuple(r) for r in spark.read.parquet(dirs["pairs"]).drop("epoch").collect()}
     expected = {
         tuple(r)
         for r in minhash_lsh_dedup(docs, "text", "doc_id", verify_threshold=0.5).collect()
     }
     assert got == expected
     assert len(got) > 0
+
+    # at-least-once replay: re-running the LAST epoch (as foreachBatch does
+    # after a mid-epoch crash) must leave every sink unchanged
+    last = spark.read.parquet(f"{stage}").where(F.col("doc_id") >= 2 * n // 3)
+    sink(last, 2)  # epoch ids 0,1,2 were assigned in arrival order
+    replayed = {tuple(r) for r in spark.read.parquet(dirs["pairs"]).drop("epoch").collect()}
+    assert replayed == expected
 
 
 def test_streaming_curation_gate_matches_batch(spark):
