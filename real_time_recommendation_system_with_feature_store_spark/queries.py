@@ -2810,7 +2810,7 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "charlm_doc_scores",
-    oracle="""
+    oracle=(_CHARLM_SCORES_SQL := """
     WITH d AS (
       SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE len(lower(trim(text))) >= 2
     ), s AS (
@@ -2827,17 +2827,52 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dc JOIN model m USING (bg)
     JOIN prefix p ON substr(dc.bg, 1, 1) = p.c1
     GROUP BY 1
-    """,
+    """),
     doc="CCNet-style LM quality filter (operators/corpus.py::"
         "char_bigram_lm_scores): Laplace char-bigram model trained on the "
         "corpus itself, each doc scored by avg negative log-likelihood — "
-        "one (doc,bigram) shuffle, model broadcasts into the scoring join.",
+        "model build is a tiny-key shuffle, scoring a zero-shuffle Arrow "
+        "pass over the broadcast model.",
 )
 def charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.corpus import char_bigram_lm_scores
 
     d = _t(spark, sf_dir, "documents")
     return char_bigram_lm_scores(d, "text", "doc_id")
+
+
+@query(
+    "perplexity_buckets",
+    # CCNet's actual filter shape: tercile buckets over the in-corpus LM
+    # score — 'head' (most fluent) / 'middle' / 'tail'. NTILE semantics are
+    # SQL-standard on both engines; the Spark side derives the same buckets
+    # from the range-partitioned global rank (ntile_from_rank), never an
+    # unpartitioned window.
+    oracle=f"""
+    WITH sc AS ({_CHARLM_SCORES_SQL})
+    SELECT doc_id, avg_nll,
+      CASE NTILE(3) OVER (ORDER BY avg_nll, doc_id)
+        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM sc
+    """,
+    doc="CCNet perplexity buckets: tercile split of the char-bigram LM "
+        "scores (head = most corpus-like). Composition of "
+        "char_bigram_lm_scores + rank.global_row_number/ntile_from_rank — "
+        "the scalable NTILE.",
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import char_bigram_lm_scores
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number, ntile_from_rank
+
+    d = _t(spark, sf_dir, "documents")
+    scores = char_bigram_lm_scores(d, "text", "doc_id").select("doc_id", "avg_nll")
+    ranked = global_row_number(scores, ["avg_nll", "doc_id"], "__rn")
+    n = scores.agg(F.count("*").alias("__n"))
+    nt = ntile_from_rank(F.col("__rn"), F.col("__n"), 3) + 1
+    bucket = (
+        F.when(nt == 1, F.lit("head")).when(nt == 2, F.lit("middle")).otherwise("tail")
+    )
+    return ranked.join(F.broadcast(n)).select("doc_id", "avg_nll", bucket.alias("bucket"))
 
 
 # shared CTE chain: BPE word vocab + 3 training rounds, replayed in SQL with
@@ -4048,6 +4083,10 @@ _DRIVER_WINDOW = [
     # bpe_packed_corpus (NEW) displaces customers_without_orders — its anti
     # join shape stays windowed via leave_one_out_events (J6)
     "bpe_packed_corpus",
+    # perplexity_buckets (NEW) displaces click_and_purchase_users (r1-green
+    # trivial intersect; the set-op family stays windowed via
+    # nations_with_presence's r2 row)
+    "perplexity_buckets",
     "time_split_orders",
     "leave_one_out_events",
     "kcore_events",
@@ -4055,7 +4094,6 @@ _DRIVER_WINDOW = [
     "brand_top_parts",
     "global_top_parts",
     "supplier_running_totals",
-    "click_and_purchase_users",
     "text_quality",
     "lang_id_confusion",
     "doc_dedup_exact",
