@@ -29,6 +29,7 @@ from real_time_recommendation_system_with_feature_store_spark.operators.corpus i
     cluster_keepers,
     grouped_fraction_split,
     mixture_resample,
+    scrub_pii,
 )
 
 from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
@@ -72,6 +73,7 @@ __all__ = [
     "cluster_keepers",
     "grouped_fraction_split",
     "mixture_resample",
+    "scrub_pii",
     "scd2_from_changelog",
     "scd2_apply_increment",
     "snapshot_at",

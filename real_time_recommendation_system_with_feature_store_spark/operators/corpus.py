@@ -17,6 +17,8 @@ corpus-level curation, per the public CCNet / Gopher data recipes):
   char_bigram_lm_scores  CCNet-style quality filter: train a char-bigram LM
                          on the corpus itself, score each doc by average
                          negative log-likelihood (high avg-NLL = gibberish)
+  scrub_pii              typed redaction of emails / IPv4s / long digit runs
+                         with per-category counts (pure regexp, zero shuffle)
 
 All pseudo-randomness is md5-of-key (`hash_unit`) so results are identical
 under any partitioning/AQE re-plan and replayable in the ANSI-SQL oracles
@@ -294,3 +296,40 @@ def _charlm_score_arrow(t: DataFrame, id_col: str, logp: dict) -> DataFrame:
             yield pd.DataFrame({id_col: ids, "n_bigrams": ns, "avg_nll": nlls})
 
     return t.mapInPandas(gen, schema=schema)
+
+
+# PII patterns shared verbatim by the Spark expressions and the SQL oracle —
+# restricted to syntax Java regex and RE2 (DuckDB) interpret identically
+# (character classes, bounded reps, \b, \d; no backrefs or lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_NUM = r"\d{7,}"
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Curation-stage PII redaction: mask emails, IPv4 addresses, and long
+    digit runs (phone/account-shaped) with typed placeholders, counting each
+    category on the ORIGINAL text. Pure regexp expressions — zero shuffle,
+    whole-stage codegen, and the replace chain is order-sensitive by design
+    (emails first, so their digits never half-match as numbers; IPv4 octets
+    are <= 3 digits so the long-num pass can't eat them).
+
+    Returns (id_col, redacted, n_emails, n_ipv4, n_long_numbers). The public
+    recipe slot: the C4/CCNet-style scrubbing pass between quality filtering
+    and dedup (redaction BEFORE dedup, so masked duplicates still collide).
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_LONG_NUM,
+        "<NUM>",
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_LONG_NUM)).alias("n_long_numbers"),
+    )

@@ -2841,6 +2841,39 @@ def charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_bigram_lm_scores(d, "text", "doc_id")
 
 
+from real_time_recommendation_system_with_feature_store_spark.operators.corpus import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL,
+    PII_IPV4 as _PII_IPV4,
+    PII_LONG_NUM as _PII_LONG_NUM,
+)
+
+
+@query(
+    "pii_scrubbed_docs",
+    # patterns interpolate from operators/corpus.py so Spark (Java regex)
+    # and DuckDB (RE2) run the SAME strings; the subset used (classes,
+    # bounded reps, \b, \d) is semantics-identical across the two engines
+    # (pinned by the golden test's synthetic-PII cases)
+    oracle=f"""
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{_PII_IPV4}', '<IP>', 'g'), '{_PII_LONG_NUM}', '<NUM>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INTEGER) AS n_ipv4,
+      CAST(len(regexp_extract_all(text, '{_PII_LONG_NUM}')) AS INTEGER) AS n_long_numbers
+    FROM documents
+    """,
+    doc="Curation-stage PII redaction (operators/corpus.py::scrub_pii): "
+        "typed masks for emails / IPv4 / long digit runs + per-category "
+        "counts — pure regexp chain, zero shuffle, codegen'd.",
+)
+def pii_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_pii(d, "text", "doc_id")
+
+
 @query(
     "perplexity_buckets",
     # CCNet's actual filter shape: tercile buckets over the in-corpus LM
@@ -4087,13 +4120,16 @@ _DRIVER_WINDOW = [
     # trivial intersect; the set-op family stays windowed via
     # nations_with_presence's r2 row)
     "perplexity_buckets",
+    # pii_scrubbed_docs (NEW) displaces supplier_running_totals (r1-green;
+    # the W3 running-window shape stays windowed via inter_event_gaps' r2
+    # row and the multi-K metrics entries)
+    "pii_scrubbed_docs",
     "time_split_orders",
     "leave_one_out_events",
     "kcore_events",
     "point_in_time_features",
     "brand_top_parts",
     "global_top_parts",
-    "supplier_running_totals",
     "text_quality",
     "lang_id_confusion",
     "doc_dedup_exact",

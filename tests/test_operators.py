@@ -749,3 +749,25 @@ def test_negative_sample_out_of_catalog_positives(spark):
     assert len(by_user.get(1, set())) == 5
     assert by_user[1].isdisjoint(set(range(5)))  # never a catalog positive
     assert len(by_user.get(2, set())) == 5       # full budget despite p_raw=1
+
+
+def test_scrub_pii_golden(spark):
+    """Typed redaction with per-category counts; replace order protects IPv4
+    octets from the long-number pass and email digits from both."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me: john.doe+x@ex-ample.org or 10.0.255.1, acct 12345678"),
+            (2, "clean text, short nums 123 and 1.2.3 stay"),
+            (3, "two mails a@b.co c@d.org and 999.999.999.999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df, "text", "doc_id").collect()}
+    assert out[1]["redacted"] == "reach me: <EMAIL> or <IP>, acct <NUM>"
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_long_numbers"]) == (1, 1, 1)
+    assert out[2]["redacted"] == "clean text, short nums 123 and 1.2.3 stay"
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_long_numbers"]) == (0, 0, 0)
+    assert out[3]["redacted"] == "two mails <EMAIL> <EMAIL> and <IP>"
+    assert out[3]["n_emails"] == 2 and out[3]["n_ipv4"] == 1
