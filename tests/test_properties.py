@@ -530,3 +530,63 @@ def test_bpe_replace_semantics_match_duckdb(spark, toks, pair):
     )
     want = duckdb.sql("SELECT replace(?, ?, ?)", params=[seq, pat, rep]).fetchone()[0]
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1234567890.@ -%", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_scrub_pii_matches_duckdb_on_random_strings(spark, texts):
+    """The PII patterns use only Java-regex/RE2-common syntax — redactions
+    and counts must agree with DuckDB on arbitrary '@/digit/dot' soup (the
+    contract pii_scrubbed_docs' oracle stands on)."""
+    import duckdb
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_LONG_NUM,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["redacted"], r["n_emails"], r["n_ipv4"], r["n_long_numbers"])
+        for r in scrub_pii(df, "text", "doc_id").collect()
+    }
+    for i, t in enumerate(texts):
+        want = duckdb.sql(
+            "SELECT regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<IP>', 'g'), ?, '<NUM>', 'g'),"
+            " len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?))",
+            params=[t, PII_EMAIL, PII_IPV4, PII_LONG_NUM, t, PII_EMAIL, t, PII_IPV4, t, PII_LONG_NUM],
+        ).fetchone()
+        assert got[i] == tuple(want), (t, got[i], want)
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=40),
+    n_buckets=st.integers(min_value=1, max_value=12),
+)
+@settings(**SETTINGS)
+def test_ntile_from_rank_matches_builtin_ntile(spark, n_rows, n_buckets):
+    """The rank-derived NTILE (price_deciles / z-order / perplexity buckets)
+    must equal Spark's ntile() for every (n_rows, n_buckets) shape."""
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import ntile_from_rank
+
+    df = spark.createDataFrame([(i,) for i in range(n_rows)], "id long")
+    w = Window.orderBy("id")
+    both = df.select(
+        "id",
+        F.ntile(n_buckets).over(w).alias("builtin"),
+        (ntile_from_rank(F.row_number().over(w), F.lit(n_rows), n_buckets) + 1).alias("derived"),
+    ).collect()
+    for r in both:
+        assert r["builtin"] == r["derived"], (n_rows, n_buckets, r)
