@@ -43,9 +43,11 @@ def _fit_als(
         .agg(F.count("*").alias("__strength"))
         .select(
             # try_cast: an id outside int32 becomes NULL instead of silently
-            # WRAPPING (non-ANSI cast), which would fabricate/collide ids
-            F.expr(f"try_cast({user_col} AS INT)").alias("__u"),
-            F.expr(f"try_cast({item_col} AS INT)").alias("__i"),
+            # WRAPPING (non-ANSI cast), which would fabricate/collide ids.
+            # Column.try_cast (not f-string SQL) so names needing backticks
+            # (spaces, dots, hyphens) resolve like every other F.col use
+            F.col(user_col).try_cast("int").alias("__u"),
+            F.col(item_col).try_cast("int").alias("__i"),
             F.col("__strength").cast("float"),
         )
     )

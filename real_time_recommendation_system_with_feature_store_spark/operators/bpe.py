@@ -48,6 +48,31 @@ def merge_pattern(left: str, right: str) -> tuple[str, str]:
     )
 
 
+def _stored_rdd_ids(sc) -> set:
+    """ids of RDDs currently holding storage blocks (driver-side, cheap)."""
+    try:
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    except Exception:
+        return set()
+
+
+def _unpersist_rdd_ids(sc, ids) -> None:
+    """Free storage blocks of specific RDD ids. `DataFrame.unpersist` does
+    NOT release localCheckpoint blocks (it only touches the SQL cache
+    manager), so long checkpoint chains must be released through the
+    context's persistent-RDD registry; verified against pyspark 4.1. Best
+    effort: a leak is preferable to crashing training on an internals
+    change, hence the broad except."""
+    try:
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        for i in ids:
+            opt = jmap.get(i)
+            if opt.isDefined():
+                opt.get().unpersist(False)
+    except Exception:
+        pass
+
+
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """(word, seq, freq): distinct lowercased whitespace words with corpus
     frequencies — the one corpus-sized shuffle of BPE training. ``seq`` is
@@ -97,7 +122,10 @@ def bpe_train(
     reference assumes as a preprocessing given (its MovieLens pipeline has
     no text stage); public recipe per Sennrich et al. 2016."""
     spark = df.sparkSession
+    sc = spark.sparkContext
+    pre = _stored_rdd_ids(sc)
     vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
+    ckpt_ids = _stored_rdd_ids(sc) - pre
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
         top = (
@@ -114,7 +142,15 @@ def bpe_train(
         pat, rep = merge_pattern(l, r)
         vocab = vocab.withColumn("seq", F.replace(F.col("seq"), F.lit(pat), F.lit(rep)))
         if rnd % checkpoint_every == 0:
+            # release the PREVIOUS checkpoint's blocks after the new one is
+            # materialized — at 30k merges the old behavior accumulated
+            # thousands of dead block sets in executor storage memory
+            pre = _stored_rdd_ids(sc)
             vocab = vocab.localCheckpoint(eager=True)
+            new_ids = _stored_rdd_ids(sc) - pre
+            _unpersist_rdd_ids(sc, ckpt_ids)
+            ckpt_ids = new_ids
+    _unpersist_rdd_ids(sc, ckpt_ids)
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint"
     )
@@ -156,8 +192,13 @@ def bpe_encode(
         f" w -> concat('{_B}', concat_ws('', transform(sequence(1, length(w)),"
         f" i -> concat(substring(w, i, 1), '{_B}')))))"
     )
+    # coalesce NULL text to '' so both kernels agree on NULL docs:
+    # the arrow kernel yields (tokens=[], n_tokens=0) and the raw expr
+    # form would propagate NULL through lower/trim/split instead
     out = df.select(
-        F.col(id_col), *[F.col(c) for c in keep_cols], F.col(text_col).alias("__txt")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
     ).withColumn("__seqs", word_seq)
 
     def _apply_merge(l: str, r: str):
@@ -206,7 +247,13 @@ def _bpe_encode_arrow(
         for pdf in batches:
             toks_col, n_col = [], []
             for txt in pdf["__txt"]:
-                words = [w for w in (txt or "").lower().strip().split() if w]
+                # isinstance guard: Arrow nulls surface as None, but a
+                # pandas object column can also carry NaN, which is truthy
+                words = (
+                    [w for w in txt.lower().strip().split() if w]
+                    if isinstance(txt, str)
+                    else []
+                )
                 doc_toks = []
                 for w in words:
                     s = _B + _B.join(w) + _B

@@ -220,6 +220,7 @@ def char_bigram_lm_scores(
             )
         )
 
+    shared_model = None
     if kernel != "expr":
         # model from a bare bigram explode: partial aggregation caps each
         # task's contribution at |charset|^2 rows, so the shuffle is tiny
@@ -230,15 +231,33 @@ def char_bigram_lm_scores(
             .persist()
         )
         n_model = model.count()
-        if kernel == "arrow" or n_model <= max_model_rows:
+        if n_model <= max_model_rows:
             logp_rows = _scored_model(model).collect()
             model.unpersist()
             return _charlm_score_arrow(t, id_col, {r["__bg"]: r["__logp"] for r in logp_rows})
-        model.unpersist()  # charset too large to broadcast -> relational path
+        # the gate applies even when arrow is forced: collecting an
+        # unbounded model to the driver is exactly the OOM the gate exists
+        # to prevent — fail loudly instead of bypassing it
+        model.unpersist(blocking=False)
+        if kernel == "arrow":
+            raise ValueError(
+                f"char_bigram_lm_scores(kernel='arrow'): model has {n_model} "
+                f"bigrams > max_model_rows={max_model_rows}; raise the gate "
+                "or use kernel='auto'/'expr'"
+            )
+        # charset too large to broadcast -> relational path, reusing the
+        # already-built model frame: its lineage is the tiny bare-explode
+        # aggregation, cheaper than re-deriving the model from the much
+        # larger (doc, bigram) counts shuffle
+        shared_model = model
 
     grams = t.select(id_col, F.explode(F.expr(bigrams_expr)).alias("__bg"))
     doc_counts = grams.groupBy(id_col, "__bg").agg(F.count("*").alias("__c"))
-    model = doc_counts.groupBy("__bg").agg(F.sum("__c").alias("__cb"))
+    model = (
+        shared_model
+        if shared_model is not None
+        else doc_counts.groupBy("__bg").agg(F.sum("__c").alias("__cb"))
+    )
     return (
         doc_counts.join(F.broadcast(_scored_model(model)), "__bg")
         .groupBy(id_col)

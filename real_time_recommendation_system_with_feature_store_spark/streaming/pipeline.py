@@ -267,11 +267,17 @@ def near_dup_dedup_stream(
                 # at-least-once replay the epoch may have partially committed
                 # before the crash, and its own output must not feed its re-run
                 index = prior_index.where(F.col("epoch") != epoch_id).drop("epoch")
-                verify = (
-                    prior_docs.where(F.col("epoch") != epoch_id)
-                    .select(id_col, text_col)
-                    .unionByName(batch)
-                )
+                # prior_docs can lag prior_index: a crash between the index
+                # write and the docs write leaves index epochs with no docs
+                # twin — replay must not fail permanently on that window
+                if prior_docs is None:
+                    verify = batch
+                else:
+                    verify = (
+                        prior_docs.where(F.col("epoch") != epoch_id)
+                        .select(id_col, text_col)
+                        .unionByName(batch)
+                    )
             else:
                 index = minhash_band_index(
                     batch.limit(0), text_col, id_col, n, num_hashes, bands, hash_fn

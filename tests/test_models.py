@@ -87,3 +87,17 @@ def test_als_embeddings_feed_knn_and_beat_or_match_noise(spark):
     assert m_als["hit_rate_at_10"] > 0.0
     assert m_pop["recall_at_10"] >= 0.0
     assert recs.count() > 0
+
+
+def test_als_accepts_column_names_needing_backticks(spark):
+    """Identifier handling regression: user/item column names with dots,
+    hyphens, or spaces must resolve (Column.try_cast, not f-string SQL)."""
+    from real_time_recommendation_system_with_feature_store_spark.models import train_embeddings
+
+    rows = [(u, i) for u in range(8) for i in range(6) if (u + i) % 3]
+    df = spark.createDataFrame(rows, ["user id", "item-id"])
+    users, items = df.columns
+    u_emb, i_emb = train_embeddings(df, users, items, rank=2, max_iter=2)
+    assert u_emb.columns == [users, "embedding"]
+    assert i_emb.columns == [items, "embedding"]
+    assert u_emb.count() == 8 and i_emb.count() == 6

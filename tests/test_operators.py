@@ -771,3 +771,52 @@ def test_scrub_pii_golden(spark):
     assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_long_numbers"]) == (0, 0, 0)
     assert out[3]["redacted"] == "two mails <EMAIL> <EMAIL> and <IP>"
     assert out[3]["n_emails"] == 2 and out[3]["n_ipv4"] == 1
+
+
+def test_bpe_encode_null_text_kernel_parity(spark):
+    """NULL / whitespace-only docs: both encode kernels must agree on
+    (tokens=[], n_tokens=0) — the expr path coalesces NULL text so it can't
+    propagate NULL arrays while the arrow path yields empties."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, None), (3, "   "), (4, "aa aa bb")],
+        "doc_id long, text string",
+    )
+    m = bpe_train(df.where(F.col("text").isNotNull()), "text", n_merges=3, min_count=1)
+    expr = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode(df, "text", "doc_id", m, kernel="expr").collect()
+    }
+    arrow = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode(df, "text", "doc_id", m, kernel="arrow").collect()
+    }
+    assert expr == arrow
+    assert expr[2] == ([], 0) and expr[3] == ([], 0)
+    assert expr[1][1] > 0
+
+
+def test_charlm_forced_arrow_respects_model_gate(spark):
+    """kernel='arrow' must not bypass max_model_rows: an over-gate model
+    raises instead of collecting unbounded rows to the driver; kernel='auto'
+    falls back to the relational path and still matches the expr results."""
+    import pytest as _pytest
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import char_bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(i, f"abcdefgh {i} stuvwxyz") for i in range(20)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="max_model_rows"):
+        char_bigram_lm_scores(df, "text", "doc_id", kernel="arrow", max_model_rows=3)
+    auto = {
+        tuple(r)
+        for r in char_bigram_lm_scores(
+            df, "text", "doc_id", kernel="auto", max_model_rows=3
+        ).collect()
+    }
+    expr = {
+        tuple(r) for r in char_bigram_lm_scores(df, "text", "doc_id", kernel="expr").collect()
+    }
+    assert auto == expr and len(auto) == 20

@@ -446,3 +446,36 @@ def test_streaming_curation_gate_matches_batch(spark):
     }
     shutil.rmtree(stage, ignore_errors=True)
     assert stream_out == batch_out
+
+
+def test_near_dup_stream_replay_survives_index_without_docs(spark):
+    """Partial-commit window: a crash AFTER the index epoch write but BEFORE
+    the docs epoch write leaves prior_index non-None and prior_docs None on
+    replay. The replayed epoch must rebuild from the batch alone and commit
+    all three sinks, not fail the stream permanently."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import near_dup_dedup_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox pattern number {i % 4} jumps again and again") for i in range(24)],
+        "doc_id long, text string",
+    )
+    tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    dirs = {k: os.path.join(tmp, f"ndcrash_{k}") for k in ("index", "docs", "pairs")}
+    for p in dirs.values():
+        shutil.rmtree(p, ignore_errors=True)
+    sink = near_dup_dedup_stream(
+        dirs["index"], dirs["docs"], dirs["pairs"], verify_threshold=0.3
+    )
+    batch0 = docs.where(F.col("doc_id") < 12)
+    sink(batch0, 0)
+    # simulate the crash window: index epoch committed, docs epoch not
+    shutil.rmtree(dirs["docs"])
+    sink(batch0, 0)  # replay of the same epoch must not raise
+    assert spark.read.parquet(dirs["docs"]).drop("epoch").count() == 12
+    pairs0 = {tuple(r) for r in spark.read.parquet(dirs["pairs"]).drop("epoch").collect()}
+    # and the next epoch proceeds normally on the recovered state
+    sink(docs.where(F.col("doc_id") >= 12), 1)
+    pairs1 = {tuple(r) for r in spark.read.parquet(dirs["pairs"]).drop("epoch").collect()}
+    assert pairs1 >= pairs0 and len(pairs1) > len(pairs0)
