@@ -12,19 +12,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def label_encode(df: DataFrame, col: str, out_col: str | None = None, start: int = 0) -> DataFrame:
+def label_encode(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    start: int = 0,
+    small_vocab_bytes: int = 64 << 20,
+) -> DataFrame:
     """F19: deterministic dense integer codes by sorted value order.
 
     Reference: sklearn LabelEncoder.fit_transform (src/data/movielens.py:299-303).
-    Codes assigned 0..n-1 in ascending value order. The distinct side is tiny
-    (vocabulary), so the code map broadcasts back onto the facts.
+    Codes assigned 0..n-1 in ascending value order.
+
+    Scale: the reference's primary F19 use is ID encoding (user_id/movie_id),
+    where the "vocabulary" is every distinct id — millions to billions at
+    100 TB. Cost-gated like time_fraction_split (split.py:44): a vocab whose
+    optimizer plan-size estimate fits ``small_vocab_bytes`` takes the
+    categorical path (one-task dense_rank over the tiny distinct frame +
+    broadcast map join — cheapest, zero fact-side shuffle); anything larger
+    ranks through ``global_row_number`` (range-partitioned parallel sort +
+    broadcast offsets, rank.py) and maps back with a plain shuffle join —
+    no single-executor sort, no driver-OOM broadcast. Both paths assign the
+    identical codes (the order is total and values are distinct, so
+    dense_rank == row_number == global rank); only the physical plan
+    differs.
     """
+    from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number
+
     out_col = out_col or f"{col}_idx"
-    vocab = (
-        df.select(col).distinct()
-        .withColumn(out_col, F.dense_rank().over(Window.orderBy(F.col(col).asc())) - 1 + start)
+    vocab = df.select(col).distinct()
+    if _plan_size_bytes(vocab) <= small_vocab_bytes:
+        vocab = vocab.withColumn(
+            out_col, F.dense_rank().over(Window.orderBy(F.col(col).asc())) - 1 + start
+        )
+        return df.join(F.broadcast(vocab), col, "left")
+    # int cast matches the small path's dense_rank type; codes are int32 by
+    # contract — the downstream consumer (ALS, models.py) requires it, and a
+    # >2^31-value vocab exceeds LabelEncoder semantics anyway
+    vocab = global_row_number(vocab, [F.col(col).asc()], "__grn").select(
+        col, (F.col("__grn") - 1 + start).cast("int").alias(out_col)
     )
-    return df.join(F.broadcast(vocab), col, "left")
+    return df.join(vocab, col, "left")
 
 
 def zscore_scale(df: DataFrame, cols: list[str], suffix: str = "_z") -> DataFrame:

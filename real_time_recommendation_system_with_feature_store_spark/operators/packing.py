@@ -9,10 +9,11 @@ deterministic document order:
     chunk_id = floor(tokens_before_this_doc / budget)
 
 which is one window cumsum — no stateful scan, no driver loop. For sharded
-export the same expression runs per shard (partitionBy(shard)), so the
-cumsum never becomes a single-partition global bottleneck at 100 TB; the
-global variant exists for exact single-stream parity and small corpora
-(same two-phase scale note as operators/rank.py::global_row_number).
+export the same expression runs per shard (partitionBy(shard)); the global
+single-stream variant is cost-gated — small inputs use the one-shuffle
+window, larger ones the range-partitioned prefix sum with cross-partition
+carry (operators/rank.py::global_exclusive_prefix_sum), so neither
+signature can funnel a 100 TB corpus through one task.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ def pack_by_token_budget(
     shard_col: str | None = None,
     chunk_col: str = "chunk_id",
     offset_col: str = "chunk_offset",
+    small_input_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Assign each row a (chunk_id, chunk_offset) under a token budget.
 
@@ -37,19 +39,43 @@ def pack_by_token_budget(
 
     ``order_cols`` must be a total order (include a unique key) or the
     assignment is not deterministic. With ``shard_col`` the packing is
-    per-shard (chunk ids restart per shard).
+    per-shard (chunk ids restart per shard) and the cumsum parallelizes on
+    the shard key directly.
+
+    Without ``shard_col`` the packing is one global stream. Cost-gated like
+    time_fraction_split (split.py:44): small inputs take the unpartitioned
+    window (cheapest single shuffle at test scale); anything larger routes
+    through ``global_exclusive_prefix_sum`` (rank.py) — range-partitioned
+    parallel sort, partition-local cumsum, broadcast cross-shard carry — so
+    the default signature can no longer funnel a 100 TB corpus through one
+    task. Both paths produce the identical (chunk_id, chunk_offset).
     """
-    w = (
-        Window.partitionBy(shard_col).orderBy(*order_cols)
-        if shard_col
-        else Window.orderBy(*order_cols)
-    )
-    before = F.coalesce(
-        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
-    return df.withColumn(chunk_col, F.floor(before / F.lit(budget)).cast("long")).withColumn(
-        offset_col, (before % F.lit(budget)).cast("long")
+    if shard_col:
+        w = Window.partitionBy(shard_col).orderBy(*order_cols)
+        before = F.coalesce(
+            F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        out = df.withColumn("__before", before)
+    else:
+        from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
+        from real_time_recommendation_system_with_feature_store_spark.operators.rank import (
+            global_exclusive_prefix_sum,
+        )
+
+        if _plan_size_bytes(df) <= small_input_bytes:
+            w = Window.orderBy(*order_cols)
+            before = F.coalesce(
+                F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            out = df.withColumn("__before", before)
+        else:
+            out = global_exclusive_prefix_sum(df, token_col, order_cols, "__before")
+    return (
+        out.withColumn(chunk_col, F.floor(F.col("__before") / F.lit(budget)).cast("long"))
+        .withColumn(offset_col, (F.col("__before") % F.lit(budget)).cast("long"))
+        .drop("__before")
     )
 
 

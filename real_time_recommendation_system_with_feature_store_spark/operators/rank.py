@@ -60,6 +60,61 @@ def global_row_number(
     )
 
 
+def global_exclusive_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[Column | str],
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` in global ``order_by`` order —
+    the generalization of ``global_row_number`` (which is this with value 1):
+
+      1. range-partition + sort by the ordering key (parallel sort),
+      2. partition-local exclusive cumsum (no shuffle),
+      3. add each partition's cumulative value total (tiny aggregate,
+         broadcast) — the cross-partition carry.
+
+    Identical to ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING
+    TO -1)`` on an unpartitioned window, without the one-task funnel. The
+    ordering must be total for determinism."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+
+    # per-partition value totals -> exclusive running offsets (one row per
+    # partition; same non-foldable constant-key trick as global_row_number)
+    sizes = (
+        with_pid.groupBy("__pid")
+        .agg(F.sum(F.col(value_col)).alias("__tot"))
+        .repartition(1)
+    )
+    offsets = sizes.withColumn(
+        "__carry",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.partitionBy(F.spark_partition_id())
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__carry")
+
+    local = Window.partitionBy("__pid").orderBy(*cols)
+    before = F.coalesce(
+        F.sum(F.col(value_col)).over(local.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        with_pid.withColumn("__local", before)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__carry") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__carry")
+    )
+
+
 def ntile_from_rank(rn: Column, n: Column, n_buckets: int) -> Column:
     """SQL-standard NTILE(n_buckets) derived from a 1-based global rank and
     the total count — the scalable replacement for ntile() over an

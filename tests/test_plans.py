@@ -233,3 +233,67 @@ def test_corpus_curation_plan_shapes(spark):
     expr_plan = explain_str(char_bigram_lm_scores(docs, "text", "doc_id", kernel="expr"))
     assert "BroadcastHashJoin" in expr_plan
     assert "SortMergeJoin" not in expr_plan, expr_plan
+
+
+def test_label_encode_scale_path_routing(spark):
+    """F19 at ID-encoding scale: above the vocab plan-size gate the code
+    assignment must range-partition (global_row_number's parallel sort) and
+    map back via a shuffle join — no single-partition window over the vocab
+    and no driver broadcast of a giant code map. Below the gate the
+    broadcast map join is the measured winner. Both paths must assign
+    identical codes."""
+    import re
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.encode import label_encode
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    large = label_encode(o, "o_custkey", small_vocab_bytes=1)
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    # no window may consume a SinglePartition exchange (the one-task sort)
+    for m in re.finditer(r"Window .*", plan):
+        assert "SinglePartition" not in m.group(0), plan
+    # above the gate the vocab->facts join must carry NO broadcast hint —
+    # Catalyst picks by stats (still broadcasts a genuinely tiny vocab at
+    # test scale, goes SMJ at real scale). Prove hint-freedom by disabling
+    # auto-broadcast: the large path must compile to a shuffle join while
+    # the small path still broadcasts (explicit hint survives the conf).
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        static = label_encode(
+            o, "o_custkey", small_vocab_bytes=1
+        )._jdf.queryExecution().sparkPlan().toString()
+        assert "SortMergeJoin" in static or "ShuffledHashJoin" in static, static
+        hinted = label_encode(o, "o_custkey")._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" in hinted, hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    small = label_encode(o, "o_custkey")
+    a = sorted(map(tuple, large.collect()))
+    b = sorted(map(tuple, small.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_pack_by_token_budget_unsharded_scale_path_routing(spark):
+    """The no-shard default must not be a single-partition global cumsum
+    above the gate: the scale path range-partitions and carries offsets
+    across partitions, and agrees bit-for-bit with the window form."""
+    import re
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    large = pack_by_token_budget(docs, "n_tokens", ["doc_id"], budget=512, small_input_bytes=1)
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    # no window may consume a SinglePartition exchange over the doc stream
+    for m in re.finditer(r"Window .*", plan):
+        assert "SinglePartition" not in m.group(0), plan
+    small = pack_by_token_budget(docs, "n_tokens", ["doc_id"], budget=512)
+    a = sorted(map(tuple, large.collect()))
+    b = sorted(map(tuple, small.collect()))
+    assert a == b and len(a) > 0
