@@ -556,6 +556,7 @@ def cross_corpus_overlap(
     n: int = 5,
     min_common: int = 1,
     broadcast_eval: bool | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: n-gram collisions between a training corpus
     and an evaluation corpus.
@@ -571,8 +572,16 @@ def cross_corpus_overlap(
     lake), so by default its exploded shingles BROADCAST and the train-side
     trigram stream never shuffles — the post-join collision agg sees only
     matching rows. ``broadcast_eval`` overrides; the auto gate reads the
-    pre-explode plan-size estimate. At 100 TB also drop the hottest shingles
-    from the train side first (stop-shingle cut) before the probe.
+    pre-explode plan-size estimate.
+
+    ``max_shingle_df`` is the stop-shingle cut for 100 TB skew: train-side
+    shingles appearing in more than that many train docs (boilerplate,
+    license headers — exactly where join skew lands) are dropped BEFORE the
+    probe via one extra groupBy on the already-hashed column and an
+    anti-join against the (small-by-construction) hot set. n_common then
+    counts only retained shingles, so pairs whose overlap relied entirely
+    on dropped boilerplate disappear; ``eval_overlap`` keeps its
+    |eval shingles| denominator. Default None = exact counts.
     """
     if broadcast_eval is None:
         from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
@@ -592,6 +601,17 @@ def cross_corpus_overlap(
         F.col(id_col).alias("train_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__s0"),
     ).select("train_id", F.xxhash64("__s0").alias("__s"))
+    if max_shingle_df is not None:
+        # per-doc shingles are already distinct, so count(*) per shingle IS
+        # train document frequency; the hot set (df > cap) is the head of
+        # the distribution — tiny — and AQE broadcasts the anti-join side
+        hot = (
+            tsh.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("__s")
+        )
+        tsh = tsh.join(hot, "__s", "left_anti")
     esh = (
         eval_df.select(
             F.col(id_col).alias("eval_id"),

@@ -1,12 +1,15 @@
 """Multimodal columns — LLM-pipeline surface (BASELINE.json north star).
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
-typed metadata structs. Real decode libraries (PIL/ffmpeg/...) are NOT in
-this container, so the decode kernel is stubbed: either a clearly-marked
-NotImplementedError (strict mode) or a deterministic fake that derives
-metadata from the bytes. The Spark-side plumbing — schema, Arrow batching,
-``mapInPandas`` signature, partition flow — is real and tested; swapping the
-fake for a PIL call changes one function.
+typed metadata structs. The metadata decoder is REAL for the four container
+formats whose headers are parseable with the stdlib alone — BMP, PNG, GIF,
+WAV (``decode_header``: magic sniff + struct unpack, no PIL/ffmpeg needed);
+unrecognized bytes fall back to a clearly-marked deterministic fake (or
+raise, in strict mode). Pixel-level ops (resize, frame extraction, encoder
+embeddings) still stub their kernels — full decode libraries are not in
+this container — but the Spark-side plumbing (schema, Arrow batching,
+``mapInPandas`` signature, row expansion, partition flow) is real and
+tested; swapping a stub for a PIL/ffmpeg call changes one function.
 
 Scale notes: mapInPandas streams Arrow batches, so memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob sizes;
@@ -32,36 +35,96 @@ def attach_binary(df: DataFrame, text_col: str, out_col: str = "blob") -> DataFr
     return df.withColumn(out_col, F.col(text_col).cast("binary"))
 
 
+def decode_header(blob: bytes) -> dict | None:
+    """REAL container-header decode, stdlib only: returns
+    ``{"format", "width", "height"}`` for BMP/PNG/GIF images (pixel
+    dimensions) and WAV audio (width carries the sample rate in Hz, height
+    the channel count — the schema's two ints repurposed per modality,
+    documented here), or None when the bytes are not a recognized
+    container. Strict magic + sanity checks so arbitrary text/binary can't
+    false-positive into a bogus parse."""
+    import struct
+
+    b = bytes(blob)
+    if len(b) >= 26 and b[:2] == b"BM":
+        (hdr,) = struct.unpack_from("<I", b, 14)
+        if hdr == 12:  # BITMAPCOREHEADER: uint16 dims
+            w, h = struct.unpack_from("<HH", b, 18)
+        elif hdr in (40, 52, 56, 64, 108, 124):  # BITMAPINFOHEADER family
+            w, h = struct.unpack_from("<ii", b, 18)
+            h = abs(h)  # top-down rows store height negative
+        else:
+            return None
+        if w <= 0 or h <= 0:
+            return None
+        return {"format": "image/bmp", "width": int(w), "height": int(h)}
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", b, 16)
+        if not (0 < w < 1 << 31 and 0 < h < 1 << 31):
+            return None
+        return {"format": "image/png", "width": int(w), "height": int(h)}
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", b, 6)
+        if w == 0 or h == 0:
+            return None
+        return {"format": "image/gif", "width": int(w), "height": int(h)}
+    if len(b) >= 36 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        off = 12  # walk RIFF chunks to the fmt chunk (usually first)
+        while off + 8 <= len(b):
+            cid = b[off : off + 4]
+            (sz,) = struct.unpack_from("<I", b, off + 4)
+            if cid == b"fmt " and off + 16 <= len(b):
+                (ch,) = struct.unpack_from("<H", b, off + 10)
+                (rate,) = struct.unpack_from("<I", b, off + 12)
+                if ch == 0 or rate == 0:
+                    return None
+                return {"format": "audio/wav", "width": int(rate), "height": int(ch)}
+            off += 8 + sz + (sz & 1)  # chunks are word-aligned
+    return None
+
+
 def fake_decode(blob: bytes) -> dict:
-    """Deterministic stand-in for an image decoder.
+    """Deterministic stand-in for decoding an UNRECOGNIZED format.
 
     STUB: derives pseudo-metadata from the bytes. Replace the body with e.g.
-    ``PIL.Image.open(io.BytesIO(blob))`` when decode libs are available.
+    ``PIL.Image.open(io.BytesIO(blob))`` to cover formats beyond
+    ``decode_header``'s four when decode libs are available.
     """
     n = len(blob)
+    return {"format": "fake/raw", "width": (n % 64) + 16, "height": ((n // 64) % 64) + 16}
+
+
+def decode_blob(blob: bytes, strict: bool = False) -> dict:
+    """Full per-blob metadata row: real header parse where the container is
+    recognized, deterministic fake (or ValueError under strict) elsewhere."""
+    import hashlib
+
+    meta = decode_header(blob)
+    if meta is None:
+        if strict:
+            raise ValueError(
+                "unrecognized container (not BMP/PNG/GIF/WAV) — formats beyond "
+                "the stdlib header parser need PIL/ffmpeg, absent in this image"
+            )
+        meta = fake_decode(blob)
     return {
-        "n_bytes": n,
-        "format": "fake/raw",
-        "width": (n % 64) + 16,
-        "height": ((n // 64) % 64) + 16,
-        "checksum": __import__("hashlib").md5(blob).hexdigest(),
+        "n_bytes": len(blob),
+        **meta,
+        "checksum": hashlib.md5(bytes(blob)).hexdigest(),
     }
 
 
 def decode_metadata(df: DataFrame, id_col: str, blob_col: str = "blob", strict: bool = False) -> DataFrame:
     """Decode binary blobs to typed metadata via Arrow-batched mapInPandas.
 
-    ``strict=True`` raises NotImplementedError where a real decoder would run
-    (useful to prove the pipeline wiring without pretending to decode).
+    BMP/PNG/GIF/WAV headers are parsed for real (``decode_header``);
+    ``strict=True`` makes any other format raise instead of falling back to
+    the deterministic fake.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image/audio decode requires PIL/ffmpeg — not in this image"
-                )
-            meta = [fake_decode(b) for b in pdf[blob_col]]
+            meta = [decode_blob(b, strict=strict) for b in pdf[blob_col]]
             out = pd.DataFrame(meta)
             out.insert(0, "id", pdf[id_col].values)
             yield out

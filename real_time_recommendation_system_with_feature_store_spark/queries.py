@@ -1833,7 +1833,10 @@ def als_item_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Multimodal plumbing: binary blob column -> Arrow-batched mapInPandas "
-        "decode kernel (stubbed deterministic fake; see operators/multimodal.py).",
+        "decode kernel. The decoder parses real BMP/PNG/GIF/WAV headers "
+        "(stdlib struct, operators/multimodal.py:decode_header); these text "
+        "blobs exercise the deterministic fallback tier, which the oracle "
+        "replays.",
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import attach_binary, decode_metadata

@@ -41,8 +41,16 @@ def kafka_source(
     topics: str,
     schema: T.StructType,
 ) -> DataFrame:
-    """ST1: kafka → typed stream. Requires the spark-sql-kafka package on the
-    classpath (not bundled in this image — raises a clear error if absent)."""
+    """ST1: kafka → typed stream (reference kafka_consumer.py:52-78).
+
+    Requires the Kafka connector on the classpath — the published artifact
+    matching this pyspark build is
+    ``org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>`` (pass via
+    ``spark.jars.packages``). Not bundled in this image: absent the jar,
+    ``.load()`` fails at DATA-SOURCE LOOKUP with Spark's deploy-guide
+    message (asserted in tests/test_streaming.py) — the options themselves
+    (bootstrap servers, subscribe list, startingOffsets) follow the
+    integration guide's documented names."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

@@ -820,3 +820,83 @@ def test_charlm_forced_arrow_respects_model_gate(spark):
         tuple(r) for r in char_bigram_lm_scores(df, "text", "doc_id", kernel="expr").collect()
     }
     assert auto == expr and len(auto) == 20
+
+
+def test_cross_corpus_overlap_stop_shingle_cut(spark):
+    """max_shingle_df drops ONLY overlap contributed by hot train shingles:
+    n_common shrinks by exactly the dropped common shingles, pairs whose
+    overlap relied entirely on boilerplate disappear, and the eval_overlap
+    denominator (|eval shingles|) is unchanged."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import cross_corpus_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta unique one thing"),
+            (2, "alpha beta other words here"),
+            (3, "alpha beta more train text"),
+            (4, "alpha beta yet another doc"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta unique one"), (200, "alpha beta something else")],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["train_id"], r["eval_id"]): (r["n_common"], r["eval_overlap"])
+        for r in cross_corpus_overlap(train, ev, "text", "doc_id", n=2).collect()
+    }
+    # "alpha beta" is in all 4 train docs; t1 additionally shares
+    # "beta unique" + "unique one" with e100
+    assert full[(1, 100)][0] == 3
+    assert all(full[(t, 100)][0] == 1 for t in (2, 3, 4))
+    assert all(full[(t, 200)][0] == 1 for t in (1, 2, 3, 4))
+
+    cut = {
+        (r["train_id"], r["eval_id"]): (r["n_common"], r["eval_overlap"])
+        for r in cross_corpus_overlap(
+            train, ev, "text", "doc_id", n=2, max_shingle_df=3
+        ).collect()
+    }
+    # df("alpha beta")=4 > 3 -> dropped; only t1/e100's genuine overlap survives
+    assert cut == {(1, 100): (2, round(2 / 3, 6))}
+
+
+def test_decode_header_real_formats(spark):
+    """The metadata decoder is REAL for BMP/PNG/GIF/WAV: stdlib header
+    parses recover true dimensions / sample rate, unrecognized bytes fall
+    back to the labeled fake, and strict mode raises on them."""
+    import struct
+
+    import pytest as _pt
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import decode_metadata
+
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+        + struct.pack("<Iii", 40, 17, -9)  # top-down: negative height
+        + bytes(48)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + bytes(10)
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(8)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16) + bytes(8)
+    )
+    txt = b"just some plain text bytes"
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(png)), (3, bytearray(gif)),
+         (4, bytearray(wav)), (5, bytearray(txt))],
+        "id long, blob binary",
+    )
+    out = {r["id"]: r for r in decode_metadata(df, "id").collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("image/bmp", 17, 9)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("image/png", 640, 480)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("image/gif", 320, 200)
+    assert (out[4]["format"], out[4]["width"], out[4]["height"]) == ("audio/wav", 44100, 2)
+    assert out[5]["format"] == "fake/raw" and out[5]["n_bytes"] == len(txt)
+    with _pt.raises(Exception, match="unrecognized container"):
+        decode_metadata(df.where("id = 5"), "id", strict=True).collect()

@@ -479,3 +479,28 @@ def test_near_dup_stream_replay_survives_index_without_docs(spark):
     sink(docs.where(F.col("doc_id") >= 12), 1)
     pairs1 = {tuple(r) for r in spark.read.parquet(dirs["pairs"]).drop("epoch").collect()}
     assert pairs1 >= pairs0 and len(pairs1) > len(pairs0)
+
+
+def test_kafka_source_fails_at_provider_lookup_not_options(spark):
+    """No kafka jar ships in this container, so the strongest executable
+    evidence for the S5 surface is failure MODE: kafka_source must reach
+    Spark's data-source LOOKUP (which names the kafka provider and its
+    deployment guide) — not an option-validation or attribute error earlier
+    in our own code. With the documented jar
+    (org.apache.spark:spark-sql-kafka-0-10_2.13) on the classpath the same
+    call builds the streaming plan."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import kafka_source
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    with _pytest.raises(Exception) as ei:
+        kafka_source(spark, "broker-1:9092,broker-2:9092", "events,clicks", schema)
+    msg = str(ei.value)
+    assert "kafka" in msg.lower(), msg
+    # lookup-stage failure: Spark's "failed to find the data source" /
+    # deploy-guide wording, not a complaint about our options
+    assert "find" in msg.lower() or "deploy" in msg.lower(), msg
+    for bad in ("bootstrap", "subscribe", "startingoffsets"):
+        assert bad not in msg.lower(), f"option-stage failure leaked: {msg}"
