@@ -4093,80 +4093,65 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under them since), (c) r2-green queries sitting on changed files
 # (knn/topk/sampling/asof). Every excluded entry has a green round-2 row.
 _DRIVER_WINDOW = [
-    "ivf_ann_topk",
-    "price_deciles",
-    # corpus_export_pipeline is NEW in r3; it displaces
-    # ranking_metrics_multi_k (r2-green, metrics code unchanged this round)
-    "corpus_export_pipeline",
-    "negative_samples",
-    "minhash_dedup_candidates",
-    "simhash_dedup_candidates",
-    "dedup_clusters",
-    "eval_contamination_pairs",
-    "als_item_embeddings",
-    # the four corpus-curation entries are NEW in r3 (no driver row exists);
-    # they displace event_type_stats, collect_event_types, order_date_features
-    # and part_name_features — r1-green trivial aggregates whose code paths
-    # (load, groupBy, collect_list) are exercised by dozens of green entries.
-    "domain_mixture_sample",
-    "leakage_safe_folds",
-    "dedup_cluster_keepers",
-    "charlm_doc_scores",
-    # the BPE pair is NEW in r3; displaces acctbal_zscore and segment_codes
-    # (r1-green single-table queries on encode.py, untouched since r1)
-    "bpe_merge_table",
-    "bpe_tokenized_docs",
-    # bpe_packed_corpus (NEW) displaces customers_without_orders — its anti
-    # join shape stays windowed via leave_one_out_events (J6)
-    "bpe_packed_corpus",
-    # perplexity_buckets (NEW) displaces click_and_purchase_users (r1-green
-    # trivial intersect; the set-op family stays windowed via
-    # nations_with_presence's r2 row)
-    "perplexity_buckets",
-    # pii_scrubbed_docs (NEW) displaces supplier_running_totals (r1-green;
-    # the W3 running-window shape stays windowed via inter_event_gaps' r2
-    # row and the multi-K metrics entries)
-    "pii_scrubbed_docs",
-    "time_split_orders",
-    "leave_one_out_events",
-    "kcore_events",
-    "point_in_time_features",
-    "brand_top_parts",
-    "global_top_parts",
-    "text_quality",
-    "lang_id_confusion",
-    "doc_dedup_exact",
-    "jaccard_similar_pairs",
-    "embedding_norms",
-    "knn_cosine_topk",
-    "segment_recommendations",
-    "popularity_ranking_metrics",
-    "coverage_novelty",
-    "rec_diversity",
-    "multimodal_metadata",
-    "linear_rerank_topk",
-    "tfidf_top_terms",
-    "sliding_window_counts",
-    "value_percentiles",
-    "part_type_multihot",
-    "user_event_arrays",
-    "lsh_ann_topk",
-    "embedding_near_dup_lsh",
-    # doc_token_chunks is NEW in r3; displaces r2-green embedding_near_dup
-    # (its LSH twin above now carries the same rescoring oracle)
-    "doc_token_chunks",
-    "two_stage_recommendations",
-    "weighted_doc_sample",
-    # the r3-NEW entries below (verbatim_span_pairs,
-    # incremental_dedup_candidates, ngram_repetition_signals, pq_ann_topk —
-    # plus corpus_export_pipeline and doc_token_chunks fronted earlier) need
-    # their first driver rows; they displace stratified_event_sample,
-    # nation_top_balance_customers, user_value_scd2 and asof_purchase_click,
-    # whose r2 green rows stay ≤1 round old.
-    "verbatim_span_pairs",
-    "incremental_dedup_candidates",
-    "ngram_repetition_signals",
-    "pq_ann_topk",
+    # r4 ROTATION: every entry below has its newest green row in r1 or r2 —
+    # the r3 window (50/50 green) just renewed the other 50, so this round
+    # refreshes the oldest half of the catalog's evidence. The only two
+    # r2-green entries left out are embedding_near_dup (its LSH twin
+    # embedding_near_dup_lsh shares the rescoring path and is r3-green) and
+    # doc_signatures (minhash/simhash signature paths are r3-green).
+    # First, the two whose operators changed this round:
+    "segment_codes",          # label_encode scale gate (encode.py)
+    "token_budget_packing",   # pack_by_token_budget auto-scale path
+    # the remaining r1-stale entries:
+    "event_type_stats",
+    "collect_event_types",
+    "acctbal_zscore",
+    "supplier_running_totals",
+    "customers_without_orders",
+    "click_and_purchase_users",
+    "order_date_features",
+    "part_name_features",
+    # r2-stale entries:
+    "pricing_summary",
+    "top_building_orders",
+    "region_revenue",
+    "customer_order_profile",
+    "priority_mix",
+    "user_activity_windows",
+    "item_trending_scores",
+    "item_interaction_counts",
+    "sessionize_events",
+    "asof_purchase_click",
+    "tumbling_window_counts",
+    "ranking_metrics_multi_k",
+    "tree_rerank_topk",
+    "revenue_rollup",
+    "event_type_pivot",
+    "inter_event_gaps",
+    "status_priority_cube",
+    "segment_code_map",
+    "nations_with_presence",
+    "customers_with_orders",
+    "event_value_norm",
+    "stratified_event_sample",
+    "session_window_stats",
+    "rolling_user_velocity",
+    "salted_event_counts",
+    "user_first_last_events",
+    "large_order_customers",
+    "small_qty_brand_revenue",
+    "rich_inactive_customers",
+    "nation_top_balance_customers",
+    "late_ship_priority_counts",
+    "view_click_attribution",
+    "corpus_filter_funnel",
+    "gopher_quality_flags",
+    "daily_user_activity_spine",
+    "props_variant_stats",
+    "user_value_scd2",
+    "promo_revenue_share",
+    "nation_pair_trade_volume",
+    "brand_supplier_diversity",
 ]
 
 def _reorder_registry() -> None:
