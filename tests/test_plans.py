@@ -297,3 +297,91 @@ def test_pack_by_token_budget_unsharded_scale_path_routing(spark):
     a = sorted(map(tuple, large.collect()))
     b = sorted(map(tuple, small.collect()))
     assert a == b and len(a) > 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join layout: two tables bucketed on the join key with the
+    same bucket count must SortMergeJoin with ZERO Exchange — the 100 TB
+    fact-fact join path (broadcast handles dim joins; bucketing is the
+    answer when both sides are big)."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.sources.writers import write_bucketed_table
+
+    tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for t in ("orders_bkt", "cust_bkt"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(tmp, t), ignore_errors=True)
+        write_bucketed_table(
+            o, "orders_bkt", 8, ["o_custkey"], sort_cols=["o_custkey"],
+            path=os.path.join(tmp, "orders_bkt"),
+        )
+        write_bucketed_table(
+            c, "cust_bkt", 8, ["c_custkey"], sort_cols=["c_custkey"],
+            path=os.path.join(tmp, "cust_bkt"),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("orders_bkt").join(
+            spark.table("cust_bkt"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == o.join(c, F.col("o_custkey") == F.col("c_custkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        for t in ("orders_bkt", "cust_bkt"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Skew posture evidence: the session runs with AQE skew-join splitting
+    enabled (session.py defaults), and a deliberately skewed fact-fact join
+    (one key carrying ~83% of rows) gets its hot partition SPLIT at runtime
+    — `skew=true` in the final adaptive plan. Thresholds are lowered to
+    make test-scale partitions (MBs, not GBs) eligible; the mechanism is
+    identical at 100 TB with the defaults."""
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        a = (
+            spark.range(600000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") < 500000, F.lit(0)).otherwise((F.col("id") % 100) + 1),
+            )
+            .withColumn("pay", F.md5(F.col("id").cast("string")))
+        )
+        b = spark.range(101).toDF("k").withColumn("v", F.col("k") * 2)
+        j = a.join(b, "k")
+        j.foreach(lambda r: None)  # run THIS QueryExecution to finality
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert plan.count("skew=true") >= 1, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
