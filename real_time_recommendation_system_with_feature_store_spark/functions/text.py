@@ -240,3 +240,46 @@ def ngram_repetition_profile(df, text_col: str, id_col: str):
             )
 
     return hashed_df.mapInPandas(gen, out_schema)
+
+
+def nfc_normalized(df, text_col: str, id_col: str, keep_cols: tuple[str, ...] = ()):
+    """Unicode NFC normalization (UAX #15) — the canonicalization step every
+    multilingual corpus pipeline runs before hashing/dedup (composed vs
+    decomposed accents would otherwise fingerprint as different docs).
+
+    Spark SQL has no NFC builtin, so this is a vectorized Arrow kernel
+    (pandas_udf, zero-shuffle, stays inside the scan stage); Python's
+    ``unicodedata.normalize`` and DuckDB's ``nfc_normalize`` both implement
+    UAX #15 and agree byte-for-byte (pinned by a property test over random
+    combining-mark strings). Returns (id, *keep_cols, text_nfc, changed).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if isinstance(x, str) else x
+        )
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the locally-imported pd can't be resolved by the hint inferencer;
+    # hint-less pandas_udf defaults to SCALAR, which is what this is
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    # one kernel invocation: normalize in the first projection, derive
+    # `changed` from the materialized column in the second
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        _nfc(F.col(text_col)).alias("text_nfc"),
+        F.col(text_col).alias("__orig"),
+    )
+    return out.select(
+        id_col,
+        *keep_cols,
+        "text_nfc",
+        (F.col("text_nfc") != F.col("__orig")).alias("changed"),
+    )

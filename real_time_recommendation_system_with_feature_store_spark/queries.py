@@ -4134,6 +4134,72 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (b) the 32 entries whose last green row is round 1 (shared infra moved
 # under them since), (c) r2-green queries sitting on changed files
 # (knn/topk/sampling/asof). Every excluded entry has a green round-2 row.
+# ================================================================ profiling / diagnostics
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+@query(
+    "orders_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT({c}) AS n_nulls, COUNT(DISTINCT {c}) AS n_distinct,
+          CAST(MIN({c}) AS VARCHAR) AS min_value, CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    doc="ANALYZE-style one-pass column profile (operators/profile.py): ONE "
+        "table scan computes rows/nulls/distincts/min/max for every column "
+        "(multi-distinct Expand; approx_count_distinct is the sketched "
+        "lake-scale mode), then stack() unpivots the 1-row aggregate.",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS)
+
+
+@query(
+    "event_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+    t AS (SELECT SUM(n_rows) AS tt FROM c),
+    r AS (SELECT user_id, n_rows,
+      CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id ASC) AS INTEGER) AS rank FROM c)
+    SELECT user_id, n_rows, ROUND(CAST(n_rows AS DOUBLE) / tt, 6) AS share, rank
+    FROM r, t WHERE rank <= 20
+    """,
+    doc="Heavy-hitter skew probe (operators/profile.py::key_skew_report): "
+        "top-20 keys by row count with global share via "
+        "TakeOrderedAndProject over the key-count frame — the pre-flight "
+        "diagnosis feeding salting / AQE-skew decisions, never a full sort.",
+)
+def event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id"], top=20)
+
+
+@query(
+    "nfc_normalized_docs",
+    oracle="""
+    SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      nfc_normalize(text) <> text AS changed
+    FROM documents
+    """,
+    doc="Unicode NFC canonicalization (functions/text.py::nfc_normalized): "
+        "vectorized Arrow kernel (no Spark builtin exists), zero-shuffle; "
+        "unicodedata and DuckDB nfc_normalize both implement UAX #15 — "
+        "byte parity pinned by a property test over combining-mark strings.",
+)
+def nfc_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import nfc_normalized
+
+    d = _t(spark, sf_dir, "documents")
+    return nfc_normalized(d, "text", "doc_id")
+
+
 _DRIVER_WINDOW = [
     # r4 ROTATION: every entry below has its newest green row in r1 or r2 —
     # the r3 window (50/50 green) just renewed the other 50, so this round
@@ -4173,14 +4239,12 @@ _DRIVER_WINDOW = [
     "status_priority_cube",
     "segment_code_map",
     "nations_with_presence",
-    "customers_with_orders",
     "event_value_norm",
     "stratified_event_sample",
     "session_window_stats",
     "rolling_user_velocity",
     "salted_event_counts",
-    "user_first_last_events",
-    "large_order_customers",
+
     "small_qty_brand_revenue",
     "rich_inactive_customers",
     "nation_top_balance_customers",
@@ -4193,10 +4257,16 @@ _DRIVER_WINDOW = [
     "user_value_scd2",
     "promo_revenue_share",
     "nation_pair_trade_volume",
-    # eval_contamination_pruned is NEW in r4 (first driver row); it
-    # displaces brand_supplier_diversity, whose r2 row stays the evidence
-    # for the multi-distinct agg shape
+    # NEW in r4 (first driver rows): eval_contamination_pruned, the two
+    # profiling entries and the NFC kernel. They displace
+    # brand_supplier_diversity (multi-distinct agg), customers_with_orders
+    # and large_order_customers (semi-join shape — kcore_events' r3 row and
+    # click_and_purchase_users above keep it windowed) and
+    # user_first_last_events (grouped min/max, covered broadly).
     "eval_contamination_pruned",
+    "orders_profile",
+    "event_key_skew",
+    "nfc_normalized_docs",
 ]
 
 def _reorder_registry() -> None:

@@ -385,3 +385,27 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_profile_table_single_scan_and_skew_report_take_ordered(spark):
+    """profile_table must read the table ONCE regardless of column count
+    (one global aggregate + stack unpivot); key_skew_report must cut to
+    top-N via TakeOrderedAndProject, never a full sort of the key space."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report, profile_table
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    prof = profile_table(o, ["o_orderkey", "o_custkey", "o_orderstatus"])
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = {r["column_name"]: r for r in prof.collect()}
+    n = o.count()
+    assert rows["o_orderkey"]["n_rows"] == n and rows["o_orderkey"]["n_nulls"] == 0
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+
+    skew = key_skew_report(o, ["o_custkey"], top=5)
+    splan = skew._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in splan, splan
+    got = skew.collect()
+    assert len(got) == 5 and [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    assert abs(sum(r["share"] for r in got)) <= 1.0

@@ -590,3 +590,41 @@ def test_ntile_from_rank_matches_builtin_ntile(spark, n_rows, n_buckets):
     ).collect()
     for r in both:
         assert r["builtin"] == r["derived"], (n_rows, n_buckets, r)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            # precomposable latin + hangul jamo + combining marks + ascii —
+            # the alphabet where NFC actually rewrites
+            alphabet="aȩ́̀ñÅ 가z1.",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_nfc_normalized_matches_duckdb(spark, texts):
+    """unicodedata.normalize('NFC') (the Arrow kernel) and DuckDB's
+    nfc_normalize both implement UAX #15 — byte-for-byte parity on strings
+    dense in combining marks (the contract nfc_normalized_docs' oracle
+    stands on; the synthetic corpus is ASCII so only this test exercises
+    actual recomposition)."""
+    import duckdb
+
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import nfc_normalized
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_nfc"], r["changed"])
+        for r in nfc_normalized(df, "text", "doc_id").collect()
+    }
+    changed_seen = False
+    for i, t in enumerate(texts):
+        want = duckdb.sql(
+            "SELECT nfc_normalize(?), nfc_normalize(?) <> ?", params=[t, t, t]
+        ).fetchone()
+        assert got[i] == tuple(want), (t, got[i], want)
+        changed_seen = changed_seen or want[1]
