@@ -62,3 +62,27 @@ def write_bucketed_table(
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """S3 + pipeline telemetry: parquet write with Observation metrics
+    computed ON the write pass itself — row counts, null counts, value
+    bounds arrive with the job, no second scan of (at 100 TB) petabytes.
+    ``metrics`` maps names to aggregate Columns (default: row count);
+    returns the observed values. The mechanism is Spark's query-listener
+    Observation API, so any aggregate expressible over the written rows
+    works (the declarative twin of accumulator counters)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = metrics or {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
+    write_parquet(observed, path, mode=mode, partition_by=partition_by)
+    return obs.get

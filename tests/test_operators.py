@@ -900,3 +900,25 @@ def test_decode_header_real_formats(spark):
     assert out[5]["format"] == "fake/raw" and out[5]["n_bytes"] == len(txt)
     with _pt.raises(Exception, match="unrecognized container"):
         decode_metadata(df.where("id = 5"), "id", strict=True).collect()
+
+
+def test_write_parquet_observed_single_pass_metrics(spark, tmp_path):
+    """Observation metrics ride the write job itself: counts/nulls/bounds
+    come back with the write, and the files round-trip consistently."""
+    from real_time_recommendation_system_with_feature_store_spark.sources.writers import write_parquet_observed
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    out = str(tmp_path / "obs_out")
+    got = write_parquet_observed(
+        df,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "max_id": F.max("id"),
+        },
+    )
+    assert got == {"n_rows": 4, "n_null_v": 2, "max_id": 4}
+    assert spark.read.parquet(out).count() == 4

@@ -628,3 +628,32 @@ def test_nfc_normalized_matches_duckdb(spark, texts):
         ).fetchone()
         assert got[i] == tuple(want), (t, got[i], want)
         changed_seen = changed_seen or want[1]
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_global_exclusive_prefix_sum_matches_window(spark, tokens, nparts):
+    """The range-partitioned prefix sum (cross-partition carry) must equal
+    the unpartitioned-window cumsum bit-for-bit for any value sequence and
+    partition count — the invariant pack_by_token_budget's scale gate
+    rests on."""
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_exclusive_prefix_sum
+
+    df = spark.createDataFrame(list(enumerate(tokens)), "id long, v long")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["ps"]
+        for r in df.select("id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("ps")).collect()
+    }
+    got = {
+        r["id"]: r["ps"]
+        for r in global_exclusive_prefix_sum(
+            df, "v", ["id"], "ps", num_partitions=nparts
+        ).collect()
+    }
+    assert got == want
