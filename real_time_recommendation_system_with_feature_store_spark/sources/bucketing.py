@@ -23,15 +23,22 @@ def write_bucketed(
     buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (+sorted) catalog table on ``key``.
 
     Joins/groupBys between tables bucketed the same way on the same key
     compile with no Exchange on either side (asserted in
-    tests/test_scale_paths.py::test_bucketed_join_is_shuffle_free).
+    tests/test_scale_paths.py::test_bucketed_join_is_shuffle_free and
+    tests/test_plans.py::test_bucketed_tables_join_without_shuffle).
+    Bucket metadata lives in the session catalog (a path-only parquet write
+    can't carry it); pass ``path`` to make the table EXTERNAL so the files
+    outlive any metastore.
     """
     keys = [key] if isinstance(key, str) else list(key)
     w = df.write.bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
+    if path:
+        w = w.option("path", path)
     w.mode(mode).saveAsTable(table)

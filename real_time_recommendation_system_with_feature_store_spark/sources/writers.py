@@ -34,36 +34,6 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def write_bucketed_table(
-    df: DataFrame,
-    table: str,
-    num_buckets: int,
-    bucket_cols: list[str],
-    sort_cols: list[str] | None = None,
-    mode: str = "overwrite",
-    path: str | None = None,
-) -> None:
-    """S10 at scale: hash-bucketed (and optionally sorted) table layout for
-    CO-LOCATED joins — the big-join answer the plain parquet sink can't
-    give. Two tables bucketed on their join key with the same bucket count
-    join with ZERO Exchange on either side (SortMergeJoin reads matching
-    buckets directly; plan-asserted in tests/test_plans.py), so a fact-fact
-    join at 100 TB skips the single most expensive shuffle in the pipeline;
-    ``sort_cols`` additionally pre-sorts within buckets, dropping the Sort
-    too on matching keys.
-
-    Bucket metadata lives in the session catalog (``saveAsTable`` — a
-    path-only ``parquet(path)`` write cannot carry it); pass ``path`` to
-    make the table external so the files outlive any metastore.
-    """
-    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    if path:
-        writer = writer.option("path", path)
-    writer.format("parquet").saveAsTable(table)
-
-
 def write_parquet_observed(
     df: DataFrame,
     path: str,

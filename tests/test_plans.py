@@ -300,13 +300,15 @@ def test_pack_by_token_budget_unsharded_scale_path_routing(spark):
 
 
 def test_bucketed_tables_join_without_shuffle(spark):
-    """Co-located join layout: two tables bucketed on the join key with the
-    same bucket count must SortMergeJoin with ZERO Exchange — the 100 TB
-    fact-fact join path (broadcast handles dim joins; bucketing is the
-    answer when both sides are big)."""
+    """Co-located join layout, EXTERNAL-path variant: two tables bucketed on
+    the join key with the same bucket count must SortMergeJoin with ZERO
+    Exchange — the 100 TB fact-fact join path (broadcast handles dim joins;
+    bucketing is the answer when both sides are big). Complements
+    test_scale_paths' managed-table form by pinning that the path option
+    (files outliving the metastore) keeps the bucket metadata."""
     import shutil
 
-    from real_time_recommendation_system_with_feature_store_spark.sources.writers import write_bucketed_table
+    from real_time_recommendation_system_with_feature_store_spark.sources.bucketing import write_bucketed
 
     tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
@@ -316,12 +318,12 @@ def test_bucketed_tables_join_without_shuffle(spark):
         for t in ("orders_bkt", "cust_bkt"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(os.path.join(tmp, t), ignore_errors=True)
-        write_bucketed_table(
-            o, "orders_bkt", 8, ["o_custkey"], sort_cols=["o_custkey"],
+        write_bucketed(
+            o, "orders_bkt", "o_custkey", buckets=8,
             path=os.path.join(tmp, "orders_bkt"),
         )
-        write_bucketed_table(
-            c, "cust_bkt", 8, ["c_custkey"], sort_cols=["c_custkey"],
+        write_bucketed(
+            c, "cust_bkt", "c_custkey", buckets=8,
             path=os.path.join(tmp, "cust_bkt"),
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
