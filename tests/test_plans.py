@@ -411,3 +411,45 @@ def test_profile_table_single_scan_and_skew_report_take_ordered(spark):
     got = skew.collect()
     assert len(got) == 5 and [r["rank"] for r in got] == [1, 2, 3, 4, 5]
     assert abs(sum(r["share"] for r in got)) <= 1.0
+
+
+def test_plan_linter_flags_and_passes(spark):
+    """plans/lint.py: flags the always-wrong-at-scale shapes (cartesian
+    product, one-task window, row-at-a-time Python UDF, unpushed filter)
+    and passes clean catalog queries."""
+    import pytest as _pt
+    from pyspark.sql.functions import udf
+
+    from real_time_recommendation_system_with_feature_store_spark.plans.lint import assert_scalable, lint_plan
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    a = spark.range(100).toDF("x")
+    b = spark.range(100).toDF("y")
+
+    cart = a.join(b, F.col("x") * 0 != F.col("y") * 0 + 1)  # non-equi, big sides
+    rules = {f["rule"] for f in lint_plan(cart)}
+    # depending on stats this compiles to CartesianProduct or BNLJ; force it
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cart = a.join(b, F.col("x") + 1 != F.col("y"))
+        rules = {f["rule"] for f in lint_plan(cart)}
+        assert "cartesian-product" in rules, rules
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    from pyspark.sql import Window
+
+    w = a.withColumn("rn", F.row_number().over(Window.orderBy("x")))
+    assert {f["rule"] for f in lint_plan(w)} == {"single-partition-window"}
+    with _pt.raises(ValueError, match="single-partition-window"):
+        assert_scalable(w)
+    assert_scalable(w, allow={"single-partition-window"})  # suppression works
+
+    slow = udf(lambda x: x + 1, "long")
+    u = a.select(slow("x").alias("y"))
+    assert "python-row-udf" in {f["rule"] for f in lint_plan(u)}
+
+    # clean catalog queries pass (broadcast joins, pushed filters, TakeOrdered)
+    for name in ("top_building_orders", "global_top_parts", "brand_top_parts"):
+        assert_scalable(QUERIES[name].fn(spark, SF_DIR))
