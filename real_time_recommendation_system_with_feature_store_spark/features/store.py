@@ -124,8 +124,15 @@ class FeatureStore:
 
     def push(self, name: str, df: DataFrame) -> None:
         """S6 batch analog: append new feature rows (streaming push lands in
-        the same log via foreachBatch — streaming/pipeline.py)."""
-        self._tables[name] = self._tables[name].unionByName(df)
+        the same log via foreachBatch — streaming/pipeline.py). The first
+        push into a registered-but-empty view bootstraps its table — the
+        stream-materialization case, where no batch frame exists yet."""
+        if name not in self.views:
+            raise KeyError(f"unknown feature view: {name!r}")
+        if name in self._tables:
+            self._tables[name] = self._tables[name].unionByName(df)
+        else:
+            self._tables[name] = df
 
     def materialize(self, name: str, path: str) -> None:
         """ST8: compact the latest snapshot to parquet (online-store backfill)."""

@@ -504,3 +504,78 @@ def test_kafka_source_fails_at_provider_lookup_not_options(spark):
     assert "find" in msg.lower() or "deploy" in msg.lower(), msg
     for bad in ("bootstrap", "subscribe", "startingoffsets"):
         assert bad not in msg.lower(), f"option-stage failure leaked: {msg}"
+
+
+def test_e2e_stream_features_feed_point_in_time_training(spark, events_batch):
+    """The feature-store promise, composed end to end: a STREAM materializes
+    windowed features into the store via the foreachBatch upsert, then a
+    training job reads them POINT-IN-TIME for label rows — and gets exactly
+    the rows a batch-materialized store yields. Stream==batch parity holds
+    through the store, not just at the aggregation."""
+    from real_time_recommendation_system_with_feature_store_spark.features.store import FeatureStore, FeatureView
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import upsert_online_store
+
+    stage = os.path.join(TMP, "e2e_feat_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    events_batch.repartition(3).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    def fresh_store():
+        store = FeatureStore(spark=spark)
+        store.register(
+            FeatureView(
+                name="rt_user_feats", entities=["user_id"],
+                ttl_seconds=7 * 24 * 3600, timestamp_field="window_end",
+            ),
+            None,
+        )
+        return store
+
+    # STREAM path: replay -> windowed features -> foreachBatch upsert
+    stream_store = fresh_store()
+    feats_stream = windowed_feature_stream(
+        replay_events_stream(spark, stage, schema),
+        key="user_id", window="1 hour", watermark="365 days",
+    )
+    q = (
+        feats_stream.writeStream.outputMode("complete")
+        .foreachBatch(upsert_online_store(stream_store, "rt_user_feats"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # BATCH path: same expression on the batch frame, registered directly
+    batch_store = fresh_store()
+    batch_store.push(
+        "rt_user_feats", windowed_feature_stream(events_batch, key="user_id", window="1 hour")
+    )
+
+    # label rows: one per user at a mid-corpus timestamp + one far later
+    labels = (
+        events_batch.groupBy("user_id")
+        .agg(F.max("ts").alias("ts"))
+        .select("user_id", "ts")
+        .union(
+            events_batch.select("user_id", (F.col("ts") - F.expr("INTERVAL 12 HOURS")).alias("ts")).distinct()
+        )
+    )
+    got = sorted(
+        map(
+            str,
+            stream_store.get_historical_features(
+                "rt_user_feats", labels, timestamp_col="ts"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            str,
+            batch_store.get_historical_features(
+                "rt_user_feats", labels, timestamp_col="ts"
+            ).collect(),
+        )
+    )
+    assert len(got) > 0 and got == want
