@@ -1,0 +1,33 @@
+"""localCheckpoint block accounting.
+
+``DataFrame.unpersist`` does NOT release localCheckpoint storage blocks (it
+only touches the SQL cache manager), so code that checkpoints in a loop —
+BPE training rounds, feature-store push compaction — must free superseded
+checkpoints through the context's persistent-RDD registry or accumulate
+dead block sets in executor storage for the session lifetime. Verified
+against pyspark 4.1 (see operators/bpe.py history). Best effort by design:
+a leak is preferable to crashing on a Spark-internals change.
+"""
+
+from __future__ import annotations
+
+
+def stored_rdd_ids(sc) -> set:
+    """ids of RDDs currently holding storage blocks (driver-side, cheap)."""
+    try:
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    except Exception:
+        return set()
+
+
+def unpersist_rdd_ids(sc, ids) -> None:
+    """Free storage blocks of specific RDD ids via the persistent-RDD
+    registry."""
+    try:
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        for i in ids:
+            opt = jmap.get(i)
+            if opt.isDefined():
+                opt.get().unpersist(False)
+    except Exception:
+        pass

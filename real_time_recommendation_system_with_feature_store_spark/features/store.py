@@ -45,6 +45,8 @@ class FeatureStore:
     spark: SparkSession
     views: dict[str, FeatureView] = field(default_factory=dict)
     _tables: dict[str, DataFrame] = field(default_factory=dict)
+    _ckpt_ids: dict[str, set] = field(default_factory=dict)
+    _push_counts: dict[str, int] = field(default_factory=dict)
 
     def register(self, view: FeatureView, df: DataFrame | None = None) -> None:
         self.views[view.name] = view
@@ -122,17 +124,37 @@ class FeatureStore:
         )
         return out
 
-    def push(self, name: str, df: DataFrame) -> None:
-        """S6 batch analog: append new feature rows (streaming push lands in
-        the same log via foreachBatch — streaming/pipeline.py). The first
-        push into a registered-but-empty view bootstraps its table — the
-        stream-materialization case, where no batch frame exists yet."""
+    def push(self, name: str, df: DataFrame, compact_every: int = 32) -> None:
+        """S6: append new feature rows (the streaming foreachBatch sink
+        lands in the same log — streaming/pipeline.py). EAGER by contract:
+        the pushed rows are snapshotted via localCheckpoint before the
+        union, which (a) satisfies foreachBatch's process-every-partition
+        requirement for stateful streams, (b) detaches the stored table
+        from unreplayable micro-batch source offsets, and (c) keeps a
+        long-running stream's log queryable (every ``compact_every`` pushes
+        the union chain is collapsed into one checkpoint and the superseded
+        snapshots' storage blocks are released — otherwise the plan deepens
+        and dead blocks accumulate for the session lifetime). The first
+        push into a registered-but-empty view bootstraps its table."""
         if name not in self.views:
             raise KeyError(f"unknown feature view: {name!r}")
-        if name in self._tables:
-            self._tables[name] = self._tables[name].unionByName(df)
-        else:
-            self._tables[name] = df
+        from real_time_recommendation_system_with_feature_store_spark.ckpt import stored_rdd_ids, unpersist_rdd_ids
+
+        sc = self.spark.sparkContext
+        pre = stored_rdd_ids(sc)
+        snap = df.localCheckpoint(eager=True)
+        self._ckpt_ids.setdefault(name, set()).update(stored_rdd_ids(sc) - pre)
+        table = (
+            self._tables[name].unionByName(snap) if name in self._tables else snap
+        )
+        self._push_counts[name] = self._push_counts.get(name, 0) + 1
+        if self._push_counts[name] % compact_every == 0:
+            pre = stored_rdd_ids(sc)
+            table = table.localCheckpoint(eager=True)
+            new_ids = stored_rdd_ids(sc) - pre
+            unpersist_rdd_ids(sc, self._ckpt_ids[name])
+            self._ckpt_ids[name] = new_ids
+        self._tables[name] = table
 
     def materialize(self, name: str, path: str) -> None:
         """ST8: compact the latest snapshot to parquet (online-store backfill)."""

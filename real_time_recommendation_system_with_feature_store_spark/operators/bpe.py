@@ -48,29 +48,10 @@ def merge_pattern(left: str, right: str) -> tuple[str, str]:
     )
 
 
-def _stored_rdd_ids(sc) -> set:
-    """ids of RDDs currently holding storage blocks (driver-side, cheap)."""
-    try:
-        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
-    except Exception:
-        return set()
-
-
-def _unpersist_rdd_ids(sc, ids) -> None:
-    """Free storage blocks of specific RDD ids. `DataFrame.unpersist` does
-    NOT release localCheckpoint blocks (it only touches the SQL cache
-    manager), so long checkpoint chains must be released through the
-    context's persistent-RDD registry; verified against pyspark 4.1. Best
-    effort: a leak is preferable to crashing training on an internals
-    change, hence the broad except."""
-    try:
-        jmap = sc._jsc.sc().getPersistentRDDs()
-        for i in ids:
-            opt = jmap.get(i)
-            if opt.isDefined():
-                opt.get().unpersist(False)
-    except Exception:
-        pass
+from real_time_recommendation_system_with_feature_store_spark.ckpt import (
+    stored_rdd_ids as _stored_rdd_ids,
+    unpersist_rdd_ids as _unpersist_rdd_ids,
+)
 
 
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:

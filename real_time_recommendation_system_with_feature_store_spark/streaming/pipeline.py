@@ -211,13 +211,12 @@ def upsert_online_store(store, view_name: str):
     online feature table (keyed overwrite; Delta MERGE when available)."""
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        # snapshot the batch EAGERLY before pushing: (a) foreachBatch must
-        # process every partition or stateful queries fail commit
-        # validation (STATE_STORE_COMMIT_VALIDATION_FAILED), and (b) a
-        # lazily-stored micro-batch frame pins the epoch's source offsets —
-        # unreplayable once the trigger ends; the checkpoint snapshot is
-        # plain blocks the store can query any time later
-        store.push(view_name, batch_df.localCheckpoint(eager=True))
+        # store.push is EAGER (localCheckpoint snapshot inside): every
+        # partition processes within foreachBatch (stateful queries fail
+        # commit validation otherwise), the stored table detaches from the
+        # epoch's unreplayable source offsets, and the push log compacts
+        # periodically — see FeatureStore.push
+        store.push(view_name, batch_df)
 
     return _upsert
 

@@ -579,3 +579,35 @@ def test_e2e_stream_features_feed_point_in_time_training(spark, events_batch):
         )
     )
     assert len(got) > 0 and got == want
+
+
+def test_store_push_log_compacts_and_releases_blocks(spark):
+    """A long-running stream pushes forever: every `compact_every` pushes
+    the store must collapse the union chain into one checkpoint and free
+    the superseded snapshots' storage blocks — values identical before and
+    after compaction, and stored-block count bounded (not one per push)."""
+    from datetime import datetime, timedelta
+
+    from real_time_recommendation_system_with_feature_store_spark.features.store import FeatureStore, FeatureView
+
+    store = FeatureStore(spark=spark)
+    store.register(
+        FeatureView(name="v", entities=["k"], ttl_seconds=None), None
+    )
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    for i in range(9):
+        store.push(
+            "v",
+            spark.createDataFrame(
+                [(i % 3, t0 + timedelta(hours=i), float(i))],
+                ["k", "event_timestamp", "x"],
+            ),
+            compact_every=4,
+        )
+    # 9 pushes, compact_every=4 -> at most (9 mod 4)+1 = ~a handful of live
+    # block sets for this view, never 9
+    assert len(store._ckpt_ids["v"]) < 6
+    got = sorted(map(tuple, store.table("v").collect()))
+    assert len(got) == 9
+    snap = {r["k"]: r["x"] for r in store.latest_snapshot("v").collect()}
+    assert snap == {0: 6.0, 1: 7.0, 2: 8.0}
