@@ -657,3 +657,36 @@ def test_global_exclusive_prefix_sum_matches_window(spark, tokens, nparts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    a=st.lists(st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+               min_size=1, max_size=25),
+    b=st.lists(st.one_of(st.none(), st.text(alphabet="xyz", max_size=3)),
+               min_size=1, max_size=25),
+)
+@settings(**SETTINGS)
+def test_profile_table_matches_duckdb(spark, a, b):
+    """profile_table's null/distinct/min/max semantics must match SQL
+    (COUNT(DISTINCT) excludes NULLs, min/max skip NULLs, all-NULL columns
+    profile as NULL bounds) on arbitrary null-dense frames."""
+    import duckdb
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import profile_table
+
+    n = max(len(a), len(b))
+    a = (a + [None] * n)[:n]
+    b = (b + [None] * n)[:n]
+    df = spark.createDataFrame(list(zip(a, b)), "a int, b string")
+    got = {
+        r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"], r["min_value"], r["max_value"])
+        for r in profile_table(df, ["a", "b"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"a": __import__("pandas").array(a, dtype="Int64"), "b": b}))
+    for c in ("a", "b"):
+        want = con.execute(
+            f"SELECT COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}),"
+            f" CAST(MIN({c}) AS VARCHAR), CAST(MAX({c}) AS VARCHAR) FROM t"
+        ).fetchone()
+        assert got[c] == tuple(want), (c, got[c], want)
