@@ -922,3 +922,22 @@ def test_write_parquet_observed_single_pass_metrics(spark, tmp_path):
     )
     assert got == {"n_rows": 4, "n_null_v": 2, "max_id": 4}
     assert spark.read.parquet(out).count() == 4
+
+
+def test_profile_table_approx_mode_and_multikey_skew(spark):
+    """exact=False (the mergeable lake-scale mode) must return
+    approx_count_distinct values within HLL tolerance of the exact counts;
+    key_skew_report composes over multi-column keys."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report, profile_table
+
+    ev = spark.read.parquet(
+        f"{__import__('os').environ.get('SPARK_GRAFT_TEST_SF_DIR', '/root/testdata/sf0.001')}/orders.parquet"
+    )
+    exact = {r["column_name"]: r["n_distinct"] for r in profile_table(ev, ["o_custkey"]).collect()}
+    approx = {r["column_name"]: r["n_distinct"] for r in profile_table(ev, ["o_custkey"], exact=False).collect()}
+    e, a = exact["o_custkey"], approx["o_custkey"]
+    assert abs(a - e) <= max(0.1 * e, 5), (e, a)
+
+    skew = key_skew_report(ev, ["o_orderstatus", "o_orderpriority"], top=4).collect()
+    assert len(skew) == 4 and [r["rank"] for r in skew] == [1, 2, 3, 4]
+    assert all(len([r["o_orderstatus"], r["o_orderpriority"]]) == 2 for r in skew)

@@ -450,6 +450,14 @@ def test_plan_linter_flags_and_passes(spark):
     u = a.select(slow("x").alias("y"))
     assert "python-row-udf" in {f["rule"] for f in lint_plan(u)}
 
+    # zero-pushdown scan: a null-tolerant computed predicate (no inferred
+    # isnotnull, not translatable) leaves PushedFilters empty while
+    # DataFilters carries the work. Partial pushdown (computed predicates
+    # alongside pushed isnotnull) is normal and deliberately NOT flagged.
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    up = o.where(F.coalesce(F.col("o_totalprice"), F.lit(0.0)) > 1000.0)
+    assert "unpushed-filter" in {f["rule"] for f in lint_plan(up)}
+
     # clean catalog queries pass (broadcast joins, pushed filters, TakeOrdered)
     for name in ("top_building_orders", "global_top_parts", "brand_top_parts"):
         assert_scalable(QUERIES[name].fn(spark, SF_DIR))
