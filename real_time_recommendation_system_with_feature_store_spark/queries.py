@@ -4200,6 +4200,160 @@ def nfc_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_normalized(d, "text", "doc_id")
 
 
+# ======================================================== deep relational shapes (r4)
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (the hardest decorrelation in the suite): the sole "
+        "late supplier in multi-supplier orders via correlated EXISTS + NOT "
+        "EXISTS on the same fact — compiled as one conditioned semi join + "
+        "one conditioned anti join on (orderkey, suppkey<>suppkey), both "
+        "shuffling slim key columns only; supplier dim broadcasts; "
+        "TakeOrdered cuts the ranked tail. 'Late' adapts to this schema as "
+        "l_returnflag = 'R' (no commit/receipt dates in the test tables).",
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l1.l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name,
+      ROUND(CAST(total_revenue AS DOUBLE), 6) AS total_revenue
+    FROM revenue JOIN supplier ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: argmax over an aggregated revenue view via a "
+        "scalar subquery — the view aggregates once (exact DECIMAL money "
+        "math), its 1-row MAX broadcasts back as a cross join, and only the "
+        "equal-to-max suppliers join the (broadcast) dim. No window over "
+        "the view, no second fact scan for the max.",
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "region_nation_revenue",
+    oracle="""
+    SELECT n_name,
+      ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: region-local supplier volume — a six-way join whose "
+        "signature twist is the NON-key same-nation predicate "
+        "(c_nationkey = s_nationkey) riding the supplier join. Facts join "
+        "facts on their keys (one shuffle each); supplier/nation/region/"
+        "customer dims broadcast; the region filter prunes before the big "
+        "joins via the broadcast dim chain.",
+)
+def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 _DRIVER_WINDOW = [
     # r4 ROTATION: every entry below has its newest green row in r1 or r2 —
     # the r3 window (50/50 green) just renewed the other 50, so this round
@@ -4237,12 +4391,9 @@ _DRIVER_WINDOW = [
     "event_type_pivot",
     "inter_event_gaps",
     "status_priority_cube",
-    "segment_code_map",
     "nations_with_presence",
     "event_value_norm",
-    "stratified_event_sample",
     "session_window_stats",
-    "rolling_user_velocity",
     "salted_event_counts",
 
     "small_qty_brand_revenue",
@@ -4267,6 +4418,14 @@ _DRIVER_WINDOW = [
     "orders_profile",
     "event_key_skew",
     "nfc_normalized_docs",
+    # the three deep relational shapes are NEW in r4; they displace
+    # segment_code_map (CASE-map family: segment_codes + part_name_features
+    # stay windowed), rolling_user_velocity (fused-window family:
+    # user_activity_windows stays) and stratified_event_sample (sampling
+    # family: negative_samples / weighted_doc_sample are r3-green)
+    "waiting_suppliers",
+    "top_revenue_suppliers",
+    "region_nation_revenue",
 ]
 
 def _reorder_registry() -> None:
