@@ -611,3 +611,70 @@ def test_store_push_log_compacts_and_releases_blocks(spark):
     assert len(got) == 9
     snap = {r["k"]: r["x"] for r in store.latest_snapshot("v").collect()}
     assert snap == {0: 6.0, 1: 7.0, 2: 8.0}
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, events_batch):
+    """Durability: a checkpointed feature stream stopped and restarted must
+    (a) NOT reprocess already-committed files (exactly one new micro-batch
+    for the one new file) and (b) restore its aggregation state, so the
+    post-restart snapshot equals the batch answer over ALL data."""
+    from real_time_recommendation_system_with_feature_store_spark.features.store import FeatureStore, FeatureView
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import upsert_online_store
+
+    stage = os.path.join(TMP, "restart_stage")
+    ckpt = os.path.join(TMP, "restart_ckpt")
+    for p in (stage, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    half_a = events_batch.where(F.col("user_id") % 2 == 0)
+    half_b = events_batch.where(F.col("user_id") % 2 == 1)
+    half_a.coalesce(1).write.mode("append").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    store = FeatureStore(spark=spark)
+    store.register(
+        FeatureView(name="rt", entities=["user_id"], ttl_seconds=None,
+                    timestamp_field="window_end"),
+        None,
+    )
+
+    def run_once():
+        feats = windowed_feature_stream(
+            replay_events_stream(spark, stage, schema),
+            key="user_id", window="1 hour", watermark="365 days",
+        )
+        q = (
+            feats.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(upsert_online_store(store, "rt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    pushes_run1 = store._push_counts.get("rt", 0)
+    assert pushes_run1 >= 1
+
+    half_b.coalesce(1).write.mode("append").parquet(stage)
+    run_once()
+    pushes_run2 = store._push_counts["rt"] - pushes_run1
+    # offset recovery: only the ONE new file becomes a micro-batch
+    assert pushes_run2 == 1, (pushes_run1, pushes_run2)
+
+    got = sorted(
+        map(str, store.latest_snapshot("rt").orderBy("user_id").collect())
+    )
+    want_tbl = windowed_feature_stream(events_batch, key="user_id", window="1 hour")
+    # complete-mode state restoration: the final aggregate covers BOTH files
+    from pyspark.sql import Window as W
+
+    latest = want_tbl.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("window_end").desc())
+        ),
+    ).where(F.col("__rn") == 1).drop("__rn")
+    want = sorted(map(str, latest.orderBy("user_id").collect()))
+    assert len(got) > 0 and got == want
