@@ -46,34 +46,46 @@ def compact_to_target_size(
     return n_files
 
 
-def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` of two non-negative ints (Z-order key).
+def morton_code_n(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of N non-negative ints (Z-order key).
 
-    Sorting by the Morton key clusters rows that are close in BOTH
-    dimensions, so a scan filtering either column prunes row groups by
+    Sorting by the Morton key clusters rows that are close in EVERY
+    dimension, so a scan filtering any of the columns prunes row groups by
     min/max stats — single-column sort only helps its own column. Pure
-    bit arithmetic (shiftleft/|) — identical in any engine, no UDF.
+    bit arithmetic (shiftleft/+) — identical in any engine, no UDF. The
+    key must fit a signed long: ``len(cols) * bits <= 62``.
     """
-    a = a.cast("long") % F.lit(1 << bits)
-    b = b.cast("long") % F.lit(1 << bits)
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_code_n needs at least 2 columns")
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} key bits > 62 (signed long)"
+        )
+    vals = [c.cast("long") % F.lit(1 << bits) for c in cols]
     code = F.lit(0).cast("long")
     for i in range(bits):
-        abit = F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
-        bbit = F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
-        code = code + abit + bbit
+        for j, v in enumerate(vals):
+            code = code + F.shiftleft(F.shiftright(v, i) % 2, n * i + j)
     return code
+
+
+def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
+    """Two-column Z-order key (the common case); see ``morton_code_n``."""
+    return morton_code_n([a, b], bits)
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    *z_cols: str,
     bits: int = 16,
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
 ) -> None:
-    """Write ``df`` sorted by the Morton interleave of two key columns.
+    """Write ``df`` sorted by the Morton interleave of N key columns
+    (two is the common case; any count with ``N * bits <= 62`` works —
+    e.g. three 16-bit dims or six 10-bit dims).
 
     ``max_records_per_file`` caps file size so locality shows up as many
     small-range files even when AQE coalesces the sort to few partitions
@@ -91,25 +103,21 @@ def write_zordered(
     """
     from real_time_recommendation_system_with_feature_store_spark.operators.rank import global_row_number, ntile_from_rank
 
+    if len(z_cols) < 2:
+        raise ValueError("write_zordered needs at least 2 key columns")
     n_buckets = 1 << bits
-    counted = df.crossJoin(F.broadcast(df.agg(F.count("*").alias("__n"))))
-
-    def bucket(rn: F.Column, n: F.Column) -> F.Column:
-        return ntile_from_rank(rn, n, n_buckets)
-
-    step1 = global_row_number(counted, [F.col(col_a)], "__ra").withColumn(
-        "__za", bucket(F.col("__ra"), F.col("__n"))
-    )
-    keyed = (
-        global_row_number(step1, [F.col(col_b)], "__rb")
-        .withColumn("__zb", bucket(F.col("__rb"), F.col("__n")))
-        .withColumn("__zkey", morton_code(F.col("__za"), F.col("__zb"), bits))
-    )
-    w = (
-        keyed.orderBy("__zkey")
-        .drop("__za", "__zb", "__zkey", "__ra", "__rb", "__n")
-        .write.mode(mode)
-    )
+    keyed = df.crossJoin(F.broadcast(df.agg(F.count("*").alias("__n"))))
+    tmp_cols = ["__n"]
+    bucket_cols = []
+    for k, c in enumerate(z_cols):
+        rank_col, z_col = f"__r{k}", f"__z{k}"
+        keyed = global_row_number(keyed, [F.col(c)], rank_col).withColumn(
+            z_col, ntile_from_rank(F.col(rank_col), F.col("__n"), n_buckets)
+        )
+        tmp_cols += [rank_col, z_col]
+        bucket_cols.append(F.col(z_col))
+    keyed = keyed.withColumn("__zkey", morton_code_n(bucket_cols, bits))
+    w = keyed.orderBy("__zkey").drop("__zkey", *tmp_cols).write.mode(mode)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)

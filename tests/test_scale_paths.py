@@ -555,3 +555,51 @@ def test_freq_items_covers_heavy_hitters(spark):
         for r in ev.groupBy("event_type").count().where(F.col("count") > support * total).collect()
     }
     assert exact <= approx, (exact, approx)
+
+
+def test_zorder_three_dims_tightens_all(spark, tmp_path):
+    """N-dim generalization: a 3-column Z-order write must tighten per-file
+    min/max ranges on ALL THREE keys vs a single-column sort (data skipping
+    on any filtered dimension), and morton_code_n must reject key widths
+    that overflow a signed long."""
+    import pytest as _pt
+
+    from real_time_recommendation_system_with_feature_store_spark.sources.layout import morton_code_n, write_zordered
+
+    with _pt.raises(ValueError, match="62"):
+        morton_code_n([F.col("a"), F.col("b"), F.col("c")], bits=21)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id", "value"
+    ).where(F.col("value").isNotNull())
+    n = ev.count()
+    per_file = max(n // 16, 1)
+
+    zpath = str(tmp_path / "z3")
+    write_zordered(ev, zpath, "user_id", "event_id", "value", bits=8,
+                   max_records_per_file=per_file)
+    spath = str(tmp_path / "s1")
+    ev.orderBy("user_id").write.mode("overwrite").option(
+        "maxRecordsPerFile", str(per_file)
+    ).parquet(spath)
+
+    import os as _os
+
+    def avg_spans(path):
+        spans = {"user_id": [], "event_id": [], "value": []}
+        for f in _os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            part = spark.read.parquet(_os.path.join(path, f))
+            row = part.agg(
+                *[x for c in spans for x in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+            ).collect()[0]
+            for c in spans:
+                spans[c].append(float(row[f"hi_{c}"]) - float(row[f"lo_{c}"]))
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    z, s = avg_spans(zpath), avg_spans(spath)
+    # the single-column sort is optimal for its own column; the z-order
+    # must beat it decisively on BOTH other dimensions
+    assert z["event_id"] < 0.7 * s["event_id"], (z, s)
+    assert z["value"] < 0.7 * s["value"], (z, s)
