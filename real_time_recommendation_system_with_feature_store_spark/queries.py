@@ -4354,6 +4354,54 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interpolated_event_values",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN event_id % 5 < 2 THEN NULL ELSE value END AS v
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, ts, v,
+        last_value(CASE WHEN v IS NOT NULL
+                        THEN struct_pack(t := epoch_us(ts), vv := v) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+        first_value(CASE WHEN v IS NOT NULL
+                         THEN struct_pack(t := epoch_us(ts), vv := v) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS x
+      FROM ev
+    )
+    SELECT user_id, event_id, (v IS NULL) AS was_gap,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN p IS NOT NULL AND x IS NOT NULL AND x.t <> p.t
+             THEN ROUND(p.vv + (x.vv - p.vv) * (epoch_us(ts) - p.t) / (x.t - p.t), 6)
+           WHEN p IS NOT NULL THEN p.vv
+           WHEN x IS NOT NULL THEN x.vv END AS value_filled
+    FROM w
+    """,
+    doc="Time-series gap repair (operators/interpolate.py): 40% of points "
+        "are deterministically masked (event_id % 5 < 2) then rebuilt by "
+        "per-user linear interpolation between the nearest surviving "
+        "neighbors — struct-carry last/first(ignorenulls) windows sharing "
+        "ONE exchange+sort; leading/trailing gaps clamp.",
+)
+def interpolated_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.interpolate import interpolate_linear
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_id") % 5 < 2, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(
+        ev, "user_id", "ts", "v", order_tiebreak=["event_id"], out_col="value_filled"
+    )
+    return out.select(
+        "user_id", "event_id", F.col("v").isNull().alias("was_gap"), "value_filled"
+    )
+
+
 _DRIVER_WINDOW = [
     # r4 ROTATION: every entry below has its newest green row in r1 or r2 —
     # the r3 window (50/50 green) just renewed the other 50, so this round
@@ -4378,7 +4426,6 @@ _DRIVER_WINDOW = [
     "top_building_orders",
     "region_revenue",
     "customer_order_profile",
-    "priority_mix",
     "user_activity_windows",
     "item_trending_scores",
     "item_interaction_counts",
@@ -4426,6 +4473,9 @@ _DRIVER_WINDOW = [
     "waiting_suppliers",
     "top_revenue_suppliers",
     "region_nation_revenue",
+    # interpolated_event_values is NEW in r4; displaces priority_mix
+    # (simple conditional agg, covered by pricing_summary/event_type_stats)
+    "interpolated_event_values",
 ]
 
 def _reorder_registry() -> None:

@@ -40,7 +40,12 @@ _COUNTERS = {
 
 
 def metrics_for(df) -> dict:
-    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # executedPlan (NOT sparkPlan): EnsureRequirements has inserted the
+    # Exchanges by this phase, so requirement-driven shuffles count — the
+    # whole point of the gate. Pre-execution this is still the static
+    # initial plan (AdaptiveSparkPlan isFinalPlan=false), deterministic for
+    # fixed data + conf.
+    plan = df._jdf.queryExecution().executedPlan().toString()
     return {k: plan.count(v) for k, v in _COUNTERS.items()}
 
 

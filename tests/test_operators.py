@@ -941,3 +941,36 @@ def test_profile_table_approx_mode_and_multikey_skew(spark):
     skew = key_skew_report(ev, ["o_orderstatus", "o_orderpriority"], top=4).collect()
     assert len(skew) == 4 and [r["rank"] for r in skew] == [1, 2, 3, 4]
     assert all(len([r["o_orderstatus"], r["o_orderpriority"]]) == 2 for r in skew)
+
+
+def test_interpolate_linear_golden(spark):
+    """Gaps lerp between neighbors, leading/trailing gaps clamp, all-null
+    entities stay null, equal-timestamp neighbors take the earlier value."""
+    from datetime import datetime
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.interpolate import interpolate_linear
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    rows = [
+        # user 1: interior gap lerps by time distance (10:00=1, 10:30=4 -> 10:10=2.0)
+        (1, t("10:00:00"), 1, 1.0), (1, t("10:10:00"), 2, None), (1, t("10:30:00"), 3, 4.0),
+        # user 1: trailing gap clamps to last known
+        (1, t("11:00:00"), 4, None),
+        # user 2: leading gap clamps forward
+        (2, t("09:00:00"), 5, None), (2, t("09:30:00"), 6, 7.0),
+        # user 3: all null stays null
+        (3, t("08:00:00"), 7, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {
+        r["event_id"]: r["value_interp"]
+        for r in interpolate_linear(
+            df, "user_id", "ts", "value", order_tiebreak=["event_id"]
+        ).collect()
+    }
+    assert out[1] == 1.0 and out[3] == 4.0
+    assert out[2] == 2.0          # 1 + (4-1) * (10/30)
+    assert out[4] == 4.0          # trailing clamp
+    assert out[5] == 7.0          # leading clamp
+    assert out[6] == 7.0
+    assert out[7] is None         # no known value at all
