@@ -12,6 +12,22 @@ a leak is preferable to crashing on a Spark-internals change.
 from __future__ import annotations
 
 
+def checkpointed_rdd_ids(df) -> set:
+    """RDD ids holding the storage blocks of a just-``localCheckpoint``-ed
+    DataFrame, derived DIRECTLY from its plan (the LogicalRDD wrapping the
+    checkpointed internal RDD). Unlike a before/after diff of
+    ``getRDDStorageInfo`` this is race-free on a shared SparkContext: a
+    concurrent job's persist landing between two snapshots can never be
+    captured (and later force-unpersisted, which would crash the victim
+    unrecoverably because localCheckpoint truncates lineage). Returns an
+    empty set (= never freed, leak over crash) if Spark internals moved."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return {plan.rdd().id()}
+    except Exception:
+        return set()
+
+
 def stored_rdd_ids(sc) -> set:
     """ids of RDDs currently holding storage blocks (driver-side, cheap)."""
     try:

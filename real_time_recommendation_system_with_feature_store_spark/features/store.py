@@ -46,6 +46,7 @@ class FeatureStore:
     views: dict[str, FeatureView] = field(default_factory=dict)
     _tables: dict[str, DataFrame] = field(default_factory=dict)
     _ckpt_ids: dict[str, set] = field(default_factory=dict)
+    _retired_ids: dict[str, set] = field(default_factory=dict)
     _push_counts: dict[str, int] = field(default_factory=dict)
 
     def register(self, view: FeatureView, df: DataFrame | None = None) -> None:
@@ -138,21 +139,29 @@ class FeatureStore:
         push into a registered-but-empty view bootstraps its table."""
         if name not in self.views:
             raise KeyError(f"unknown feature view: {name!r}")
-        from real_time_recommendation_system_with_feature_store_spark.ckpt import stored_rdd_ids, unpersist_rdd_ids
+        from real_time_recommendation_system_with_feature_store_spark.ckpt import (
+            checkpointed_rdd_ids,
+            unpersist_rdd_ids,
+        )
 
         sc = self.spark.sparkContext
-        pre = stored_rdd_ids(sc)
         snap = df.localCheckpoint(eager=True)
-        self._ckpt_ids.setdefault(name, set()).update(stored_rdd_ids(sc) - pre)
+        self._ckpt_ids.setdefault(name, set()).update(checkpointed_rdd_ids(snap))
         table = (
             self._tables[name].unionByName(snap) if name in self._tables else snap
         )
         self._push_counts[name] = self._push_counts.get(name, 0) + 1
         if self._push_counts[name] % compact_every == 0:
-            pre = stored_rdd_ids(sc)
             table = table.localCheckpoint(eager=True)
-            new_ids = stored_rdd_ids(sc) - pre
-            unpersist_rdd_ids(sc, self._ckpt_ids[name])
+            new_ids = checkpointed_rdd_ids(table)
+            # Deferred release: blocks superseded THIS cycle survive until
+            # the NEXT compaction — a grace window so DataFrame handles a
+            # caller took from table()/latest_snapshot() before this
+            # compaction keep working. Only the previous cycle's retired
+            # set (two compactions old, ``2*compact_every`` pushes) is
+            # actually freed now.
+            unpersist_rdd_ids(sc, self._retired_ids.get(name, set()))
+            self._retired_ids[name] = self._ckpt_ids[name]
             self._ckpt_ids[name] = new_ids
         self._tables[name] = table
 

@@ -49,7 +49,7 @@ def merge_pattern(left: str, right: str) -> tuple[str, str]:
 
 
 from real_time_recommendation_system_with_feature_store_spark.ckpt import (
-    stored_rdd_ids as _stored_rdd_ids,
+    checkpointed_rdd_ids as _checkpointed_rdd_ids,
     unpersist_rdd_ids as _unpersist_rdd_ids,
 )
 
@@ -104,9 +104,8 @@ def bpe_train(
     no text stage); public recipe per Sennrich et al. 2016."""
     spark = df.sparkSession
     sc = spark.sparkContext
-    pre = _stored_rdd_ids(sc)
     vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
-    ckpt_ids = _stored_rdd_ids(sc) - pre
+    ckpt_ids = _checkpointed_rdd_ids(vocab)
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
         top = (
@@ -126,9 +125,8 @@ def bpe_train(
             # release the PREVIOUS checkpoint's blocks after the new one is
             # materialized — at 30k merges the old behavior accumulated
             # thousands of dead block sets in executor storage memory
-            pre = _stored_rdd_ids(sc)
             vocab = vocab.localCheckpoint(eager=True)
-            new_ids = _stored_rdd_ids(sc) - pre
+            new_ids = _checkpointed_rdd_ids(vocab)
             _unpersist_rdd_ids(sc, ckpt_ids)
             ckpt_ids = new_ids
     _unpersist_rdd_ids(sc, ckpt_ids)

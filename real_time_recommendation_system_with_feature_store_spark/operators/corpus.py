@@ -245,11 +245,12 @@ def char_bigram_lm_scores(
                 f"bigrams > max_model_rows={max_model_rows}; raise the gate "
                 "or use kernel='auto'/'expr'"
             )
-        # charset too large to broadcast -> relational path, reusing the
-        # already-built model frame: its lineage is the tiny bare-explode
-        # aggregation, cheaper than re-deriving the model from the much
-        # larger (doc, bigram) counts shuffle
-        shared_model = model
+        # charset too large to broadcast -> relational path. The model is
+        # re-derived from doc_counts below: _scored_model references the
+        # model three times (prefix, vocab, main), and deriving all three
+        # from the doc_counts aggregation lets ReuseExchange serve them
+        # from ONE shuffle — whereas reusing this just-unpersisted frame
+        # would re-execute its bare explode+agg per reference.
 
     grams = t.select(id_col, F.explode(F.expr(bigrams_expr)).alias("__bg"))
     doc_counts = grams.groupBy(id_col, "__bg").agg(F.count("*").alias("__c"))

@@ -8,7 +8,7 @@ Examples are kept small and few: every example runs real Spark jobs.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -605,6 +605,10 @@ def test_ntile_from_rank_matches_builtin_ntile(spark, n_rows, n_buckets):
         max_size=6,
     )
 )
+# pinned decomposed forms (e+COMBINING ACUTE, a+COMBINING RING) guarantee at
+# least one example per run actually recomposes under NFC, independent of
+# what Hypothesis generates/shrinks to
+@example(texts=["e\u0301 a\u030a"])
 @settings(**SETTINGS)
 def test_nfc_normalized_matches_duckdb(spark, texts):
     """unicodedata.normalize('NFC') (the Arrow kernel) and DuckDB's
@@ -628,6 +632,10 @@ def test_nfc_normalized_matches_duckdb(spark, texts):
         ).fetchone()
         assert got[i] == tuple(want), (t, got[i], want)
         changed_seen = changed_seen or want[1]
+    if texts == ["e\u0301 a\u030a"]:
+        # the pinned @example MUST recompose — if it ever stops changing,
+        # the advertised recomposition coverage has silently vanished
+        assert changed_seen
 
 
 @given(

@@ -613,6 +613,38 @@ def test_store_push_log_compacts_and_releases_blocks(spark):
     assert snap == {0: 6.0, 1: 7.0, 2: 8.0}
 
 
+def test_store_compaction_grace_window_for_outstanding_handles(spark):
+    """A DataFrame handle taken from table() BEFORE a compaction must stay
+    collectible AFTER it: block release is deferred one compaction cycle
+    (superseded snapshots retire first, free on the NEXT compaction), so
+    readers that grabbed a handle under the old plan get a grace window
+    instead of 'checkpoint block not found'."""
+    from datetime import datetime, timedelta
+
+    from real_time_recommendation_system_with_feature_store_spark.features.store import FeatureStore, FeatureView
+
+    store = FeatureStore(spark=spark)
+    store.register(FeatureView(name="v", entities=["k"], ttl_seconds=None), None)
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+
+    def push(i):
+        store.push(
+            "v",
+            spark.createDataFrame(
+                [(i, t0 + timedelta(hours=i), float(i))],
+                ["k", "event_timestamp", "x"],
+            ),
+            compact_every=3,
+        )
+
+    push(0)
+    push(1)
+    handle = store.table("v")  # union over snapshots 0,1 — pre-compaction plan
+    push(2)  # triggers compaction: snapshots 0-2 superseded -> retired
+    assert sorted(r["x"] for r in handle.collect()) == [0.0, 1.0]
+    assert sorted(r["x"] for r in store.table("v").collect()) == [0.0, 1.0, 2.0]
+
+
 def test_stream_restart_resumes_from_checkpoint(spark, events_batch):
     """Durability: a checkpointed feature stream stopped and restarted must
     (a) NOT reprocess already-committed files (exactly one new micro-batch
