@@ -16,6 +16,8 @@ from datetime import datetime
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
 
 def window_flag(ts: Column, anchor: Column, seconds: int) -> Column:
     """True when ts falls in (anchor - seconds, anchor].
@@ -46,10 +48,10 @@ def multi_window_agg(
     anchor_col = F.lit(anchor) if isinstance(anchor, datetime) else anchor
     aggs = []
     for suffix, seconds in windows.items():
-        flag = window_flag(F.col(ts_col), anchor_col, seconds)
+        flag = window_flag(qcol(ts_col), anchor_col, seconds)
         for name, builder in measures.items():
             aggs.append(builder(flag).alias(f"{name}_{suffix}"))
-    return df.groupBy(*keys).agg(*aggs)
+    return df.groupBy(*[qcol(k) for k in keys]).agg(*aggs)
 
 
 # Standard measure builders (A2/A3/A4/A5 shapes, reference

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
 
 def interpolate_linear(
     df: DataFrame,
@@ -31,28 +33,28 @@ def interpolate_linear(
     determinism when timestamps repeat). Non-null rows pass through
     unchanged; interpolated values round half-up to 6dp for cross-engine
     stability."""
-    tie = [F.col(c) for c in (order_tiebreak or [])]
-    order = [F.col(ts_col), *tie]
-    prev_w = Window.partitionBy(key).orderBy(*order).rowsBetween(
+    tie = [qcol(c) for c in (order_tiebreak or [])]
+    order = [qcol(ts_col), *tie]
+    prev_w = Window.partitionBy(qcol(key)).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    next_w = Window.partitionBy(key).orderBy(*order).rowsBetween(
+    next_w = Window.partitionBy(qcol(key)).orderBy(*order).rowsBetween(
         1, Window.unboundedFollowing
     )
     point = F.when(
-        F.col(value_col).isNotNull(),
+        qcol(value_col).isNotNull(),
         F.struct(
-            F.unix_micros(F.col(ts_col)).alias("t"), F.col(value_col).alias("v")
+            F.unix_micros(qcol(ts_col)).alias("t"), qcol(value_col).alias("v")
         ),
     )
     prev = F.last(point, ignorenulls=True).over(prev_w)
     nxt = F.first(point, ignorenulls=True).over(next_w)
     lerp = F.col("__p.v") + (F.col("__x.v") - F.col("__p.v")) * (
-        (F.unix_micros(F.col(ts_col)) - F.col("__p.t"))
+        (F.unix_micros(qcol(ts_col)) - F.col("__p.t"))
         / (F.col("__x.t") - F.col("__p.t"))
     )
     filled = (
-        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        F.when(qcol(value_col).isNotNull(), qcol(value_col))
         .when(
             F.col("__p").isNotNull() & F.col("__x").isNotNull()
             # equal neighbor timestamps would divide by zero; both carry a

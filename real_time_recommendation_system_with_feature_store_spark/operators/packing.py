@@ -21,6 +21,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+
+def _ordering(order_cols):
+    # strings are user-supplied column NAMES (one identifier, dots and
+    # all) -> quoted resolution; Column objects pass through
+    return [qcol(c) if isinstance(c, str) else c for c in order_cols]
+
 
 def pack_by_token_budget(
     df: DataFrame,
@@ -51,9 +59,9 @@ def pack_by_token_budget(
     task. Both paths produce the identical (chunk_id, chunk_offset).
     """
     if shard_col:
-        w = Window.partitionBy(shard_col).orderBy(*order_cols)
+        w = Window.partitionBy(qcol(shard_col)).orderBy(*_ordering(order_cols))
         before = F.coalesce(
-            F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.sum(qcol(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         )
         out = df.withColumn("__before", before)
@@ -64,9 +72,9 @@ def pack_by_token_budget(
         )
 
         if _plan_size_bytes(df) <= small_input_bytes:
-            w = Window.orderBy(*order_cols)
+            w = Window.orderBy(*_ordering(order_cols))
             before = F.coalesce(
-                F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.sum(qcol(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0),
             )
             out = df.withColumn("__before", before)
@@ -108,14 +116,14 @@ def chunk_documents(
     step = max_tokens - overlap
     if step <= 0:
         raise ValueError("overlap must be smaller than max_tokens")
-    toks = tokens(F.col(text_col))
+    toks = tokens(qcol(text_col))
     n = F.size(toks)
     n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
         F.floor((n - max_tokens + step - 1) / F.lit(step)).cast("long") + 1
     )
     starts = F.sequence(F.lit(0).cast("long"), (n_chunks - 1) * step, F.lit(step).cast("long"))
     rows = df.where(n > 0).select(
-        F.col(id_col),
+        qcol(id_col),
         toks.alias("__toks"),
         n.alias("__n"),
         F.posexplode(starts).alias("chunk_idx", "start_token"),
@@ -123,7 +131,7 @@ def chunk_documents(
     width = F.least(F.lit(max_tokens).cast("long"), F.col("__n") - F.col("start_token"))
     chunk = F.slice(F.col("__toks"), F.col("start_token").cast("int") + 1, width.cast("int"))
     return rows.select(
-        id_col,
+        qcol(id_col),
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         "start_token",
         width.cast("int").alias("n_chunk_tokens"),

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
 
 def global_row_number(
     df: DataFrame,
@@ -27,7 +29,7 @@ def global_row_number(
     rank_col: str = "rn",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    cols = [qcol(c) if isinstance(c, str) else c for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     with_pid = parted.withColumn("__pid", F.spark_partition_id())
@@ -78,7 +80,7 @@ def global_exclusive_prefix_sum(
     Identical to ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING
     TO -1)`` on an unpartitioned window, without the one-task funnel. The
     ordering must be total for determinism."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    cols = [qcol(c) if isinstance(c, str) else c for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     with_pid = parted.withColumn("__pid", F.spark_partition_id())
@@ -87,7 +89,7 @@ def global_exclusive_prefix_sum(
     # partition; same non-foldable constant-key trick as global_row_number)
     sizes = (
         with_pid.groupBy("__pid")
-        .agg(F.sum(F.col(value_col)).alias("__tot"))
+        .agg(F.sum(qcol(value_col)).alias("__tot"))
         .repartition(1)
     )
     offsets = sizes.withColumn(
@@ -104,7 +106,7 @@ def global_exclusive_prefix_sum(
 
     local = Window.partitionBy("__pid").orderBy(*cols)
     before = F.coalesce(
-        F.sum(F.col(value_col)).over(local.rowsBetween(Window.unboundedPreceding, -1)),
+        F.sum(qcol(value_col)).over(local.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
     return (

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
 
 def scd2_from_changelog(
     df: DataFrame,
@@ -37,10 +39,10 @@ def scd2_from_changelog(
     interval; earlier ones get zero-length intervals, preserved so the row
     count is deterministic).
     """
-    order = [F.col(ts_col).asc()] + [F.col(t).asc() for t in tiebreak]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return df.withColumn(valid_from, F.col(ts_col)).withColumn(
-        valid_to, F.lead(ts_col).over(w)
+    order = [qcol(ts_col).asc()] + [qcol(t).asc() for t in tiebreak]
+    w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(*order)
+    return df.withColumn(valid_from, qcol(ts_col)).withColumn(
+        valid_to, F.lead(qcol(ts_col)).over(w)
     )
 
 
@@ -57,7 +59,7 @@ def snapshot_at(
     that started at-or-before ``at``.
     """
     return history.where(
-        (F.col(valid_from) <= at) & (F.col(valid_to).isNull() | (F.col(valid_to) > at))
+        (qcol(valid_from) <= at) & (qcol(valid_to).isNull() | (qcol(valid_to) > at))
     )
 
 
@@ -80,15 +82,17 @@ def scd2_apply_increment(
     ``valid_from``), the same contract as the reference's online upsert
     (simple_feature_store.py:73-80).
     """
-    closed = history.where(F.col(valid_to).isNotNull())
-    open_rows = history.where(F.col(valid_to).isNull())
-    first_change = delta.groupBy(*keys).agg(F.min(ts_col).alias("__new_from"))
+    closed = history.where(qcol(valid_to).isNotNull())
+    open_rows = history.where(qcol(valid_to).isNull())
+    first_change = delta.groupBy(*[qcol(k) for k in keys]).agg(
+        F.min(qcol(ts_col)).alias("__new_from")
+    )
     # No broadcast hint: first_change is one row per delta key, but a large
     # backfill delta would blow the broadcast/driver limit — AQE promotes to
     # broadcast when the aggregated delta is actually small.
     reclosed = (
         open_rows.join(first_change, list(keys), "left")
-        .withColumn(valid_to, F.coalesce(F.col("__new_from"), F.col(valid_to)))
+        .withColumn(valid_to, F.coalesce(F.col("__new_from"), qcol(valid_to)))
         .drop("__new_from")
     )
     delta_hist = scd2_from_changelog(

@@ -1,0 +1,171 @@
+"""Hostile column names (dots, spaces, quotes, backticks) through every
+operator that receives user-supplied column names.
+
+A lake inherits names from upstream producers — flattened JSON gives
+``a.b``, CSV headers give ``a b`` — and bare ``F.col``/f-string SQL
+resolves them as nested paths or breaks the parser (the bug class fixed in
+models.py round 4). Every operator here must treat a received name as ONE
+identifier via ident.qcol. Each case asserts real semantics, not just
+no-crash.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+HOSTILE = ["a.b", "a b", "a'b", "a`b", "select"]
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_profile_table_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (2.0,), (None,)], f"`{name.replace('`', '``')}` double"
+    )
+    rows = {r["column_name"]: r for r in profile_table(df, [name]).collect()}
+    r = rows[name]
+    assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (4, 1, 2)
+    assert (r["min_value"], r["max_value"]) == ("1.0", "2.0")
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_key_skew_report_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report
+
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("x",), ("y",)], f"`{name.replace('`', '``')}` string"
+    )
+    got = {r[name]: (r["n_rows"], r["share"]) for r in key_skew_report(df, [name], top=2).collect()}
+    assert got == {"x": (3, 0.75), "y": (1, 0.25)}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_interpolate_linear_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.interpolate import interpolate_linear
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    df = spark.createDataFrame(
+        [(1, t0, 0.0), (1, t0 + timedelta(seconds=10), None), (1, t0 + timedelta(seconds=20), 4.0)],
+        ["k", "ts", "v"],
+    )
+    # the hostile name plays every role: key, timestamp, value
+    for role_df, key, ts, val in [
+        (df.withColumnRenamed("v", name), "k", "ts", name),
+        (df.withColumnRenamed("k", name), name, "ts", "v"),
+        (df.withColumnRenamed("ts", name), "k", name, "v"),
+    ]:
+        out = interpolate_linear(role_df, key, ts, val, out_col="vi")
+        got = sorted(r["vi"] for r in out.collect())
+        assert got == [0.0, 2.0, 4.0], (key, ts, val)
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_scd2_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.scd import (
+        scd2_apply_increment,
+        scd2_from_changelog,
+        snapshot_at,
+    )
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-0{s} 00:00:00")
+    df = spark.createDataFrame(
+        [(1, t(1), "v1"), (1, t(3), "v2"), (2, t(2), "w1")], ["k", "ts", "val"]
+    )
+    # hostile name as the key column and as the timestamp column
+    hist_k = scd2_from_changelog(df.withColumnRenamed("k", name), [name], "ts")
+    snap = {r[name]: r["val"] for r in snapshot_at(hist_k, F.lit(t(2))).collect()}
+    assert snap == {1: "v1", 2: "w1"}
+
+    hist_ts = scd2_from_changelog(df.withColumnRenamed("ts", name), ["k"], name)
+    snap2 = {r["k"]: r["val"] for r in snapshot_at(hist_ts, F.lit(t(4))).collect()}
+    assert snap2 == {1: "v2", 2: "w1"}
+
+    delta = spark.createDataFrame([(1, t(5), "v3")], ["k", "ts", "val"]).withColumnRenamed(
+        "k", name
+    )
+    folded = scd2_apply_increment(hist_k, delta, [name], "ts")
+    snap3 = {r[name]: r["val"] for r in snapshot_at(folded, F.lit(t(6))).collect()}
+    assert snap3 == {1: "v3", 2: "w1"}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_packing_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    df = spark.createDataFrame([(i, 60) for i in range(5)], ["id", "toks"]).withColumnRenamed(
+        "toks", name
+    )
+    for kwargs in [{}, {"small_input_bytes": 0}]:  # window path + prefix-sum scale path
+        out = pack_by_token_budget(df, name, [F.col("id")], budget=100, **kwargs)
+        got = {r["id"]: (r["chunk_id"], r["chunk_offset"]) for r in out.collect()}
+        assert got == {0: (0, 0), 1: (0, 60), 2: (1, 20), 3: (1, 80), 4: (2, 40)}, kwargs
+    # hostile shard column too
+    sharded = df.withColumn("s.h", F.lit("one"))
+    out = pack_by_token_budget(sharded, name, [F.col("id")], budget=100, shard_col="s.h")
+    assert {r["id"]: r["chunk_id"] for r in out.collect()} == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_chunk_documents_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import chunk_documents
+
+    df = (
+        spark.createDataFrame([(7, "w0 w1 w2 w3 w4")], ["doc", "text"])
+        .withColumnRenamed("text", name)
+    )
+    out = chunk_documents(df, name, "doc", max_tokens=3, overlap=1).collect()
+    assert [(r["chunk_idx"], r["chunk_text"]) for r in sorted(out, key=lambda r: r["chunk_idx"])] == [
+        (0, "w0 w1 w2"),
+        (1, "w2 w3 w4"),
+    ]
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_multi_window_agg_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.features.windows import (
+        count_in_window,
+        multi_window_agg,
+    )
+
+    t0 = datetime.fromisoformat("2024-01-01 12:00:00")
+    df = spark.createDataFrame(
+        [("u", t0 - timedelta(seconds=30)), ("u", t0 - timedelta(hours=2))], ["k", "ts"]
+    )
+    for role_df, key, ts in [
+        (df.withColumnRenamed("k", name), name, "ts"),
+        (df.withColumnRenamed("ts", name), "k", name),
+    ]:
+        out = multi_window_agg(
+            role_df, [key], ts, t0, {"1m": 60, "1d": 86400}, {"n": count_in_window()}
+        ).collect()
+        assert len(out) == 1 and (out[0]["n_1m"], out[0]["n_1d"]) == (1, 2)
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_prefix_sum_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.rank import (
+        global_exclusive_prefix_sum,
+        global_row_number,
+    )
+
+    df = spark.createDataFrame([(i, 10) for i in range(4)], ["id", "v"]).withColumnRenamed(
+        "v", name
+    )
+    out = global_exclusive_prefix_sum(df, name, ["id"], "ps", num_partitions=2)
+    assert {r["id"]: r["ps"] for r in out.collect()} == {0: 0, 1: 10, 2: 20, 3: 30}
+    rdf = spark.createDataFrame([(i,) for i in range(4)], ["id"]).withColumnRenamed("id", name)
+    ranked = global_row_number(rdf, [name], "rn", num_partitions=2)
+    assert {r[name]: r["rn"] for r in ranked.collect()} == {0: 1, 1: 2, 2: 3, 3: 4}
+
+
+def test_qcol_roundtrip(spark):
+    """quote_ident survives every hostile class including embedded backticks."""
+    for name in HOSTILE:
+        df = spark.createDataFrame([(42,)], f"`{name.replace('`', '``')}` int")
+        assert df.select(qcol(name).alias("x")).collect()[0]["x"] == 42

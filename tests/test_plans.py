@@ -413,6 +413,34 @@ def test_profile_table_single_scan_and_skew_report_take_ordered(spark):
     assert abs(sum(r["share"] for r in got)) <= 1.0
 
 
+def test_profile_table_distinct_gate_routing(spark):
+    """The exact/approx distinct default is COST-GATED (encode.py pattern):
+    small inputs keep exact countDistinct; above ``exact_distinct_bytes``
+    the default flips to approx_count_distinct and the plan must carry NO
+    Expand node — exact multi-distinct compiles to Expand, multiplying the
+    scanned rows by ~|cols| before the partial agg, the wrong default for
+    the 100 TB table the profiler exists for."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import profile_table
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+
+    small = profile_table(o, cols)  # sf0.001 orders is far under 1 GiB
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in splan, "small input must keep exact countDistinct"
+
+    big = profile_table(o, cols, exact_distinct_bytes=0)  # force the scale path
+    bplan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in bplan, bplan
+    assert bplan.count("Scan parquet") == 1, bplan
+    # HLL estimates stay sane on the primary key and tiny-cardinality column
+    n = o.count()
+    rows = {r["column_name"]: r for r in big.collect()}
+    # default HLL rsd is 5% — allow 3 sigma on the primary key estimate
+    assert abs(rows["o_orderkey"]["n_distinct"] - n) / n < 0.15
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+
+
 def test_plan_linter_flags_and_passes(spark):
     """plans/lint.py: flags the always-wrong-at-scale shapes (cartesian
     product, one-task window, row-at-a-time Python UDF, unpushed filter)
