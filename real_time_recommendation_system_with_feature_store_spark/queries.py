@@ -1966,6 +1966,73 @@ def tree_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trained_linear_ranker_topk",
+    oracle="""
+    WITH tr AS (
+      SELECT CAST(l_quantity AS DOUBLE) q, CAST(l_discount AS DOUBLE) d,
+             CAST(l_extendedprice AS DOUBLE) y
+      FROM lineitem
+    ), g AS (
+      SELECT
+        CAST(SUM(CAST(1.0*1.0 AS DECIMAL(28,6))) AS DOUBLE) a00,
+        CAST(SUM(CAST(1.0*q AS DECIMAL(28,6))) AS DOUBLE) a01,
+        CAST(SUM(CAST(1.0*d AS DECIMAL(28,6))) AS DOUBLE) a02,
+        CAST(SUM(CAST(q*q AS DECIMAL(28,6))) AS DOUBLE) a11,
+        CAST(SUM(CAST(q*d AS DECIMAL(28,6))) AS DOUBLE) a12,
+        CAST(SUM(CAST(d*d AS DECIMAL(28,6))) AS DOUBLE) a22,
+        CAST(SUM(CAST(1.0*y AS DECIMAL(28,6))) AS DOUBLE) b0,
+        CAST(SUM(CAST(q*y AS DECIMAL(28,6))) AS DOUBLE) b1,
+        CAST(SUM(CAST(d*y AS DECIMAL(28,6))) AS DOUBLE) b2
+      FROM tr
+    ), solved AS (
+      -- Cramer 3x3, term order mirroring training._solve_cramer_3x3 so the
+      -- IEEE double results are bit-identical to the Spark-trained weights
+      SELECT
+        a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) + a02*(a01*a12 - a11*a02) AS det,
+        b0*(a11*a22 - a12*a12) - a01*(b1*a22 - b2*a12) + a02*(b1*a12 - b2*a11) AS d0,
+        a00*(b1*a22 - b2*a12) - b0*(a01*a22 - a12*a02) + a02*(a01*b2 - b1*a02) AS d1,
+        a00*(a11*b2 - b1*a12) - a01*(a01*b2 - b1*a02) + b0*(a01*a12 - a11*a02) AS d2
+      FROM g
+    ), w AS (
+      SELECT d0/det AS w0, d1/det AS w1, d2/det AS w2 FROM solved
+    ), scored AS (
+      SELECT l_orderkey, l_linenumber,
+        ROUND((CAST(l_quantity AS DOUBLE)*w.w1 + CAST(l_discount AS DOUBLE)*w.w2) + w.w0, 6) AS score
+      FROM lineitem CROSS JOIN w
+      WHERE l_orderkey % 10 = 0
+    )
+    SELECT l_orderkey, l_linenumber, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY score DESC, l_linenumber) AS rank
+      FROM scored
+    ) WHERE rank <= 2
+    """,
+    doc="U5 TRAINED in-engine: exact normal-equations OLS (training.py) fit "
+        "on the full lineitem table in ONE distributed decimal-exact "
+        "aggregation, solved via Cramer with the same float expression tree "
+        "the oracle replays — trained weights, scores, and ranks are "
+        "bit-identical cross-engine. Closes the reference's fit→predict "
+        "lifecycle (ranking_models.py:388-399) with a checkable contract.",
+)
+def trained_linear_ranker_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.scoring import batch_scorer, score_and_rank
+    from real_time_recommendation_system_with_feature_store_spark.training import fit_linear_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    model = fit_linear_regression(li, ["l_quantity", "l_discount"], "l_extendedprice")
+    cand = li.where(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+    )
+    scorer = batch_scorer(spark, model, ["l_quantity", "l_discount"])
+    out = score_and_rank(
+        cand, scorer, "l_orderkey", ["l_quantity", "l_discount"], 2, "l_linenumber"
+    )
+    return out.select("l_orderkey", "l_linenumber", "score", "rank")
+
+
+@query(
     "tfidf_top_terms",
     oracle="""
     WITH docs AS (
