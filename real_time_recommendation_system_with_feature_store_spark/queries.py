@@ -4469,6 +4469,123 @@ def interpolated_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "timeseries_feature_pipeline",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id % 10 = 0),
+    users AS (SELECT DISTINCT user_id FROM ev),
+    days AS (
+      SELECT CAST(d AS TIMESTAMP) AS day
+      FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
+    ),
+    daily AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS daily_value
+      FROM ev GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT s.user_id, s.day, d.daily_value
+      FROM (SELECT user_id, day FROM users CROSS JOIN days) s
+      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    ),
+    w AS (
+      SELECT user_id, day, daily_value,
+        last_value(CASE WHEN daily_value IS NOT NULL
+                        THEN struct_pack(t := epoch_us(day), vv := daily_value) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+        first_value(CASE WHEN daily_value IS NOT NULL
+                         THEN struct_pack(t := epoch_us(day), vv := daily_value) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS x
+      FROM base
+    ),
+    interp AS (
+      SELECT user_id, day,
+        CASE WHEN daily_value IS NOT NULL THEN daily_value
+             WHEN p IS NOT NULL AND x IS NOT NULL AND x.t <> p.t
+               THEN ROUND(p.vv + (x.vv - p.vv) * ((epoch_us(day) - p.t) / (x.t - p.t)), 6)
+             WHEN p IS NOT NULL THEN p.vv
+             WHEN x IS NOT NULL THEN x.vv END AS feat_value
+      FROM w
+    ),
+    hist AS (
+      SELECT user_id, day AS valid_from,
+        LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+        feat_value
+      FROM interp
+    ),
+    probes AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT p.user_id, p.event_id, p.ts, h.feat_value, h.valid_to,
+        ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY h.valid_from DESC) AS rn
+      FROM probes p JOIN hist h ON h.user_id = p.user_id AND h.valid_from <= p.ts
+    )
+    SELECT user_id, event_id, ts, feat_value,
+      CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_open_version
+    FROM matched WHERE rn = 1
+    """,
+    doc="COMPOSED time-series tier — the four operators as one chained "
+        "pipeline over events: date-spine gap-fill (missing days NULL) → "
+        "interpolate_linear per user → scd2_from_changelog versioning the "
+        "daily series into [valid_from, valid_to) intervals → merge-style "
+        "as-of join (asof.py one-shuffle path) attaching each purchase "
+        "event's covering version. Every stage keys on user_id, so the "
+        "spine/interp/SCD2 window passes and the as-of shuffle reuse one "
+        "partitioning; the oracle replays the composition CTE-by-CTE. "
+        "is_open_version flags probes landing in the still-open interval "
+        "(SCD2's consistency contract: the as-of pick IS the covering "
+        "interval).",
+)
+def timeseries_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
+    from real_time_recommendation_system_with_feature_store_spark.operators.interpolate import interpolate_linear
+    from real_time_recommendation_system_with_feature_store_spark.operators.scd import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("__d"),
+        )
+        .select("user_id", F.col("__d").cast("timestamp").alias("day"))
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(_dsum(F.col("value")) / F.count("*"), 6).alias("daily_value")
+    )
+    daily = daily.select(
+        "user_id", F.col("day").cast("timestamp").alias("day"), "daily_value"
+    )
+    base = spine.join(daily, ["user_id", "day"], "left")
+    interp = interpolate_linear(
+        base, "user_id", "day", "daily_value", out_col="feat_value"
+    ).select("user_id", "day", "feat_value")
+    hist = scd2_from_changelog(interp, ["user_id"], "day").select(
+        "user_id", "valid_from", "valid_to", "feat_value"
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join_union(
+        probes, hist, on=["user_id"], left_ts="ts", right_ts="valid_from"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "feat_value",
+        F.col("valid_to").isNull().cast("int").alias("is_open_version"),
+    )
+
+
 _DRIVER_WINDOW = [
     # r4 ROTATION: every entry below has its newest green row in r1 or r2 —
     # the r3 window (50/50 green) just renewed the other 50, so this round
