@@ -5,11 +5,15 @@ typed metadata structs. The metadata decoder is REAL for the four container
 formats whose headers are parseable with the stdlib alone — BMP, PNG, GIF,
 WAV (``decode_header``: magic sniff + struct unpack, no PIL/ffmpeg needed);
 unrecognized bytes fall back to a clearly-marked deterministic fake (or
-raise, in strict mode). Pixel-level ops (resize, frame extraction, encoder
-embeddings) still stub their kernels — full decode libraries are not in
-this container — but the Spark-side plumbing (schema, Arrow batching,
-``mapInPandas`` signature, row expansion, partition flow) is real and
-tested; swapping a stub for a PIL/ffmpeg call changes one function.
+raise, in strict mode). The RESIZE kernel is likewise REAL end-to-end for
+uncompressed 24-bit BMP — full pixel decode, nearest-neighbor resample,
+BMP re-encode, stdlib+numpy only (``decode_bmp_pixels``/``encode_bmp``).
+Only frame extraction and encoder embeddings still stub their kernels
+(ffmpeg / a vision encoder are not in this container), and resize of
+non-BMP containers falls back to a labeled byte-resample stub; the
+Spark-side plumbing (schema, Arrow batching, ``mapInPandas`` signature,
+row expansion, partition flow) is real and tested throughout — swapping a
+stub for a PIL/ffmpeg call changes one function.
 
 Scale notes: mapInPandas streams Arrow batches, so memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob sizes;
@@ -136,23 +140,93 @@ RESIZED_SCHEMA = "id long, blob binary, width int, height int"
 FRAMES_SCHEMA = "id long, frame_idx int, frame binary"
 
 
+def decode_bmp_pixels(blob: bytes):
+    """REAL pixel decode for the BMP format the stdlib can fully parse:
+    uncompressed (BI_RGB) 24-bit BITMAPINFOHEADER-family bitmaps. Returns an
+    (h, w, 3) uint8 RGB array, or None if the blob is any other container /
+    BMP variant (paletted, RLE, 32-bit, core-header)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob)
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    (hdr,) = struct.unpack_from("<I", b, 14)
+    if hdr not in (40, 52, 56, 64, 108, 124):
+        return None
+    w, h_raw = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if w <= 0 or h_raw == 0 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_raw)
+    stride = ((w * 3 + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    if data_off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:  # positive height = bottom-up row order
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR storage -> RGB
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up) — the inverse of ``decode_bmp_pixels``."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR, bottom-up
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def _resize_nearest(px, width: int, height: int):
+    """Nearest-neighbor resample: output pixel (x, y) reads source pixel
+    (x*src_w // width, y*src_h // height) — the floor-index convention, so
+    the result is deterministic and integer-exact."""
+    import numpy as np
+
+    src_h, src_w = px.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return px[ys][:, xs]
+
+
 def resize_images(
     df: DataFrame, id_col: str, blob_col: str = "blob", width: int = 32, height: int = 32
 ) -> DataFrame:
     """Resize kernel over mapInPandas (one output row per image).
 
-    STUB resize: deterministically re-samples the byte stream to width*height
-    bytes (repeat-and-truncate). Replace the two marked lines with a real
-    ``PIL.Image.resize`` when decode libs exist — schema and batching stay.
+    REAL for uncompressed 24-bit BMP: full pixel decode → nearest-neighbor
+    resample → re-encode as BMP (``decode_bmp_pixels``/``encode_bmp``,
+    stdlib+numpy only). Other containers keep the STUB byte-resample —
+    swapping it for ``PIL.Image.resize`` covers them when decode libs
+    exist; schema and batching stay.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            resized = [
-                (bytes(b) * (target // max(len(b), 1) + 1))[:target]  # STUB: real impl decodes
-                for b in pdf[blob_col]                                # and PIL-resizes here
-            ]
+            resized = []
+            for b in pdf[blob_col]:
+                px = decode_bmp_pixels(b)
+                if px is not None:  # REAL path: decoded pixels, NN resample
+                    resized.append(encode_bmp(_resize_nearest(px, width, height)))
+                else:
+                    resized.append(
+                        (bytes(b) * (target // max(len(b), 1) + 1))[:target]  # STUB:
+                    )  # non-BMP formats need PIL — repeat-and-truncate bytes
             yield pd.DataFrame(
                 {"id": pdf[id_col].values, "blob": resized, "width": width, "height": height}
             )
