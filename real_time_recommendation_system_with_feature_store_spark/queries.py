@@ -4587,79 +4587,75 @@ def timeseries_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_WINDOW = [
-    # r4 ROTATION: every entry below has its newest green row in r1 or r2 —
-    # the r3 window (50/50 green) just renewed the other 50, so this round
-    # refreshes the oldest half of the catalog's evidence. The only two
-    # r2-green entries left out are embedding_near_dup (its LSH twin
-    # embedding_near_dup_lsh shares the rescoring path and is r3-green) and
-    # doc_signatures (minhash/simhash signature paths are r3-green).
-    # First, the two whose operators changed this round:
-    "segment_codes",          # label_encode scale gate (encode.py)
-    "token_budget_packing",   # pack_by_token_budget auto-scale path
-    # the remaining r1-stale entries:
-    "event_type_stats",
-    "collect_event_types",
-    "acctbal_zscore",
-    "supplier_running_totals",
-    "customers_without_orders",
-    "click_and_purchase_users",
-    "order_date_features",
-    "part_name_features",
-    # r2-stale entries:
-    "pricing_summary",
-    "top_building_orders",
-    "region_revenue",
-    "customer_order_profile",
-    "user_activity_windows",
-    "item_trending_scores",
-    "item_interaction_counts",
-    "sessionize_events",
-    "asof_purchase_click",
-    "tumbling_window_counts",
-    "ranking_metrics_multi_k",
-    "tree_rerank_topk",
-    "revenue_rollup",
-    "event_type_pivot",
-    "inter_event_gaps",
-    "status_priority_cube",
-    "nations_with_presence",
-    "event_value_norm",
-    "session_window_stats",
-    "salted_event_counts",
-
-    "small_qty_brand_revenue",
-    "rich_inactive_customers",
-    "nation_top_balance_customers",
-    "late_ship_priority_counts",
-    "view_click_attribution",
-    "corpus_filter_funnel",
-    "gopher_quality_flags",
-    "daily_user_activity_spine",
-    "props_variant_stats",
-    "user_value_scd2",
-    "promo_revenue_share",
-    "nation_pair_trade_volume",
-    # NEW in r4 (first driver rows): eval_contamination_pruned, the two
-    # profiling entries and the NFC kernel. They displace
-    # brand_supplier_diversity (multi-distinct agg), customers_with_orders
-    # and large_order_customers (semi-join shape — kcore_events' r3 row and
-    # click_and_purchase_users above keep it windowed) and
-    # user_first_last_events (grouped min/max, covered broadly).
-    "eval_contamination_pruned",
-    "orders_profile",
-    "event_key_skew",
-    "nfc_normalized_docs",
-    # the three deep relational shapes are NEW in r4; they displace
-    # segment_code_map (CASE-map family: segment_codes + part_name_features
-    # stay windowed), rolling_user_velocity (fused-window family:
-    # user_activity_windows stays) and stratified_event_sample (sampling
-    # family: negative_samples / weighted_doc_sample are r3-green)
-    "waiting_suppliers",
-    "top_revenue_suppliers",
-    "region_nation_revenue",
-    # interpolated_event_values is NEW in r4; displaces priority_mix
-    # (simple conditional agg, covered by pricing_summary/event_type_stats)
-    "interpolated_event_values",
+    # r5 ROTATION. After r4 the evidence split cleanly: 50 entries newest-green
+    # in r4 (just renewed — all rotate out), 50 in r3, 10 in r2. This window =
+    # the 2 NEW never-checked entries + all 10 r2-stale (the r4 VERDICT's
+    # explicit re-front list) + 38 of the 50 r3-stale. The 12 r3-stale entries
+    # left out each keep an in-window or r4-green family twin (noted inline).
+    # NEW in r5 (first driver rows):
+    "timeseries_feature_pipeline",   # spine→interpolate→SCD2→as-of composition
+    "trained_linear_ranker_topk",    # in-engine OLS-trained re-ranker
+    # r2-stale (newest green row is r2 — the full VERDICT re-front list):
+    "doc_signatures",
+    "embedding_near_dup",
+    "customers_with_orders",
+    "large_order_customers",
+    "user_first_last_events",
+    "brand_supplier_diversity",
+    "segment_code_map",
+    "rolling_user_velocity",
+    "stratified_event_sample",
+    "priority_mix",
+    # r3-stale (38 of 50). Left out, with the twin that keeps the family
+    # windowed: bpe_packed_corpus (token_budget_packing r4; bpe_tokenized_docs
+    # here), dedup_cluster_keepers (dedup_clusters here), embedding_near_dup_lsh
+    # (embedding_near_dup above rescoring path; lsh_ann_topk here bands),
+    # knn_cosine_topk (exact-cosine path via embedding_near_dup + rec_diversity
+    # here), linear_rerank_topk (trained_linear_ranker_topk above, same scorer),
+    # global_top_parts (TakeOrdered: brand_top_parts here), sliding_window_counts
+    # (tumbling_window_counts r4), value_percentiles (price_deciles here),
+    # user_event_arrays (collect_event_types r4), perplexity_buckets
+    # (charlm_doc_scores here feeds it), coverage_novelty (ranking hit-detection:
+    # ranking_metrics_multi_k r4), time_split_orders (split family:
+    # leave_one_out_events + leakage_safe_folds here).
+    "als_item_embeddings",
+    "bpe_merge_table",
+    "bpe_tokenized_docs",
+    "brand_top_parts",
+    "charlm_doc_scores",
+    "corpus_export_pipeline",
+    "dedup_clusters",
+    "doc_dedup_exact",
+    "doc_token_chunks",
+    "domain_mixture_sample",
+    "embedding_norms",
+    "eval_contamination_pairs",
+    "incremental_dedup_candidates",
+    "ivf_ann_topk",
+    "jaccard_similar_pairs",
+    "kcore_events",
+    "lang_id_confusion",
+    "leakage_safe_folds",
+    "leave_one_out_events",
+    "lsh_ann_topk",
+    "minhash_dedup_candidates",
+    "multimodal_metadata",
+    "negative_samples",
+    "ngram_repetition_signals",
+    "part_type_multihot",
+    "pii_scrubbed_docs",
+    "point_in_time_features",
+    "popularity_ranking_metrics",
+    "pq_ann_topk",
+    "price_deciles",
+    "rec_diversity",
+    "segment_recommendations",
+    "simhash_dedup_candidates",
+    "text_quality",
+    "tfidf_top_terms",
+    "two_stage_recommendations",
+    "verbatim_span_pairs",
+    "weighted_doc_sample",
 ]
 
 def _reorder_registry() -> None:
