@@ -5,15 +5,20 @@ typed metadata structs. The metadata decoder is REAL for the four container
 formats whose headers are parseable with the stdlib alone — BMP, PNG, GIF,
 WAV (``decode_header``: magic sniff + struct unpack, no PIL/ffmpeg needed);
 unrecognized bytes fall back to a clearly-marked deterministic fake (or
-raise, in strict mode). The RESIZE kernel is likewise REAL end-to-end for
-uncompressed 24-bit BMP — full pixel decode, nearest-neighbor resample,
-BMP re-encode, stdlib+numpy only (``decode_bmp_pixels``/``encode_bmp``).
-Only frame extraction and encoder embeddings still stub their kernels
-(ffmpeg / a vision encoder are not in this container), and resize of
-non-BMP containers falls back to a labeled byte-resample stub; the
-Spark-side plumbing (schema, Arrow batching, ``mapInPandas`` signature,
-row expansion, partition flow) is real and tested throughout — swapping a
-stub for a PIL/ffmpeg call changes one function.
+raise, in strict mode). PIXEL kernels are likewise REAL wherever the bytes
+are decodable with stdlib+numpy: 24-bit BMP decode/encode
+(``decode_bmp_pixels``/``encode_bmp``), full animated-GIF decode — LZW,
+color tables, interlace, disposal/transparency compositing
+(``decode_gif_frames``, with ``encode_gif`` as its test inverse) — and WAV
+PCM16 decode (``decode_wav_samples``). On those formats resize
+(nearest-neighbor), frame sampling (evenly across the GIF timeline) and
+feature extraction (color-moment grids for images, RMS/ZCR/spectral-
+centroid/band-energy DSP for audio) are real end-to-end. Undecodable
+containers fall back to clearly-marked deterministic stubs (PIL/ffmpeg/a
+learned encoder are not in this container); the Spark-side plumbing
+(schema, Arrow batching, ``mapInPandas`` signature, row expansion,
+partition flow) is identical on both paths — swapping a stub for a
+PIL/ffmpeg call changes one function.
 
 Scale notes: mapInPandas streams Arrow batches, so memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob sizes;
@@ -191,6 +196,236 @@ def encode_bmp(pixels) -> bytes:
     return header + data
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """REAL GIF-variant LZW decompression (variable code width 3..12 bits,
+    clear/EOI codes, deferred-clear tolerant). Returns the palette-index
+    stream. Raises ValueError on a corrupt stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]  # first code after clear must be literal
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """REAL GIF-variant LZW compression — exact inverse of ``_lzw_decode``
+    (emits clear upfront, grows code width with the table, clears at 4096)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for i in range(len(indices)):
+        c = indices[i : i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code > 4096:
+            emit(clear)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(blob: bytes):
+    """REAL animated-GIF pixel decode, stdlib+numpy only: parses the logical
+    screen, color tables, graphic-control extensions and every image
+    descriptor; LZW-decompresses each frame; composites onto the canvas with
+    disposal methods 0/1 (keep), 2 (restore background) and 3 (restore
+    previous) and index transparency; de-interlaces when flagged. Returns a
+    list of (h, w, 3) uint8 RGB canvases — one per frame — or None if the
+    blob is not a GIF / uses features outside the spec subset."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, bg_idx, _ = struct.unpack_from("<HHBBB", b, 6)
+    if w == 0 or h == 0:
+        return None
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if global_pal is not None and bg_idx < len(global_pal):
+        canvas[:] = global_pal[bg_idx]
+    background = canvas.copy()
+    frames: list = []
+    transparent = None
+    disposal = 0
+    try:
+        while pos < len(b):
+            block = b[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = b[pos]
+                pos += 1
+                if label == 0xF9 and b[pos] >= 4:  # graphic control
+                    flags = b[pos + 1]
+                    disposal = (flags >> 2) & 0x07
+                    transparent = b[pos + 4] if flags & 1 else None
+                while b[pos]:  # skip sub-blocks
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if block != 0x2C:  # image descriptor is the only other block
+                return None
+            fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            pal = global_pal
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                return None
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos]:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(bytes(data), min_code), np.uint8)
+            if len(idx) < fw * fh:
+                return None
+            idx = idx[: fw * fh].reshape(fh, fw)
+            if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(start, fh, step) for start, step in _GIF_INTERLACE_PASSES]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            saved = canvas.copy() if disposal == 3 else None
+            rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[fy : fy + fh, fx : fx + fw] = background[
+                    fy : fy + fh, fx : fx + fw
+                ]
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            transparent = None
+            disposal = 0
+    except (IndexError, ValueError, struct.error):
+        return None
+    return frames or None
+
+
+def encode_gif(frames) -> bytes:
+    """Encode a list of (h, w, 3) uint8 RGB arrays as an animated GIF with
+    one global color table (all frames' unique colors must fit in 256) and
+    real LZW compression — the inverse of ``decode_gif_frames`` for
+    full-canvas, non-transparent frames."""
+    import struct
+
+    import numpy as np
+
+    arrs = [np.asarray(f, np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    colors = np.unique(np.concatenate([a.reshape(-1, 3) for a in arrs], 0), axis=0)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: >256 unique colors needs quantization")
+    pal_bits = max(int(np.ceil(np.log2(max(len(colors), 2)))), 1)
+    pal_n = 1 << pal_bits
+    pal = np.zeros((pal_n, 3), np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += pal.tobytes()
+    min_code = max(pal_bits, 2)
+    for a in arrs:
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        idx = bytes(lut[tuple(px)] for px in a.reshape(-1, 3))
+        out.append(min_code)
+        comp = _lzw_encode(idx, min_code)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def _resize_nearest(px, width: int, height: int):
     """Nearest-neighbor resample: output pixel (x, y) reads source pixel
     (x*src_w // width, y*src_h // height) — the floor-index convention, so
@@ -203,13 +438,58 @@ def _resize_nearest(px, width: int, height: int):
     return px[ys][:, xs]
 
 
+def decode_wav_samples(blob: bytes):
+    """REAL WAV PCM decode, stdlib+numpy only: walks RIFF chunks, accepts
+    16-bit integer PCM (format tag 1), averages channels to mono. Returns
+    (float64 samples in [-1, 1], sample_rate) or None for any other
+    container/encoding."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob)
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    off = 12
+    fmt = None
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        (sz,) = struct.unpack_from("<I", b, off + 4)
+        body = off + 8
+        if cid == b"fmt " and sz >= 16:
+            tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, body)
+            if tag != 1 or bits != 16 or ch == 0 or rate == 0:
+                return None
+            fmt = (ch, rate)
+        elif cid == b"data" and fmt is not None:
+            ch, rate = fmt
+            n = min(sz, len(b) - body) // 2
+            samples = np.frombuffer(b, "<i2", n - n % ch, body).astype(np.float64)
+            if not len(samples):
+                return None
+            return samples.reshape(-1, ch).mean(axis=1) / 32768.0, rate
+        off = body + sz + (sz & 1)
+    return None
+
+
+def _decode_image(blob: bytes):
+    """Pixel decode across the formats the repo parses for real: 24-bit BMP,
+    or a GIF's first frame. Returns (h, w, 3) uint8 RGB or None."""
+    px = decode_bmp_pixels(blob)
+    if px is not None:
+        return px
+    frames = decode_gif_frames(blob)
+    return frames[0] if frames else None
+
+
 def resize_images(
     df: DataFrame, id_col: str, blob_col: str = "blob", width: int = 32, height: int = 32
 ) -> DataFrame:
     """Resize kernel over mapInPandas (one output row per image).
 
-    REAL for uncompressed 24-bit BMP: full pixel decode → nearest-neighbor
-    resample → re-encode as BMP (``decode_bmp_pixels``/``encode_bmp``,
+    REAL for uncompressed 24-bit BMP and for GIF (first frame): full pixel
+    decode → nearest-neighbor resample → re-encode as BMP
+    (``decode_bmp_pixels``/``decode_gif_frames``/``encode_bmp``,
     stdlib+numpy only). Other containers keep the STUB byte-resample —
     swapping it for ``PIL.Image.resize`` covers them when decode libs
     exist; schema and batching stay.
@@ -220,13 +500,13 @@ def resize_images(
         for pdf in batches:
             resized = []
             for b in pdf[blob_col]:
-                px = decode_bmp_pixels(b)
+                px = _decode_image(b)
                 if px is not None:  # REAL path: decoded pixels, NN resample
                     resized.append(encode_bmp(_resize_nearest(px, width, height)))
                 else:
                     resized.append(
                         (bytes(b) * (target // max(len(b), 1) + 1))[:target]  # STUB:
-                    )  # non-BMP formats need PIL — repeat-and-truncate bytes
+                    )  # undecodable formats need PIL — repeat-and-truncate bytes
             yield pd.DataFrame(
                 {"id": pdf[id_col].values, "blob": resized, "width": width, "height": height}
             )
@@ -240,8 +520,13 @@ def sample_frames(
     """Frame-sampling kernel: each input 'video' row expands to ``n_frames``
     rows (id, frame_idx, frame) — the UDTF-shaped multimodal op.
 
-    STUB frames: equal byte slices of the blob (a real impl seeks keyframes
-    via ffmpeg). Row expansion, Arrow batching and schema are real.
+    REAL for animated GIF — the one video-ish container decodable with
+    stdlib+numpy: every frame is LZW-decoded and composited
+    (``decode_gif_frames``), ``n_frames`` are sampled evenly across the
+    timeline (floor-index convention, like ``_resize_nearest``), each
+    re-encoded as a standalone BMP. Other containers keep the STUB
+    byte-slice sampling — a real impl seeks keyframes via ffmpeg; row
+    expansion, Arrow batching and schema are identical on both paths.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -249,6 +534,13 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for rid, b in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(b)
+                decoded = decode_gif_frames(b)
+                if decoded is not None:  # REAL path: sample decoded frames
+                    for i in range(n_frames):
+                        ids.append(rid)
+                        idxs.append(i)
+                        frames.append(encode_bmp(decoded[(i * len(decoded)) // n_frames]))
+                    continue
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
                     ids.append(rid)
@@ -264,14 +556,64 @@ def extract_features(
 ) -> DataFrame:
     """Feature-extraction kernel: blob -> float embedding (array<float>).
 
-    STUB features: md5-seeded deterministic floats in [-1, 1] (a real impl
-    runs a vision/audio encoder). Output feeds the similarity-search tier
-    directly (operators/knn.py) — composition asserted in tests.
+    REAL content-based features for every container the repo decodes:
+    images (BMP / GIF first frame) get classical color features — a g×g
+    grid of per-cell channel means (color moments), global channel stds and
+    aspect ratio, scaled to [-1, 1]; WAV PCM16 audio gets real DSP features
+    — RMS energy, zero-crossing rate, FFT spectral centroid, and
+    energy-normalized log band energies. Undecodable blobs fall back to the
+    md5-seeded STUB (a learned vision/audio encoder doesn't exist in this
+    container). All paths emit exactly ``dim`` floats in [-1, 1] and feed
+    the similarity-search tier directly (operators/knn.py) — composition
+    asserted in tests.
     """
     import hashlib
     import struct
 
+    def image_features(px) -> list[float]:
+        import numpy as np
+
+        g = max(int((dim / 3) ** 0.5), 1)  # largest grid whose means fit
+        h, w = px.shape[:2]
+        ys = (np.arange(g + 1) * h) // g
+        xs = (np.arange(g + 1) * w) // g
+        out = []
+        for i in range(g):
+            for j in range(g):
+                cell = px[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+                out.extend(cell.reshape(-1, 3).mean(axis=0) / 127.5 - 1.0)
+        out.extend(px.reshape(-1, 3).std(axis=0) / 127.5)  # global channel spread
+        out.append(min(w / h, 8.0) / 4.0 - 1.0)  # aspect ratio, squashed
+        out = out[:dim]
+        return [float(v) for v in out] + [0.0] * (dim - len(out))
+
+    def audio_features(samples, rate: int) -> list[float]:
+        import numpy as np
+
+        rms = float(np.sqrt(np.mean(samples**2)))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if len(samples) > 1 else 0.0
+        spec = np.abs(np.fft.rfft(samples))
+        power = spec**2
+        total = float(power.sum())
+        freqs = np.fft.rfftfreq(len(samples), 1.0 / rate)
+        centroid = float((freqs * power).sum() / total) if total > 0 else 0.0
+        out = [2 * rms - 1.0, 2 * zcr - 1.0, min(centroid / (rate / 2), 1.0) * 2 - 1.0]
+        n_bands = max(dim - len(out), 0)
+        if n_bands and total > 0:
+            bands = np.array_split(power, n_bands)
+            for band in bands:
+                frac = float(band.sum()) / total
+                out.append(2 * frac - 1.0)  # energy share per equal FFT band
+        out = out[:dim]
+        return [float(v) for v in out] + [0.0] * (dim - len(out))
+
     def embed(b: bytes) -> list[float]:
+        px = _decode_image(b)
+        if px is not None:
+            return image_features(px)  # REAL: classical color moments
+        wav = decode_wav_samples(b)
+        if wav is not None:
+            return audio_features(*wav)  # REAL: classical DSP features
         out: list[float] = []
         seed = b or b"\x00"
         i = 0
