@@ -789,3 +789,97 @@ def verbatim_span_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 10,
+    sep: str | None = None,
+    scope: str = "corpus",
+) -> DataFrame:
+    """Corpus-rewriting exact span dedup: split every document into units —
+    consecutive non-overlapping ``span_words``-word spans (default, the
+    ExactSubstr-style cut of "Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022, without the suffix-array
+    generalization), or paragraphs on ``sep`` when given — drop every unit
+    whose exact text occurred earlier (first occurrence is the keeper —
+    corpus-wide by (id, position) with ``scope="corpus"``, or within each
+    document with ``scope="document"`` for Gopher-style intra-doc repetition
+    removal), and reassemble each document from its surviving units in
+    original order.
+
+    Reference parity: extends the reference's whole-document dedup basis
+    (src/feature_store/feature_computer.py drop_duplicates usage) to
+    sub-document granularity — an operator class the reference lacks but a
+    100 TB corpus pipeline needs.
+
+    Scale shape: two shuffles that matter — (1) the keeper aggregation
+    groups exploded units by unit text with map-side partial ``min(struct)``
+    combiners, so a boilerplate span repeated 10^9 times still reduces to
+    one row per partition before the exchange; (2) the keeper semi-join back
+    to the exploded frame keys on (unit, id, pos), so even that heavy
+    hitter's occurrences spread across partitions instead of funneling into
+    one task. Reassembly is a groupBy on the document id — the natural
+    partitioning of the output. No windows, no row-UDFs, no all-pairs.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    base = df.select(qcol(id_col).alias("__du_id"), qcol(text_col).alias("__du_text"))
+    if sep is not None:
+        # F.split's pattern is a Java regex — \Q...\E quotes the separator
+        # literally (with the embedded-\E escape) so "||" or "." split as text
+        quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        units = F.split(F.col("__du_text"), F.lit(quoted), -1)
+        join_sep = sep
+    else:
+        w = int(span_words)
+        words = F.split(F.col("__du_text"), " ", -1)
+        n_spans = F.greatest(F.lit(1), F.ceil(F.size(words) / F.lit(w)).cast("int"))
+        units = F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        )
+        join_sep = " "
+    exploded = base.select("__du_id", F.posexplode(units).alias("__du_pos", "__du_unit"))
+    if scope == "document":
+        # intra-document repetition removal (the Gopher-signal rewrite twin):
+        # a unit survives only its first position WITHIN its own document —
+        # one aggregation keyed (id, unit), no cross-document shuffle width
+        keepers = exploded.groupBy("__du_id", "__du_unit").agg(
+            F.min("__du_pos").alias("__du_pos")
+        )
+        kept = exploded.join(keepers, ["__du_id", "__du_unit", "__du_pos"], "left_semi")
+    elif scope == "corpus":
+        keepers = exploded.groupBy("__du_unit").agg(
+            F.min(F.struct(F.col("__du_id"), F.col("__du_pos"))).alias("__k")
+        )
+        kept = exploded.join(
+            keepers.select(
+                "__du_unit",
+                F.col("__k")["__du_id"].alias("__du_id"),
+                F.col("__k")["__du_pos"].alias("__du_pos"),
+            ),
+            ["__du_unit", "__du_id", "__du_pos"],
+            "left_semi",
+        )
+    else:
+        raise ValueError(f"dedup_spans: scope must be 'corpus' or 'document', got {scope!r}")
+    rebuilt = kept.groupBy("__du_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__du_pos", "__du_unit"))),
+                lambda s: s["__du_unit"],
+            ),
+            join_sep,
+        ).alias("dedup_text"),
+        F.count("*").alias("n_spans_kept"),
+    )
+    totals = base.select("__du_id", F.size(units).alias("n_spans_total"))
+    return totals.join(rebuilt, "__du_id", "left").select(
+        F.col("__du_id").alias(id_col),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        "n_spans_total",
+    )

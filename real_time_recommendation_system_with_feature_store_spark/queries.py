@@ -1032,6 +1032,49 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_dedup_docs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), spans AS (
+      SELECT doc_id, ws,
+             unnest(range(0, greatest(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)))) AS pos
+      FROM words
+    ), units AS (
+      SELECT doc_id, pos, array_to_string(ws[(pos*8+1):(pos*8+8)], ' ') AS unit
+      FROM spans
+    ), kept AS (
+      SELECT doc_id, pos, unit FROM units
+      QUALIFY row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) = 1
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS dedup_text,
+             COUNT(*) AS n_spans_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(r.dedup_text, '') AS dedup_text,
+           COALESCE(r.n_spans_kept, 0) AS n_spans_kept,
+           greatest(1, CAST(ceil(len(w.ws) / 8.0) AS BIGINT)) AS n_spans_total
+    FROM words w LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Corpus-rewriting exact span dedup (ExactSubstr-style, Lee et al. "
+    "2022): drop every repeated 8-word span after its first corpus "
+    "occurrence, rebuild documents from the survivors.",
+)
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import dedup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_spans(d, "text", "doc_id", span_words=8)
+    return out.select(
+        "doc_id",
+        "dedup_text",
+        F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+        F.col("n_spans_total").cast("long").alias("n_spans_total"),
+    )
+
+
+@query(
     "jaccard_similar_pairs",
     oracle="""
     WITH t AS (
@@ -4651,7 +4694,10 @@ _DRIVER_WINDOW = [
     "rec_diversity",
     "segment_recommendations",
     "simhash_dedup_candidates",
-    "text_quality",
+    # NEW in r5: span_dedup_docs (ExactSubstr-style corpus rewrite) takes
+    # text_quality's slot — the quality-scoring family keeps two r4-green
+    # rows (corpus_filter_funnel, gopher_quality_flags)
+    "span_dedup_docs",
     "tfidf_top_terms",
     "two_stage_recommendations",
     "verbatim_span_pairs",

@@ -164,6 +164,21 @@ def test_prefix_sum_hostile(spark, name):
     assert {r[name]: r["rn"] for r in ranked.collect()} == {0: 1, 1: 2, 2: 3, 3: 4}
 
 
+@pytest.mark.parametrize("name", HOSTILE)
+def test_dedup_spans_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame([(1, "a b c d"), (2, "c d x y")], ["doc", "txt"])
+    # hostile name as the text column and as the id column
+    for role_df, text, did in [
+        (df.withColumnRenamed("txt", name), name, "doc"),
+        (df.withColumnRenamed("doc", name), "txt", name),
+    ]:
+        out = dedup_spans(role_df, text, did, span_words=2)
+        got = {r[did]: r["dedup_text"] for r in out.collect()}
+        assert got == {1: "a b c d", 2: "x y"}, (text, did)
+
+
 def test_qcol_roundtrip(spark):
     """quote_ident survives every hostile class including embedded backticks."""
     for name in HOSTILE:

@@ -166,6 +166,51 @@ def test_exact_dedup_keeps_min_id(spark):
     assert sorted(r["id"] for r in out.collect()) == [1, 2]  # 3 dedups onto 1
 
 
+def test_dedup_spans_semantics(spark):
+    """Span-level corpus rewrite: repeated spans vanish after their first
+    corpus occurrence (ordered by (id, pos)), documents reassemble in
+    original span order, fully-duplicated documents collapse to empty, and
+    results are identical under a different shuffle-partition count."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (1, "a b c d"),        # spans (w=2): "a b", "c d"
+        (2, "c d a b x y"),    # both spans already seen -> only "x y" survives
+        (3, "a b"),            # fully duplicated -> empty doc
+        (4, ""),               # empty text: one ""-span, unique until doc 5
+        (5, ""),               # duplicate of doc 4's span -> empty
+    ]
+    df = spark.createDataFrame(rows, ["doc", "txt"])
+    out = {r["doc"]: (r["dedup_text"], r["n_spans_kept"], r["n_spans_total"])
+           for r in dedup_spans(df, "txt", "doc", span_words=2).collect()}
+    assert out == {
+        1: ("a b c d", 2, 2),
+        2: ("x y", 1, 3),
+        3: ("", 0, 1),
+        4: ("", 1, 1),  # the empty span's first occurrence is kept
+        5: ("", 0, 1),
+    }
+    redo = {r["doc"]: (r["dedup_text"], r["n_spans_kept"], r["n_spans_total"])
+            for r in dedup_spans(df.repartition(7), "txt", "doc", span_words=2).collect()}
+    assert redo == out  # partition-independent keeper choice
+
+    # paragraph mode: separator-delimited units, same first-keeper rule
+    pdf = spark.createDataFrame(
+        [(1, "intro||shared para||tail"), (2, "shared para||other")], ["doc", "txt"]
+    )
+    pout = {r["doc"]: r["dedup_text"] for r in dedup_spans(pdf, "txt", "doc", sep="||").collect()}
+    assert pout == {1: "intro||shared para||tail", 2: "other"}
+
+    # document scope: repeats removed within a doc, kept across docs
+    ddf = spark.createDataFrame([(1, "a b a b c d"), (2, "a b z z")], ["doc", "txt"])
+    dout = {r["doc"]: r["dedup_text"]
+            for r in dedup_spans(ddf, "txt", "doc", span_words=2, scope="document").collect()}
+    assert dout == {1: "a b c d", 2: "a b z z"}  # doc 2 keeps its own "a b"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup_spans(ddf, "txt", "doc", scope="nope")
+
+
 def test_knn_self_similarity_and_ranking(spark):
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
 
