@@ -505,18 +505,36 @@ def connected_components(
     converges in <= component-diameter rounds (near-dup clusters are tiny —
     the loop exits early on the first fixpoint, checked with a count()
     action per round on the label table, which is |nodes| rows, not edges).
-    The label table is persisted per round and the loop is driver-side but
-    every step is a distributed join — no collect of data.
+    The loop is driver-side but every step is a distributed join — no
+    collect of data.
+
+    Edges and per-round labels are eagerly ``localCheckpoint``-ed, NOT
+    persisted: each round references the label frame twice (propagation +
+    fixpoint check), so with plain persist the LOGICAL plan doubles per
+    round — ~2^rounds copies of the upstream edge plan — and an expensive
+    producer (e.g. ``semantic_dedup``'s IVF build feeding pairs here) OOMs
+    the driver just STRINGIFYING the plan before any data moves. Checkpoint
+    truncates lineage so every round's plan is two LogicalRDD joins, flat
+    forever. Superseded checkpoint blocks are freed per round via the ckpt
+    registry (DataFrame.unpersist does not release localCheckpoint blocks).
     """
+    from real_time_recommendation_system_with_feature_store_spark import ckpt
+
+    sc = pairs.sparkSession.sparkContext
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
+    edge_ids = ckpt.checkpointed_rdd_ids(edges)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    label_ids = ckpt.checkpointed_rdd_ids(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -526,25 +544,25 @@ def connected_components(
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        new_ids = ckpt.checkpointed_rdd_ids(new_labels)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        ckpt.unpersist_rdd_ids(sc, label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             break
-    edges.unpersist()
-    # snapshot the (|nodes|-sized) label table so the input caches can be
-    # released NOW — a bare `return labels.select(...)` would leak the final
-    # round's persist for the session lifetime (long-lived drivers accumulate)
+    ckpt.unpersist_rdd_ids(sc, edge_ids)
+    # snapshot the (|nodes|-sized) label table so the loop's final blocks can
+    # be released NOW — long-lived drivers otherwise accumulate dead blocks
     out = labels.select(
         F.col("node").alias("node_id"), F.col("label").alias("cluster_id")
     ).localCheckpoint(eager=True)
-    labels.unpersist()
+    ckpt.unpersist_rdd_ids(sc, label_ids)
     return out
 
 

@@ -425,6 +425,85 @@ def _assign_cells_arrow(items: DataFrame, id_col: str, vec_col: str, centroids) 
     return items.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def _lloyd_refine(it: DataFrame, centroids: DataFrame, iters: int) -> DataFrame:
+    """Distributed Lloyd steps: assign items to cells, recompute each cell's
+    centroid as the per-dimension mean (posexplode → avg → re-assemble →
+    renormalize). Empty cells keep their previous centroid via the left join
+    in the caller's seed frame staying in ``centroids``."""
+    for _ in range(max(iters, 0)):
+        step = _assign_cells(it, centroids)
+        means = (
+            step.select("__cell", F.posexplode("__iv").alias("__pos", "__x"))
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"))
+            .select(
+                "__cell",
+                l2_normalize(F.transform(F.col("__pm"), lambda s: s["__m"])).alias("__mv"),
+            )
+        )
+        centroids = centroids.join(means, "__cell", "left").select(
+            "__cell", F.coalesce("__mv", "__cv").alias("__cv")
+        )
+    return centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.8,
+    refine_iters: int = 1,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal in embedding space. Cluster the corpus into IVF cells
+    (deterministic lowest-id seeds + ``refine_iters`` Lloyd steps, exactly
+    the ``ivf_topk`` build), score pairwise cosine only WITHIN each cell,
+    connect pairs ≥ ``threshold`` into duplicate groups
+    (``connected_components`` min-label propagation), and keep the lowest id
+    per group. Returns (id, cell, cluster_id, is_keeper) — filter
+    ``is_keeper = 1`` for the deduplicated corpus.
+
+    Scale shape: the cell partition bounds the quadratic term at
+    Σ|cell|² ≪ |corpus|² — ``n_cells`` grows with the corpus to hold cell
+    size roughly constant (SemDeDup's own trade). The intra-cell self-join
+    shuffles both sides on the cell id, so AQE can skew-split an outlier
+    cell; nothing broadcasts the corpus, and the component loop's state is
+    one slim (node, label) frame bounded by near-dup cluster diameter.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import connected_components
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    it = df.select(F.col(id_col).alias("__iid"), l2_normalize(F.col(vec_col)).alias("__iv"))
+    centroids = global_topn_ranked(
+        it, [F.col("__iid").asc()], n_cells, rank_col="__cell"
+    ).select(F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv"))
+    centroids = _lloyd_refine(it, centroids, refine_iters)
+    # one eager snapshot: the assignment feeds BOTH the pair generation and
+    # the final output join — without it the whole IVF build runs twice, and
+    # the component loop's edge frame drags the build tree into every round
+    assigned = _assign_cells(it, centroids).localCheckpoint(eager=True)
+    a = assigned.select("__cell", F.col("__iid").alias("id_a"), F.col("__iv").alias("__va"))
+    b = assigned.select("__cell", F.col("__iid").alias("id_b"), F.col("__iv").alias("__vb"))
+    pairs = (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    label = F.coalesce(F.col("cluster_id"), F.col("__iid"))
+    return assigned.join(comp, assigned["__iid"] == comp["node_id"], "left").select(
+        F.col("__iid").alias(id_col),
+        F.col("__cell").alias("cell"),
+        label.alias("cluster_id"),
+        (label == F.col("__iid")).cast("int").alias("is_keeper"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     items: DataFrame,
@@ -480,19 +559,7 @@ def ivf_topk(
     centroids = global_topn_ranked(
         it, [F.col("__iid").asc()], n_cells, rank_col="__cell"
     ).select(F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv"))
-    for _ in range(max(refine_iters, 0)):
-        step = _assign_cells(it, centroids)
-        centroids = (
-            step.select("__cell", F.posexplode("__iv").alias("__pos", "__x"))
-            .groupBy("__cell", "__pos")
-            .agg(F.avg("__x").alias("__m"))
-            .groupBy("__cell")
-            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"))
-            .select(
-                "__cell",
-                l2_normalize(F.transform(F.col("__pm"), lambda s: s["__m"])).alias("__cv"),
-            )
-        )
+    centroids = _lloyd_refine(it, centroids, refine_iters)
     assigned = _assign_cells(it, centroids)
 
     q = queries.select(F.col(query_id).alias("__qid"), l2_normalize(F.col(query_vec)).alias("__qv"))

@@ -2407,6 +2407,76 @@ _SQL_L2NORM = "list_transform({l}, x -> x / sqrt(list_sum(list_transform({l}, y 
 
 
 @query(
+    "semantic_dedup_embeddings",
+    # Full differential replay of SemDeDup: the IVF build CTEs are the
+    # proven ivf_ann_topk chain (seed -> assign -> Lloyd mean -> reassign);
+    # intra-cell pairs >= threshold feed a recursive-CTE component closure
+    # (the dedup_clusters pattern); keeper = min id per component.
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell, nv AS cv
+      FROM norm QUALIFY cell <= 16
+    ),
+    a1 AS (
+      SELECT vec_id, nv, cell FROM (
+        SELECT n.vec_id, n.nv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cell, list(mval ORDER BY i) AS mv FROM (
+        SELECT a.cell, i.i, AVG(a.nv[i.i]) AS mval
+        FROM a1 a, range(1, 65) i(i) GROUP BY a.cell, i.i
+      ) GROUP BY cell
+    ),
+    cents AS (
+      SELECT c0.cell,
+        CASE WHEN m.mv IS NULL THEN {_SQL_L2NORM.format(l='c0.cv')}
+             ELSE {_SQL_L2NORM.format(l='m.mv')} END AS cv
+      FROM c0 LEFT JOIN m ON c0.cell = m.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id
+      WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+    ),
+    ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT a AS id FROM ed),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, ed.b FROM reach JOIN ed ON ed.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT a2.vec_id, a2.cell,
+           COALESCE(comp.cluster_id, a2.vec_id) AS cluster_id,
+           CAST(CASE WHEN COALESCE(comp.cluster_id, a2.vec_id) = a2.vec_id
+                THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+    FROM a2 LEFT JOIN comp ON comp.id = a2.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): IVF-cell-bounded pairwise cosine + "
+        "connected components; keep the lowest id per semantic-duplicate "
+        "group (full DuckDB differential check incl. the k-means build).",
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "vec_id", n_cells=16, threshold=0.3, refine_iters=1)
+
+
+@query(
     "ivf_ann_topk",
     # The whole IVF build is deterministic (lowest-id seeds, one Lloyd step,
     # lowest-cell tiebreaks), so the oracle replays it: seed -> assign ->
@@ -4671,7 +4741,9 @@ _DRIVER_WINDOW = [
     "doc_dedup_exact",
     "doc_token_chunks",
     "domain_mixture_sample",
-    "embedding_norms",
+    # NEW in r5: semantic_dedup_embeddings (SemDeDup) takes embedding_norms'
+    # slot — the vector-math family keeps ivf/lsh/pq/rec_diversity in-window
+    "semantic_dedup_embeddings",
     "eval_contamination_pairs",
     "incremental_dedup_candidates",
     "ivf_ann_topk",

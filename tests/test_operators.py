@@ -211,6 +211,30 @@ def test_dedup_spans_semantics(spark):
         dedup_spans(ddf, "txt", "doc", scope="nope")
 
 
+def test_semantic_dedup_groups_and_keepers(spark):
+    """SemDeDup semantics on a constructed corpus: two tight semantic
+    groups plus an isolated vector. Near-identical vectors land in one
+    cluster with the min id as keeper regardless of cell assignment;
+    the isolated vector keeps itself; exactly one keeper per cluster."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (5, [0.998, 0.02, 0.0]),
+        (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.999, 0.01]),
+        (9, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vid", "embedding"])
+    out = {r["vid"]: (r["cluster_id"], r["is_keeper"])
+           for r in semantic_dedup(df, "vid", n_cells=3, threshold=0.9, refine_iters=1).collect()}
+    assert out[1] == (1, 1) and out[2] == (1, 0) and out[5] == (1, 0)
+    assert out[3] == (3, 1) and out[4] == (3, 0)
+    assert out[9] == (9, 1)
+    # deterministic under a different partitioning
+    redo = {r["vid"]: (r["cluster_id"], r["is_keeper"])
+            for r in semantic_dedup(df.repartition(5), "vid", n_cells=3, threshold=0.9).collect()}
+    assert redo == out
+
+
 def test_knn_self_similarity_and_ranking(spark):
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
 
