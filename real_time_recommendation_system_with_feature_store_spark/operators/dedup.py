@@ -495,6 +495,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    small_input_bytes: int = 256 << 20,
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a similarity
     edge list by min-label propagation. Returns (node_id, cluster_id) where
@@ -508,6 +510,15 @@ def connected_components(
     The loop is driver-side but every step is a distributed join — no
     collect of data.
 
+    Cost gate (the repo-wide pattern, cf. packing/encode/knn): when the
+    PAIR frame provably fits ``small_input_bytes`` — via Catalyst's static
+    plan estimate, or an exact ``edge_count_hint`` the caller derived from a
+    runtime stats job (static estimates of filtered self-joins are wildly
+    pessimistic; ``semantic_dedup`` passes its cell-histogram pair bound) —
+    the slim (id, id) edge list is collected and solved with a driver-side
+    union-find: one job instead of ~3 per propagation round, identical
+    labels (min id per component). Above the gate, the distributed loop:
+
     Edges and per-round labels are eagerly ``localCheckpoint``-ed, NOT
     persisted: each round references the label frame twice (propagation +
     fixpoint check), so with plain persist the LOGICAL plan doubles per
@@ -519,6 +530,42 @@ def connected_components(
     registry (DataFrame.unpersist does not release localCheckpoint blocks).
     """
     from real_time_recommendation_system_with_feature_store_spark import ckpt
+    from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
+
+    slim = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    small = (
+        edge_count_hint * 32 <= small_input_bytes
+        if edge_count_hint is not None
+        else _plan_size_bytes(slim) <= small_input_bytes
+    )
+    if small:
+        rows = slim.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the final label is the component min,
+                # exactly the distributed loop's fixpoint
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = sorted({n for r in rows for n in (r["src"], r["dst"])})
+        out_rows = [(n, find(n)) for n in labels]
+        schema = (
+            pairs.select(
+                F.col(id_a).alias("node_id"), F.col(id_a).alias("cluster_id")
+            ).schema
+        )
+        return pairs.sparkSession.createDataFrame(out_rows, schema)
 
     sc = pairs.sparkSession.sparkContext
     edges = (

@@ -494,7 +494,15 @@ def semantic_dedup(
         .select("id_a", "id_b", F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
-    comp = connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+    # exact pair-count bound from the (≤ n_cells rows) cell histogram — the
+    # one-stats-job fine gate; static estimates of a filtered self-join are
+    # uselessly pessimistic, and the histogram rides the checkpointed
+    # assignment for free
+    cell_sizes = [r["n"] for r in assigned.groupBy("__cell").agg(F.count("*").alias("n")).collect()]
+    pair_bound = sum(c * (c - 1) // 2 for c in cell_sizes)
+    comp = connected_components(
+        pairs, "id_a", "id_b", max_iter=max_iter, edge_count_hint=pair_bound
+    )
     label = F.coalesce(F.col("cluster_id"), F.col("__iid"))
     return assigned.join(comp, assigned["__iid"] == comp["node_id"], "left").select(
         F.col("__iid").alias(id_col),
