@@ -856,6 +856,55 @@ def verbatim_span_pairs(
     )
 
 
+def _span_split(df: DataFrame, text_col: str, id_col: str, span_words: int, sep: str | None):
+    """Shared unit-splitting stage for the span-dedup family: normalize the
+    (possibly hostile) column names, build the unit-array expression —
+    separator paragraphs or fixed word-count spans — and the separator that
+    reassembles them. Returns (base_frame, units_expr, join_sep)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    base = df.select(qcol(id_col).alias("__du_id"), qcol(text_col).alias("__du_text"))
+    if sep is not None:
+        # F.split's pattern is a Java regex — \Q...\E quotes the separator
+        # literally (with the embedded-\E escape) so "||" or "." split as text
+        quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        units = F.split(F.col("__du_text"), F.lit(quoted), -1)
+        join_sep = sep
+    else:
+        w = int(span_words)
+        words = F.split(F.col("__du_text"), " ", -1)
+        n_spans = F.greatest(F.lit(1), F.ceil(F.size(words) / F.lit(w)).cast("int"))
+        units = F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+        )
+        join_sep = " "
+    return base, units, join_sep
+
+
+def _span_rebuild(kept: DataFrame, base: DataFrame, units, join_sep: str, id_col: str) -> DataFrame:
+    """Shared reassembly stage: surviving units regroup per document in
+    original order; documents whose every unit was dropped come back as
+    empty strings via the left join against the full id set."""
+    rebuilt = kept.groupBy("__du_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__du_pos", "__du_unit"))),
+                lambda s: s["__du_unit"],
+            ),
+            join_sep,
+        ).alias("dedup_text"),
+        F.count("*").alias("n_spans_kept"),
+    )
+    totals = base.select("__du_id", F.size(units).alias("n_spans_total"))
+    return totals.join(rebuilt, "__du_id", "left").select(
+        F.col("__du_id").alias(id_col),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        "n_spans_total",
+    )
+
+
 def dedup_spans(
     df: DataFrame,
     text_col: str,
@@ -889,24 +938,7 @@ def dedup_spans(
     one task. Reassembly is a groupBy on the document id — the natural
     partitioning of the output. No windows, no row-UDFs, no all-pairs.
     """
-    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
-
-    base = df.select(qcol(id_col).alias("__du_id"), qcol(text_col).alias("__du_text"))
-    if sep is not None:
-        # F.split's pattern is a Java regex — \Q...\E quotes the separator
-        # literally (with the embedded-\E escape) so "||" or "." split as text
-        quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
-        units = F.split(F.col("__du_text"), F.lit(quoted), -1)
-        join_sep = sep
-    else:
-        w = int(span_words)
-        words = F.split(F.col("__du_text"), " ", -1)
-        n_spans = F.greatest(F.lit(1), F.ceil(F.size(words) / F.lit(w)).cast("int"))
-        units = F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
-        )
-        join_sep = " "
+    base, units, join_sep = _span_split(df, text_col, id_col, span_words, sep)
     exploded = base.select("__du_id", F.posexplode(units).alias("__du_pos", "__du_unit"))
     if scope == "document":
         # intra-document repetition removal (the Gopher-signal rewrite twin):
@@ -931,20 +963,65 @@ def dedup_spans(
         )
     else:
         raise ValueError(f"dedup_spans: scope must be 'corpus' or 'document', got {scope!r}")
-    rebuilt = kept.groupBy("__du_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__du_pos", "__du_unit"))),
-                lambda s: s["__du_unit"],
-            ),
-            join_sep,
-        ).alias("dedup_text"),
-        F.count("*").alias("n_spans_kept"),
+    return _span_rebuild(kept, base, units, join_sep, id_col)
+
+
+def span_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 10,
+    sep: str | None = None,
+) -> DataFrame:
+    """The persistable exact-span index: distinct ``span_fp`` md5
+    fingerprints of every unit in the corpus — the S10-pattern dimension
+    table for ``dedup_spans_incremental``. 16 bytes of hash per distinct
+    span instead of the span text: a corpus is split ONCE and daily batches
+    probe the slim index (md5 keeps the exact-match contract
+    collision-safe at any realistic span count, unlike a 64-bit hash)."""
+    base, units, _ = _span_split(df, text_col, id_col, span_words, sep)
+    return (
+        base.select(F.explode(units).alias("__du_unit"))
+        .select(F.md5(F.col("__du_unit")).alias("span_fp"))
+        .distinct()
     )
-    totals = base.select("__du_id", F.size(units).alias("n_spans_total"))
-    return totals.join(rebuilt, "__du_id", "left").select(
-        F.col("__du_id").alias(id_col),
-        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
-        F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
-        "n_spans_total",
+
+
+def dedup_spans_incremental(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 10,
+    sep: str | None = None,
+) -> DataFrame:
+    """Incremental span dedup: rewrite ONLY the new batch against a corpus
+    indexed once by ``span_index`` — drop every unit whose fingerprint is in
+    the index, apply the corpus-scope first-occurrence rule among the
+    remaining (new) units within the batch, reassemble. Same output schema
+    as ``dedup_spans``; append ``span_index(new_batch)`` (or the kept
+    units' fingerprints) to the index afterwards to fold the batch in.
+
+    Scale shape: the batch explodes, the CORPUS does not — the anti-join
+    probes the slim (span_fp) index shuffled on the 16-byte hash (uniform,
+    no skew), exactly the ``minhash_dedup_incremental`` posture. The
+    in-batch keeper stage then runs on the anti-join survivors only.
+    """
+    base, units, join_sep = _span_split(new_df, text_col, id_col, span_words, sep)
+    exploded = base.select("__du_id", F.posexplode(units).alias("__du_pos", "__du_unit"))
+    fresh = exploded.withColumn("span_fp", F.md5(F.col("__du_unit"))).join(
+        corpus_index.select("span_fp"), "span_fp", "left_anti"
     )
+    keepers = fresh.groupBy("__du_unit").agg(
+        F.min(F.struct(F.col("__du_id"), F.col("__du_pos"))).alias("__k")
+    )
+    kept = fresh.join(
+        keepers.select(
+            "__du_unit",
+            F.col("__k")["__du_id"].alias("__du_id"),
+            F.col("__k")["__du_pos"].alias("__du_pos"),
+        ),
+        ["__du_unit", "__du_id", "__du_pos"],
+        "left_semi",
+    )
+    return _span_rebuild(kept, base, units, join_sep, id_col)

@@ -1075,6 +1075,62 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_dedup_incremental",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), spans AS (
+      SELECT doc_id, ws,
+             unnest(range(0, greatest(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)))) AS pos
+      FROM words
+    ), units AS (
+      SELECT doc_id, pos, array_to_string(ws[(pos*8+1):(pos*8+8)], ' ') AS unit
+      FROM spans
+    ), corpus_units AS (
+      SELECT DISTINCT unit FROM units WHERE doc_id < 250
+    ), fresh AS (
+      SELECT b.doc_id, b.pos, b.unit
+      FROM (SELECT * FROM units WHERE doc_id >= 250) b
+      ANTI JOIN corpus_units c ON b.unit = c.unit
+    ), kept AS (
+      SELECT doc_id, pos, unit FROM fresh
+      QUALIFY row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) = 1
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS dedup_text,
+             COUNT(*) AS n_spans_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(r.dedup_text, '') AS dedup_text,
+           COALESCE(r.n_spans_kept, 0) AS n_spans_kept,
+           greatest(1, CAST(ceil(len(w.ws) / 8.0) AS BIGINT)) AS n_spans_total
+    FROM words w LEFT JOIN rebuilt r USING (doc_id)
+    WHERE w.doc_id >= 250
+    """,
+    doc="Incremental span dedup: batch docs (id >= 250) rewritten against "
+        "the corpus span index (ids < 250, sketched once) + in-batch "
+        "first-occurrence — the exact-span twin of minhash_dedup_incremental.",
+)
+def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        dedup_spans_incremental,
+        span_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = span_index(d.where(F.col("doc_id") < 250), "text", "doc_id", span_words=8)
+    out = dedup_spans_incremental(
+        d.where(F.col("doc_id") >= 250), idx, "text", "doc_id", span_words=8
+    )
+    return out.select(
+        "doc_id",
+        "dedup_text",
+        F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+        F.col("n_spans_total").cast("long").alias("n_spans_total"),
+    )
+
+
+@query(
     "jaccard_similar_pairs",
     oracle="""
     WITH t AS (
@@ -4745,7 +4801,10 @@ _DRIVER_WINDOW = [
     # slot — the vector-math family keeps ivf/lsh/pq/rec_diversity in-window
     "semantic_dedup_embeddings",
     "eval_contamination_pairs",
-    "incremental_dedup_candidates",
+    # NEW in r5: span_dedup_incremental takes incremental_dedup_candidates'
+    # slot — index-probe incrementality stays windowed via this entry plus
+    # minhash_dedup_candidates (the minhash banding path)
+    "span_dedup_incremental",
     "ivf_ann_topk",
     "jaccard_similar_pairs",
     "kcore_events",

@@ -211,6 +211,32 @@ def test_dedup_spans_semantics(spark):
         dedup_spans(ddf, "txt", "doc", scope="nope")
 
 
+def test_dedup_spans_incremental_probes_index(spark):
+    """Incremental batch rewrite: spans already in the corpus index vanish,
+    new spans follow the in-batch first-occurrence rule, and folding the
+    batch into the index makes a replay of the SAME batch collapse to
+    all-duplicates — the idempotent-ingest contract."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        dedup_spans_incremental,
+        span_index,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b c d")], ["doc", "txt"])
+    idx = span_index(corpus, "txt", "doc", span_words=2)
+    batch = spark.createDataFrame(
+        [(10, "a b x y"), (11, "x y z w")], ["doc", "txt"]
+    )
+    out = {r["doc"]: (r["dedup_text"], r["n_spans_kept"], r["n_spans_total"])
+           for r in dedup_spans_incremental(batch, idx, "txt", "doc", span_words=2).collect()}
+    # "a b" is corpus-indexed -> dropped; "x y" first occurs in doc 10
+    assert out == {10: ("x y", 1, 2), 11: ("z w", 1, 2)}
+
+    folded = idx.unionByName(span_index(batch, "txt", "doc", span_words=2)).distinct()
+    replay = {r["doc"]: r["dedup_text"]
+              for r in dedup_spans_incremental(batch, folded, "txt", "doc", span_words=2).collect()}
+    assert replay == {10: "", 11: ""}
+
+
 def test_semantic_dedup_groups_and_keepers(spark):
     """SemDeDup semantics on a constructed corpus: two tight semantic
     groups plus an isolated vector. Near-identical vectors land in one
