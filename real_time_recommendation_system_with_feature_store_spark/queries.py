@@ -3447,6 +3447,95 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "excess_shipment_suppliers",
+    oracle="""
+    WITH win AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(28,10))) AS wq
+      FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ), alltime AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(28,10))) AS tq
+      FROM lineitem GROUP BY 1, 2
+    ), hot AS (
+      SELECT DISTINCT w.l_suppkey
+      FROM win w
+      JOIN alltime t ON w.l_suppkey = t.l_suppkey AND w.l_partkey = t.l_partkey
+      JOIN part p ON w.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 's%' AND w.wq * 2 > t.tq
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM hot)
+    """,
+    doc="TPC-H Q20 shape: the nested correlated-EXISTS chain decorrelated — "
+        "and then FUSED: both date-slice aggregations (one-year vs all-time "
+        "quantity per supplier+part) come out of ONE conditional-sum pass "
+        "over the fact (one shuffle, no self-join), the oracle keeps the "
+        "textbook two-CTE join form; suppliers shipping over half a part's "
+        "all-time quantity inside the year then DISTINCT-semi-join up "
+        "through the supplier dim (exact DECIMAL 2*win > total compare).",
+)
+def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("s%"))
+    in_window = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    both = li.groupBy("l_suppkey", "l_partkey").agg(
+        _dsum_exact(F.col("l_quantity")).alias("__tq"),
+        _dsum_exact(F.when(in_window, F.col("l_quantity")).otherwise(F.lit(0))).alias("__wq"),
+    )
+    hot = (
+        both.join(F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))), "l_partkey")
+        .where(F.col("__wq") * 2 > F.col("__tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(hot, s["s_suppkey"] == hot["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "key_part_value_share",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS val
+      FROM lineitem GROUP BY 1
+    ), tot AS (SELECT SUM(val) AS gv FROM pv)
+    SELECT pv.l_partkey AS p_partkey,
+           ROUND(CAST(pv.val AS DOUBLE), 2) AS part_value,
+           ROUND(CAST(pv.val AS DOUBLE) / CAST(tot.gv AS DOUBLE), 6) AS value_share
+    FROM pv, tot
+    WHERE pv.val * 4000 > tot.gv * 3
+    """,
+    doc="TPC-H Q11 shape: per-group value vs a GLOBAL scalar threshold — "
+        "the scalar subquery decorrelates to a 1-row broadcast cross join "
+        "re-aggregated from the same partials (one fact scan feeds both "
+        "granularities); exact DECIMAL sums, share rounded at the edge.",
+)
+def key_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(_dsum_exact(F.col("l_extendedprice")).alias("__val"))
+    tot = pv.agg(F.sum("__val").alias("__gv"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("__val") * 4000 > F.col("__gv") * 3)  # 0.075% as exact DECIMAL
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("__val").cast("double"), 2).alias("part_value"),
+            F.round(
+                F.col("__val").cast("double") / F.col("__gv").cast("double"), 6
+            ).alias("value_share"),
+        )
+    )
+
+
+@query(
     "small_qty_brand_revenue",
     oracle="""
     WITH lim AS (
@@ -4796,7 +4885,9 @@ _DRIVER_WINDOW = [
     "dedup_clusters",
     "doc_dedup_exact",
     "doc_token_chunks",
-    "domain_mixture_sample",
+    # NEW in r5: key_part_value_share (Q11 shape) takes domain_mixture_sample's
+    # slot — weighted_doc_sample keeps the sampling family windowed
+    "key_part_value_share",
     # NEW in r5: semantic_dedup_embeddings (SemDeDup) takes embedding_norms'
     # slot — the vector-math family keeps ivf/lsh/pq/rec_diversity in-window
     "semantic_dedup_embeddings",
@@ -4810,7 +4901,9 @@ _DRIVER_WINDOW = [
     "kcore_events",
     "lang_id_confusion",
     "leakage_safe_folds",
-    "leave_one_out_events",
+    # NEW in r5: excess_shipment_suppliers (Q20 shape) takes
+    # leave_one_out_events' slot — the split family keeps leakage_safe_folds
+    "excess_shipment_suppliers",
     "lsh_ann_topk",
     "minhash_dedup_candidates",
     "multimodal_metadata",

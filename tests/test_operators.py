@@ -211,6 +211,28 @@ def test_dedup_spans_semantics(spark):
         dedup_spans(ddf, "txt", "doc", scope="nope")
 
 
+def test_connected_components_paths_agree(spark):
+    """The cost-gated driver union-find and the distributed min-label loop
+    are the same function: identical labels on a graph with a chain (tests
+    multi-hop propagation), a triangle, an isolated edge, and min-id
+    keepers that enter via either endpoint."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import connected_components
+
+    edges = [(5, 9), (9, 2), (2, 7), (11, 12), (12, 11), (20, 21), (3, 30), (30, 1)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {r["node_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    dist = {r["node_id"]: r["cluster_id"]
+            for r in connected_components(pairs, small_input_bytes=0).collect()}
+    assert fast == dist
+    assert fast[5] == fast[9] == fast[2] == fast[7] == 2      # chain collapses to min
+    assert fast[11] == fast[12] == 11
+    assert fast[3] == fast[30] == fast[1] == 1
+    # the hint overrides a pessimistic static estimate in either direction
+    hinted = {r["node_id"]: r["cluster_id"]
+              for r in connected_components(pairs, edge_count_hint=len(edges)).collect()}
+    assert hinted == fast
+
+
 def test_dedup_spans_incremental_probes_index(spark):
     """Incremental batch rewrite: spans already in the corpus index vanish,
     new spans follow the in-batch first-occurrence rule, and folding the
