@@ -313,3 +313,62 @@ def near_dup_dedup_stream(
             batch.unpersist()
 
     return _process
+
+
+def span_dedup_stream(
+    index_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+    sep: str | None = None,
+):
+    """ST9 × span dedup: streaming corpus REWRITE — each micro-batch is
+    span-deduplicated against the persisted fingerprint index
+    (``operators/dedup.dedup_spans_incremental``), the rewritten documents
+    land in ``out_dir``, and only the batch's genuinely new fingerprints
+    append to ``index_dir``. When batches arrive in corpus order the union
+    of rewritten epochs equals the one-shot ``dedup_spans`` corpus rewrite
+    (parity-tested), so ingest-time dedup needs no second batch pass.
+
+    Same durability contract as ``near_dup_dedup_stream``: every sink is an
+    ``epoch=N`` partition written with overwrite and reads exclude the
+    batch's own epoch, so foreachBatch's at-least-once replay rewrites
+    exactly its own output (idempotent restarts); state lives in parquet —
+    the index doubles as the offline dimension table (S10). The index rows
+    are 16-byte hashes: compact ``index_dir`` periodically at corpus scale.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        dedup_spans_incremental,
+        span_index,
+    )
+
+    def _read_or_none(spark, path: str):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            if batch.limit(1).count() == 0:
+                return
+            prior = _read_or_none(spark, index_dir)
+            if prior is not None:
+                index = prior.where(F.col("epoch") != epoch_id).drop("epoch")
+            else:
+                index = spark.createDataFrame([], "span_fp string")
+            rewritten = dedup_spans_incremental(
+                batch, index, text_col, id_col, span_words=span_words, sep=sep
+            )
+            rewritten.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+            delta = span_index(batch, text_col, id_col, span_words=span_words, sep=sep).join(
+                index, "span_fp", "left_anti"
+            )
+            delta.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+        finally:
+            batch.unpersist()
+
+    return _process

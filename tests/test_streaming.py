@@ -710,3 +710,57 @@ def test_stream_restart_resumes_from_checkpoint(spark, events_batch):
     ).where(F.col("__rn") == 1).drop("__rn")
     want = sorted(map(str, latest.orderBy("user_id").collect()))
     assert len(got) > 0 and got == want
+
+
+def test_span_dedup_stream_matches_batch(spark):
+    """Streaming span rewrite: replaying the corpus in doc order as
+    micro-batches through the foreachBatch index sink yields EXACTLY the
+    one-shot corpus-scope dedup_spans rewrite, and replaying the last
+    epoch (at-least-once) changes nothing."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import dedup_spans
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import span_dedup_stream
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_tables(spark, sf_dir, register=False)["documents"].select("doc_id", "text")
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp")
+    stage = _os.path.join(tmp, "sd_stage")
+    index_dir = _os.path.join(tmp, "sd_index")
+    out_dir = _os.path.join(tmp, "sd_out")
+    for p in [stage, index_dir, out_dir]:
+        shutil.rmtree(p, ignore_errors=True)
+    n = docs.count()
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sink = span_dedup_stream(index_dir, out_dir, span_words=8)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).drop("epoch").collect()}
+    expected = {
+        tuple(r) for r in dedup_spans(docs, "text", "doc_id", span_words=8).collect()
+    }
+    assert got == expected and len(got) == n
+    assert any(r[2] < r[3] for r in got)  # some spans actually dropped
+
+    # at-least-once replay of the LAST epoch leaves both sinks unchanged
+    idx_before = {r["span_fp"] for r in spark.read.parquet(index_dir).drop("epoch").collect()}
+    last = spark.read.parquet(stage).where(F.col("doc_id") >= 2 * n // 3)
+    sink(last, 2)
+    replayed = {tuple(r) for r in spark.read.parquet(out_dir).drop("epoch").collect()}
+    idx_after = {r["span_fp"] for r in spark.read.parquet(index_dir).drop("epoch").collect()}
+    assert replayed == expected and idx_after == idx_before
