@@ -489,3 +489,37 @@ def test_plan_linter_flags_and_passes(spark):
     # clean catalog queries pass (broadcast joins, pushed filters, TakeOrdered)
     for name in ("top_building_orders", "global_top_parts", "brand_top_parts"):
         assert_scalable(QUERIES[name].fn(spark, SF_DIR))
+
+
+def test_span_dedup_plan_shape(spark):
+    """dedup_spans must stay window-free (the keeper is an aggregation with
+    map-side partial combiners, not a row_number over span text) and must
+    carry no cartesian product; the keeper aggregate shows a partial stage
+    so a hot boilerplate span reduces before the exchange."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import dedup_spans
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup_spans(d, "text", "doc_id", span_words=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "partial_" in plan  # map-side combine on the keeper agg
+    # semi-join back on (unit, id, pos): all three keys must appear in a join
+    assert "LeftSemi" in plan, plan
+
+
+def test_semantic_dedup_pair_join_not_broadcast_corpus(spark):
+    """semantic_dedup's intra-cell pair join must SHUFFLE both sides on the
+    cell id (AQE can skew-split an outlier cell) — broadcasting a corpus
+    side would pin the whole catalog on every executor; centroid assignment
+    IS broadcast (n_cells rows). The whole plan stays cartesian-free."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import semantic_dedup
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_dedup(e, "vec_id", n_cells=4, threshold=0.5, refine_iters=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan
+    rows = out.collect()
+    assert len(rows) == e.count()
+    keepers = [r for r in rows if r["is_keeper"] == 1]
+    assert 0 < len(keepers) <= len(rows)
