@@ -457,15 +457,20 @@ def semantic_dedup(
     threshold: float = 0.8,
     refine_iters: int = 1,
     max_iter: int = 10,
+    keeper: str = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     removal in embedding space. Cluster the corpus into IVF cells
     (deterministic lowest-id seeds + ``refine_iters`` Lloyd steps, exactly
     the ``ivf_topk`` build), score pairwise cosine only WITHIN each cell,
     connect pairs ≥ ``threshold`` into duplicate groups
-    (``connected_components`` min-label propagation), and keep the lowest id
-    per group. Returns (id, cell, cluster_id, is_keeper) — filter
-    ``is_keeper = 1`` for the deduplicated corpus.
+    (``connected_components`` min-label propagation), and keep ONE point per
+    group: ``keeper="min_id"`` (default — deterministic, oracle-checkable,
+    the repo-wide keep rule) or ``keeper="low_centroid_sim"`` (the paper's
+    §3 policy: keep the member with the LOWEST cosine to its cell centroid,
+    maximizing retained diversity; ties break to the lower id). Returns
+    (id, cell, cluster_id, is_keeper) — filter ``is_keeper = 1`` for the
+    deduplicated corpus.
 
     Scale shape: the cell partition bounds the quadratic term at
     Σ|cell|² ≪ |corpus|² — ``n_cells`` grows with the corpus to hold cell
@@ -504,11 +509,40 @@ def semantic_dedup(
         pairs, "id_a", "id_b", max_iter=max_iter, edge_count_hint=pair_bound
     )
     label = F.coalesce(F.col("cluster_id"), F.col("__iid"))
-    return assigned.join(comp, assigned["__iid"] == comp["node_id"], "left").select(
+    labeled = assigned.join(comp, assigned["__iid"] == comp["node_id"], "left").select(
+        F.col("__iid"),
+        F.col("__cell"),
+        F.col("__iv"),
+        label.alias("cluster_id"),
+    )
+    if keeper == "min_id":
+        return labeled.select(
+            F.col("__iid").alias(id_col),
+            F.col("__cell").alias("cell"),
+            "cluster_id",
+            (F.col("cluster_id") == F.col("__iid")).cast("int").alias("is_keeper"),
+        )
+    if keeper != "low_centroid_sim":
+        raise ValueError(
+            f"semantic_dedup: keeper must be 'min_id' or 'low_centroid_sim', got {keeper!r}"
+        )
+    # paper policy: per duplicate group, keep the member LEAST similar to its
+    # cell centroid — one aggregation on the (slim) cluster key; min(struct)
+    # orders by (centroid_sim, id) so ties are deterministic
+    scored = labeled.join(F.broadcast(centroids), "__cell").select(
+        "__iid",
+        "__cell",
+        "cluster_id",
+        F.round(dot(F.col("__iv"), F.col("__cv")), 6).alias("__csim"),
+    )
+    winners = scored.groupBy("cluster_id").agg(
+        F.min(F.struct(F.col("__csim"), F.col("__iid"))).alias("__w")
+    )
+    return scored.join(winners, "cluster_id").select(
         F.col("__iid").alias(id_col),
         F.col("__cell").alias("cell"),
-        label.alias("cluster_id"),
-        (label == F.col("__iid")).cast("int").alias("is_keeper"),
+        "cluster_id",
+        (F.col("__iid") == F.col("__w")["__iid"]).cast("int").alias("is_keeper"),
     )
 
 

@@ -282,6 +282,19 @@ def test_semantic_dedup_groups_and_keepers(spark):
             for r in semantic_dedup(df.repartition(5), "vid", n_cells=3, threshold=0.9).collect()}
     assert redo == out
 
+    # paper keep-policy: the member LEAST similar to its cell centroid stays.
+    # ids 1,2,5 form one group; id 5 (0.998, 0.02) sits farthest from the
+    # cluster-1 centroid, so it is the keeper under low_centroid_sim
+    paper = {r["vid"]: r["is_keeper"]
+             for r in semantic_dedup(df, "vid", n_cells=3, threshold=0.9,
+                                     keeper="low_centroid_sim").collect()}
+    group = {v: k for v, k in paper.items() if v in (1, 2, 5)}
+    assert sum(group.values()) == 1  # exactly one keeper per group
+    assert paper[9] == 1             # singletons always keep themselves
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        semantic_dedup(df, "vid", keeper="nope").collect()
+
 
 def test_knn_self_similarity_and_ranking(spark):
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
