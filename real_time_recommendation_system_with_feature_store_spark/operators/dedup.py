@@ -939,26 +939,32 @@ def dedup_spans(
     partitioning of the output. No windows, no row-UDFs, no all-pairs.
     """
     base, units, join_sep = _span_split(df, text_col, id_col, span_words, sep)
-    exploded = base.select("__du_id", F.posexplode(units).alias("__du_pos", "__du_unit"))
+    # keeper bookkeeping runs on the 16-byte md5 fingerprint, not the span
+    # text — the keeper shuffle and semi-join keys shrink to hash width while
+    # the text rides only the exploded side it is rebuilt from (md5 is the
+    # repo-wide exact-match contract, cf. exact_dedup/span_index)
+    exploded = base.select(
+        "__du_id", F.posexplode(units).alias("__du_pos", "__du_unit")
+    ).withColumn("__du_fp", F.md5(F.col("__du_unit")))
     if scope == "document":
         # intra-document repetition removal (the Gopher-signal rewrite twin):
         # a unit survives only its first position WITHIN its own document —
-        # one aggregation keyed (id, unit), no cross-document shuffle width
-        keepers = exploded.groupBy("__du_id", "__du_unit").agg(
+        # one aggregation keyed (id, fp), no cross-document shuffle width
+        keepers = exploded.groupBy("__du_id", "__du_fp").agg(
             F.min("__du_pos").alias("__du_pos")
         )
-        kept = exploded.join(keepers, ["__du_id", "__du_unit", "__du_pos"], "left_semi")
+        kept = exploded.join(keepers, ["__du_id", "__du_fp", "__du_pos"], "left_semi")
     elif scope == "corpus":
-        keepers = exploded.groupBy("__du_unit").agg(
+        keepers = exploded.groupBy("__du_fp").agg(
             F.min(F.struct(F.col("__du_id"), F.col("__du_pos"))).alias("__k")
         )
         kept = exploded.join(
             keepers.select(
-                "__du_unit",
+                "__du_fp",
                 F.col("__k")["__du_id"].alias("__du_id"),
                 F.col("__k")["__du_pos"].alias("__du_pos"),
             ),
-            ["__du_unit", "__du_id", "__du_pos"],
+            ["__du_fp", "__du_id", "__du_pos"],
             "left_semi",
         )
     else:
@@ -1012,16 +1018,16 @@ def dedup_spans_incremental(
     fresh = exploded.withColumn("span_fp", F.md5(F.col("__du_unit"))).join(
         corpus_index.select("span_fp"), "span_fp", "left_anti"
     )
-    keepers = fresh.groupBy("__du_unit").agg(
+    keepers = fresh.groupBy("span_fp").agg(
         F.min(F.struct(F.col("__du_id"), F.col("__du_pos"))).alias("__k")
     )
     kept = fresh.join(
         keepers.select(
-            "__du_unit",
+            "span_fp",
             F.col("__k")["__du_id"].alias("__du_id"),
             F.col("__k")["__du_pos"].alias("__du_pos"),
         ),
-        ["__du_unit", "__du_id", "__du_pos"],
+        ["span_fp", "__du_id", "__du_pos"],
         "left_semi",
     )
     return _span_rebuild(kept, base, units, join_sep, id_col)
