@@ -479,10 +479,11 @@ def semantic_dedup(
     cell; nothing broadcasts the corpus, and the component loop's state is
     one slim (node, label) frame bounded by near-dup cluster diameter.
     """
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
     from real_time_recommendation_system_with_feature_store_spark.operators.dedup import connected_components
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
-    it = df.select(F.col(id_col).alias("__iid"), l2_normalize(F.col(vec_col)).alias("__iv"))
+    it = df.select(qcol(id_col).alias("__iid"), l2_normalize(qcol(vec_col)).alias("__iv"))
     centroids = global_topn_ranked(
         it, [F.col("__iid").asc()], n_cells, rank_col="__cell"
     ).select(F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv"))

@@ -179,6 +179,22 @@ def test_dedup_spans_hostile(spark, name):
         assert got == {1: "a b c d", 2: "x y"}, (text, did)
 
 
+@pytest.mark.parametrize("name", HOSTILE)
+def test_semantic_dedup_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (9, [0.0, 1.0])], ["vid", "embedding"]
+    )
+    for role_df, vid, vec in [
+        (df.withColumnRenamed("vid", name), name, "embedding"),
+        (df.withColumnRenamed("embedding", name), "vid", name),
+    ]:
+        out = {r[vid]: (r["cluster_id"], r["is_keeper"])
+               for r in semantic_dedup(role_df, vid, vec, n_cells=2, threshold=0.9).collect()}
+        assert out == {1: (1, 1), 2: (1, 0), 9: (9, 1)}, (vid, vec)
+
+
 def test_qcol_roundtrip(spark):
     """quote_ident survives every hostile class including embedded backticks."""
     for name in HOSTILE:

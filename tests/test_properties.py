@@ -698,3 +698,41 @@ def test_profile_table_matches_duckdb(spark, a, b):
             f" CAST(MIN({c}) AS VARCHAR), CAST(MAX({c}) AS VARCHAR) FROM t"
         ).fetchone()
         assert got[c] == tuple(want), (c, got[c], want)
+
+
+# documents as word lists over a tiny alphabet: collisions guaranteed
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=docs_strategy, w=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_dedup_spans_matches_reference(spark, docs, w):
+    """dedup_spans (corpus scope) equals a driver-side reference rewrite on
+    random word streams: first corpus occurrence of each w-word span (scan
+    order = (doc_id, pos)) survives, later ones vanish, docs reassemble in
+    span order, counters add up."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import dedup_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    seen: set = set()
+    expected = {}
+    for i, ws in enumerate(docs):
+        # split("", " ") yields [""]: the reference must mirror the engine's
+        # one-empty-span representation of an empty document
+        words = " ".join(ws).split(" ")
+        spans = [" ".join(words[j : j + w]) for j in range(0, len(words), w)] or [""]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        expected[i] = (" ".join(kept), len(kept), len(spans))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["dedup_text"], r["n_spans_kept"], r["n_spans_total"])
+           for r in dedup_spans(df, "text", "doc_id", span_words=w).collect()}
+    assert got == expected
