@@ -686,9 +686,14 @@ def test_profile_table_matches_duckdb(spark, a, b):
     a = (a + [None] * n)[:n]
     b = (b + [None] * n)[:n]
     df = spark.createDataFrame(list(zip(a, b)), "a int, b string")
+    # exact=True pins COUNT(DISTINCT) semantics. The DEFAULT gate on a
+    # LocalRelation has NO size estimate and so routes to the approx tier
+    # (unknown = too big = fail-cheap, the 100 TB-safe choice) — and HLL can
+    # genuinely miscount tiny sets (hypothesis found {33, 50} -> 1), so the
+    # approx tier only gets a band assertion below.
     got = {
         r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"], r["min_value"], r["max_value"])
-        for r in profile_table(df, ["a", "b"]).collect()
+        for r in profile_table(df, ["a", "b"], exact=True).collect()
     }
     con = duckdb.connect()
     con.register("t", __import__("pandas").DataFrame({"a": __import__("pandas").array(a, dtype="Int64"), "b": b}))
@@ -698,6 +703,13 @@ def test_profile_table_matches_duckdb(spark, a, b):
             f" CAST(MIN({c}) AS VARCHAR), CAST(MAX({c}) AS VARCHAR) FROM t"
         ).fetchone()
         assert got[c] == tuple(want), (c, got[c], want)
+    approx = {
+        r["column_name"]: r["n_distinct"]
+        for r in profile_table(df, ["a", "b"], exact=False).collect()
+    }
+    for c in ("a", "b"):
+        lo, hi = got[c][2] * 0.5, got[c][2] * 1.5  # rsd-scale band, 0 stays 0
+        assert lo <= approx[c] <= max(hi, 0), (c, approx[c], got[c][2])
 
 
 # documents as word lists over a tiny alphabet: collisions guaranteed
