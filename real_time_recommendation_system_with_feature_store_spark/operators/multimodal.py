@@ -196,10 +196,13 @@ def encode_bmp(pixels) -> bytes:
     return header + data
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int | None = None) -> bytes:
     """REAL GIF-variant LZW decompression (variable code width 3..12 bits,
     clear/EOI codes, deferred-clear tolerant). Returns the palette-index
-    stream. Raises ValueError on a corrupt stream."""
+    stream. Raises ValueError on a corrupt stream. ``max_out`` caps the
+    expansion (LZW is a legal ~4000× bomb: each 12-bit code can emit a
+    4096-byte table entry) — decoding stops once the caller's needed pixel
+    count is reached."""
     clear = 1 << min_code_size
     eoi = clear + 1
     code_size = min_code_size + 1
@@ -234,6 +237,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
                 raise ValueError("corrupt LZW stream: code beyond table")
             out += entry
             prev = entry
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out)
             if len(table) == (1 << code_size) and code_size < 12:
                 code_size += 1
     return bytes(out)
@@ -288,6 +293,12 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# Adversarial-bytes guard: a 13-byte header can CLAIM a 65535×65535 canvas
+# (~12 GB as uint8 RGB) before any pixel data exists to back it. Decoders
+# must refuse header-claimed allocations beyond this many pixels — corpus
+# blobs are untrusted input, and one crafted row must not OOM an executor.
+_MAX_DECODE_PIXELS = 1 << 26  # 64 Mpx ≈ 192 MB RGB
+
 
 def decode_gif_frames(blob: bytes):
     """REAL animated-GIF pixel decode, stdlib+numpy only: parses the logical
@@ -305,22 +316,22 @@ def decode_gif_frames(blob: bytes):
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h, packed, bg_idx, _ = struct.unpack_from("<HHBBB", b, 6)
-    if w == 0 or h == 0:
+    if w == 0 or h == 0 or w * h > _MAX_DECODE_PIXELS:
         return None
     pos = 13
-    global_pal = None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        global_pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
-        pos += n * 3
-    canvas = np.zeros((h, w, 3), np.uint8)
-    if global_pal is not None and bg_idx < len(global_pal):
-        canvas[:] = global_pal[bg_idx]
-    background = canvas.copy()
     frames: list = []
     transparent = None
     disposal = 0
     try:
+        global_pal = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            global_pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        canvas = np.zeros((h, w, 3), np.uint8)
+        if global_pal is not None and bg_idx < len(global_pal):
+            canvas[:] = global_pal[bg_idx]
+        background = canvas.copy()
         while pos < len(b):
             block = b[pos]
             pos += 1
@@ -341,6 +352,8 @@ def decode_gif_frames(blob: bytes):
                 return None
             fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", b, pos)
             pos += 9
+            if fw == 0 or fh == 0 or fw * fh > _MAX_DECODE_PIXELS:
+                return None
             pal = global_pal
             if fpacked & 0x80:
                 n = 2 << (fpacked & 0x07)
@@ -356,7 +369,9 @@ def decode_gif_frames(blob: bytes):
                 data += b[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            idx = np.frombuffer(_lzw_decode(bytes(data), min_code), np.uint8)
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), min_code, max_out=fw * fh), np.uint8
+            )
             if len(idx) < fw * fh:
                 return None
             idx = idx[: fw * fh].reshape(fh, fw)
@@ -376,6 +391,8 @@ def decode_gif_frames(blob: bytes):
             else:
                 region[:] = rgb
             frames.append(canvas.copy())
+            if (len(frames) + 1) * w * h > _MAX_DECODE_PIXELS:
+                break  # frame budget: a crafted 1000-frame blob must not OOM
             if disposal == 2:
                 canvas[fy : fy + fh, fx : fx + fw] = background[
                     fy : fy + fh, fx : fx + fw

@@ -1112,6 +1112,43 @@ def test_gif_codec_lzw_and_compositing():
     assert decode_gif_frames(b"not a gif at all") is None
 
 
+def test_gif_decoder_survives_adversarial_bytes():
+    """Corpus blobs are untrusted: a 13-byte header claiming a 65535×65535
+    canvas, oversized frame descriptors, LZW expansion bombs, and random
+    mutations of a valid GIF must all return None or a bounded result —
+    never an exception, never a header-claimed giant allocation."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import (
+        _MAX_DECODE_PIXELS,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    huge = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+    assert decode_gif_frames(huge) is None  # 12 GB canvas claim refused
+
+    # valid canvas, frame descriptor claims 65535x65535
+    base = bytearray(b"GIF89a") + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    base += bytes(6)  # 2-entry global palette
+    base += struct.pack("<BHHHHB", 0x2C, 0, 0, 65535, 65535, 0)
+    base += bytes([2, 1, 0x44, 0, 0x3B])
+    assert decode_gif_frames(bytes(base)) is None
+
+    valid = encode_gif([np.full((5, 7, 3), (1, 2, 3), np.uint8)])
+    assert decode_gif_frames(valid) is not None
+    rng = random.Random(11)
+    for _ in range(300):  # byte-mutation fuzz: crash-free, bounded
+        mutated = bytearray(valid)
+        for _ in range(rng.randrange(1, 6)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        out = decode_gif_frames(bytes(mutated))
+        assert out is None or sum(f.size for f in out) <= 4 * _MAX_DECODE_PIXELS
+
+
 def test_gif_frame_sampling_and_resize_real(spark):
     """sample_frames is REAL for animated GIF: a 4-frame GIF sampled at
     n_frames=2 yields frames 0 and 2 re-encoded as BMPs (pixel-exact);
