@@ -3447,6 +3447,33 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_order_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: distribution of group sizes — LEFT join so "
+        "zero-order customers land in the 0 bucket (COUNT(col) skips the "
+        "null-extended rows), then a second aggregation over the first's "
+        "(already tiny) output.",
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
     "excess_shipment_suppliers",
     oracle="""
     WITH win AS (
@@ -4879,7 +4906,9 @@ _DRIVER_WINDOW = [
     "als_item_embeddings",
     "bpe_merge_table",
     "bpe_tokenized_docs",
-    "brand_top_parts",
+    # NEW in r5: customer_order_histogram (Q13 shape) takes brand_top_parts'
+    # slot — per-group top-k keeps top_building_orders (r4-green)
+    "customer_order_histogram",
     "charlm_doc_scores",
     "corpus_export_pipeline",
     "dedup_clusters",

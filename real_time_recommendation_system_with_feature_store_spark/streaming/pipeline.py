@@ -372,3 +372,94 @@ def span_dedup_stream(
             batch.unpersist()
 
     return _process
+
+
+def semantic_dedup_stream(
+    centroids_dir: str,
+    members_dir: str,
+    pairs_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.8,
+    refine_iters: int = 1,
+):
+    """ST9 × SemDeDup: streaming semantic near-dup — the FIRST batch trains
+    the IVF cell geometry (deterministic lowest-id seeds + Lloyd steps,
+    exactly ``knn.semantic_dedup``'s build) and persists the centroids;
+    every batch assigns its vectors to those FIXED cells, scores pairwise
+    cosine against the prior members of the same cell plus its own
+    intra-cell pairs, emits the ≥ ``threshold`` pairs touching the batch,
+    and appends its (cell, id, normalized-vector) rows to the member table.
+    With batches arriving in id order the union of emitted pairs equals the
+    one-shot intra-cell pair set under the same centroids (parity-tested);
+    freezing the geometry after batch one is SemDeDup's own
+    incremental-index trade — retrain + re-sketch to pick up drift.
+
+    Same durability contract as the other dedup streams: ``epoch=N``
+    overwrite partitions, reads exclude the batch's own epoch, replays are
+    idempotent; all state is parquet (the member table is the S10 dimension
+    table — (16 B cell + id + vector) per row).
+    """
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        _assign_cells,
+        _lloyd_refine,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    def _read_or_none(spark, path: str):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        it = batch_df.select(
+            F.col(id_col).alias("__iid"), l2_normalize(F.col(vec_col)).alias("__iv")
+        ).persist()
+        try:
+            if it.limit(1).count() == 0:
+                return
+            cents = _read_or_none(spark, centroids_dir)
+            if cents is None:
+                cents = global_topn_ranked(
+                    it, [F.col("__iid").asc()], n_cells, rank_col="__cell"
+                ).select(F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv"))
+                cents = _lloyd_refine(it, cents, refine_iters)
+                cents.write.mode("overwrite").parquet(centroids_dir)
+                cents = spark.read.parquet(centroids_dir)
+            assigned = _assign_cells(it, cents)
+            prior = _read_or_none(spark, members_dir)
+            if prior is not None:
+                prior = prior.where(F.col("epoch") != epoch_id).drop("epoch")
+            new = assigned.select("__cell", F.col("__iid").alias("id_b"), F.col("__iv").alias("__vb"))
+            old_sides = [assigned.select("__cell", F.col("__iid").alias("id_a"), F.col("__iv").alias("__va"))]
+            if prior is not None:
+                old_sides.append(
+                    prior.select("__cell", F.col("__iid").alias("id_a"), F.col("__iv").alias("__va"))
+                )
+            olds = old_sides[0] if len(old_sides) == 1 else old_sides[0].unionByName(old_sides[1])
+            # normalize endpoints instead of requiring id_a < id_b across
+            # sides: a batch id smaller than a prior id must still pair even
+            # though the prior row sits on the "old" side (out-of-order feeds)
+            pairs = (
+                olds.join(new, "__cell")
+                .where(F.col("id_a") != F.col("id_b"))
+                .select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+                )
+                .where(F.col("cosine") >= threshold)
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+            assigned.select("__cell", "__iid", "__iv").write.mode("overwrite").parquet(
+                f"{members_dir}/epoch={epoch_id}"
+            )
+        finally:
+            it.unpersist()
+
+    return _process

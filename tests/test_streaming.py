@@ -764,3 +764,78 @@ def test_span_dedup_stream_matches_batch(spark):
     replayed = {tuple(r) for r in spark.read.parquet(out_dir).drop("epoch").collect()}
     idx_after = {r["span_fp"] for r in spark.read.parquet(index_dir).drop("epoch").collect()}
     assert replayed == expected and idx_after == idx_before
+
+
+def test_semantic_dedup_stream_matches_offline(spark):
+    """Streaming SemDeDup: first batch freezes the cell geometry; the union
+    of per-epoch pair emissions equals the offline intra-cell pair set
+    computed under those SAME centroids; replaying the last epoch changes
+    nothing."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import _assign_cells
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import semantic_dedup_stream
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    vecs = load_tables(spark, sf_dir, register=False)["embeddings"].select("vec_id", "embedding")
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp")
+    stage = _os.path.join(tmp, "sem_stage")
+    dirs = {k: _os.path.join(tmp, f"sem_{k}") for k in ("centroids", "members", "pairs")}
+    for p in [stage, *dirs.values()]:
+        shutil.rmtree(p, ignore_errors=True)
+    n = vecs.count()
+    hi = int(vecs.agg(F.max("vec_id")).collect()[0][0])
+    cuts = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi + 1)]
+    for lo, up in cuts:
+        vecs.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up)).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sink = semantic_dedup_stream(
+        dirs["centroids"], dirs["members"], dirs["pairs"], n_cells=8, threshold=0.3
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in spark.read.parquet(dirs["pairs"]).drop("epoch").collect()
+    }
+    # offline expectation under the SAME persisted centroids
+    cents = spark.read.parquet(dirs["centroids"])
+    it = vecs.select(F.col("vec_id").alias("__iid"), l2_normalize(F.col("embedding")).alias("__iv"))
+    assigned = _assign_cells(it, cents)
+    a = assigned.select("__cell", F.col("__iid").alias("id_a"), F.col("__iv").alias("__va"))
+    b = assigned.select("__cell", F.col("__iid").alias("id_b"), F.col("__iv").alias("__vb"))
+    expected = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in (
+            a.join(b, "__cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine"))
+            .where(F.col("cosine") >= 0.3)
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+    # member table holds every vector exactly once
+    assert spark.read.parquet(dirs["members"]).count() == n
+
+    # at-least-once replay of the LAST epoch leaves the pair set unchanged
+    last = spark.read.parquet(stage).where(F.col("vec_id") >= 2 * hi // 3)
+    sink(last, 2)
+    replayed = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in spark.read.parquet(dirs["pairs"]).drop("epoch").collect()
+    }
+    assert replayed == expected
