@@ -7,13 +7,16 @@ WAV (``decode_header``: magic sniff + struct unpack, no PIL/ffmpeg needed);
 unrecognized bytes fall back to a clearly-marked deterministic fake (or
 raise, in strict mode). PIXEL kernels are likewise REAL wherever the bytes
 are decodable with stdlib+numpy: 24-bit BMP decode/encode
-(``decode_bmp_pixels``/``encode_bmp``), full animated-GIF decode — LZW,
+(``decode_bmp_pixels``/``encode_bmp``), 8-bit truecolor PNG decode/encode —
+zlib IDAT inflate + all five scanline filters, RGBA-over-white
+(``decode_png_pixels``/``encode_png``) — full animated-GIF decode — LZW,
 color tables, interlace, disposal/transparency compositing
 (``decode_gif_frames``, with ``encode_gif`` as its test inverse) — and WAV
-PCM16 decode (``decode_wav_samples``). On those formats resize
-(nearest-neighbor), frame sampling (evenly across the GIF timeline) and
-feature extraction (color-moment grids for images, RMS/ZCR/spectral-
-centroid/band-energy DSP for audio) are real end-to-end. Undecodable
+PCM16 decode/encode (``decode_wav_samples``/``encode_wav``). On those
+formats resize (nearest-neighbor), frame sampling (evenly across the GIF
+timeline; contiguous re-encoded PCM segments for audio) and feature
+extraction (color-moment grids for images, RMS/ZCR/spectral-centroid/
+band-energy DSP for audio) are real end-to-end. Undecodable
 containers fall back to clearly-marked deterministic stubs (PIL/ffmpeg/a
 learned encoder are not in this container); the Spark-side plumbing
 (schema, Arrow batching, ``mapInPandas`` signature, row expansion,
@@ -489,10 +492,139 @@ def decode_wav_samples(blob: bytes):
     return None
 
 
+def decode_png_pixels(blob: bytes):
+    """REAL PNG pixel decode, stdlib(zlib)+numpy only, for the mainstream
+    subset: 8-bit-depth truecolor (RGB) or truecolor+alpha (RGBA),
+    non-interlaced. IDAT chunks are zlib-inflated and the five scanline
+    filters (None/Sub/Up/Average/Paeth) undone row by row; RGBA composites
+    over white. Returns (h, w, 3) uint8 RGB, or None for any other PNG
+    flavor (paletted, grayscale, 16-bit, interlaced) or non-PNG bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(blob)
+    if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack_from(">II", b, 16)
+    depth, color, _comp, _filt, interlace = struct.unpack_from("BBBBB", b, 24)
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        return None
+    if w == 0 or h == 0 or w * h > _MAX_DECODE_PIXELS:
+        return None
+    ch = 3 if color == 2 else 4
+    idat = bytearray()
+    pos = 8
+    try:
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack_from(">I", b, pos)
+            ctype = b[pos + 4 : pos + 8]
+            if ctype == b"IDAT":
+                idat += b[pos + 8 : pos + 8 + ln]
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln  # len + type + data + crc
+        raw = zlib.decompress(bytes(idat))
+    except Exception:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, np.uint8, h * (stride + 1)).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int16)  # room for the filter arithmetic
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        f = filters[y]
+        line = data[y].copy()
+        prior = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:
+            out[y] = line.astype(np.uint8)
+        elif f == 1:  # Sub: left neighbor = per-channel-lane prefix sum
+            lanes = line.reshape(w, ch).astype(np.int64).cumsum(axis=0)
+            out[y] = (lanes & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = ((line + prior) & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(out[y, x - ch]) if x >= ch else 0
+                out[y, x] = (line[x] + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(out[y, x - ch]) if x >= ch else 0
+                bb = int(prior[x])
+                c = int(out[y - 1, x - ch]) if (x >= ch and y) else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                out[y, x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+    px = out.reshape(h, w, ch)
+    if ch == 4:  # composite over white, like a viewer's default canvas
+        alpha = px[:, :, 3:4].astype(np.uint16)
+        rgb = px[:, :, :3].astype(np.uint16)
+        px = ((rgb * alpha + 255 * (255 - alpha)) // 255).astype(np.uint8)
+    else:
+        px = px[:, :, :3].copy()
+    return px
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor
+    non-interlaced PNG (filter 0 rows, one zlib IDAT) — the inverse of
+    ``decode_png_pixels`` for the RGB subset."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * 3)], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Encode float samples in [-1, 1] as a mono 16-bit PCM WAV — the
+    inverse of ``decode_wav_samples`` (mono side)."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples, np.float64), -1.0, 1.0) * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _decode_image(blob: bytes):
     """Pixel decode across the formats the repo parses for real: 24-bit BMP,
-    or a GIF's first frame. Returns (h, w, 3) uint8 RGB or None."""
+    8-bit truecolor PNG, or a GIF's first frame. Returns (h, w, 3) uint8
+    RGB or None."""
     px = decode_bmp_pixels(blob)
+    if px is not None:
+        return px
+    px = decode_png_pixels(blob)
     if px is not None:
         return px
     frames = decode_gif_frames(blob)
@@ -537,13 +669,16 @@ def sample_frames(
     """Frame-sampling kernel: each input 'video' row expands to ``n_frames``
     rows (id, frame_idx, frame) — the UDTF-shaped multimodal op.
 
-    REAL for animated GIF — the one video-ish container decodable with
-    stdlib+numpy: every frame is LZW-decoded and composited
-    (``decode_gif_frames``), ``n_frames`` are sampled evenly across the
+    REAL for both time-media containers decodable with stdlib+numpy:
+    animated GIF — every frame LZW-decoded and composited
+    (``decode_gif_frames``), ``n_frames`` sampled evenly across the
     timeline (floor-index convention, like ``_resize_nearest``), each
-    re-encoded as a standalone BMP. Other containers keep the STUB
-    byte-slice sampling — a real impl seeks keyframes via ffmpeg; row
-    expansion, Arrow batching and schema are identical on both paths.
+    re-encoded as a standalone BMP — and WAV PCM16 audio, whose sample
+    stream splits into ``n_frames`` contiguous segments, each re-encoded
+    as a standalone valid WAV (``decode_wav_samples``/``encode_wav``).
+    Other containers keep the STUB byte-slice sampling — a real impl seeks
+    keyframes via ffmpeg; row expansion, Arrow batching and schema are
+    identical on all paths.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -557,6 +692,15 @@ def sample_frames(
                         ids.append(rid)
                         idxs.append(i)
                         frames.append(encode_bmp(decoded[(i * len(decoded)) // n_frames]))
+                    continue
+                wav = decode_wav_samples(b)
+                if wav is not None:  # REAL path: contiguous PCM segments
+                    samples, rate = wav
+                    bounds = [(j * len(samples)) // n_frames for j in range(n_frames + 1)]
+                    for i in range(n_frames):
+                        ids.append(rid)
+                        idxs.append(i)
+                        frames.append(encode_wav(samples[bounds[i] : bounds[i + 1]], rate))
                     continue
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
@@ -574,7 +718,7 @@ def extract_features(
     """Feature-extraction kernel: blob -> float embedding (array<float>).
 
     REAL content-based features for every container the repo decodes:
-    images (BMP / GIF first frame) get classical color features — a g×g
+    images (BMP / PNG / GIF first frame) get classical color features — a g×g
     grid of per-cell channel means (color moments), global channel stds and
     aspect ratio, scaled to [-1, 1]; WAV PCM16 audio gets real DSP features
     — RMS energy, zero-crossing rate, FFT spectral centroid, and

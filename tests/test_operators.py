@@ -1112,6 +1112,89 @@ def test_gif_codec_lzw_and_compositing():
     assert decode_gif_frames(b"not a gif at all") is None
 
 
+def test_png_codec_filters_and_wav_segments(spark):
+    """PNG decode is REAL for 8-bit truecolor: encode→decode round-trips,
+    all five scanline filters reconstruct a hand-filtered image, RGBA
+    composites over white, and resize_images uses the real path. WAV frame
+    sampling emits valid standalone WAV segments whose samples concatenate
+    back to the original stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+        decode_wav_samples,
+        encode_png,
+        encode_wav,
+        resize_images,
+        sample_frames,
+    )
+
+    rs = np.random.RandomState(5)
+    px = rs.randint(0, 256, (23, 17, 3)).astype(np.uint8)
+    assert np.array_equal(decode_png_pixels(encode_png(px)), px)
+
+    # hand-filtered rows exercise Sub/Up/Average/Paeth reconstruction
+    h, w, ch = 6, 5, 3
+    stride = w * ch
+    img = rs.randint(0, 256, (h, stride)).astype(np.uint8)
+    filters = [0, 1, 2, 3, 4, 1]
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        cur = img[y].astype(int)
+        line = np.zeros(stride, int)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = int(img[y - 1][x]) if y else 0
+            c = (int(img[y - 1][x - ch]) if y else 0) if x >= ch else 0
+            pred = [0, a, b, (a + b) // 2][f] if f < 4 else None
+            if f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(line.tolist())
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png_pixels(blob), img.reshape(h, w, ch))
+
+    # RGBA composites over white; 50% red -> (255, ~127, ~127)
+    rgba = np.zeros((2, 2, 4), np.uint8)
+    rgba[..., :3] = (255, 0, 0)
+    rgba[..., 3] = 128
+    raw2 = bytearray()
+    for y in range(2):
+        raw2.append(0)
+        raw2 += rgba[y].tobytes()
+    blob2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(bytes(raw2))) + chunk(b"IEND", b""))
+    assert list(decode_png_pixels(blob2)[0, 0]) == [255, 127, 127]
+
+    # resize_images goes through the real PNG decode (BMP output)
+    png4 = encode_png(np.repeat(np.repeat(px[:1, :1], 4, 0), 4, 1))
+    df = spark.createDataFrame([(1, bytearray(png4))], "doc_id long, blob binary")
+    out = resize_images(df, "doc_id", width=2, height=2).collect()[0]
+    assert np.array_equal(decode_bmp_pixels(bytes(out["blob"]))[0, 0], px[0, 0])
+
+    # WAV frames: 3 segments re-encode as valid WAVs, samples concatenate back
+    sig = np.sin(np.linspace(0, 30, 999))
+    wdf = spark.createDataFrame([(7, bytearray(encode_wav(sig, 8000)))], "doc_id long, blob binary")
+    segs = {r["frame_idx"]: bytes(r["frame"]) for r in sample_frames(wdf, "doc_id", n_frames=3).collect()}
+    parts = [decode_wav_samples(segs[i]) for i in range(3)]
+    assert all(p is not None and p[1] == 8000 for p in parts)
+    joined = np.concatenate([p[0] for p in parts])
+    assert len(joined) == 999 and np.allclose(joined, np.clip(sig, -1, 1), atol=2e-3)
+
+
 def test_gif_decoder_survives_adversarial_bytes():
     """Corpus blobs are untrusted: a 13-byte header claiming a 65535×65535
     canvas, oversized frame descriptors, LZW expansion bombs, and random
