@@ -525,10 +525,12 @@ def decode_png_pixels(blob: bytes):
             elif ctype == b"IEND":
                 break
             pos += 12 + ln  # len + type + data + crc
-        raw = zlib.decompress(bytes(idat))
+        stride = w * ch
+        # cap the inflate at exactly the pixel bytes needed: zlib is a
+        # ~1000× bomb otherwise (a 1 KB IDAT can legally claim gigabytes)
+        raw = zlib.decompressobj().decompress(bytes(idat), h * (stride + 1))
     except Exception:
         return None
-    stride = w * ch
     if len(raw) < h * (stride + 1):
         return None
     rows = np.frombuffer(raw, np.uint8, h * (stride + 1)).reshape(h, stride + 1)

@@ -1231,6 +1231,36 @@ def test_gif_decoder_survives_adversarial_bytes():
         out = decode_gif_frames(bytes(mutated))
         assert out is None or sum(f.size for f in out) <= 4 * _MAX_DECODE_PIXELS
 
+    # PNG: header claiming a huge canvas refused; zip-bomb IDAT capped at
+    # the claimed pixel budget; mutation fuzz crash-free
+    import zlib
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    big_hdr = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
+    assert decode_png_pixels(big_hdr) is None  # 10 GB canvas claim refused
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20)))  # 64 MB claimed
+            + chunk(b"IEND", b""))
+    out = decode_png_pixels(bomb)  # inflate capped at 2x2 worth of bytes
+    assert out is None or out.shape == (2, 2, 3)
+    vpng = encode_png(np.full((4, 4, 3), (9, 8, 7), np.uint8))
+    for _ in range(300):
+        mutated = bytearray(vpng)
+        for _ in range(rng.randrange(1, 6)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        got = decode_png_pixels(bytes(mutated))
+        assert got is None or got.size <= 3 * _MAX_DECODE_PIXELS
+
 
 def test_gif_frame_sampling_and_resize_real(spark):
     """sample_frames is REAL for animated GIF: a 4-frame GIF sampled at
