@@ -198,3 +198,71 @@ def asof_join_union(
         F.when(keep, F.col(f"__c.{c}")).alias(c) for c in r_payload
     ]
     return carried.select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str,
+    r_id: str,
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    keys: Sequence[str] | None = None,
+    bin_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Interval-overlap join: (l_id, r_id) pairs whose CLOSED intervals
+    [l_start, l_end] and [r_start, r_end] intersect, optionally restricted
+    to equal ``keys``. Spark has no native range join, and the naive
+    ``ON ls <= re AND rs <= le`` predicate compiles to a broadcast
+    nested loop (or a per-key cartesian under equi keys) — quadratic on
+    busy keys. This is the standard BINNED formulation instead: each
+    interval explodes to the ``bin_seconds``-wide bins it covers, the two
+    sides equi-join on (keys..., bin) — a plain shuffled hash join — the
+    exact overlap predicate filters the candidates, and pair dedup removes
+    multi-bin duplicates. Shuffle volume is rows × avg-bins-per-interval;
+    pick ``bin_seconds`` near the typical interval length so avg-bins ≈ 2.
+
+    Reference parity: the reference has no interval analytics at all; this
+    is the J7/as-of family generalized from point-in-interval to
+    interval-vs-interval.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    keys = list(keys or [])
+    lk = [qcol(k).alias(f"__k{i}") for i, k in enumerate(keys)]
+    rk = [qcol(k).alias(f"__k{i}") for i, k in enumerate(keys)]
+    kcols = [f"__k{i}" for i in range(len(keys))]
+
+    def bins(s, e):
+        return F.sequence(
+            F.floor(F.unix_timestamp(s) / F.lit(bin_seconds)),
+            F.floor(F.unix_timestamp(e) / F.lit(bin_seconds)),
+        )
+
+    lb = left.select(
+        *lk,
+        qcol(l_id).alias("__lid"),
+        qcol(l_start).alias("__ls"),
+        qcol(l_end).alias("__le"),
+    ).withColumn("__bin", F.explode(bins(F.col("__ls"), F.col("__le"))))
+    rb = right.select(
+        *rk,
+        qcol(r_id).alias("__rid"),
+        qcol(r_start).alias("__rs"),
+        qcol(r_end).alias("__re"),
+    ).withColumn("__bin", F.explode(bins(F.col("__rs"), F.col("__re"))))
+    cand = lb.join(rb, [*kcols, "__bin"]).where(
+        (F.col("__ls") <= F.col("__re")) & (F.col("__rs") <= F.col("__le"))
+    )
+    out = cand.dropDuplicates(["__lid", "__rid", *kcols])
+    return out.select(
+        *[F.col(f"__k{i}").alias(k) for i, k in enumerate(keys)],
+        F.col("__lid").alias(l_id),
+        F.col("__rid").alias(r_id),
+        F.col("__ls").alias(l_start if l_start != r_start else f"l_{l_start}"),
+        F.col("__le").alias(l_end if l_end != r_end else f"l_{l_end}"),
+        F.col("__rs").alias(r_start if l_start != r_start else f"r_{r_start}"),
+        F.col("__re").alias(r_end if l_end != r_end else f"r_{r_end}"),
+    )

@@ -3447,6 +3447,54 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "overlapping_customer_orders",
+    oracle="""
+    SELECT a.o_custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT) AS day_gap
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.o_orderdate <= b.o_orderdate + INTERVAL 6 DAY
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 6 DAY
+    """,
+    doc="Interval-overlap join (binned range-join formulation): pairs of "
+        "same-customer orders whose 7-day windows intersect — the oracle "
+        "keeps the textbook range predicate, the engine explodes intervals "
+        "into week bins and equi-joins (no BNL, no per-key cartesian).",
+)
+def overlapping_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders")
+    win = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 6 DAYS")).alias("w_end"),
+    )
+    a = win.select(
+        "o_custkey", F.col("o_orderkey").alias("order_a"),
+        F.col("w_start").alias("sa"), F.col("w_end").alias("ea"),
+    )
+    b = win.select(
+        "o_custkey", F.col("o_orderkey").alias("order_b"),
+        F.col("w_start").alias("sb"), F.col("w_end").alias("eb"),
+    )
+    out = interval_overlap_join(
+        a, b, "order_a", "order_b", "sa", "ea", "sb", "eb",
+        keys=["o_custkey"], bin_seconds=7 * 86400,
+    ).where(F.col("order_a") < F.col("order_b"))
+    return out.select(
+        "o_custkey",
+        "order_a",
+        "order_b",
+        ((F.unix_timestamp("sb") - F.unix_timestamp("sa")) / F.lit(86400))
+        .cast("long")
+        .alias("day_gap"),
+    )
+
+
+@query(
     "customer_order_histogram",
     oracle="""
     WITH per_cust AS (
@@ -4940,7 +4988,10 @@ _DRIVER_WINDOW = [
     "ngram_repetition_signals",
     "part_type_multihot",
     "pii_scrubbed_docs",
-    "point_in_time_features",
+    # NEW in r5: overlapping_customer_orders (binned interval join) takes
+    # point_in_time_features' slot — the as-of family keeps
+    # asof_purchase_click (r4) + timeseries_feature_pipeline (new, in-window)
+    "overlapping_customer_orders",
     "popularity_ranking_metrics",
     "pq_ann_topk",
     "price_deciles",

@@ -211,6 +211,43 @@ def test_dedup_spans_semantics(spark):
         dedup_spans(ddf, "txt", "doc", scope="nope")
 
 
+def test_interval_overlap_join_binned(spark):
+    """Binned overlap join equals the naive range predicate on a constructed
+    set covering: touching endpoints (closed intervals), containment,
+    bin-boundary straddles, disjoint intervals, key isolation, and
+    multi-bin spans that must not duplicate pairs."""
+    from datetime import datetime
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import interval_overlap_join
+
+    t = lambda d: datetime.fromisoformat(f"2024-01-{d:02d} 00:00:00")
+    rows = [
+        ("k1", 1, t(1), t(5)),
+        ("k1", 2, t(5), t(9)),    # touches 1 at t5 (closed -> overlap)
+        ("k1", 3, t(2), t(3)),    # contained in 1
+        ("k1", 4, t(20), t(21)),  # disjoint
+        ("k2", 5, t(1), t(5)),    # other key: never pairs with k1
+        ("k1", 6, t(1), t(25)),   # spans many bins: pairs once each
+    ]
+    df = spark.createDataFrame(rows, ["k", "iid", "s", "e"])
+    a = df.select("k", F.col("iid").alias("ia"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = df.select("k", F.col("iid").alias("ib"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    got = {
+        (r["ia"], r["ib"])
+        for r in interval_overlap_join(
+            a, b, "ia", "ib", "sa", "ea", "sb", "eb", keys=["k"], bin_seconds=3 * 86400
+        ).where(F.col("ia") < F.col("ib")).collect()
+    }
+    naive = {
+        (x[1], y[1])
+        for x in rows for y in rows
+        if x[0] == y[0] and x[1] < y[1] and x[2] <= y[3] and y[2] <= x[3]
+    }
+    assert got == naive
+    assert (1, 2) in got and (1, 3) in got and (4, 6) in got
+    assert all(5 not in p for p in got if p != (5, 5))
+
+
 def test_connected_components_paths_agree(spark):
     """The cost-gated driver union-find and the distributed min-label loop
     are the same function: identical labels on a graph with a chain (tests
