@@ -3801,6 +3801,126 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_semantic_pack_pipeline",
+    # Composition of the three NEW r5 tiers, each fragment independently
+    # oracle-proven: span-level corpus rewrite (span_dedup_docs) -> SemDeDup
+    # keeper cut over the paired embeddings (semantic_dedup_embeddings) ->
+    # post-rewrite token gate -> per-source sequence packing
+    # (token_budget_packing). The chained SQL checks the COMPOSITION.
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), spans AS (
+      SELECT doc_id, ws,
+             unnest(range(0, greatest(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)))) AS pos
+      FROM words
+    ), units AS (
+      SELECT doc_id, pos, array_to_string(ws[(pos*8+1):(pos*8+8)], ' ') AS unit
+      FROM spans
+    ), kept AS (
+      SELECT doc_id, pos, unit FROM units
+      QUALIFY row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) = 1
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS dedup_text
+      FROM kept GROUP BY doc_id
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell, nv AS cv
+      FROM norm QUALIFY cell <= 16
+    ),
+    a1 AS (
+      SELECT vec_id, nv, cell FROM (
+        SELECT n.vec_id, n.nv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cell, list(mval ORDER BY i) AS mv FROM (
+        SELECT a.cell, i.i, AVG(a.nv[i.i]) AS mval
+        FROM a1 a, range(1, 65) i(i) GROUP BY a.cell, i.i
+      ) GROUP BY cell
+    ),
+    cents AS (
+      SELECT c0.cell,
+        CASE WHEN m.mv IS NULL THEN {_SQL_L2NORM.format(l='c0.cv')}
+             ELSE {_SQL_L2NORM.format(l='m.mv')} END AS cv
+      FROM c0 LEFT JOIN m ON c0.cell = m.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    sp AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id
+      WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+    ),
+    ed AS (SELECT id_a AS a, id_b AS b FROM sp UNION SELECT id_b, id_a FROM sp),
+    nodes AS (SELECT DISTINCT a AS id FROM ed),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, ed.b FROM reach JOIN ed ON ed.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    keepers AS (
+      SELECT a2.vec_id FROM a2 LEFT JOIN comp ON comp.id = a2.vec_id
+      WHERE COALESCE(comp.cluster_id, a2.vec_id) = a2.vec_id
+    ),
+    gated AS (
+      SELECT r.doc_id, d.source,
+        len(list_filter(string_split(r.dedup_text, ' '), x -> x != '')) AS n_tokens
+      FROM rebuilt r
+      JOIN documents d ON d.doc_id = r.doc_id
+      JOIN keepers k ON k.vec_id = r.doc_id
+      WHERE len(list_filter(string_split(r.dedup_text, ' '), x -> x != '')) >= 20
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM gated
+    )
+    SELECT doc_id, source, n_tokens,
+      CAST(FLOOR(before / 512) AS BIGINT) AS chunk_id,
+      CAST(before % 512 AS BIGINT) AS chunk_offset
+    FROM packed
+    """,
+    doc="r5 composition flagship: span-level corpus rewrite -> SemDeDup "
+        "keeper cut (paired embeddings) -> post-rewrite token gate -> "
+        "per-source sequence packing, one lazy DAG of four proven tiers.",
+)
+def span_semantic_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import token_count
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import dedup_spans
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import semantic_dedup
+    from real_time_recommendation_system_with_feature_store_spark.operators.packing import pack_by_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    rw = dedup_spans(d, "text", "doc_id", span_words=8)
+    sem = semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "vec_id", n_cells=16, threshold=0.3, refine_iters=1
+    )
+    keep = sem.where(F.col("is_keeper") == 1).select("vec_id")
+    gated = (
+        rw.join(d.select("doc_id", "source"), "doc_id")
+        .join(keep, rw["doc_id"] == keep["vec_id"], "left_semi")
+        .select("doc_id", "source", token_count(F.col("dedup_text")).alias("n_tokens"))
+        .where(F.col("n_tokens") >= 20)
+    )
+    return pack_by_token_budget(
+        gated, "n_tokens", [F.col("doc_id")], budget=512, shard_col="source"
+    )
+
+
+@query(
     "corpus_export_pipeline",
     # The flagship composition: every stage reuses a fragment whose oracle is
     # independently proven green (gopher filter, exact-dedup fingerprint,
@@ -5003,7 +5123,11 @@ _DRIVER_WINDOW = [
     # rows (corpus_filter_funnel, gopher_quality_flags)
     "span_dedup_docs",
     "tfidf_top_terms",
-    "two_stage_recommendations",
+    # NEW in r5: span_semantic_pack_pipeline (composition flagship) takes
+    # two_stage_recommendations' slot — the rec-pipeline family keeps
+    # segment_recommendations here plus tree_rerank_topk (r4-green) and the
+    # new trained_linear_ranker_topk
+    "span_semantic_pack_pipeline",
     "verbatim_span_pairs",
     "weighted_doc_sample",
 ]
