@@ -200,3 +200,26 @@ def test_qcol_roundtrip(spark):
     for name in HOSTILE:
         df = spark.createDataFrame([(42,)], f"`{name.replace('`', '``')}` int")
         assert df.select(qcol(name).alias("x")).collect()[0]["x"] == 42
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_interval_overlap_join_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import interval_overlap_join
+
+    t = lambda d: datetime.fromisoformat(f"2024-01-{d:02d} 00:00:00")
+    df = spark.createDataFrame(
+        [("g", 1, t(1), t(5)), ("g", 2, t(4), t(9)), ("g", 3, t(20), t(21))],
+        ["k", "iid", "s", "e"],
+    )
+    # the hostile name plays key, id, and start-bound roles
+    for role in ("k", "iid", "s"):
+        ldf = df.withColumnRenamed(role, name)
+        rdf = ldf.withColumnRenamed(name if role == "iid" else "iid", "jid")
+        key = name if role == "k" else "k"
+        lid = name if role == "iid" else "iid"
+        sc = name if role == "s" else "s"
+        out = interval_overlap_join(
+            ldf, rdf, lid, "jid", sc, "e", sc, "e", keys=[key], bin_seconds=3 * 86400
+        )
+        pairs = {(r[lid], r["jid"]) for r in out.where(F.col("`" + lid.replace("`", "``") + "`") != F.col("jid")).collect()}
+        assert pairs == {(1, 2), (2, 1)}, (role, pairs)

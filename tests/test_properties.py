@@ -748,3 +748,47 @@ def test_dedup_spans_matches_reference(spark, docs, w):
     got = {r["doc_id"]: (r["dedup_text"], r["n_spans_kept"], r["n_spans_total"])
            for r in dedup_spans(df, "text", "doc_id", span_words=w).collect()}
     assert got == expected
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),     # key
+        st.integers(min_value=0, max_value=50),    # start day
+        st.integers(min_value=0, max_value=10),    # length days
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=intervals_strategy, bin_days=st.integers(min_value=1, max_value=9))
+@settings(**SETTINGS)
+def test_interval_overlap_join_matches_naive(spark, rows, bin_days):
+    """The binned overlap join equals the naive O(n²) reference for random
+    closed intervals under every bin width — bin size changes the plan,
+    never the answer."""
+    from datetime import datetime, timedelta
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.asof import interval_overlap_join
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    data = [
+        (f"k{k}", i, t0 + timedelta(days=s), t0 + timedelta(days=s + ln))
+        for i, (k, s, ln) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["k", "iid", "s", "e"])
+    a = df.select("k", F.col("iid").alias("ia"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = df.select("k", F.col("iid").alias("ib"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    got = {
+        (r["ia"], r["ib"])
+        for r in interval_overlap_join(
+            a, b, "ia", "ib", "sa", "ea", "sb", "eb",
+            keys=["k"], bin_seconds=bin_days * 86400,
+        ).where(F.col("ia") < F.col("ib")).collect()
+    }
+    naive = {
+        (x[1], y[1])
+        for x in data for y in data
+        if x[0] == y[0] and x[1] < y[1] and x[2] <= y[3] and y[2] <= x[3]
+    }
+    assert got == naive
