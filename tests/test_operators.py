@@ -1298,6 +1298,27 @@ def test_gif_decoder_survives_adversarial_bytes():
         got = decode_png_pixels(bytes(mutated))
         assert got is None or got.size <= 3 * _MAX_DECODE_PIXELS
 
+    # BMP and WAV mutation fuzz: same contract — None or bounded, no raise
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_wav_samples,
+        encode_bmp,
+        encode_wav,
+    )
+
+    vbmp = encode_bmp(np.full((4, 4, 3), (1, 2, 3), np.uint8))
+    vwav = encode_wav(np.sin(np.linspace(0, 5, 64)), 8000)
+    for blob in (vbmp, vwav):
+        assert (decode_bmp_pixels(blob) is not None) or (decode_wav_samples(blob) is not None)
+        for _ in range(300):
+            mutated = bytearray(blob)
+            for _ in range(rng.randrange(1, 6)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            bm = decode_bmp_pixels(bytes(mutated))
+            assert bm is None or bm.size <= 3 * _MAX_DECODE_PIXELS
+            wv = decode_wav_samples(bytes(mutated))
+            assert wv is None or len(wv[0]) * 2 <= len(mutated)
+
 
 def test_gif_frame_sampling_and_resize_real(spark):
     """sample_frames is REAL for animated GIF: a 4-frame GIF sampled at
