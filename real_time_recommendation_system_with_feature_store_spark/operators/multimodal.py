@@ -634,17 +634,27 @@ def _decode_image(blob: bytes):
 
 
 def resize_images(
-    df: DataFrame, id_col: str, blob_col: str = "blob", width: int = 32, height: int = 32
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    width: int = 32,
+    height: int = 32,
+    fmt: str = "bmp",
 ) -> DataFrame:
     """Resize kernel over mapInPandas (one output row per image).
 
-    REAL for uncompressed 24-bit BMP and for GIF (first frame): full pixel
-    decode → nearest-neighbor resample → re-encode as BMP
+    REAL for uncompressed 24-bit BMP, 8-bit truecolor PNG, and GIF (first
+    frame): full pixel decode → nearest-neighbor resample → re-encode as
+    BMP or PNG (``fmt``)
     (``decode_bmp_pixels``/``decode_gif_frames``/``encode_bmp``,
     stdlib+numpy only). Other containers keep the STUB byte-resample —
     swapping it for ``PIL.Image.resize`` covers them when decode libs
     exist; schema and batching stay.
     """
+
+    if fmt not in ("bmp", "png"):
+        raise ValueError(f"resize_images: fmt must be 'bmp' or 'png', got {fmt!r}")
+    encode = encode_bmp if fmt == "bmp" else encode_png
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
@@ -653,7 +663,7 @@ def resize_images(
             for b in pdf[blob_col]:
                 px = _decode_image(b)
                 if px is not None:  # REAL path: decoded pixels, NN resample
-                    resized.append(encode_bmp(_resize_nearest(px, width, height)))
+                    resized.append(encode(_resize_nearest(px, width, height)))
                 else:
                     resized.append(
                         (bytes(b) * (target // max(len(b), 1) + 1))[:target]  # STUB:
