@@ -714,6 +714,14 @@ def sample_frames(
                         idxs.append(i)
                         frames.append(encode_wav(samples[bounds[i] : bounds[i + 1]], rate))
                     continue
+                still = _decode_image(b)
+                if still is not None:  # REAL path: a still image's only frame
+                    enc = encode_bmp(still)
+                    for i in range(n_frames):
+                        ids.append(rid)
+                        idxs.append(i)
+                        frames.append(enc)
+                    continue
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
                     ids.append(rid)

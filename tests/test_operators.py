@@ -1222,6 +1222,14 @@ def test_png_codec_filters_and_wav_segments(spark):
     out = resize_images(df, "doc_id", width=2, height=2).collect()[0]
     assert np.array_equal(decode_bmp_pixels(bytes(out["blob"]))[0, 0], px[0, 0])
 
+    # a STILL image samples as its own (only) frame, n times
+    bdf = spark.createDataFrame([(3, bytearray(png4))], "doc_id long, blob binary")
+    stills = [bytes(r["frame"]) for r in sample_frames(bdf, "doc_id", n_frames=2).collect()]
+    assert len(stills) == 2 and all(
+        np.array_equal(decode_bmp_pixels(f), np.repeat(np.repeat(px[:1, :1], 4, 0), 4, 1))
+        for f in stills
+    )
+
     # WAV frames: 3 segments re-encode as valid WAVs, samples concatenate back
     sig = np.sin(np.linspace(0, 30, 999))
     wdf = spark.createDataFrame([(7, bytearray(encode_wav(sig, 8000)))], "doc_id long, blob binary")
