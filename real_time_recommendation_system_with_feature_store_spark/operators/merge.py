@@ -1,0 +1,88 @@
+"""Changelog MERGE (CDC apply): latest-wins upsert/delete onto a base table.
+
+The reference mutates its online store record-at-a-time (Redis ``hset`` per
+feature row, src/feature_store/redis_store.py); the batch counterpart a
+lakehouse pipeline needs is MERGE INTO semantics — apply a (possibly
+multi-version) change stream to a snapshot in ONE set-based pass:
+
+  1. collapse the changelog to the latest change per key (w/ a total
+     per-key version order — the caller's sequence column + tie-breaks);
+  2. full-outer join base ↔ latest change on the key;
+  3. rows only in base survive; 'D' deletes drop; 'U'/'I' take the
+     change's values (insert-or-update — true upsert).
+
+Scale posture: one shuffle of each side on the merge key. When the base is
+bucketed on the key (sources/bucketing.py::write_bucketed) the base-side
+Exchange disappears entirely — the same zero-Exchange co-location the
+bucketed-join tests assert. The changelog window shuffles only the (small)
+changelog.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    tie_breaks: Sequence[str] = (),
+) -> DataFrame:
+    """Keep each key's newest change row by (seq_col, *tie_breaks) desc.
+
+    The ordering must be total per key for determinism — pass tie-break
+    columns if the sequence alone can collide (e.g. same-batch writes).
+    """
+    order = [qcol(seq_col).desc()] + [qcol(c).desc() for c in tie_breaks]
+    w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(*order)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    tie_breaks: Sequence[str] = (),
+) -> DataFrame:
+    """Apply a changelog (op in 'U' upsert / 'I' insert / 'D' delete) to
+    ``base``; returns the merged snapshot with base's columns.
+
+    'U' and 'I' are both insert-or-update (MERGE WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT); the two codes exist so CDC sources that
+    distinguish them round-trip losslessly.
+    """
+    value_cols = [c for c in base.columns if c not in keys]
+    latest = latest_changes(changes, keys, seq_col, tie_breaks)
+    ch = latest.select(
+        *[qcol(k).alias(f"__ck_{k}") for k in keys],
+        qcol(op_col).alias("__op"),
+        *[qcol(c).alias(f"__cv_{c}") for c in value_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = base[k].eqNullSafe(ch[f"__ck_{k}"])
+        cond = eq if cond is None else (cond & eq)
+    joined = base.join(ch, cond, "full_outer")
+    keep = F.col("__op").isNull() | (F.col("__op") != "D")
+    merged = joined.where(keep).select(
+        *[F.coalesce(base[k], ch[f"__ck_{k}"]).alias(k) for k in keys],
+        *[
+            F.when(F.col("__op").isNotNull(), ch[f"__cv_{c}"])
+            .otherwise(base[c])
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    return merged
