@@ -33,6 +33,15 @@ from real_time_recommendation_system_with_feature_store_spark.operators.corpus i
 )
 
 from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
+from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+from real_time_recommendation_system_with_feature_store_spark.operators.merge import latest_changes, merge_changelog
+from real_time_recommendation_system_with_feature_store_spark.operators.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
 from real_time_recommendation_system_with_feature_store_spark.operators.scd import (
     scd2_apply_increment,
     scd2_from_changelog,
@@ -77,4 +86,12 @@ __all__ = [
     "scd2_from_changelog",
     "scd2_apply_increment",
     "snapshot_at",
+    "pagerank",
+    "latest_changes",
+    "merge_changelog",
+    "bloom_build",
+    "bloom_might_contain",
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
 ]

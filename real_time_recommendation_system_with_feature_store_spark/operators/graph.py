@@ -2,18 +2,22 @@
 
 The training-data tier uses link-graph centrality as a document-quality
 prior (the CommonCrawl/harmonic-centrality pattern); the reference has no
-graph code at all — its item popularity is a plain count
-(src/models/baseline_models.py popularity scores). This operator is the
+graph code at all — its popularity baseline is a plain interaction count
+(README.md:127-135 "Popularity" row; src/evaluation/metrics.py:467-477
+derives novelty from the same per-item counts). This operator is the
 principled replacement: rank items by the stationary visit probability of
 the co-interaction graph.
 
 Execution model per iteration: one shuffle on ``dst`` (the contribution
-aggregate). The edge frame is reused every round — persist it; the rank
-frame is tiny (one row per node). With a FIXED iteration count the logical
-plan grows linearly, and each round's ``localCheckpoint`` (optional, on by
-default above ``checkpoint_every``) cuts the lineage exactly like
-kcore/connected_components — the r5 lesson: a persist-only loop doubles
-the plan per round and can OOM the driver in explainString.
+aggregate). The normalized edge frame is reused every round, so it is
+materialized ONCE via an eager ``localCheckpoint`` (blocks are released by
+the ContextCleaner when the frame is garbage-collected — same lifecycle as
+kcore_filter's levels); the rank frame is tiny (one row per node). With a
+FIXED iteration count the logical plan grows linearly, and every
+``checkpoint_every`` rounds a ``localCheckpoint`` cuts the rank lineage —
+the r5 lesson: an uncut loop doubles the plan per round and can OOM the
+driver in explainString. The default (2) fires within the default
+iteration count (3).
 
 Determinism contract (oracle-replayable in unrolled SQL CTEs): per-node
 inflow sums aggregate as DECIMAL(28,12) casts of the double contributions
@@ -26,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
 
 def pagerank(
     edges: DataFrame,
@@ -34,7 +40,7 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 3,
     damping: float = 0.85,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Rank nodes of a directed weighted graph; returns (node, rank).
 
@@ -43,8 +49,8 @@ def pagerank(
     symmetrize the edge list first (the co-interaction graphs this engine
     builds are symmetrized upstream, so every node has out-degree ≥ 1).
     """
-    w = F.col(weight) if weight else F.lit(1.0)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    w = qcol(weight) if weight else F.lit(1.0)
+    e = edges.select(qcol(src).alias("src"), qcol(dst).alias("dst"), w.alias("w"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -54,7 +60,12 @@ def pagerank(
     norm_e = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
     )
-    norm_e = norm_e.persist()
+    # Eager materialization (not persist): the frame is re-scanned every
+    # iteration, and checkpoint blocks need no explicit unpersist — the
+    # ContextCleaner frees them when the frame is GC'd, so a lazily-consumed
+    # return value can't leak a pinned cache entry.
+    norm_e = norm_e.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
 
     n_nodes = nodes.count()  # scalar — the only driver-side value
     base = (1.0 - damping) / n_nodes

@@ -1,9 +1,10 @@
 """Changelog MERGE (CDC apply): latest-wins upsert/delete onto a base table.
 
-The reference mutates its online store record-at-a-time (Redis ``hset`` per
-feature row, src/feature_store/redis_store.py); the batch counterpart a
-lakehouse pipeline needs is MERGE INTO semantics — apply a (possibly
-multi-version) change stream to a snapshot in ONE set-based pass:
+The reference mutates its online store push-at-a-time
+(src/features/simple_feature_store.py:73-80 ``push_streaming_features`` /
+:82-89 ``materialize_features``); the batch counterpart a lakehouse
+pipeline needs is MERGE INTO semantics — apply a (possibly multi-version)
+change stream to a snapshot in ONE set-based pass:
 
   1. collapse the changelog to the latest change per key (w/ a total
      per-key version order — the caller's sequence column + tie-breaks);
@@ -39,6 +40,8 @@ def latest_changes(
     The ordering must be total per key for determinism — pass tie-break
     columns if the sequence alone can collide (e.g. same-batch writes).
     """
+    if "__rn" in changes.columns:
+        raise ValueError("latest_changes: input column '__rn' is reserved")
     order = [qcol(seq_col).desc()] + [qcol(c).desc() for c in tie_breaks]
     w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(*order)
     return (
@@ -62,27 +65,52 @@ def merge_changelog(
     'U' and 'I' are both insert-or-update (MERGE WHEN MATCHED UPDATE /
     WHEN NOT MATCHED INSERT); the two codes exist so CDC sources that
     distinguish them round-trip losslessly.
+
+    Both sides are re-aliased to positional internal names (reserved
+    ``__rn``/``__op``/``__bk_``/``__bv_``/``__ck_``/``__cv_`` prefixes) so
+    arbitrary source column names — dots, spaces, quotes — survive the
+    join; inputs already carrying such names would silently corrupt the
+    merge, so they are rejected up front.
     """
+    reserved = [
+        c
+        for df in (base, changes)
+        for c in df.columns
+        if c in ("__rn", "__op")
+        or c.startswith(("__bk_", "__bv_", "__ck_", "__cv_"))
+    ]
+    if reserved:
+        raise ValueError(
+            f"merge_changelog: input columns collide with reserved internal "
+            f"names: {sorted(set(reserved))}"
+        )
     value_cols = [c for c in base.columns if c not in keys]
+    b = base.select(
+        *[qcol(k).alias(f"__bk_{i}") for i, k in enumerate(keys)],
+        *[qcol(c).alias(f"__bv_{i}") for i, c in enumerate(value_cols)],
+    )
     latest = latest_changes(changes, keys, seq_col, tie_breaks)
     ch = latest.select(
-        *[qcol(k).alias(f"__ck_{k}") for k in keys],
+        *[qcol(k).alias(f"__ck_{i}") for i, k in enumerate(keys)],
         qcol(op_col).alias("__op"),
-        *[qcol(c).alias(f"__cv_{c}") for c in value_cols],
+        *[qcol(c).alias(f"__cv_{i}") for i, c in enumerate(value_cols)],
     )
     cond = None
-    for k in keys:
-        eq = base[k].eqNullSafe(ch[f"__ck_{k}"])
+    for i in range(len(keys)):
+        eq = F.col(f"__bk_{i}").eqNullSafe(F.col(f"__ck_{i}"))
         cond = eq if cond is None else (cond & eq)
-    joined = base.join(ch, cond, "full_outer")
+    joined = b.join(ch, cond, "full_outer")
     keep = F.col("__op").isNull() | (F.col("__op") != "D")
     merged = joined.where(keep).select(
-        *[F.coalesce(base[k], ch[f"__ck_{k}"]).alias(k) for k in keys],
         *[
-            F.when(F.col("__op").isNotNull(), ch[f"__cv_{c}"])
-            .otherwise(base[c])
+            F.coalesce(F.col(f"__bk_{i}"), F.col(f"__ck_{i}")).alias(k)
+            for i, k in enumerate(keys)
+        ],
+        *[
+            F.when(F.col("__op").isNotNull(), F.col(f"__cv_{i}"))
+            .otherwise(F.col(f"__bv_{i}"))
             .alias(c)
-            for c in value_cols
+            for i, c in enumerate(value_cols)
         ],
     )
     return merged

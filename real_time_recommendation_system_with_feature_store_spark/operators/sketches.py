@@ -14,15 +14,19 @@ Determinism contract: all hashing is md5-of-key (portable, partition-order
 independent, ANSI-SQL-expressible), never ``hash()``/``xxhash64`` whose seeds
 and algorithms differ across engines.
 
-Reference parity: the reference keeps exact per-key counters in Redis hashes
-(src/feature_store/redis_store.py — unbounded memory growth at corpus
+Reference parity: the reference keeps exact per-entity feature state in its
+in-memory store and pushes rows one batch at a time
+(src/features/simple_feature_store.py:11-15 ``feature_data`` dict,
+:73-80 ``push_streaming_features`` — unbounded per-key growth at corpus
 scale); these sketches are the bounded-state replacement the brief's
 training-data tier calls for.
+
+NULL-key semantics (SQL-consistent): builds skip NULL keys (like COUNT /
+set membership); probes return NULL ``est_count`` (count-min) and false
+``bloom_pass`` (a NULL key never equi-join-matches, so pruning it is exact).
 """
 
 from __future__ import annotations
-
-from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,9 +34,13 @@ from pyspark.sql import functions as F
 
 def _bucket(key: Column, salt: str, width: int) -> Column:
     """md5-derived bucket in [0, width) — `('0x'||substring(md5(..),1,8))
-    ::UBIGINT % width` in the DuckDB oracle."""
+    ::UBIGINT % width` in the DuckDB oracle. NULL key -> NULL bucket (the
+    concat_ws NULL-drop would otherwise hash every NULL to the salt-only
+    digest, a deterministic-but-meaningless bucket)."""
     h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", F.lit(salt), key)), 1, 8), 16, 10)
-    return (h.cast("long") % width).cast("int")
+    return F.when(key.isNull(), F.lit(None).cast("int")).otherwise(
+        (h.cast("long") % width).cast("int")
+    )
 
 
 def cms_build(
@@ -44,7 +52,7 @@ def cms_build(
     weight: Column | None = None,
 ) -> DataFrame:
     """Count-min sketch of ``key`` frequencies: ``depth*width`` cells
-    ``(row, bucket, cell_count)``.
+    ``(row, bucket, cell_count)``. NULL keys contribute nothing.
 
     One scan, no per-key state: each input row contributes to ``depth``
     cells via posexplode, and the groupBy partial-aggregates map-side down
@@ -54,7 +62,7 @@ def cms_build(
     build per-day sketches, merge into a corpus sketch without rescanning.
     """
     w = weight if weight is not None else F.lit(1).cast("long")
-    cells = df.select(
+    cells = df.where(key.isNotNull()).select(
         F.posexplode(
             F.array(*[_bucket(key, f"{salt}{d}", width) for d in range(depth)])
         ).alias("row", "bucket"),
@@ -82,9 +90,10 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-estimate each key's frequency: min over the key's ``depth``
     cells (the count-min guarantee: estimate >= truth, overshoot bounded by
-    collisions). One broadcast hash join per sketch row — the sketch side
-    is at most ``depth*width`` rows and the probe side never shuffles (no
-    explode, no re-grouping)."""
+    collisions); a key the sketch never saw estimates 0; a NULL key
+    estimates NULL. One broadcast hash join per sketch row — the sketch
+    side is at most ``depth*width`` rows and the probe side never shuffles
+    (no explode, no re-grouping)."""
     out = keys
     cell_cols = []
     for d in range(depth):
@@ -94,8 +103,9 @@ def cms_estimate(
         out = out.withColumn(f"__p{d}", _bucket(key, f"{salt}{d}", width)).join(
             F.broadcast(row_cells), F.col(f"__p{d}") == F.col(f"__b{d}"), "left"
         )
-        cell_cols.append(F.coalesce(F.col(f"__c{d}"), F.lit(0)))
-    out = out.withColumn(out_col, F.least(*cell_cols))
+        cell_cols.append(F.coalesce(F.col(f"__c{d}"), F.lit(0).cast("long")))
+    est = F.when(key.isNull(), F.lit(None).cast("long")).otherwise(F.least(*cell_cols))
+    out = out.withColumn(out_col, est)
     drop = [c for d in range(depth) for c in (f"__p{d}", f"__b{d}", f"__c{d}")]
     return out.drop(*drop)
 
@@ -108,10 +118,11 @@ def bloom_build(
     salt: str = "bf",
 ) -> DataFrame:
     """Bloom filter of a key set, represented as the frame of SET bit
-    positions (≤ ``n_bits`` rows — broadcastable by construction). Distinct
-    positions partial-aggregate map-side, so the build is one cheap scan of
-    the (small) member side."""
-    bits = members.select(
+    positions (≤ ``n_bits`` rows — broadcastable by construction; NULL
+    members set nothing). Distinct positions partial-aggregate map-side, so
+    the build is one cheap scan of the (small) member side. Filters over
+    disjoint member sets merge by union + distinct."""
+    bits = members.where(key.isNotNull()).select(
         F.explode(
             F.array(*[_bucket(key, f"{salt}{h}", n_bits) for h in range(n_hashes)])
         ).alias("bit")
@@ -128,17 +139,47 @@ def bloom_might_contain(
     salt: str = "bf",
     out_col: str = "bloom_pass",
 ) -> DataFrame:
-    """Add a boolean: all ``n_hashes`` of the key's bit positions are set.
+    """Add a boolean: all ``n_hashes`` of the key's bit positions are set;
+    false for NULL keys (a NULL key never equi-join-matches, so pruning it
+    is exact).
 
-    The bit frame collapses to ONE row (a sorted ``array<int>`` of set
-    positions, ≤ ``n_bits`` elements) that broadcast-nested-loop-joins onto
-    the probe — the probe side never shuffles and never re-partitions. This
-    is the pre-shuffle prune that makes a 100 TB semi-join cheap when the
-    member set is small: rows failing the bloom die at the scan, and only
-    the (few, deterministic) false positives pay the exact join."""
-    bitset = bloom_bits.agg(F.array_sort(F.collect_set("bit")).alias("__bits"))
-    out = probe.join(F.broadcast(bitset))
+    The bit frame collapses to ONE row — a 64-bit-word bitmap keyed by word
+    index (``map<int,bigint>``, ≤ ``n_bits/64`` entries) — that
+    broadcast-nested-loop-joins onto the probe: the probe side never
+    shuffles and never re-partitions, and each probe row pays exactly
+    ``n_hashes`` O(1) map lookups + bit tests (not an ``array_contains``
+    scan of the whole bit list). This is the pre-shuffle prune that makes a
+    100 TB semi-join cheap when the member set is small: rows failing the
+    bloom die at the scan, and only the (few, deterministic) false
+    positives pay the exact join."""
+    reserved = {"__wmap", *(f"__bp{h}" for h in range(n_hashes))}
+    clash = reserved & set(probe.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_might_contain: probe columns collide with reserved "
+            f"internal names: {sorted(clash)}"
+        )
+    words = bloom_bits.groupBy(
+        (F.col("bit") / F.lit(64)).cast("int").alias("__w")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)))").alias(
+            "__word"
+        )
+    )
+    wmap = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__w"), F.col("__word")))
+        ).alias("__wmap")
+    )
+    out = probe.join(F.broadcast(wmap))
+    for h in range(n_hashes):
+        out = out.withColumn(f"__bp{h}", _bucket(key, f"{salt}{h}", n_bits))
     passed = F.lit(True)
     for h in range(n_hashes):
-        passed = passed & F.array_contains(F.col("__bits"), _bucket(key, f"{salt}{h}", n_bits))
-    return out.withColumn(out_col, passed).drop("__bits")
+        bit_set = F.expr(
+            f"coalesce((shiftright(element_at(__wmap, CAST(__bp{h} div 64 AS INT)),"
+            f" CAST(__bp{h} % 64 AS INT)) & 1) = 1, false)"
+        )
+        passed = passed & bit_set
+    out = out.withColumn(out_col, passed)
+    return out.drop("__wmap", *[f"__bp{h}" for h in range(n_hashes)])

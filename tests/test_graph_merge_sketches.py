@@ -1,0 +1,340 @@
+"""Golden + hostile-identifier + property tests for the round-6 operator
+trio: PageRank (operators/graph.py), changelog MERGE (operators/merge.py),
+and count-min / Bloom sketches (operators/sketches.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+HOSTILE = ["a.b", "a b", "a'b", "a`b", "select"]
+
+# ------------------------------------------------------------------ graph
+
+EDGES = [
+    (1, 2, 1.0),
+    (2, 1, 1.0),
+    (1, 3, 2.0),
+    (3, 1, 1.0),
+    (2, 3, 1.0),
+    (3, 2, 1.0),
+]
+
+
+def _numpy_pagerank(edges, iterations, damping=0.85):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out_w: dict = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    P = np.zeros((len(nodes), len(nodes)))
+    for s, d, w in edges:
+        P[idx[d], idx[s]] = w / out_w[s]
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(iterations):
+        r = (1.0 - damping) / len(nodes) + damping * (P @ r)
+    return {n: r[idx[n]] for n in nodes}
+
+
+@pytest.mark.parametrize("iterations", [1, 3, 8])
+def test_pagerank_matches_power_iteration(spark, iterations):
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", "w", iterations=iterations).collect()
+    }
+    want = _numpy_pagerank(EDGES, iterations)
+    assert got.keys() == want.keys()
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9), (n, iterations)
+    # probability mass is conserved (graph is symmetrized: out-degree >= 1)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unweighted_default(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(e[0], e[1]) for e in EDGES], ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst").collect()}
+    want = _numpy_pagerank([(s, d, 1.0) for s, d, _ in EDGES], 3)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_pagerank_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    want = _numpy_pagerank(EDGES, 2)
+    df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
+    for role in ("src", "dst", "w"):
+        cols = {"src": "src", "dst": "dst", "w": "w"}
+        cols[role] = name
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                df.withColumnRenamed(role, name),
+                src=cols["src"],
+                dst=cols["dst"],
+                weight=cols["w"],
+                iterations=2,
+            ).collect()
+        }
+        for n in want:
+            assert got[n] == pytest.approx(want[n], abs=1e-9), role
+
+
+def test_pagerank_default_checkpoint_cuts_lineage(spark):
+    """The default checkpoint_every (2) must actually fire within the
+    default-scale loop — the r6 defect was a cut that never triggered. The
+    observable: at 8 iterations the final plan of the default path is far
+    smaller than a never-cut run (the uncut plan grows with each round)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
+    cut = pagerank(df, "src", "dst", "w", iterations=8)
+    uncut = pagerank(df, "src", "dst", "w", iterations=8, checkpoint_every=100)
+    cut_len = len(cut._jdf.queryExecution().optimizedPlan().toString())
+    uncut_len = len(uncut._jdf.queryExecution().optimizedPlan().toString())
+    assert cut_len * 2 < uncut_len, (cut_len, uncut_len)
+    # and the cut plan still computes the right answer
+    want = _numpy_pagerank(EDGES, 8)
+    got = {r["node"]: r["rank"] for r in cut.collect()}
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+
+
+# ------------------------------------------------------------------ merge
+
+
+def test_merge_changelog_golden(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import merge_changelog
+
+    base = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)], ["k", "name", "val"]
+    )
+    # multi-version key 1 (latest wins), delete 2, insert 4, untouched 3
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, "x1", 11.0),
+            (1, "U", 3, "x3", 13.0),
+            (1, "U", 2, "x2", 12.0),
+            (2, "D", 1, None, None),
+            (4, "I", 1, "w", 40.0),
+        ],
+        ["k", "op", "seq", "name", "val"],
+    )
+    out = merge_changelog(base, changes, ["k"])
+    assert out.columns == ["k", "name", "val"]
+    got = {r["k"]: (r["name"], r["val"]) for r in out.collect()}
+    assert got == {1: ("x3", 13.0), 3: ("z", 30.0), 4: ("w", 40.0)}
+
+
+def test_merge_changelog_delete_then_reinsert_latest_wins(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import merge_changelog
+
+    base = spark.createDataFrame([(1, "x")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, "D", 1, None), (1, "I", 2, "x2")], ["k", "op", "seq", "v"]
+    )
+    got = {r["k"]: r["v"] for r in merge_changelog(base, changes, ["k"]).collect()}
+    assert got == {1: "x2"}
+    # and with the order flipped by seq, the delete wins
+    changes2 = spark.createDataFrame(
+        [(1, "D", 2, None), (1, "I", 1, "x2")], ["k", "op", "seq", "v"]
+    )
+    assert merge_changelog(base, changes2, ["k"]).count() == 0
+
+
+def test_latest_changes_tie_breaks(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import latest_changes
+
+    df = spark.createDataFrame(
+        [(1, 5, "a", "v1"), (1, 5, "b", "v2")], ["k", "seq", "batch", "v"]
+    )
+    got = latest_changes(df, ["k"], "seq", tie_breaks=["batch"]).collect()
+    assert len(got) == 1 and got[0]["v"] == "v2"
+
+
+def test_merge_changelog_null_key_rows(spark):
+    """NULL merge keys are legal (eqNullSafe): a NULL-key change updates the
+    NULL-key base row, not every row."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import merge_changelog
+
+    base = spark.createDataFrame([(None, "x"), (1, "y")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(None, "U", 1, "x2")], "k int, op string, seq int, v string"
+    )
+    got = {r["k"]: r["v"] for r in merge_changelog(base, changes, ["k"]).collect()}
+    assert got == {None: "x2", 1: "y"}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_merge_changelog_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import merge_changelog
+
+    # hostile name as the key, the value column, the seq, and the op column
+    base = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(2, "D", 1, None), (3, "I", 1, "w")], ["k", "op", "seq", "v"]
+    )
+    for role in ("k", "v", "op", "seq"):
+        b = base.withColumnRenamed(role, name) if role in base.columns else base
+        c = changes.withColumnRenamed(role, name)
+        kwargs = dict(
+            keys=[name if role == "k" else "k"],
+            op_col=name if role == "op" else "op",
+            seq_col=name if role == "seq" else "seq",
+        )
+        out = merge_changelog(b, c, **kwargs)
+        key_name = name if role == "k" else "k"
+        val_name = name if role == "v" else "v"
+        got = {r[key_name]: r[val_name] for r in out.collect()}
+        assert got == {1: "x", 3: "w"}, role
+
+
+def test_merge_changelog_reserved_names_rejected(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import merge_changelog
+
+    base = spark.createDataFrame([(1, "x")], ["k", "__op"])
+    changes = spark.createDataFrame([(1, "U", 1, "y")], ["k", "op", "seq", "__op"])
+    with pytest.raises(ValueError, match="reserved"):
+        merge_changelog(base, changes, ["k"])
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_cms_exact_at_wide_width(spark):
+    """With width >> #keys the (deterministic) collision probability is
+    negligible in this fixture and estimates equal exact counts; NULL keys
+    are skipped by the build and estimate NULL."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_build(df, F.col("k"), width=4096)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("nope",), (None,)], "k string")
+    got = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(probes, sk, F.col("k"), width=4096).collect()
+    }
+    assert got == {"a": 5, "b": 3, "c": 1, "nope": 0, None: None}
+
+
+def test_cms_overestimates_only_and_merge_equals_full_build(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(f"k{i % 17}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string").withColumn(
+        "half", (F.length("k") + F.crc32("k") % 2).cast("int")
+    )
+    sk_full = cms_build(df, F.col("k"), width=16)
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    probes = spark.createDataFrame([(k,) for k in exact], "k string")
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(probes, sk_full, F.col("k"), width=16).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact), (est, exact)
+    # mergeability: sketch(a) ⊕ sketch(b) == sketch(a ∪ b), cell by cell
+    a = df.where(F.crc32("k") % 2 == 0)
+    b = df.where(F.crc32("k") % 2 == 1)
+    merged = cms_merge(cms_build(a, F.col("k"), width=16), cms_build(b, F.col("k"), width=16))
+    full_cells = {(r["row"], r["bucket"]): r["cell_count"] for r in sk_full.collect()}
+    merged_cells = {(r["row"], r["bucket"]): r["cell_count"] for r in merged.collect()}
+    assert merged_cells == full_cells
+
+
+def test_cms_weighted(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 7)], ["k", "w"])
+    sk = cms_build(df, F.col("k"), width=4096, weight=F.col("w").cast("long"))
+    got = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(
+            spark.createDataFrame([("a",), ("b",)], "k string"), sk, F.col("k"), width=4096
+        ).collect()
+    }
+    assert got == {"a": 15, "b": 7}
+
+
+def test_bloom_no_false_negatives_and_null_false(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(50)] + [(None,)], "k string")
+    bits = bloom_build(members, F.col("k"))
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(50)] + [("absent-xyz",), (None,)], "k string"
+    )
+    got = {
+        r["k"]: r["bloom_pass"]
+        for r in bloom_might_contain(probes, bits, F.col("k")).collect()
+    }
+    assert all(got[f"m{i}"] for i in range(50))  # no false negatives, ever
+    assert got[None] is False
+
+
+def test_bloom_empty_members_rejects_everything(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    members = spark.createDataFrame([], "k string")
+    bits = bloom_build(members, F.col("k"))
+    probes = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = [r["bloom_pass"] for r in bloom_might_contain(probes, bits, F.col("k")).collect()]
+    assert got == [False, False]
+
+
+def test_bloom_union_merge(spark):
+    """Filters over disjoint member sets merge by union+distinct of bit
+    frames — same pass/fail surface as building over the union."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    a = spark.createDataFrame([("a1",), ("a2",)], "k string")
+    b = spark.createDataFrame([("b1",), ("b2",)], "k string")
+    merged_bits = bloom_build(a, F.col("k")).union(bloom_build(b, F.col("k"))).distinct()
+    full_bits = bloom_build(a.union(b), F.col("k"))
+    assert sorted(r["bit"] for r in merged_bits.collect()) == sorted(
+        r["bit"] for r in full_bits.collect()
+    )
+    probes = spark.createDataFrame([("a1",), ("b2",), ("zz",)], "k string")
+    got = {
+        r["k"]: r["bloom_pass"]
+        for r in bloom_might_contain(probes, merged_bits, F.col("k")).collect()
+    }
+    assert got["a1"] and got["b2"]
+
+
+def test_bloom_reserved_probe_names_rejected(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    bits = bloom_build(spark.createDataFrame([("a",)], "k string"), F.col("k"))
+    probe = spark.createDataFrame([("a", 1)], ["k", "__wmap"])
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_might_contain(probe, bits, F.col("k"))
+
+
+def test_bloom_prune_preserves_exact_join(spark):
+    """The composition contract: bloom-prune then exact semi join ==
+    plain exact semi join (false positives die in the join; no false
+    negatives exist)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    members = spark.createDataFrame([(i,) for i in range(0, 100, 7)], "k int")
+    probe = spark.createDataFrame([(i, i * 2) for i in range(100)], ["k", "v"])
+    want = sorted(
+        r["k"] for r in probe.join(members, "k", "left_semi").collect()
+    )
+    key = F.col("k").cast("string")
+    bits = bloom_build(members, F.col("k").cast("string"))
+    pruned = bloom_might_contain(probe, bits, key).where(F.col("bloom_pass"))
+    got = sorted(r["k"] for r in pruned.join(members, "k", "left_semi").collect())
+    assert got == want
