@@ -5039,97 +5039,401 @@ def timeseries_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- graph / CDC / sketches
+
+
+def _pagerank_cte_sql(iterations: int = 3) -> str:
+    """Unrolled PageRank CTE chain over the co-purchase item graph —
+    ea/ui/e/outw/ne/nodes/nn/r0..rN; the final rank CTE is ``r{iterations}``
+    with columns (node, pr). Mirrors operators/graph.py::pagerank op-by-op:
+    the inflow sum aggregates DECIMAL(28,12) casts (order-independent), the
+    damping arithmetic runs in double — identical IEEE ops both engines."""
+    head = """
+    ea AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id
+           FROM events WHERE event_type = 'purchase' AND (props->>'k') IS NOT NULL),
+    ui AS (SELECT DISTINCT user_id, item_id FROM ea),
+    e AS (SELECT a.item_id AS src, b.item_id AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+          GROUP BY 1, 2),
+    outw AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS out_w
+             FROM e GROUP BY 1),
+    ne AS (SELECT e.src, e.dst, e.w / o.out_w AS p FROM e JOIN outw o ON e.src = o.src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT nodes.node,
+        (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+          + 0.85 * COALESCE(inf.inflow, CAST(0.0 AS DOUBLE)) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT ne.dst, CAST(SUM(CAST(rp.pr * ne.p AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+        FROM ne JOIN r{i-1} rp ON ne.src = rp.node GROUP BY ne.dst
+      ) inf ON nodes.node = inf.dst)""")
+    return head + "," + ",".join(its)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized co-purchase item graph: edge (src, dst) weighted by the
+    number of users who purchased both. Symmetric by construction (the
+    self-join emits both directions), so every node has out-degree >= 1 —
+    pagerank's dangling-mass precondition."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+    )
+    ui = ev.select("user_id", "item_id").distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    return (
+        a.join(b, "user_id")
+        .where(F.col("a.item_id") != F.col("b.item_id"))
+        .groupBy(F.col("a.item_id").alias("src"), F.col("b.item_id").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+@query(
+    "item_pagerank_topk",
+    oracle=f"""
+    WITH {_pagerank_cte_sql(3)},
+    rounded AS (SELECT node AS item_id, ROUND(pr, 12) AS pagerank FROM r3)
+    SELECT item_id, pagerank,
+      CAST(ROW_NUMBER() OVER (ORDER BY pagerank DESC, item_id) AS INTEGER) AS rank
+    FROM rounded ORDER BY pagerank DESC, item_id LIMIT 20
+    """,
+    doc="A14/graph: weighted PageRank over the co-purchase item graph "
+        "(operators/graph.py::pagerank, 3 iterations, damping 0.85) — the "
+        "principled upgrade of the reference's count-based popularity "
+        "baseline (/root/reference/README.md:127-135; novelty derives from "
+        "the same per-item counts, src/evaluation/metrics.py:467-477). "
+        "Per iteration: ONE shuffle on dst (decimal-summed inflows, "
+        "order-independent); rank state is one row per node; the default "
+        "lineage cut fires mid-loop. Oracle unrolls the identical "
+        "iterations as CTEs. Top-20 via TakeOrderedAndProject.",
+)
+def item_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    pr = pagerank(_copurchase_edges(spark, sf_dir), "src", "dst", "w", iterations=3)
+    rounded = pr.select(
+        F.col("node").alias("item_id"), F.round(F.col("rank"), 12).alias("pagerank")
+    )
+    return global_topn_ranked(
+        rounded, [F.col("pagerank").desc(), F.col("item_id").asc()], 20
+    ).select("item_id", "pagerank", "rank")
+
+
+@query(
+    "pagerank_quality_prior",
+    oracle=f"""
+    WITH {_pagerank_cte_sql(3)},
+    pop AS (
+      SELECT event_type, CAST(props->>'k' AS BIGINT) AS item_id, COUNT(*) AS n_events
+      FROM events WHERE props->>'k' IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.event_type, p.item_id, p.n_events,
+        ROUND(r.pr, 12) AS pagerank,
+        ROUND(r.pr * p.n_events, 12) AS prior_score
+      FROM pop p JOIN r3 r ON p.item_id = r.node
+    )
+    SELECT event_type, item_id, n_events, pagerank, prior_score, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY prior_score DESC, item_id
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="COMPOSED graph→ranking pipeline: co-purchase PageRank chained into "
+        "candidate scoring as a quality prior (the CommonCrawl "
+        "centrality-as-quality pattern) — per event_type, top-5 items by "
+        "centrality-weighted interaction count. The graph loop's rank frame "
+        "broadcast-joins onto the per-type popularity agg (100-node dim vs "
+        "fact-side counts); the per-group top-k rides WindowGroupLimit. "
+        "Items never co-purchased have no centrality and drop (inner join) "
+        "— deterministic in both engines. Oracle replays the full chain "
+        "CTE-by-CTE.",
+)
+def pagerank_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    pr = pagerank(_copurchase_edges(spark, sf_dir), "src", "dst", "w", iterations=3)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+    )
+    pop = ev.groupBy("event_type", "item_id").agg(F.count("*").alias("n_events"))
+    scored = pop.join(
+        F.broadcast(pr), pop["item_id"] == pr["node"]
+    ).select(
+        "event_type",
+        "item_id",
+        "n_events",
+        F.round(F.col("rank"), 12).alias("pagerank"),
+        F.round(F.col("rank") * F.col("n_events"), 12).alias("prior_score"),
+    )
+    return topk_per_key(
+        scored,
+        ["event_type"],
+        [F.col("prior_score").desc(), F.col("item_id").asc()],
+        5,
+    ).select("event_type", "item_id", "n_events", "pagerank", "prior_score", "rank")
+
+
+@query(
+    "changelog_merge_snapshot",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    changes AS (
+      SELECT c_custkey, 'D' AS op, 1 AS seq,
+             CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+      FROM base WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', 1, 'v1:' || c_name, c_acctbal + 100.0
+      FROM base WHERE c_custkey % 7 IN (1, 2)
+      UNION ALL
+      SELECT c_custkey, 'U', 2, 'v2:' || c_name, c_acctbal + 200.0
+      FROM base WHERE c_custkey % 7 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', 1, 'new:' || c_name, 0.0
+      FROM base WHERE c_custkey % 7 = 4
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+      CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+      ROUND(CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END, 2)
+        AS c_acctbal
+    FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    doc="CDC MERGE (operators/merge.py::merge_changelog): latest-wins "
+        "upsert/delete changelog applied to the customer snapshot in one "
+        "set-based pass — the batch twin of the reference's push-at-a-time "
+        "online-store writes (src/features/simple_feature_store.py:73-80). "
+        "The changelog is generated deterministically from the snapshot "
+        "(key%7 routing: deletes, two-version updates exercising "
+        "latest-wins, inserts at key+1e6); one shuffle per side on the "
+        "merge key, and a bucketed base would drop its Exchange entirely. "
+        "Oracle = window-latest + FULL OUTER apply.",
+)
+def changelog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import merge_changelog
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    m = F.col("c_custkey") % 7
+    deletes = cust.where(m == 0).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    u1 = cust.where(m.isin(1, 2)).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.concat(F.lit("v1:"), F.col("c_name")).alias("c_name"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    u2 = cust.where(m == 1).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        F.concat(F.lit("v2:"), F.col("c_name")).alias("c_name"),
+        (F.col("c_acctbal") + F.lit(200.0)).alias("c_acctbal"),
+    )
+    inserts = cust.where(m == 4).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.concat(F.lit("new:"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = deletes.unionByName(u1).unionByName(u2).unionByName(inserts)
+    merged = merge_changelog(cust, changes, ["c_custkey"])
+    return merged.select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal"), 2).alias("c_acctbal")
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH ea AS (
+      SELECT CAST(props->>'k' AS BIGINT) AS item_id FROM events
+      WHERE props->>'k' IS NOT NULL
+    ),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT d AS row,
+        CAST(('0x' || substring(md5('cm' || CAST(d AS VARCHAR) || chr(31)
+          || CAST(item_id AS VARCHAR)), 1, 8))::UBIGINT % 64 AS INTEGER) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS cell_count
+      FROM ea CROSS JOIN ds GROUP BY 1, 2
+    ),
+    exact AS (SELECT item_id, COUNT(*) AS exact_count FROM ea GROUP BY 1),
+    top AS (SELECT item_id, exact_count FROM exact
+            ORDER BY exact_count DESC, item_id LIMIT 20),
+    probes AS (
+      SELECT t.item_id, t.exact_count, d AS row,
+        CAST(('0x' || substring(md5('cm' || CAST(d AS VARCHAR) || chr(31)
+          || CAST(t.item_id AS VARCHAR)), 1, 8))::UBIGINT % 64 AS INTEGER) AS bucket
+      FROM top t CROSS JOIN ds
+    )
+    SELECT p.item_id, p.exact_count, MIN(COALESCE(c.cell_count, 0)) AS est_count
+    FROM probes p LEFT JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+    doc="Count-min sketch (operators/sketches.py::cms_build/cms_estimate, "
+        "depth 4 × width 64): bounded-state frequency estimation replacing "
+        "the reference's exact per-key counters "
+        "(src/features/simple_feature_store.py:73-80 unbounded per-key "
+        "growth). Build is one scan partial-aggregating to <=256 cells; "
+        "probes broadcast-join the cells. Width 64 < 100 items forces real "
+        "collisions, so the oracle certifies the DETERMINISTIC overestimate "
+        "(est >= exact, md5-portable hashing replayed bit-for-bit in SQL).",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_build, cms_estimate
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+    )
+    key = F.col("item_id").cast("string")
+    sketch = cms_build(ev, key, depth=4, width=64)
+    exact = ev.groupBy("item_id").agg(F.count("*").alias("exact_count"))
+    top = global_topn(exact, [F.col("exact_count").desc(), F.col("item_id").asc()], 20)
+    return cms_estimate(top, sketch, key, depth=4, width=64).select(
+        "item_id", "exact_count", "est_count"
+    )
+
+
+@query(
+    "bloom_pruned_join",
+    oracle="""
+    SELECT l_partkey,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+    GROUP BY 1
+    """,
+    doc="Bloom-pruned semi join (operators/sketches.py::bloom_build/"
+        "bloom_might_contain): the member set (one brand's parts) compresses "
+        "to a 1-row 64-bit-word bitmap that broadcast-joins onto the probe "
+        "scan, so failing lineitem rows die BEFORE any exchange — the "
+        "runtime-filter pattern, deterministic (md5 bits) so the oracle can "
+        "hash-match. False positives are killed by the exact broadcast semi "
+        "join, hence oracle = the plain semi join; the only FACT-side "
+        "shuffle in the plan is the final aggregation (plan-asserted in "
+        "tests/test_plans — the lone SinglePartition exchange builds the "
+        "<=n_bits-row bitmap side).",
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    bits = bloom_build(part, F.col("p_partkey").cast("string"))
+    pruned = (
+        bloom_might_contain(li, bits, F.col("l_partkey").cast("string"))
+        .where(F.col("bloom_pass"))
+        .drop("bloom_pass")
+    )
+    survivors = pruned.join(
+        F.broadcast(part), pruned["l_partkey"] == part["p_partkey"], "left_semi"
+    )
+    return survivors.groupBy("l_partkey").agg(
+        _dsum_money(F.col("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
 _DRIVER_WINDOW = [
-    # r5 ROTATION. After r4 the evidence split cleanly: 50 entries newest-green
-    # in r4 (just renewed — all rotate out), 50 in r3, 10 in r2. This window =
-    # the 2 NEW never-checked entries + all 10 r2-stale (the r4 VERDICT's
-    # explicit re-front list) + 38 of the 50 r3-stale. The 12 r3-stale entries
-    # left out each keep an in-window or r4-green family twin (noted inline).
-    # NEW in r5 (first driver rows):
-    "timeseries_feature_pipeline",   # spine→interpolate→SCD2→as-of composition
-    "trained_linear_ranker_topk",    # in-engine OLS-trained re-ranker
-    # r2-stale (newest green row is r2 — the full VERDICT re-front list):
-    "doc_signatures",
-    "embedding_near_dup",
-    "customers_with_orders",
-    "large_order_customers",
-    "user_first_last_events",
-    "brand_supplier_diversity",
-    "segment_code_map",
-    "rolling_user_velocity",
-    "stratified_event_sample",
-    "priority_mix",
-    # r3-stale (38 of 50). Left out, with the twin that keeps the family
-    # windowed: bpe_packed_corpus (token_budget_packing r4; bpe_tokenized_docs
-    # here), dedup_cluster_keepers (dedup_clusters here), embedding_near_dup_lsh
-    # (embedding_near_dup above rescoring path; lsh_ann_topk here bands),
-    # knn_cosine_topk (exact-cosine path via embedding_near_dup + rec_diversity
-    # here), linear_rerank_topk (trained_linear_ranker_topk above, same scorer),
-    # global_top_parts (TakeOrdered: brand_top_parts here), sliding_window_counts
-    # (tumbling_window_counts r4), value_percentiles (price_deciles here),
-    # user_event_arrays (collect_event_types r4), perplexity_buckets
-    # (charlm_doc_scores here feeds it), coverage_novelty (ranking hit-detection:
-    # ranking_metrics_multi_k r4), time_split_orders (split family:
-    # leave_one_out_events + leakage_safe_folds here).
-    "als_item_embeddings",
-    "bpe_merge_table",
-    "bpe_tokenized_docs",
-    # NEW in r5: customer_order_histogram (Q13 shape) takes brand_top_parts'
-    # slot — per-group top-k keeps top_building_orders (r4-green)
-    "customer_order_histogram",
-    "charlm_doc_scores",
-    "corpus_export_pipeline",
-    "dedup_clusters",
-    "doc_dedup_exact",
-    "doc_token_chunks",
-    # NEW in r5: key_part_value_share (Q11 shape) takes domain_mixture_sample's
-    # slot — weighted_doc_sample keeps the sampling family windowed
-    "key_part_value_share",
-    # NEW in r5: semantic_dedup_embeddings (SemDeDup) takes embedding_norms'
-    # slot — the vector-math family keeps ivf/lsh/pq/rec_diversity in-window
-    "semantic_dedup_embeddings",
-    "eval_contamination_pairs",
-    # NEW in r5: span_dedup_incremental takes incremental_dedup_candidates'
-    # slot — index-probe incrementality stays windowed via this entry plus
-    # minhash_dedup_candidates (the minhash banding path)
-    "span_dedup_incremental",
-    "ivf_ann_topk",
-    "jaccard_similar_pairs",
-    "kcore_events",
-    "lang_id_confusion",
-    "leakage_safe_folds",
-    # NEW in r5: excess_shipment_suppliers (Q20 shape) takes
-    # leave_one_out_events' slot — the split family keeps leakage_safe_folds
-    "excess_shipment_suppliers",
-    "lsh_ann_topk",
-    "minhash_dedup_candidates",
-    "multimodal_metadata",
-    "negative_samples",
-    "ngram_repetition_signals",
-    "part_type_multihot",
-    "pii_scrubbed_docs",
-    # NEW in r5: overlapping_customer_orders (binned interval join) takes
-    # point_in_time_features' slot — the as-of family keeps
-    # asof_purchase_click (r4) + timeseries_feature_pipeline (new, in-window)
-    "overlapping_customer_orders",
-    "popularity_ranking_metrics",
-    "pq_ann_topk",
-    "price_deciles",
-    "rec_diversity",
-    "segment_recommendations",
-    "simhash_dedup_candidates",
-    # NEW in r5: span_dedup_docs (ExactSubstr-style corpus rewrite) takes
-    # text_quality's slot — the quality-scoring family keeps two r4-green
-    # rows (corpus_filter_funnel, gopher_quality_flags)
-    "span_dedup_docs",
-    "tfidf_top_terms",
-    # NEW in r5: span_semantic_pack_pipeline (composition flagship) takes
-    # two_stage_recommendations' slot — the rec-pipeline family keeps
-    # segment_recommendations here plus tree_rerank_topk (r4-green) and the
-    # new trained_linear_ranker_topk
-    "span_semantic_pack_pipeline",
-    "verbatim_span_pairs",
-    "weighted_doc_sample",
+    # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
+    # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
+    # the 5 NEW never-checked entries (round-7 graph/CDC/sketch wiring) +
+    # all 20 r3-stale (the r6 VERDICT's explicit re-front list) + 25 of the
+    # 50 r4-stale. The 25 r4-stale left out (front-of-queue for r8):
+    # acctbal_zscore, click_and_purchase_users, customer_order_profile,
+    # eval_contamination_pruned, event_type_stats, event_value_norm,
+    # inter_event_gaps, item_interaction_counts, late_ship_priority_counts,
+    # nation_pair_trade_volume, nations_with_presence, nfc_normalized_docs,
+    # order_date_features, orders_profile, part_name_features,
+    # props_variant_stats, region_nation_revenue, revenue_rollup,
+    # rich_inactive_customers, segment_codes, sessionize_events,
+    # small_qty_brand_revenue, top_building_orders, top_revenue_suppliers,
+    # waiting_suppliers.
+    # NEW in r7 (first driver rows):
+    "item_pagerank_topk",            # co-purchase PageRank, unrolled-CTE oracle
+    "pagerank_quality_prior",        # graph -> candidate-scoring composition
+    "changelog_merge_snapshot",      # CDC MERGE onto customer snapshot
+    "cms_heavy_hitters",             # count-min estimates vs exact top-20
+    "bloom_pruned_join",             # pre-shuffle bloom prune, exact-join oracle
+    # r3-stale (newest green row is r3 — the full VERDICT re-front list):
+    "bpe_packed_corpus",
+    "brand_top_parts",
+    "coverage_novelty",
+    "dedup_cluster_keepers",
+    "domain_mixture_sample",
+    "embedding_near_dup_lsh",
+    "embedding_norms",
+    "global_top_parts",
+    "incremental_dedup_candidates",
+    "knn_cosine_topk",
+    "leave_one_out_events",
+    "linear_rerank_topk",
+    "perplexity_buckets",
+    "point_in_time_features",
+    "sliding_window_counts",
+    "text_quality",
+    "time_split_orders",
+    "two_stage_recommendations",
+    "user_event_arrays",
+    "value_percentiles",
+    # r4-stale (25 of 50, family-diverse):
+    "asof_purchase_click",
+    "collect_event_types",
+    "corpus_filter_funnel",
+    "customers_without_orders",
+    "daily_user_activity_spine",
+    "event_key_skew",
+    "event_type_pivot",
+    "gopher_quality_flags",
+    "interpolated_event_values",
+    "item_trending_scores",
+    "nation_top_balance_customers",
+    "pricing_summary",
+    "promo_revenue_share",
+    "ranking_metrics_multi_k",
+    "region_revenue",
+    "salted_event_counts",
+    "session_window_stats",
+    "status_priority_cube",
+    "supplier_running_totals",
+    "token_budget_packing",
+    "tree_rerank_topk",
+    "tumbling_window_counts",
+    "user_activity_windows",
+    "user_value_scd2",
+    "view_click_attribution",
 ]
 
 def _reorder_registry() -> None:

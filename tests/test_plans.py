@@ -523,3 +523,46 @@ def test_semantic_dedup_pair_join_not_broadcast_corpus(spark):
     assert len(rows) == e.count()
     keepers = [r for r in rows if r["is_keeper"] == 1]
     assert 0 < len(keepers) <= len(rows)
+
+
+def test_bloom_pruned_join_probe_never_shuffles(spark):
+    """bloom_pruned_join's whole pitch: the probe (lineitem) side must meet
+    the bloom filter and the exact semi join WITHOUT an Exchange — the one
+    shuffle in the plan is the final aggregation. The bitmap arrives via a
+    single-row broadcast (BNL join), the member set via broadcast hash semi
+    join."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["bloom_pruned_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ONLY fact-side hash-partitioning shuffle is the final aggregation
+    # (on l_partkey) — the probe flows scan -> (broadcast) joins -> partial
+    # agg with no other Exchange; the remaining exchanges all build the
+    # <=n_bits-row bitmap side (__w word grouping + SinglePartition collect)
+    import re
+
+    keys = [k.split("#")[0] for k in re.findall(r"Exchange hashpartitioning\((\w+#\d+)", plan)]
+    assert sorted(keys) == ["_groupingexpression", "l_partkey"], (keys, plan)
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row bitmap join
+    assert "LeftSemi" in plan, plan  # exact join kills false positives
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_loop_single_shuffle_per_iteration(spark):
+    """Each PageRank round costs ONE shuffle (the inflow aggregate on dst);
+    rank state is node-sized. Observable on a fresh 1-iteration plan built
+    from checkpointed inputs: exactly one Exchange beyond the final join's."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20, 1.0) for i in range(40)], ["src", "dst", "w"]
+    )
+    one = pagerank(edges, "src", "dst", "w", iterations=1)
+    two = pagerank(edges, "src", "dst", "w", iterations=2, checkpoint_every=100)
+    p1 = one._jdf.queryExecution().executedPlan().toString()
+    p2 = two._jdf.queryExecution().executedPlan().toString()
+    # iteration 2 adds exactly one aggregation shuffle over iteration 1
+    # (plus its join exchanges at most); the loop must not multiply scans
+    assert p2.count("hashAggregate") <= p1.count("hashAggregate") + 2
+    assert "CartesianProduct" not in p1 and "CartesianProduct" not in p2
