@@ -90,18 +90,90 @@ def key_skew_report(
     df: DataFrame,
     key_cols: list[str],
     top: int = 20,
+    method: str = "exact",
+    cms_depth: int = 4,
+    cms_width: int = 4096,
 ) -> DataFrame:
     """Top-``top`` heaviest keys with global share: (key cols..., n_rows,
-    share, rank). One aggregation then TakeOrderedAndProject on the (tiny)
-    key-count frame — the full key distribution is never sorted. ``share``
-    uses the table's total rows (broadcast 1-row agg), so a single key with
-    share >> 1/shuffle_partitions is the salting/AQE-skew signal."""
-    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+    share, rank). ``share`` uses the table's total rows (broadcast 1-row
+    agg), so a single key with share >> 1/shuffle_partitions is the
+    salting/AQE-skew signal.
 
+    ``method="exact"`` (default): one aggregation then
+    TakeOrderedAndProject on the key-count frame — the full key
+    distribution is never sorted, but per-executor partial-agg state is
+    O(|distinct keys in partition|).
+
+    ``method="cms"``: count-min tier (operators/sketches.py) — per-executor
+    state is bounded at ``cms_depth*cms_width`` cells no matter the key
+    cardinality, and the sketch merges across days/partitions without
+    rescanning (build per-day, ``cms_merge``, then rank candidates against
+    the merged sketch via ``key_skew_from_cms``). ``n_rows`` becomes the
+    count-min estimate: >= truth, deterministic (md5 hashing), equal to
+    truth when no candidate collides in all ``cms_depth`` rows; the total
+    (share denominator) stays exact — it is the row-0 cell sum."""
+    if method == "cms":
+        from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_build
+
+        sketch = cms_build(
+            df, _skew_key(key_cols), depth=cms_depth, width=cms_width
+        ).localCheckpoint(eager=True)  # <= depth*width rows, reused depth+1 times
+        candidates = df.select(*[qcol(c) for c in key_cols]).distinct()
+        return key_skew_from_cms(
+            sketch, candidates, key_cols, top=top, depth=cms_depth, width=cms_width
+        )
     counts = df.groupBy(*[qcol(c) for c in key_cols]).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
     tot = counts.agg(F.sum("n_rows").alias("__t"))
+    return _ranked_share(counts, key_cols, top, tot)
+
+
+def _skew_key(key_cols: list[str]):
+    """Composite sketch key: NULLs coalesce to a chr(0) sentinel so a NULL
+    component neither drops (concat_ws NULL-skip) nor merges with the
+    empty string."""
+    parts = [F.coalesce(qcol(c).cast("string"), F.lit("\x00")) for c in key_cols]
+    return F.concat_ws("\x1e", *parts)
+
+
+def key_skew_from_cms(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_cols: list[str],
+    top: int = 20,
+    depth: int = 4,
+    width: int = 4096,
+    salt: str = "cm",
+) -> DataFrame:
+    """Skew report from a PRE-BUILT (possibly merged) count-min sketch —
+    the 100 TB flow: per-day ``cms_build`` sketches merged with
+    ``cms_merge``, ranked here against a candidate key frame without ever
+    rescanning the facts. Same output schema as ``key_skew_report``; the
+    share denominator is exact (row-0 cell sum of the sketch)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_estimate
+
+    est = cms_estimate(
+        candidates,
+        sketch,
+        _skew_key(key_cols),
+        depth=depth,
+        width=width,
+        salt=salt,
+        out_col="n_rows",
+    )
+    tot = sketch.where(F.col("row") == 0).agg(F.sum("cell_count").alias("__t"))
+    return _ranked_share(est, key_cols, top, tot)
+
+
+def _ranked_share(
+    counts: DataFrame, key_cols: list[str], top: int, tot: DataFrame
+) -> DataFrame:
+    """Shared tail of the skew reports: TakeOrdered top keys by n_rows
+    (total tie-break on the keys), share against the broadcast 1-row
+    total."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
     ranked = global_topn_ranked(
         counts,
         [F.col("n_rows").desc(), *[qcol(c).asc() for c in key_cols]],

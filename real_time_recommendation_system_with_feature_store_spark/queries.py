@@ -5366,13 +5366,62 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_key_skew_cms",
+    oracle="""
+    WITH k AS (SELECT COALESCE(CAST(user_id AS VARCHAR), chr(0)) AS key FROM events),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT d AS row,
+        CAST(('0x' || substring(md5('cm' || CAST(d AS VARCHAR) || chr(31) || key),
+          1, 8))::UBIGINT % 256 AS INTEGER) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS cell_count
+      FROM k CROSS JOIN ds GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(cell_count) AS tt FROM cells WHERE row = 0),
+    cand AS (
+      SELECT DISTINCT user_id, COALESCE(CAST(user_id AS VARCHAR), chr(0)) AS key
+      FROM events
+    ),
+    est AS (
+      SELECT c.user_id, MIN(COALESCE(ce.cell_count, 0)) AS n_rows
+      FROM cand c CROSS JOIN ds
+      LEFT JOIN cells ce ON ce.row = ds.d AND ce.bucket =
+        CAST(('0x' || substring(md5('cm' || CAST(ds.d AS VARCHAR) || chr(31) || c.key),
+          1, 8))::UBIGINT % 256 AS INTEGER)
+      GROUP BY 1
+    ),
+    r AS (SELECT user_id, n_rows,
+      CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id ASC) AS INTEGER) AS rank
+      FROM est)
+    SELECT user_id, n_rows, ROUND(CAST(n_rows AS DOUBLE) / tt, 6) AS share, rank
+    FROM r, tot WHERE rank <= 20
+    """,
+    doc="Count-min tier of the skew probe (operators/profile.py::"
+        "key_skew_report(method='cms') -> key_skew_from_cms): per-executor "
+        "state bounded at depth*width cells regardless of key cardinality, "
+        "and the sketch merges across days/partitions without rescanning — "
+        "the mergeable twin of event_key_skew's exact TakeOrdered path. "
+        "n_rows is the deterministic count-min OVERestimate (width 256 "
+        "forces some collisions at this SF); the share denominator stays "
+        "exact (row-0 cell sum). Oracle replays the md5 bucketing, the "
+        "min-over-depth estimate, and the ranking bit-for-bit.",
+)
+def event_key_skew_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id"], top=20, method="cms", cms_width=256)
+
+
 _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
     # the 5 NEW never-checked entries (round-7 graph/CDC/sketch wiring) +
-    # all 20 r3-stale (the r6 VERDICT's explicit re-front list) + 25 of the
-    # 50 r4-stale. The 25 r4-stale left out (front-of-queue for r8):
+    # all 20 r3-stale (the r6 VERDICT's explicit re-front list) + 24 of the
+    # 50 r4-stale. The 26 r4-stale left out (front-of-queue for r8):
     # acctbal_zscore, click_and_purchase_users, customer_order_profile,
+    # daily_user_activity_spine,
     # eval_contamination_pruned, event_type_stats, event_value_norm,
     # inter_event_gaps, item_interaction_counts, late_ship_priority_counts,
     # nation_pair_trade_volume, nations_with_presence, nfc_normalized_docs,
@@ -5386,6 +5435,7 @@ _DRIVER_WINDOW = [
     "pagerank_quality_prior",        # graph -> candidate-scoring composition
     "changelog_merge_snapshot",      # CDC MERGE onto customer snapshot
     "cms_heavy_hitters",             # count-min estimates vs exact top-20
+    "event_key_skew_cms",            # mergeable count-min skew probe
     "bloom_pruned_join",             # pre-shuffle bloom prune, exact-join oracle
     # r3-stale (newest green row is r3 — the full VERDICT re-front list):
     "bpe_packed_corpus",
@@ -5413,7 +5463,8 @@ _DRIVER_WINDOW = [
     "collect_event_types",
     "corpus_filter_funnel",
     "customers_without_orders",
-    "daily_user_activity_spine",
+    # daily_user_activity_spine left out (spine family twin:
+    # timeseries_feature_pipeline, r6-green) to make room for the 6th new entry
     "event_key_skew",
     "event_type_pivot",
     "gopher_quality_flags",

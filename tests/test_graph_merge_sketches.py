@@ -338,3 +338,78 @@ def test_bloom_prune_preserves_exact_join(spark):
     pruned = bloom_might_contain(probe, bits, key).where(F.col("bloom_pass"))
     got = sorted(r["k"] for r in pruned.join(members, "k", "left_semi").collect())
     assert got == want
+
+
+# ------------------------------------------------------- cms skew-probe tier
+
+
+def test_key_skew_cms_wide_width_equals_exact(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report
+
+    rows = [("u1",)] * 8 + [("u2",)] * 4 + [("u3",)] * 2 + [("u4",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    exact = [tuple(r) for r in key_skew_report(df, ["k"], top=3).collect()]
+    cms = [tuple(r) for r in key_skew_report(df, ["k"], top=3, method="cms").collect()]
+    assert cms == exact  # width 4096 >> 4 keys: no collisions, same report
+
+
+def test_key_skew_cms_overestimates_with_exact_total(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report
+
+    rows = [(f"k{i % 13}",) for i in range(260)]
+    df = spark.createDataFrame(rows, "k string")
+    exact = {r["k"]: r["n_rows"] for r in key_skew_report(df, ["k"], top=13).collect()}
+    got = key_skew_report(df, ["k"], top=13, method="cms", cms_width=8).collect()
+    for r in got:
+        assert r["n_rows"] >= exact[r["k"]], r
+        # denominator is the exact total even when estimates collide
+        assert r["share"] == round(r["n_rows"] / 260, 6), r
+
+
+def test_key_skew_from_merged_cms_sketches(spark):
+    """The 100 TB flow: per-half sketches merged == single full-build sketch,
+    so the report off the merged sketch matches the one-pass cms report."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_from_cms, key_skew_report
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_build, cms_merge
+
+    rows = [(f"k{i % 11}", i) for i in range(220)]
+    df = spark.createDataFrame(rows, ["k", "i"])
+    a, b = df.where(F.col("i") % 2 == 0), df.where(F.col("i") % 2 == 1)
+    key = F.coalesce(F.col("k").cast("string"), F.lit("\x00"))
+    merged = cms_merge(
+        cms_build(a, key, width=64), cms_build(b, key, width=64)
+    )
+    candidates = df.select("k").distinct()
+    from_merged = [
+        tuple(r)
+        for r in key_skew_from_cms(merged, candidates, ["k"], top=11, width=64).collect()
+    ]
+    one_pass = [
+        tuple(r)
+        for r in key_skew_report(df.select("k"), ["k"], top=11, method="cms", cms_width=64).collect()
+    ]
+    assert from_merged == one_pass
+
+
+@pytest.mark.parametrize("name", ["a.b", "select"])
+def test_key_skew_cms_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report
+
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("x",), ("y",)], f"`{name.replace('`', '``')}` string"
+    )
+    got = {
+        r[name]: (r["n_rows"], r["share"])
+        for r in key_skew_report(df, [name], top=2, method="cms").collect()
+    }
+    assert got == {"x": (3, 0.75), "y": (1, 0.25)}
+
+
+def test_key_skew_cms_null_keys_ranked(spark):
+    """NULL keys are legitimate skew candidates (a NULL-heavy column is the
+    classic skew cause); the chr(0) sentinel keeps them counted."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_report
+
+    df = spark.createDataFrame([(None,)] * 5 + [("a",)] * 2, "k string")
+    got = {r["k"]: r["n_rows"] for r in key_skew_report(df, ["k"], top=2, method="cms").collect()}
+    assert got == {None: 5, "a": 2}
