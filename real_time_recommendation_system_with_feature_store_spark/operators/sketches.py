@@ -138,27 +138,41 @@ def bloom_might_contain(
     n_hashes: int = 3,
     salt: str = "bf",
     out_col: str = "bloom_pass",
+    materialize: str = "auto",
 ) -> DataFrame:
     """Add a boolean: all ``n_hashes`` of the key's bit positions are set;
     false for NULL keys (a NULL key never equi-join-matches, so pruning it
-    is exact).
+    is exact). Each probe row pays exactly ``n_hashes`` O(1) word lookups +
+    bit tests (never an ``array_contains`` scan of the whole bit list).
 
-    The bit frame collapses to ONE row — a 64-bit-word bitmap keyed by word
-    index (``map<int,bigint>``, ≤ ``n_bits/64`` entries) — that
-    broadcast-nested-loop-joins onto the probe: the probe side never
-    shuffles and never re-partitions, and each probe row pays exactly
-    ``n_hashes`` O(1) map lookups + bit tests (not an ``array_contains``
-    scan of the whole bit list). This is the pre-shuffle prune that makes a
-    100 TB semi-join cheap when the member set is small: rows failing the
-    bloom die at the scan, and only the (few, deterministic) false
-    positives pay the exact join."""
-    reserved = {"__wmap", *(f"__bp{h}" for h in range(n_hashes))}
-    clash = reserved & set(probe.columns)
-    if clash:
-        raise ValueError(
-            f"bloom_might_contain: probe columns collide with reserved "
-            f"internal names: {sorted(clash)}"
-        )
+    ``materialize`` picks how the 64-bit-word bitmap reaches the probe:
+
+    * ``"literal"``: the ≤ ``n_bits/64`` words are collected to the driver
+      (one tiny job — bitmap size is bounded by CONFIG, not data; the same
+      move Spark's own runtime bloom filter makes with its scalar subquery)
+      and inlined as an array literal, so the test is a PURE scalar filter.
+      This is what makes the prune survive optimizer join reordering: a
+      join-delivered bitmap gets hoisted above downstream semi joins by
+      PushDownLeftSemiAntiJoin, re-ordering the probe's Exchange BEFORE the
+      bloom — with a literal there is no join to hoist, and the filter
+      stays at the scan, below every shuffle (plan-asserted in
+      tests/test_plans.py).
+    * ``"broadcast"``: fully lazy — the bitmap collapses to one row
+      (``map<int,bigint>``) that broadcast-nested-loop-joins onto the
+      probe. No driver job, but downstream exact joins may be reordered
+      underneath the test (harmless for results, loses the pre-shuffle
+      guarantee).
+    * ``"auto"`` (default): ``"literal"`` while the bitmap stays literal-
+      sized (``n_bits`` ≤ 2^20 → ≤ 16K array elements), else
+      ``"broadcast"``.
+
+    This is the pre-shuffle prune that makes a 100 TB semi-join cheap when
+    the member set is small: rows failing the bloom die at the scan, and
+    only the (few, deterministic) false positives pay the exact join."""
+    if materialize not in {"auto", "literal", "broadcast"}:
+        raise ValueError(f"bloom_might_contain: unknown materialize {materialize!r}")
+    if materialize == "auto":
+        materialize = "literal" if n_bits <= (1 << 20) else "broadcast"
     words = bloom_bits.groupBy(
         (F.col("bit") / F.lit(64)).cast("int").alias("__w")
     ).agg(
@@ -166,6 +180,34 @@ def bloom_might_contain(
             "__word"
         )
     )
+    n_words = (n_bits + 63) // 64
+
+    if materialize == "literal":
+        dense = [0] * n_words
+        for r in words.collect():  # <= n_bits/64 rows by construction
+            dense[r["__w"]] = r["__word"]
+        arr = F.array(*[F.lit(w).cast("long") for w in dense])
+        passed = F.lit(True)
+        for h in range(n_hashes):
+            pos = _bucket(key, f"{salt}{h}", n_bits)
+            word = F.element_at(arr, (pos / F.lit(64)).cast("int") + F.lit(1))
+            bit_set = (
+                F.call_function("shiftright", word, (pos % 64).cast("int"))
+                .bitwiseAND(F.lit(1).cast("long"))
+                == 1
+            )
+            passed = passed & F.coalesce(bit_set, F.lit(False))
+        return probe.withColumn(
+            out_col, F.when(key.isNull(), F.lit(False)).otherwise(passed)
+        )
+
+    reserved = {"__wmap", *(f"__bp{h}" for h in range(n_hashes))}
+    clash = reserved & set(probe.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_might_contain: probe columns collide with reserved "
+            f"internal names: {sorted(clash)}"
+        )
     wmap = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("__w"), F.col("__word")))

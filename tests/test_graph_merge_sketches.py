@@ -319,7 +319,10 @@ def test_bloom_reserved_probe_names_rejected(spark):
     bits = bloom_build(spark.createDataFrame([("a",)], "k string"), F.col("k"))
     probe = spark.createDataFrame([("a", 1)], ["k", "__wmap"])
     with pytest.raises(ValueError, match="reserved"):
-        bloom_might_contain(probe, bits, F.col("k"))
+        bloom_might_contain(probe, bits, F.col("k"), materialize="broadcast")
+    # literal mode adds no internal columns, so the same probe is legal
+    got = bloom_might_contain(probe, bits, F.col("k"), materialize="literal").collect()
+    assert got[0]["bloom_pass"] is True
 
 
 def test_bloom_prune_preserves_exact_join(spark):

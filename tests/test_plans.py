@@ -535,18 +535,58 @@ def test_bloom_pruned_join_probe_never_shuffles(spark):
 
     df = QUERIES["bloom_pruned_join"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the ONLY fact-side hash-partitioning shuffle is the final aggregation
-    # (on l_partkey) — the probe flows scan -> (broadcast) joins -> partial
-    # agg with no other Exchange; the remaining exchanges all build the
-    # <=n_bits-row bitmap side (__w word grouping + SinglePartition collect)
+    # the ONLY hash-partitioning shuffle is the final aggregation (on
+    # l_partkey) — the literal-bitmap bloom is a pure Filter on the probe
+    # scan (the word collect ran as its own bounded job, not in this plan)
     import re
 
     keys = [k.split("#")[0] for k in re.findall(r"Exchange hashpartitioning\((\w+#\d+)", plan)]
-    assert sorted(keys) == ["_groupingexpression", "l_partkey"], (keys, plan)
-    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row bitmap join
+    assert keys == ["l_partkey"], (keys, plan)
+    assert "bf0" in plan.split("Exchange hashpartitioning")[1], plan  # filter below it
     assert "LeftSemi" in plan, plan  # exact join kills false positives
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_literal_prune_survives_smj_reordering(spark):
+    """The 100 TB case: when the exact join SHUFFLES (no broadcast), the
+    literal-bitmap bloom must still sit BELOW the probe-side Exchange — a
+    join-delivered bitmap gets hoisted above the semi join by
+    PushDownLeftSemiAntiJoin, re-ordering the shuffle before the prune.
+    Asserts the Filter containing the bloom hash is between the probe scan
+    and the probe Exchange."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        part = (
+            spark.read.parquet(f"{SF_DIR}/part.parquet")
+            .where(F.col("p_brand") == "Brand#23")
+            .select("p_partkey")
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_partkey", "l_quantity"
+        )
+        bits = bloom_build(part, F.col("p_partkey").cast("string"))
+        pruned = (
+            bloom_might_contain(li, bits, F.col("l_partkey").cast("string"))
+            .where(F.col("bloom_pass"))
+            .drop("bloom_pass")
+        )
+        out = pruned.join(part, pruned["l_partkey"] == part["p_partkey"], "left_semi")
+        lines = out._jdf.queryExecution().executedPlan().toString().splitlines()
+        probe_scan = next(i for i, l in enumerate(lines) if "FileScan parquet [l_" in l)
+        probe_ex = next(
+            i for i, l in enumerate(lines) if "Exchange hashpartitioning(l_partkey" in l
+        )
+        bloom_filter = next(
+            i for i, l in enumerate(lines) if "Filter " in l and "bf0" in l
+        )
+        # tree prints parents above children: Exchange < Filter < Scan
+        assert probe_ex < bloom_filter < probe_scan, lines
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_pagerank_loop_single_shuffle_per_iteration(spark):
