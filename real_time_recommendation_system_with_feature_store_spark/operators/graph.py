@@ -68,6 +68,9 @@ def pagerank(
     nodes = nodes.localCheckpoint(eager=True)
 
     n_nodes = nodes.count()  # scalar — the only driver-side value
+    if n_nodes == 0:
+        # empty edge list -> empty ranking (not a ZeroDivisionError)
+        return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 

@@ -463,3 +463,48 @@ def semantic_dedup_stream(
             it.unpersist()
 
     return _process
+
+
+def cms_sketch_stream(
+    sketch_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+    weight_col: str | None = None,
+):
+    """ST9 × sketches: streaming count-min maintenance — each micro-batch
+    builds its own bounded cell frame (``operators/sketches.cms_build``,
+    ≤ depth·width rows no matter the batch size) into an ``epoch=N``
+    partition; the live corpus sketch is ``read_cms_sketch``'s merge fold
+    over all epochs — the raw stream is never rescanned and the sketch
+    directory stays O(epochs · depth · width), compactable at any time by
+    rewriting the fold (cms_merge is associative + idempotent under
+    re-aggregation).
+
+    Idempotent under foreachBatch's at-least-once replay: a replayed epoch
+    overwrites exactly its own cell partition, same contract as the dedup
+    sinks above.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_build
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        weight = qcol(weight_col).cast("long") if weight_col else None
+        cells = cms_build(
+            batch_df, qcol(key_col), depth=depth, width=width, salt=salt, weight=weight
+        )
+        cells.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Fold an epoch-partitioned sketch directory into ONE count-min sketch
+    (the cms_merge of every epoch's cells). Feed the result straight to
+    ``operators/sketches.cms_estimate`` or
+    ``operators/profile.key_skew_from_cms``."""
+    cells = spark.read.parquet(sketch_dir).drop("epoch")
+    return cells.groupBy("row", "bucket").agg(
+        F.sum("cell_count").alias("cell_count")
+    )

@@ -416,3 +416,12 @@ def test_key_skew_cms_null_keys_ranked(spark):
     df = spark.createDataFrame([(None,)] * 5 + [("a",)] * 2, "k string")
     got = {r["k"]: r["n_rows"] for r in key_skew_report(df, ["k"], top=2, method="cms").collect()}
     assert got == {None: 5, "a": 2}
+
+
+def test_pagerank_empty_edges(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src int, dst int, w double")
+    out = pagerank(empty, "src", "dst", "w")
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

@@ -839,3 +839,72 @@ def test_semantic_dedup_stream_matches_offline(spark):
         for r in spark.read.parquet(dirs["pairs"]).drop("epoch").collect()
     }
     assert replayed == expected
+
+
+def test_cms_sketch_stream_matches_batch(spark, events_batch):
+    """Streaming count-min maintenance: replaying events as micro-batches
+    through the foreachBatch cell sink and folding the epochs must equal
+    the one-pass batch sketch cell-for-cell (cms_merge associativity,
+    batch by batch), and the skew report off the streamed sketch matches
+    the batch report. Re-running an epoch (foreachBatch at-least-once
+    replay) leaves the fold unchanged — overwrite idempotency."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.profile import key_skew_from_cms, key_skew_report
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_build
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import cms_sketch_stream, read_cms_sketch
+
+    stage = os.path.join(TMP, "cms_stage")
+    sketch_dir = os.path.join(TMP, "cms_sketch")
+    for p in (stage, sketch_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    events_batch.select("user_id").repartition(3).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sink = cms_sketch_stream(sketch_dir, "user_id", width=64)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    folded = read_cms_sketch(spark, sketch_dir)
+    folded_cells = {(r["row"], r["bucket"]): r["cell_count"] for r in folded.collect()}
+    batch_cells = {
+        (r["row"], r["bucket"]): r["cell_count"]
+        for r in cms_build(
+            events_batch.select("user_id"), F.col("user_id"), width=64
+        ).collect()
+    }
+    assert folded_cells == batch_cells
+
+    # the skew report off the streamed sketch == the one-pass batch report
+    candidates = events_batch.select("user_id").distinct()
+    from_stream = [
+        tuple(r)
+        for r in key_skew_from_cms(folded, candidates, ["user_id"], top=10, width=64).collect()
+    ]
+    one_pass = [
+        tuple(r)
+        for r in key_skew_report(
+            events_batch.select("user_id"), ["user_id"], top=10, method="cms", cms_width=64
+        ).collect()
+    ]
+    assert from_stream == one_pass
+
+    # at-least-once replay: re-running an epoch with the same batch must
+    # overwrite, not accumulate — the fold is a function of the LAST write
+    # per epoch
+    some_rows = spark.read.parquet(stage).limit(50)
+    sink(some_rows, 0)
+    once = {
+        (r["row"], r["bucket"]): r["cell_count"]
+        for r in read_cms_sketch(spark, sketch_dir).collect()
+    }
+    sink(some_rows, 0)  # replayed epoch
+    twice = {
+        (r["row"], r["bucket"]): r["cell_count"]
+        for r in read_cms_sketch(spark, sketch_dir).collect()
+    }
+    assert twice == once
