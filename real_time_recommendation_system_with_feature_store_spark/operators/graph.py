@@ -41,6 +41,9 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 2,
+    reset: DataFrame | None = None,
+    reset_node: str = "node",
+    reset_weight: str = "weight",
 ) -> DataFrame:
     """Rank nodes of a directed weighted graph; returns (node, rank).
 
@@ -48,7 +51,14 @@ def pagerank(
     mass — callers wanting strict probability conservation should
     symmetrize the edge list first (the co-interaction graphs this engine
     builds are symmetrized upstream, so every node has out-degree ≥ 1).
-    """
+
+    ``reset`` switches to PERSONALIZED PageRank (random walk with restart,
+    the standard recommender centrality): a (node, weight) frame whose
+    teleport mass replaces the uniform 1/n — restricted to graph nodes,
+    then normalized to sum 1 (decimal-exact), with non-seed nodes getting
+    zero teleport. The initial rank is the reset distribution. The reset
+    frame is node-sized at most: it joins the node frame once and rides the
+    same per-iteration shuffle."""
     w = qcol(weight) if weight else F.lit(1.0)
     e = edges.select(qcol(src).alias("src"), qcol(dst).alias("dst"), w.alias("w"))
     nodes = (
@@ -65,14 +75,37 @@ def pagerank(
     # ContextCleaner frees them when the frame is GC'd, so a lazily-consumed
     # return value can't leak a pinned cache entry.
     norm_e = norm_e.localCheckpoint(eager=True)
+
+    if reset is not None:
+        rs = reset.select(
+            qcol(reset_node).alias("node"), qcol(reset_weight).cast("double").alias("__rw")
+        )
+        # restrict to graph nodes BEFORE normalizing, so teleport mass on
+        # items outside the graph doesn't silently leak total mass
+        rs = rs.join(nodes, "node")
+        rtot = rs.agg(
+            F.sum(F.col("__rw").cast("decimal(28,12)")).cast("double").alias("__rt")
+        )
+        nodes = (
+            nodes.join(rs, "node", "left")
+            .crossJoin(F.broadcast(rtot))
+            .select(
+                "node",
+                F.coalesce(F.col("__rw") / F.col("__rt"), F.lit(0.0)).alias("__reset"),
+            )
+        )
     nodes = nodes.localCheckpoint(eager=True)
 
     n_nodes = nodes.count()  # scalar — the only driver-side value
     if n_nodes == 0:
         # empty edge list -> empty ranking (not a ZeroDivisionError)
-        return nodes.withColumn("rank", F.lit(0.0))
-    base = (1.0 - damping) / n_nodes
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
+    if reset is not None:
+        base_col = F.lit(1.0 - damping) * F.col("__reset")
+        ranks = nodes.select("node", F.col("__reset").alias("rank"))
+    else:
+        base_col = F.lit((1.0 - damping) / n_nodes)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
     for i in range(iterations):
         inflow = (
@@ -83,7 +116,7 @@ def pagerank(
         )
         ranks = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
             F.col("node"),
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            (base_col + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)

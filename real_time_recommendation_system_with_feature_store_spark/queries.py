@@ -5187,6 +5187,92 @@ def pagerank_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "item_id", "n_events", "pagerank", "prior_score", "rank")
 
 
+_PPR_SEED_TS = "2024-01-24 00:00:00"
+
+
+def _ppr_cte_sql(iterations: int = 3) -> str:
+    """Personalized-PageRank CTE chain: the co-purchase graph CTEs with the
+    uniform teleport replaced by a recent-purchase seed distribution
+    (restricted to graph nodes, decimal-normalized). Final CTE is
+    ``r{iterations}`` with (node, pr)."""
+    head = f"""
+    ea AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id
+           FROM events WHERE event_type = 'purchase' AND (props->>'k') IS NOT NULL),
+    ui AS (SELECT DISTINCT user_id, item_id FROM ea),
+    e AS (SELECT a.item_id AS src, b.item_id AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+          GROUP BY 1, 2),
+    outw AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS out_w
+             FROM e GROUP BY 1),
+    ne AS (SELECT e.src, e.dst, e.w / o.out_w AS p FROM e JOIN outw o ON e.src = o.src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    sea AS (SELECT CAST(props->>'k' AS BIGINT) AS item_id
+            FROM events WHERE event_type = 'purchase' AND (props->>'k') IS NOT NULL
+              AND ts >= TIMESTAMP '{_PPR_SEED_TS}'),
+    seeds AS (SELECT item_id AS node, CAST(COUNT(*) AS DOUBLE) AS rw FROM sea GROUP BY 1),
+    sin AS (SELECT s.node, s.rw FROM seeds s JOIN nodes n ON s.node = n.node),
+    stot AS (SELECT CAST(SUM(CAST(rw AS DECIMAL(28,12))) AS DOUBLE) AS t FROM sin),
+    resetv AS (SELECT n.node, COALESCE(s.rw / stot.t, CAST(0.0 AS DOUBLE)) AS rv
+               FROM nodes n CROSS JOIN stot LEFT JOIN sin s ON n.node = s.node),
+    r0 AS (SELECT node, rv AS pr FROM resetv)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT rv.node,
+        (CAST(1.0 AS DOUBLE) - 0.85) * rv.rv
+          + 0.85 * COALESCE(inf.inflow, CAST(0.0 AS DOUBLE)) AS pr
+      FROM resetv rv
+      LEFT JOIN (
+        SELECT ne.dst, CAST(SUM(CAST(rp.pr * ne.p AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+        FROM ne JOIN r{i-1} rp ON ne.src = rp.node GROUP BY ne.dst
+      ) inf ON rv.node = inf.dst)""")
+    return head + "," + ",".join(its)
+
+
+@query(
+    "ppr_trending_items",
+    oracle=f"""
+    WITH {_ppr_cte_sql(3)},
+    rounded AS (SELECT node AS item_id, ROUND(pr, 12) AS ppr FROM r3)
+    SELECT item_id, ppr,
+      CAST(ROW_NUMBER() OVER (ORDER BY ppr DESC, item_id) AS INTEGER) AS rank
+    FROM rounded ORDER BY ppr DESC, item_id LIMIT 20
+    """,
+    doc="Personalized PageRank (random walk with restart, "
+        "operators/graph.py::pagerank(reset=...)): teleport mass follows "
+        "the RECENT-purchase distribution (ts >= seed anchor) instead of "
+        "uniform 1/n — trending-aware item centrality, the classic "
+        "recommender RWR. Seeds restrict to graph nodes BEFORE decimal "
+        "normalization (no silent mass leak); same one-shuffle-per-"
+        "iteration loop and unrolled-CTE oracle as item_pagerank_topk.",
+)
+def ppr_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+    )
+    seeds = (
+        ev.where(F.col("ts") >= F.lit(_PPR_SEED_TS).cast("timestamp"))
+        .groupBy(F.col("item_id").alias("node"))
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    pr = pagerank(
+        _copurchase_edges(spark, sf_dir), "src", "dst", "w", iterations=3, reset=seeds
+    )
+    rounded = pr.select(
+        F.col("node").alias("item_id"), F.round(F.col("rank"), 12).alias("ppr")
+    )
+    return global_topn_ranked(
+        rounded, [F.col("ppr").desc(), F.col("item_id").asc()], 20
+    ).select("item_id", "ppr", "rank")
+
+
 @query(
     "changelog_merge_snapshot",
     oracle="""
@@ -5418,10 +5504,10 @@ _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
     # the 5 NEW never-checked entries (round-7 graph/CDC/sketch wiring) +
-    # all 20 r3-stale (the r6 VERDICT's explicit re-front list) + 24 of the
-    # 50 r4-stale. The 26 r4-stale left out (front-of-queue for r8):
-    # acctbal_zscore, click_and_purchase_users, customer_order_profile,
-    # daily_user_activity_spine,
+    # all 20 r3-stale (the r6 VERDICT's explicit re-front list) + 23 of the
+    # 50 r4-stale. The 27 r4-stale left out (front-of-queue for r8):
+    # acctbal_zscore, click_and_purchase_users, collect_event_types,
+    # customer_order_profile, daily_user_activity_spine,
     # eval_contamination_pruned, event_type_stats, event_value_norm,
     # inter_event_gaps, item_interaction_counts, late_ship_priority_counts,
     # nation_pair_trade_volume, nations_with_presence, nfc_normalized_docs,
@@ -5433,6 +5519,7 @@ _DRIVER_WINDOW = [
     # NEW in r7 (first driver rows):
     "item_pagerank_topk",            # co-purchase PageRank, unrolled-CTE oracle
     "pagerank_quality_prior",        # graph -> candidate-scoring composition
+    "ppr_trending_items",            # personalized PageRank, trending seeds
     "changelog_merge_snapshot",      # CDC MERGE onto customer snapshot
     "cms_heavy_hitters",             # count-min estimates vs exact top-20
     "event_key_skew_cms",            # mergeable count-min skew probe
@@ -5460,7 +5547,8 @@ _DRIVER_WINDOW = [
     "value_percentiles",
     # r4-stale (25 of 50, family-diverse):
     "asof_purchase_click",
-    "collect_event_types",
+    # collect_event_types left out (grouped-collect family twin:
+    # user_event_arrays, in-window) to make room for the 7th new entry
     "corpus_filter_funnel",
     "customers_without_orders",
     # daily_user_activity_spine left out (spine family twin:

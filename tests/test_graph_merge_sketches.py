@@ -425,3 +425,54 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(empty, "src", "dst", "w")
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_personalized_pagerank_matches_power_iteration(spark):
+    """reset= switches to random-walk-with-restart: teleport mass follows
+    the (normalized) seed weights, zero elsewhere; r0 = the reset vector."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(1, 3.0), (2, 1.0)], ["node", "weight"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", "w", iterations=3, reset=seeds).collect()
+    }
+    # numpy replication
+    nodes = sorted({s for s, _, _ in EDGES} | {d for _, d, _ in EDGES})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out_w: dict = {}
+    for s, _, w in EDGES:
+        out_w[s] = out_w.get(s, 0.0) + w
+    P = np.zeros((len(nodes), len(nodes)))
+    for s, d, w in EDGES:
+        P[idx[d], idx[s]] = w / out_w[s]
+    v = np.zeros(len(nodes))
+    v[idx[1]], v[idx[2]] = 3.0 / 4.0, 1.0 / 4.0
+    r = v.copy()
+    for _ in range(3):
+        r = (1.0 - 0.85) * v + 0.85 * (P @ r)
+    for n in nodes:
+        assert got[n] == pytest.approx(r[idx[n]], abs=1e-9), n
+    # teleporting to the seeds lifts the seed node vs the uniform walk
+    uniform = {
+        x["node"]: x["rank"]
+        for x in pagerank(df, "src", "dst", "w", iterations=3).collect()
+    }
+    assert got[1] > uniform[1]
+
+
+def test_personalized_pagerank_seed_outside_graph_renormalizes(spark):
+    """Teleport weight on a node absent from the edge list is dropped
+    BEFORE normalization — the in-graph seeds still sum to 1 (no silent
+    mass leak)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(1, 1.0), (99, 100.0)], ["node", "weight"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", "w", iterations=3, reset=seeds).collect()
+    }
+    assert 99 not in got
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
