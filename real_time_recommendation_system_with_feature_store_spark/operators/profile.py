@@ -115,9 +115,7 @@ def key_skew_report(
     if method == "cms":
         from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_build
 
-        sketch = cms_build(
-            df, _skew_key(key_cols), depth=cms_depth, width=cms_width
-        ).localCheckpoint(eager=True)  # <= depth*width rows, reused depth+1 times
+        sketch = cms_build(df, _skew_key(key_cols), depth=cms_depth, width=cms_width)
         candidates = df.select(*[qcol(c) for c in key_cols]).distinct()
         return key_skew_from_cms(
             sketch, candidates, key_cols, top=top, depth=cms_depth, width=cms_width
@@ -153,6 +151,10 @@ def key_skew_from_cms(
     share denominator is exact (row-0 cell sum of the sketch)."""
     from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_estimate
 
+    # materialize ONCE: the sketch plan is referenced depth+1 times below
+    # (per-row estimate filters + the total); an unmaterialized cms_build
+    # would replay its fact scan per reference. <= depth*width rows.
+    sketch = sketch.localCheckpoint(eager=True)
     est = cms_estimate(
         candidates,
         sketch,
@@ -161,6 +163,9 @@ def key_skew_from_cms(
         width=width,
         salt=salt,
         out_col="n_rows",
+        # callers hand this function a materialized (checkpointed / stored /
+        # merged-and-read) sketch; skip the redundant re-checkpoint
+        materialize=False,
     )
     tot = sketch.where(F.col("row") == 0).agg(F.sum("cell_count").alias("__t"))
     return _ranked_share(est, key_cols, top, tot)

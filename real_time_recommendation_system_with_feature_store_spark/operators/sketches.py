@@ -87,13 +87,23 @@ def cms_estimate(
     width: int = 256,
     salt: str = "cm",
     out_col: str = "est_count",
+    materialize: bool = True,
 ) -> DataFrame:
     """Point-estimate each key's frequency: min over the key's ``depth``
     cells (the count-min guarantee: estimate >= truth, overshoot bounded by
     collisions); a key the sketch never saw estimates 0; a NULL key
     estimates NULL. One broadcast hash join per sketch row — the sketch
     side is at most ``depth*width`` rows and the probe side never shuffles
-    (no explode, no re-grouping)."""
+    (no explode, no re-grouping).
+
+    The sketch plan is referenced ``depth`` times (one per-row filter); an
+    UNmaterialized ``cms_build`` frame would replay its fact scan per
+    reference — ``depth`` full passes of the 100 TB build input. The
+    default eagerly localCheckpoints the sketch first (≤ ``depth*width``
+    rows — always cheap); pass ``materialize=False`` when the sketch is
+    already materialized (checkpointed, cached, or read from storage)."""
+    if materialize:
+        sketch = sketch.localCheckpoint(eager=True)
     out = keys
     cell_cols = []
     for d in range(depth):
