@@ -14,12 +14,13 @@ Determinism contract: all hashing is md5-of-key (portable, partition-order
 independent, ANSI-SQL-expressible), never ``hash()``/``xxhash64`` whose seeds
 and algorithms differ across engines.
 
-Reference parity: the reference keeps exact per-entity feature state in its
-in-memory store and pushes rows one batch at a time
-(src/features/simple_feature_store.py:11-15 ``feature_data`` dict,
-:73-80 ``push_streaming_features`` — unbounded per-key growth at corpus
-scale); these sketches are the bounded-state replacement the brief's
-training-data tier calls for.
+Reference parity: the reference's store answers per-entity feature
+lookups from in-memory state and ingests rows push-at-a-time
+(src/features/simple_feature_store.py:17-50 ``get_online_features``
+building a per-entity ``feature_data`` frame, :73-80
+``push_streaming_features`` — exact per-key state, unbounded growth at
+corpus scale); these sketches are the bounded-state replacement the
+brief's training-data tier calls for.
 
 NULL-key semantics (SQL-consistent): builds skip NULL keys (like COUNT /
 set membership); probes return NULL ``est_count`` (count-min) and false
