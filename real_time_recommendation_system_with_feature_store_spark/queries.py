@@ -5170,8 +5170,11 @@ def pagerank_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("item_id").isNotNull())
     )
     pop = ev.groupBy("event_type", "item_id").agg(F.count("*").alias("n_events"))
+    # No broadcast hint: pr is |nodes|-sized (the full item catalog at scale
+    # — forcing it to the driver is an OOM at 1e9 items). AQE promotes the
+    # join to broadcast at runtime when the rank frame is actually small.
     scored = pop.join(
-        F.broadcast(pr), pop["item_id"] == pr["node"]
+        pr, pop["item_id"] == pr["node"]
     ).select(
         "event_type",
         "item_id",
