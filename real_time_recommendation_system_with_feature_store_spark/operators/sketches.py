@@ -1,14 +1,17 @@
-"""Fixed-size probabilistic sketches — count-min and Bloom — as pure
-DataFrame aggregations.
+"""Fixed-size probabilistic sketches — count-min, Bloom, and a mergeable
+log-bucket quantile sketch — as pure DataFrame aggregations.
 
-Both sketches exist for the 100 TB case where exact per-key state does not
+All three exist for the 100 TB case where exact per-key state does not
 fit: a count-min sketch bounds frequency-estimation state to ``depth*width``
-cells regardless of key cardinality, and a Bloom filter compresses a
+cells regardless of key cardinality, a Bloom filter compresses a
 membership set into ``n_bits`` bits that broadcast to every executor, letting
 a join prune its big probe side BEFORE the shuffle (the classic
 runtime-filter pattern Spark itself applies via
 ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — reproduced here
-deterministically so the DuckDB oracle can replay every bit).
+deterministically so the DuckDB oracle can replay every bit), and the
+quantile sketch (``qsketch_*``) bounds percentile-estimation state to
+O(log(range) * 2^sub_bits) histogram cells with a guaranteed relative
+error, replacing a full global sort.
 
 Determinism contract: all hashing is md5-of-key (portable, partition-order
 independent, ANSI-SQL-expressible), never ``hash()``/``xxhash64`` whose seeds
@@ -31,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
 
 
 def _bucket(key: Column, salt: str, width: int) -> Column:
@@ -236,3 +241,134 @@ def bloom_might_contain(
         passed = passed & bit_set
     out = out.withColumn(out_col, passed)
     return out.drop("__wmap", *[f"__bp{h}" for h in range(n_hashes)])
+
+
+# -------------------------------------------------- quantile sketch
+
+_QS_INTERNAL = ("__qs_msb", "__qs_sub", "__qs_cnt")
+
+
+def _qs_guard(df: DataFrame, by: list[str] | None) -> list[str]:
+    by = list(by) if by else []
+    clash = set(_QS_INTERNAL) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"qsketch: input columns collide with reserved internal names: "
+            f"{sorted(clash)}"
+        )
+    return by
+
+def qsketch_build(
+    df: DataFrame,
+    value: Column,
+    sub_bits: int = 4,
+    scale: int = 100,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable log-bucket quantile sketch (DDSketch-family): one scan of
+    ``df`` collapses ``value`` into at most ``~log2(max) * 2^sub_bits``
+    histogram cells ``(by..., __qs_msb, __qs_sub, __qs_cnt)`` with
+    guaranteed relative bucket width ``2^-sub_bits`` (6.25% at the
+    default). The groupBy partial-aggregates map-side, so a 100 TB scan
+    shuffles only the tiny cell frame; sketches over disjoint data (days,
+    partitions) merge by re-summing cells (``qsketch_merge``) — quantiles
+    over a year of data without re-sorting or rescanning it, vs. the exact
+    global-sort path (``percentile``) whose state is the data itself.
+
+    Determinism contract (what makes the DuckDB oracle hash-match
+    bit-for-bit): values quantize to integer units ``n =
+    round(value*scale)`` first, and both bucket coordinates are then EXACT
+    integer arithmetic — ``floor(log2(n))`` on an exact integer is safe
+    (the gap to the nearest boundary is >= 1/(n*ln2), astronomically wider
+    than a double ulp, so any <=1-ulp libm disagreement cannot flip the
+    floor), and the sub-bucket divides by a power of two (exponent-only,
+    exact in IEEE). Requires ``n * 2^sub_bits < 2^53``.
+
+    NULL / non-positive semantics: rows whose quantized value is NULL or
+    <= 0 contribute nothing (log buckets are undefined there), mirroring
+    COUNT-over-NULL; callers with signed data sketch magnitude + sign
+    separately.
+
+    Reference parity: the reference computes distribution stats over fully
+    materialized in-memory frames (src/evaluation/metrics.py popularity /
+    score aggregations over pandas); this is the bounded-state scale path.
+    """
+    by = _qs_guard(df, by)
+    bycols = [qcol(b) for b in by]
+    n = F.round(value * F.lit(scale), 0).cast("long")
+    rows = df.select(*bycols, n.alias("__qs_n")).where(
+        F.col("__qs_n").isNotNull() & (F.col("__qs_n") > 0)
+    )
+    msb = (F.floor(F.log2(F.col("__qs_n").cast("double"))) + 1).cast("int")
+    rows = rows.withColumn("__qs_msb", msb)
+    # den = 2^(msb-1) — double-exact (power of two); (n * 2^sub_bits) / den
+    # only shifts the exponent, so floor() sees the exact quotient.
+    den = F.pow(F.lit(2.0), (F.col("__qs_msb") - 1).cast("double"))
+    sub = (
+        F.floor((F.col("__qs_n") * F.lit(1 << sub_bits)) / den).cast("int")
+        - F.lit(1 << sub_bits)
+    )
+    return (
+        rows.withColumn("__qs_sub", sub)
+        .groupBy(*bycols, F.col("__qs_msb"), F.col("__qs_sub"))
+        .agg(F.count("*").alias("__qs_cnt"))
+    )
+
+
+def qsketch_merge(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge quantile sketches built with identical (sub_bits, scale, by)."""
+    by = list(by) if by else []
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*[qcol(b) for b in by], F.col("__qs_msb"), F.col("__qs_sub")).agg(
+        F.sum("__qs_cnt").alias("__qs_cnt")
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    sub_bits: int = 4,
+    scale: int = 100,
+    by: list[str] | None = None,
+    out_col: str = "est_value",
+) -> DataFrame:
+    """Estimate quantiles from a sketch: for each q in ``qs`` (0 < q <= 1),
+    the lower bound of the first cell whose cumulative count reaches
+    ``ceil(q * total)`` — an underestimate by at most one relative bucket
+    width (``2^-sub_bits``). Output: ``(by..., q, out_col)``.
+
+    Pure tiny-frame arithmetic (the sketch is O(log range * 2^sub_bits)
+    rows per group): a window cumsum, a literal-exploded q frame (no
+    driver-side createDataFrame — bare-session safe), and a min-reduce.
+    Every op is IEEE-identical across engines, so the DuckDB oracle
+    hash-matches exactly."""
+    from pyspark.sql import Window
+
+    by = list(by) if by else []
+    bycols = [qcol(b) for b in by]
+    part = Window.partitionBy(*bycols) if by else Window.partitionBy()
+    w = part.orderBy("__qs_msb", "__qs_sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    den = F.pow(F.lit(2.0), (F.col("__qs_msb") - 1).cast("double"))
+    lb = (
+        (F.lit(1 << sub_bits) + F.col("__qs_sub")) * den / F.lit(float(1 << sub_bits))
+    ) / F.lit(float(scale))
+    cells = sketch.select(
+        *bycols,
+        F.sum("__qs_cnt").over(w).alias("__qs_cum"),
+        F.sum("__qs_cnt").over(part.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("__qs_total"),
+        lb.alias("__qs_lb"),
+    )
+    qexp = F.explode(
+        F.array(*[F.lit(float(q)).cast("double") for q in qs])
+    ).alias("q")
+    qframe = cells.select(*bycols, "__qs_cum", "__qs_total", "__qs_lb", qexp)
+    hit = qframe.where(
+        F.col("__qs_cum") >= F.ceil(F.col("q") * F.col("__qs_total"))
+    )
+    return hit.groupBy(*bycols, F.col("q")).agg(F.min("__qs_lb").alias(out_col))

@@ -5503,12 +5503,99 @@ def event_key_skew_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(ev, ["user_id"], top=20, method="cms", cms_width=256)
 
 
+def _qsketch_cte_sql(table: str, value: str, by: str | None = None) -> str:
+    """Shared quantile-sketch oracle CTEs (sub_bits=4, scale=100): quantize
+    to integer cents, log2-bucket (exact for integers — the boundary gap
+    >= 1/(n*ln2) dwarfs any libm ulp), integer sub-bucket by a power of
+    two. Final CTE ``c`` has (by?, cum, total, lb)."""
+    bycol = f"{by}, " if by else ""
+    part = f"PARTITION BY {by} " if by else ""
+    return f"""
+    n AS (
+      SELECT {bycol}CAST(round({value} * 100, 0) AS BIGINT) AS u FROM {table}
+      WHERE {value} IS NOT NULL AND CAST(round({value} * 100, 0) AS BIGINT) > 0
+    ),
+    b AS (
+      SELECT {bycol}CAST(floor(log2(CAST(u AS DOUBLE))) AS INT) + 1 AS msb,
+        CAST(floor((u * 16) / pow(2.0, floor(log2(CAST(u AS DOUBLE))))) AS INT)
+          - 16 AS sub,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM n GROUP BY {"1, 2, 3" if by else "1, 2"}
+    ),
+    c AS (
+      SELECT {bycol}
+        SUM(cnt) OVER ({part}ORDER BY msb, sub
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(cnt) OVER ({part.rstrip() if by else ""}) AS total,
+        ((16 + sub) * pow(2.0, msb - 1) / 16.0) / 100.0 AS lb
+      FROM b
+    )"""
+
+
+@query(
+    "price_quantile_sketch",
+    oracle=f"""
+    WITH {_qsketch_cte_sql("lineitem", "l_extendedprice")},
+    qv AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT qv.q, MIN(c.lb) AS est_price
+    FROM qv JOIN c ON c.cum >= CEIL(qv.q * c.total)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Mergeable log-bucket quantile sketch (operators/sketches.py::"
+        "qsketch_build/qsketch_quantiles, DDSketch-family, sub_bits=4 -> "
+        "<=6.25% relative bucket width): one lineitem scan collapses "
+        "l_extendedprice into O(log range * 16) histogram cells map-side, "
+        "so the only shuffle moves ~100 cells — vs the exact percentile's "
+        "global sort whose state IS the data; per-day sketches re-sum into "
+        "a corpus sketch without rescanning (tested merge==global). Every "
+        "bucket coordinate is exact integer arithmetic (floor(log2(n)) on "
+        "exact integers, power-of-two sub-division), so the oracle replays "
+        "the sketch bit-for-bit — no approx_percentile nondeterminism.",
+)
+def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = qsketch_build(li, F.col("l_extendedprice"))
+    return qsketch_quantiles(
+        sk, [0.25, 0.5, 0.75, 0.9, 0.99], out_col="est_price"
+    )
+
+
+@query(
+    "order_price_quantiles_by_priority",
+    oracle=f"""
+    WITH {_qsketch_cte_sql("orders", "o_totalprice", by="o_orderpriority")},
+    qv AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+    SELECT c.o_orderpriority, qv.q, MIN(c.lb) AS est_price
+    FROM qv JOIN c ON c.cum >= CEIL(qv.q * c.total)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Grouped quantile sketch (operators/sketches.py::qsketch_build "
+        "by=[o_orderpriority]): per-group median/p90 of order value from "
+        "the same one-scan bounded-state histogram — the grouped profiling "
+        "shape (percentiles per segment/day/source) that at 100 TB must "
+        "not global-sort per group. Cells carry the group key, so the "
+        "cumsum window and quantile pick stay per-group; state is "
+        "O(groups * log range * 16) cells.",
+)
+def order_price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    sk = qsketch_build(o, F.col("o_totalprice"), by=["o_orderpriority"])
+    return qsketch_quantiles(
+        sk, [0.5, 0.9], by=["o_orderpriority"], out_col="est_price"
+    )
+
+
 _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
-    # the 5 NEW never-checked entries (round-7 graph/CDC/sketch wiring) +
-    # all 20 r3-stale (the r6 VERDICT's explicit re-front list) + 23 of the
-    # 50 r4-stale. The 27 r4-stale left out (front-of-queue for r8):
+    # the 9 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
+    # quantile sketch) + all 20 r3-stale (the r6 VERDICT's explicit
+    # re-front list) + 21 of the 50 r4-stale. The 29 r4-stale left out
+    # (front-of-queue for r8):
     # acctbal_zscore, click_and_purchase_users, collect_event_types,
     # customer_order_profile, daily_user_activity_spine,
     # eval_contamination_pruned, event_type_stats, event_value_norm,
@@ -5517,8 +5604,8 @@ _DRIVER_WINDOW = [
     # order_date_features, orders_profile, part_name_features,
     # props_variant_stats, region_nation_revenue, revenue_rollup,
     # rich_inactive_customers, segment_codes, sessionize_events,
-    # small_qty_brand_revenue, top_building_orders, top_revenue_suppliers,
-    # waiting_suppliers.
+    # small_qty_brand_revenue, status_priority_cube, top_building_orders,
+    # top_revenue_suppliers, tumbling_window_counts, waiting_suppliers.
     # NEW in r7 (first driver rows):
     "item_pagerank_topk",            # co-purchase PageRank, unrolled-CTE oracle
     "pagerank_quality_prior",        # graph -> candidate-scoring composition
@@ -5527,6 +5614,8 @@ _DRIVER_WINDOW = [
     "cms_heavy_hitters",             # count-min estimates vs exact top-20
     "event_key_skew_cms",            # mergeable count-min skew probe
     "bloom_pruned_join",             # pre-shuffle bloom prune, exact-join oracle
+    "price_quantile_sketch",         # mergeable log-bucket quantile sketch
+    "order_price_quantiles_by_priority",  # grouped quantile sketch
     # r3-stale (newest green row is r3 — the full VERDICT re-front list):
     "bpe_packed_corpus",
     "brand_top_parts",
@@ -5568,11 +5657,13 @@ _DRIVER_WINDOW = [
     "region_revenue",
     "salted_event_counts",
     "session_window_stats",
-    "status_priority_cube",
+    # status_priority_cube left out (cube/pivot family twin:
+    # event_type_pivot, in-window) to make room for price_quantile_sketch
     "supplier_running_totals",
     "token_budget_packing",
     "tree_rerank_topk",
-    "tumbling_window_counts",
+    # tumbling_window_counts left out (stream-window family twin:
+    # sliding_window_counts, in-window) for order_price_quantiles_by_priority
     "user_activity_windows",
     "user_value_scd2",
     "view_click_attribution",

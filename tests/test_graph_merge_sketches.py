@@ -476,3 +476,131 @@ def test_personalized_pagerank_seed_outside_graph_renormalizes(spark):
     }
     assert 99 not in got
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# --------------------------------------------------------- quantile sketch
+
+
+def test_qsketch_golden_bucket_math(spark):
+    """Hand-computed cells: n=100 cents -> msb=7 (64<=100<128), sub =
+    floor(100*16/64)-16 = 9, lower bound (16+9)*64/16 = 100 cents exactly."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+    df = spark.createDataFrame([(1.00,), (1.00,), (2.00,)], ["v"])
+    cells = {
+        (r["__qs_msb"], r["__qs_sub"]): r["__qs_cnt"]
+        for r in qsketch_build(df, F.col("v")).collect()
+    }
+    assert cells == {(7, 9): 2, (8, 9): 1}  # 200c: msb=8, 3200/128-16 = 9
+    est = {
+        r["q"]: r["est_value"]
+        for r in qsketch_quantiles(qsketch_build(df, F.col("v")), [0.5, 1.0]).collect()
+    }
+    assert est[0.5] == pytest.approx(1.00)
+    assert est[1.0] == pytest.approx(2.00)
+
+
+def test_qsketch_exact_for_singleton_buckets(spark):
+    """For integer cents n <= 2^sub_bits every bucket is a singleton, so
+    every quantile is exact."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+    df = spark.createDataFrame([(i / 100.0,) for i in range(1, 17)], ["v"])
+    sk = qsketch_build(df, F.col("v"))
+    assert sk.count() == 16  # one cell per value
+    est = {
+        r["q"]: r["est_value"]
+        for r in qsketch_quantiles(sk, [0.25, 0.5, 1.0]).collect()
+    }
+    assert est[0.25] == pytest.approx(0.04)
+    assert est[0.5] == pytest.approx(0.08)
+    assert est[1.0] == pytest.approx(0.16)
+
+
+def test_qsketch_relative_error_bound_on_real_data(spark):
+    """The estimate is the lower bound of the bucket holding the
+    ceil(q*n)-th order statistic: est <= v_(ceil(qn)) < est*(1+2^-4)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
+    sk = qsketch_build(li, F.col("l_extendedprice"))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    est = {r["q"]: r["est_value"] for r in qsketch_quantiles(sk, qs).collect()}
+    import math
+
+    for q in qs:
+        v = vals[math.ceil(q * len(vals)) - 1]
+        assert est[q] <= v + 1e-9, q
+        assert v < est[q] * (1 + 1 / 16) + 1e-6, q
+
+
+def test_qsketch_merge_equals_global_build(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_merge
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    parts = [
+        qsketch_build(li.where(F.col("l_orderkey") % 3 == i), F.col("l_extendedprice"))
+        for i in range(3)
+    ]
+    merged = sorted(tuple(r) for r in qsketch_merge(*parts).collect())
+    whole = sorted(tuple(r) for r in qsketch_build(li, F.col("l_extendedprice")).collect())
+    assert merged == whole
+
+
+def test_qsketch_grouped_matches_independent_builds(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    grouped = {
+        (r["l_returnflag"], r["__qs_msb"], r["__qs_sub"]): r["__qs_cnt"]
+        for r in qsketch_build(li, F.col("l_extendedprice"), by=["l_returnflag"]).collect()
+    }
+    for flag in ["A", "N", "R"]:
+        solo = {
+            (flag, r["__qs_msb"], r["__qs_sub"]): r["__qs_cnt"]
+            for r in qsketch_build(
+                li.where(F.col("l_returnflag") == flag), F.col("l_extendedprice")
+            ).collect()
+        }
+        assert solo == {k: v for k, v in grouped.items() if k[0] == flag}, flag
+
+
+def test_qsketch_null_and_nonpositive_skipped(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+    df = spark.createDataFrame(
+        [(None,), (-5.0,), (0.0,), (0.001,), (3.0,)], "v double"
+    )  # 0.001 rounds to 0 cents -> skipped too
+    sk = qsketch_build(df, F.col("v"))
+    rows = sk.collect()
+    assert sum(r["__qs_cnt"] for r in rows) == 1
+    est = qsketch_quantiles(sk, [0.5, 1.0]).collect()
+    # n=300c: msb=9, sub=floor(4800/256)-16=2, lb=(16+2)*256/16 = 288c
+    assert all(r["est_value"] == pytest.approx(2.88) for r in est)
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_qsketch_hostile_group_and_value_names(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    df = spark.createDataFrame(
+        [("x", 1.00), ("x", 2.00), ("y", 4.00)], ["g", "v"]
+    ).withColumnRenamed("g", name).withColumnRenamed("v", f"{name}2")
+    sk = qsketch_build(df, qcol(f"{name}2"), by=[name])
+    est = {
+        (r[name], r["q"]): r["est_value"]
+        for r in qsketch_quantiles(sk, [1.0], by=[name]).collect()
+    }
+    assert est[("x", 1.0)] == pytest.approx(2.00)
+    assert est[("y", 1.0)] == pytest.approx(4.00)
+
+
+def test_qsketch_reserved_names_rejected(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build
+
+    df = spark.createDataFrame([(1.0, 2)], ["v", "__qs_msb"])
+    with pytest.raises(ValueError, match="__qs_msb"):
+        qsketch_build(df, F.col("v"))
