@@ -33,6 +33,7 @@ from real_time_recommendation_system_with_feature_store_spark.operators.corpus i
 )
 
 from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
+from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
 from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
 from real_time_recommendation_system_with_feature_store_spark.operators.merge import latest_changes, merge_changelog
 from real_time_recommendation_system_with_feature_store_spark.operators.sketches import (
@@ -41,6 +42,9 @@ from real_time_recommendation_system_with_feature_store_spark.operators.sketches
     cms_build,
     cms_estimate,
     cms_merge,
+    qsketch_build,
+    qsketch_merge,
+    qsketch_quantiles,
 )
 from real_time_recommendation_system_with_feature_store_spark.operators.scd import (
     scd2_apply_increment,
@@ -94,4 +98,8 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "cms_merge",
+    "qsketch_build",
+    "qsketch_merge",
+    "qsketch_quantiles",
+    "rrf_fuse",
 ]

@@ -5589,12 +5589,102 @@ def order_price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@query(
+    "rrf_hybrid_recommendations",
+    oracle=f"""
+    WITH {_pagerank_cte_sql(3)},
+    base AS (
+      SELECT CAST(props->>'k' AS BIGINT) AS item_id,
+        COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      FROM events WHERE (props->>'k') IS NOT NULL GROUP BY 1
+    ),
+    pop AS (SELECT item_id, ROW_NUMBER() OVER
+              (ORDER BY n_events DESC, item_id) AS rnk FROM base),
+    reach AS (SELECT item_id, ROW_NUMBER() OVER
+              (ORDER BY n_users DESC, item_id) AS rnk FROM base),
+    prl AS (SELECT node AS item_id, ROW_NUMBER() OVER
+              (ORDER BY ROUND(pr, 12) DESC, node) AS rnk FROM r3),
+    u AS (
+      SELECT item_id, CAST(FLOOR(1000000000000.0 / (60 + rnk)) AS BIGINT) AS c
+      FROM pop WHERE rnk <= 50
+      UNION ALL
+      SELECT item_id, CAST(FLOOR(1000000000000.0 / (60 + rnk)) AS BIGINT)
+      FROM reach WHERE rnk <= 50
+      UNION ALL
+      SELECT item_id, CAST(FLOOR(1000000000000.0 / (60 + rnk)) AS BIGINT)
+      FROM prl WHERE rnk <= 50
+    ),
+    f AS (SELECT item_id, CAST(SUM(c) AS DOUBLE) / 1000000000000.0 AS rrf_score,
+            COUNT(*) AS n_lists
+          FROM u GROUP BY 1),
+    r AS (SELECT item_id, rrf_score, n_lists,
+            CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, item_id) AS INTEGER)
+              AS rank
+          FROM f)
+    SELECT item_id, rrf_score, n_lists, rank FROM r
+    WHERE rank <= 20 ORDER BY rank
+    """,
+    doc="Reciprocal-rank fusion (operators/fuse.py::rrf_fuse, k=60) of "
+        "three heterogeneous candidate generators — popularity (event "
+        "count), reach (distinct users), and co-purchase PageRank "
+        "centrality — into one hybrid top-20. The fusion the reference's "
+        "two-stage recommender lacks (src/models/two_tower.py retrieval -> "
+        "src/models/ranking_models.py rerank calibrates ONE score chain): "
+        "RRF needs only rank order, so incomparable scores fuse without "
+        "calibration. Plan: no joins — lists union column-pruned (item, "
+        "rank) rows into one slim groupBy; contributions are integer "
+        "floor(1e12/(k+rank)) so the sum is order-independent and the "
+        "oracle replays it exactly. The per-item stats frame is eagerly "
+        "localCheckpoint-ed (|items| rows) so the pop and reach rankings "
+        "branch off one events scan, not two.",
+)
+def rrf_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+    )
+    base = (
+        ev.groupBy("item_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _top(df: DataFrame, metric: str) -> DataFrame:
+        w = Window.orderBy(F.col(metric).desc(), F.col("item_id").asc())
+        return df.select(
+            "item_id", F.row_number().over(w).alias("rank")
+        ).where(F.col("rank") <= 50)
+
+    pr = pagerank(_copurchase_edges(spark, sf_dir), "src", "dst", "w", iterations=3)
+    wpr = Window.orderBy(F.round(F.col("rank"), 12).desc(), F.col("node").asc())
+    prl = pr.select(
+        F.col("node").alias("item_id"), F.row_number().over(wpr).alias("rank")
+    ).where(F.col("rank") <= 50)
+
+    fused = rrf_fuse([_top(base, "n_events"), _top(base, "n_users"), prl], on=["item_id"])
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("item_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 20)
+        .select("item_id", "rrf_score", "n_lists", "rank")
+    )
+
+
 _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
-    # the 9 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
-    # quantile sketch) + all 20 r3-stale (the r6 VERDICT's explicit
-    # re-front list) + 21 of the 50 r4-stale. The 29 r4-stale left out
+    # the 10 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
+    # quantile sketch + RRF) + all 20 r3-stale (the r6 VERDICT's explicit
+    # re-front list) + 20 of the 50 r4-stale. The 30 r4-stale left out
     # (front-of-queue for r8):
     # acctbal_zscore, click_and_purchase_users, collect_event_types,
     # customer_order_profile, daily_user_activity_spine,
@@ -5602,10 +5692,11 @@ _DRIVER_WINDOW = [
     # inter_event_gaps, item_interaction_counts, late_ship_priority_counts,
     # nation_pair_trade_volume, nations_with_presence, nfc_normalized_docs,
     # order_date_features, orders_profile, part_name_features,
-    # props_variant_stats, region_nation_revenue, revenue_rollup,
-    # rich_inactive_customers, segment_codes, sessionize_events,
-    # small_qty_brand_revenue, status_priority_cube, top_building_orders,
-    # top_revenue_suppliers, tumbling_window_counts, waiting_suppliers.
+    # promo_revenue_share, props_variant_stats, region_nation_revenue,
+    # revenue_rollup, rich_inactive_customers, segment_codes,
+    # sessionize_events, small_qty_brand_revenue, status_priority_cube,
+    # top_building_orders, top_revenue_suppliers, tumbling_window_counts,
+    # waiting_suppliers.
     # NEW in r7 (first driver rows):
     "item_pagerank_topk",            # co-purchase PageRank, unrolled-CTE oracle
     "pagerank_quality_prior",        # graph -> candidate-scoring composition
@@ -5616,6 +5707,7 @@ _DRIVER_WINDOW = [
     "bloom_pruned_join",             # pre-shuffle bloom prune, exact-join oracle
     "price_quantile_sketch",         # mergeable log-bucket quantile sketch
     "order_price_quantiles_by_priority",  # grouped quantile sketch
+    "rrf_hybrid_recommendations",    # reciprocal-rank fusion of 3 generators
     # r3-stale (newest green row is r3 — the full VERDICT re-front list):
     "bpe_packed_corpus",
     "brand_top_parts",
@@ -5652,7 +5744,8 @@ _DRIVER_WINDOW = [
     "item_trending_scores",
     "nation_top_balance_customers",
     "pricing_summary",
-    "promo_revenue_share",
+    # promo_revenue_share left out (share-arithmetic family twin:
+    # key_part_value_share, r6-green) to make room for rrf_hybrid_recommendations
     "ranking_metrics_multi_k",
     "region_revenue",
     "salted_event_counts",

@@ -604,3 +604,78 @@ def test_qsketch_reserved_names_rejected(spark):
     df = spark.createDataFrame([(1.0, 2)], ["v", "__qs_msb"])
     with pytest.raises(ValueError, match="__qs_msb"):
         qsketch_build(df, F.col("v"))
+
+
+# ------------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_golden(spark):
+    """Hand-computed: item 1 ranked 1st+2nd, item 2 ranked 2nd+1st, item 3
+    only in list A at rank 3."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["item", "rank"])
+    b = spark.createDataFrame([(2, 1), (1, 2)], ["item", "rank"])
+    got = {
+        r["item"]: (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([a, b], on=["item"]).collect()
+    }
+    c = lambda r: (10**12) // (60 + r)  # floor(scale/(k+rank))
+    assert got[1] == ((c(1) + c(2)) / 1e12, 2)
+    assert got[2] == ((c(2) + c(1)) / 1e12, 2)
+    assert got[3] == (c(3) / 1e12, 1)
+    assert got[1][0] == got[2][0]  # symmetric rank swap ties exactly
+
+
+def test_rrf_fuse_null_keys_dropped(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
+
+    a = spark.createDataFrame([(None, 1), (7, 2)], "item int, rank int")
+    out = rrf_fuse([a], on=["item"]).collect()
+    assert [r["item"] for r in out] == [7]
+
+
+def test_rrf_fuse_multi_key_requires_all_nonnull(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("u1", 7, 1), ("u1", None, 2), (None, 7, 3)],
+        "user string, item int, rank int",
+    )
+    out = rrf_fuse([a], on=["user", "item"]).collect()
+    assert [(r["user"], r["item"]) for r in out] == [("u1", 7)]
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_rrf_fuse_hostile_names(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["item", "rank"])
+    a = a.withColumnRenamed("item", name).withColumnRenamed("rank", f"{name}r")
+    got = {
+        r[name]: r["rrf_score"]
+        for r in rrf_fuse([a], on=[name], rank_col=f"{name}r").collect()
+    }
+    assert got[1] == ((10**12) // 61) / 1e12
+
+
+def test_rrf_fuse_reserved_name_rejected(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1, 0)], ["item", "rank", "__rrf_contrib"])
+    with pytest.raises(ValueError, match="__rrf_contrib"):
+        rrf_fuse([a], on=["item"])
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], on=["item"])
+
+
+def test_rrf_fuse_plan_has_no_join(spark):
+    """Fusion must be union + one groupBy — never a per-list join chain."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
+
+    frames = [
+        spark.createDataFrame([(i, 1)], ["item", "rank"]) for i in range(5)
+    ]
+    plan = rrf_fuse(frames, on=["item"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Union" in plan
