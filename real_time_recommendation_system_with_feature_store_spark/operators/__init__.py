@@ -34,7 +34,7 @@ from real_time_recommendation_system_with_feature_store_spark.operators.corpus i
 
 from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
 from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
-from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank, triangle_counts
 from real_time_recommendation_system_with_feature_store_spark.operators.merge import latest_changes, merge_changelog
 from real_time_recommendation_system_with_feature_store_spark.operators.sketches import (
     bloom_build,
@@ -91,6 +91,7 @@ __all__ = [
     "scd2_apply_increment",
     "snapshot_at",
     "pagerank",
+    "triangle_counts",
     "latest_changes",
     "merge_changelog",
     "bloom_build",

@@ -121,3 +121,101 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient of the
+    UNDIRECTED graph under ``edges``; returns
+    ``(node, degree, triangles, clustering_coeff)`` with every node
+    present (zero triangles included — coefficient 0.0 below degree 2).
+
+    Algorithm: degree-ordered wedge join (the standard distributed
+    triangle scheme — Cohen's MapReduce formulation / node-iterator++).
+    Edges canonicalize undirected and orient from the LOWER (degree, id)
+    endpoint to the higher; wedges enumerate neighbor pairs of each apex
+    and close against the oriented edge set. The orientation is the scale
+    guarantee: every node's out-degree is O(sqrt(m)), so wedge volume is
+    O(m^1.5) total regardless of hub skew — a raw neighbor self-join
+    would square the hottest hub's degree. Each triangle is produced
+    exactly once (its minimum-key vertex is the apex), then exploded to
+    all three corners for per-node counts.
+
+    All joins are key-partitioned equi joins (no cartesian); the
+    canonical edge frame is reused three times (degrees, orientation,
+    closure) so it is materialized once via eager localCheckpoint — same
+    lifecycle note as pagerank's edge frame above.
+
+    Determinism contract: counts are exact integers; the coefficient
+    ``2*t / (d*(d-1))`` runs in double with the identical op order both
+    engines, rounded to 12 places. The (degree, id) tuple order is
+    replayed in SQL as row-value comparison.
+
+    Reference parity: the reference has no graph analytics at all; local
+    clustering is the cohesion signal its popularity count can't see
+    (README.md:127-135 baseline table) — an item whose co-purchase
+    neighborhood is tightly interlinked sits in a coherent taste cluster,
+    vs a hub merely touched by everyone.
+    """
+    e = edges.select(qcol(src).alias("__a"), qcol(dst).alias("__b")).where(
+        F.col("__a").isNotNull()
+        & F.col("__b").isNotNull()
+        & (F.col("__a") != F.col("__b"))
+    )
+    und = (
+        e.select(
+            F.least("__a", "__b").alias("a"), F.greatest("__a", "__b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    ka, kb = F.struct("__da", "a"), F.struct("__db", "b")
+    orient = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(ka < kb, F.col("__db")).otherwise(F.col("__da")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o1 = orient.select("u", F.col("v").alias("x"), F.col("dv").alias("__dx"))
+    o2 = orient.select("u", F.col("v").alias("y"), F.col("dv").alias("__dy"))
+    wedges = (
+        o1.join(o2, "u")
+        .where(F.struct("__dx", "x") < F.struct("__dy", "y"))
+        .select("u", "x", "y")
+    )
+    closed = wedges.join(
+        orient.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    tri = (
+        closed.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    d2 = F.col("degree") * (F.col("degree") - F.lit(1.0))
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0).cast("long")) / d2,
+            ).otherwise(F.lit(0.0)),
+            12,
+        ).alias("clustering_coeff"),
+    )

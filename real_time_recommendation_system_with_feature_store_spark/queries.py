@@ -5679,17 +5679,86 @@ def rrf_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "copurchase_clustering_coeff",
+    oracle="""
+    WITH ea AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id
+           FROM events WHERE event_type = 'purchase' AND (props->>'k') IS NOT NULL),
+    ui AS (SELECT DISTINCT user_id, item_id FROM ea),
+    und AS (SELECT LEAST(a.item_id, b.item_id) AS a, GREATEST(a.item_id, b.item_id) AS b
+            FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+            (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+    orient AS (
+      SELECT CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.b ELSE u.a END AS v,
+             CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN db.degree ELSE da.degree END AS dv
+      FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+    wedges AS (SELECT o1.u, o1.v AS x, o2.v AS y
+               FROM orient o1 JOIN orient o2 ON o1.u = o2.u
+               WHERE (o1.dv, o1.v) < (o2.dv, o2.v)),
+    closed AS (SELECT w.u, w.x, w.y FROM wedges w
+               JOIN orient o ON o.u = w.x AND o.v = w.y),
+    tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM
+            (SELECT u AS node FROM closed UNION ALL SELECT x FROM closed
+             UNION ALL SELECT y FROM closed) GROUP BY 1),
+    outp AS (SELECT d.node AS item_id, d.degree,
+               COALESCE(t.triangles, 0) AS triangles,
+               ROUND(CASE WHEN d.degree >= 2
+                 THEN 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1.0))
+                 ELSE 0.0 END, 12) AS clustering_coeff
+             FROM deg d LEFT JOIN tri t ON d.node = t.node)
+    SELECT item_id, degree, triangles, clustering_coeff,
+      CAST(ROW_NUMBER() OVER (ORDER BY clustering_coeff DESC, triangles DESC,
+        item_id) AS INTEGER) AS rank
+    FROM outp ORDER BY rank LIMIT 20
+    """,
+    doc="Triangle counting + local clustering coefficient over the "
+        "co-purchase item graph (operators/graph.py::triangle_counts, "
+        "degree-ordered wedge join — Cohen's MapReduce scheme). The "
+        "orientation from lower (degree, id) to higher bounds every "
+        "apex's out-degree at O(sqrt(m)), so wedge volume is O(m^1.5) "
+        "regardless of hub skew — the property that keeps the self-join "
+        "alive at a 1e9-item catalog where a naive neighbor join squares "
+        "the hottest hub. Cohesion signal the reference's popularity "
+        "count can't see (README.md:127-135): high coefficient = coherent "
+        "taste cluster, low = unstructured hub. Oracle replays the "
+        "(degree, id) row-value orientation and the once-per-triangle "
+        "wedge closure exactly.",
+)
+def copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import triangle_counts
+
+    out = triangle_counts(_copurchase_edges(spark, sf_dir), "src", "dst")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("clustering_coeff").desc(),
+        F.col("triangles").desc(),
+        F.col("item_id").asc(),
+    )
+    return (
+        out.select(
+            F.col("node").alias("item_id"), "degree", "triangles", "clustering_coeff"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+    )
+
+
 _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
-    # the 10 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
-    # quantile sketch + RRF) + all 20 r3-stale (the r6 VERDICT's explicit
-    # re-front list) + 20 of the 50 r4-stale. The 30 r4-stale left out
-    # (front-of-queue for r8):
+    # the 11 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
+    # quantile sketch + RRF + triangles) + all 20 r3-stale (the r6 VERDICT's
+    # explicit re-front list) + 19 of the 50 r4-stale. The 31 r4-stale left
+    # out (front-of-queue for r8):
     # acctbal_zscore, click_and_purchase_users, collect_event_types,
     # customer_order_profile, daily_user_activity_spine,
     # eval_contamination_pruned, event_type_stats, event_value_norm,
-    # inter_event_gaps, item_interaction_counts, late_ship_priority_counts,
+    # inter_event_gaps, item_interaction_counts, item_trending_scores,
+    # late_ship_priority_counts,
     # nation_pair_trade_volume, nations_with_presence, nfc_normalized_docs,
     # order_date_features, orders_profile, part_name_features,
     # promo_revenue_share, props_variant_stats, region_nation_revenue,
@@ -5708,6 +5777,7 @@ _DRIVER_WINDOW = [
     "price_quantile_sketch",         # mergeable log-bucket quantile sketch
     "order_price_quantiles_by_priority",  # grouped quantile sketch
     "rrf_hybrid_recommendations",    # reciprocal-rank fusion of 3 generators
+    "copurchase_clustering_coeff",   # degree-ordered triangle counting
     # r3-stale (newest green row is r3 — the full VERDICT re-front list):
     "bpe_packed_corpus",
     "brand_top_parts",
@@ -5741,7 +5811,8 @@ _DRIVER_WINDOW = [
     "event_type_pivot",
     "gopher_quality_flags",
     "interpolated_event_values",
-    "item_trending_scores",
+    # item_trending_scores left out (decay-arithmetic family twin:
+    # rolling_user_velocity, r6-green) for copurchase_clustering_coeff
     "nation_top_balance_customers",
     "pricing_summary",
     # promo_revenue_share left out (share-arithmetic family twin:

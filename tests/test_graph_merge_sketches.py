@@ -679,3 +679,85 @@ def test_rrf_fuse_plan_has_no_join(spark):
     plan = rrf_fuse(frames, on=["item"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Union" in plan
+
+
+# ------------------------------------------------------------- triangles
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by brute-force enumeration."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    t = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            t[a] += 1; t[b] += 1; t[c] += 1
+    deg = {n: sum(1 for e in und if n in e) for n in nodes}
+    return t, deg
+
+
+def test_triangle_counts_golden(spark):
+    """K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    df = spark.createDataFrame(edges + [(b, a) for a, b in edges], ["src", "dst"])
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering_coeff"]) for r in triangle_counts(df).collect()}
+    assert got == {
+        1: (3, 2, pytest.approx(2 / 3, abs=1e-12)),
+        2: (3, 2, pytest.approx(2 / 3, abs=1e-12)),
+        3: (2, 1, 1.0),
+        4: (2, 1, 1.0),
+    }
+
+
+def test_triangle_counts_complete_graph(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a in range(5) for b in range(5) if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for r in triangle_counts(df).collect():
+        assert (r["degree"], r["triangles"], r["clustering_coeff"]) == (4, 6, 1.0)
+
+
+def test_triangle_counts_ignores_duplicates_selfloops_nulls(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (1, 3), (None, 1), (3, None)],
+        "src int, dst int",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_empty(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([], "src int, dst int")
+    assert triangle_counts(df).count() == 0
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """Deterministic pseudo-random graph vs brute-force enumeration —
+    exercises the degree-ordered orientation on irregular degrees."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import triangle_counts
+
+    edges = [((i * 7 + 3) % 13, (i * i + 5) % 13) for i in range(60)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want_t, want_d = _brute_triangles(edges)
+    got = {r["node"]: (r["degree"], r["triangles"]) for r in triangle_counts(df).collect()}
+    assert got == {n: (want_d[n], want_t[n]) for n in want_t}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_triangle_counts_hostile(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    df = df.withColumnRenamed("src", name).withColumnRenamed("dst", f"{name}2")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df, name, f"{name}2").collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
