@@ -42,6 +42,9 @@ from real_time_recommendation_system_with_feature_store_spark.operators.sketches
     cms_build,
     cms_estimate,
     cms_merge,
+    hll_build,
+    hll_estimate,
+    hll_merge,
     qsketch_build,
     qsketch_merge,
     qsketch_quantiles,
@@ -99,6 +102,9 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "cms_merge",
+    "hll_build",
+    "hll_estimate",
+    "hll_merge",
     "qsketch_build",
     "qsketch_merge",
     "qsketch_quantiles",

@@ -372,3 +372,127 @@ def qsketch_quantiles(
         F.col("__qs_cum") >= F.ceil(F.col("q") * F.col("__qs_total"))
     )
     return hit.groupBy(*bycols, F.col("q")).agg(F.min("__qs_lb").alias(out_col))
+
+
+# ------------------------------------------------------------ hyperloglog
+
+_HLL_INTERNAL = ("__hll_h", "__hll_w", "bucket", "max_rho")
+
+
+def _hll_dims(p: int) -> tuple[int, int]:
+    """(m, S): register count and the scaled-sum exponent. The 60-bit
+    md5 hash splits into a p-bit bucket and a (60-p)-bit suffix w, so
+    rho = clz(w)+1 ranges over [1, 61-p] and S = 61-p scales every
+    2^-rho to the integer 2^(S-rho)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll: p must be in [4, 16], got {p}")
+    return 1 << p, 61 - p
+
+
+def hll_build(
+    df: DataFrame,
+    key: Column,
+    p: int = 8,
+    salt: str = "hll",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog registers for COUNT DISTINCT of ``key``:
+    ``(by..., bucket, max_rho)`` — at most ``2^p`` rows per group, however
+    many distinct keys the data holds. NULL keys contribute nothing
+    (COUNT-DISTINCT-over-NULL semantics).
+
+    One scan: the groupBy max partial-aggregates map-side, so 100 TB of
+    keys shuffle at most ``groups * 2^p`` register rows. Registers over
+    disjoint data merge by re-maxing (``hll_merge``) — per-day
+    cardinalities roll into a corpus cardinality without rescanning, the
+    property ``approx_count_distinct`` (whose binary sketch never leaves
+    the aggregate) can't give you as a reusable table.
+
+    Determinism contract: the 60-bit hash is md5-derived (portable,
+    `('0x'||substring(md5(..),1,15))::UBIGINT` in DuckDB), the bucket is
+    ``h % 2^p``, and rho counts leading zeros of the suffix via
+    ``61 - p - length(bin(w))`` — exact integer/string ops, replayed
+    bit-for-bit by the SQL oracle (parity probed: Spark ``conv``/``bin``
+    == DuckDB ``::UBIGINT``/``bin`` on the same md5 text)."""
+    m, S = _hll_dims(p)
+    by = list(by) if by else []
+    clash = set(_HLL_INTERNAL) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"hll_build: input columns collide with reserved internal "
+            f"names: {sorted(clash)}"
+        )
+    bycols = [qcol(b) for b in by]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", F.lit(salt), key)), 1, 15), 16, 10
+    ).cast("long")
+    rows = df.where(key.isNotNull()).select(*bycols, h.alias("__hll_h"))
+    rows = rows.select(
+        *bycols,
+        (F.col("__hll_h") % m).cast("int").alias("bucket"),
+        F.expr(f"__hll_h div {m}").alias("__hll_w"),
+    )
+    rho = (
+        F.when(F.col("__hll_w") == 0, F.lit(S))
+        .otherwise(F.lit(S) - F.length(F.bin(F.col("__hll_w"))))
+        .cast("int")
+    )
+    return (
+        rows.select(*bycols, F.col("bucket"), rho.alias("__rho"))
+        .groupBy(*bycols, F.col("bucket"))
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge register frames built with identical (p, salt, by)."""
+    by = list(by) if by else []
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*[qcol(b) for b in by], F.col("bucket")).agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    p: int = 8,
+    by: list[str] | None = None,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Cardinality estimate from a register frame: ``(by..., out_col)``
+    (typical error 1.04/sqrt(2^p) — 6.5% at the default p=8).
+
+    The register sum is EXACT integer arithmetic: each 2^-rho scales to
+    the bigint ``2^(S-rho)`` (missing registers contribute ``2^S``), so
+    the harmonic-mean denominator is order-independent and the raw
+    estimate is one double division — bit-identical across engines. The
+    standard small-range correction (``m * ln(m/zeros)`` when raw <=
+    2.5m) is applied; it is the ONLY libm call, taken exactly when both
+    engines' identical raw/zeros values say so. No large-range correction
+    is needed: at 60 hash bits, collisions are negligible below ~2^30
+    distinct keys per group, far past the p<=16 register regime."""
+    m, S = _hll_dims(p)
+    by = list(by) if by else []
+    bycols = [qcol(b) for b in by]
+    # alpha_m * m^2 * 2^S as one shortest-repr double literal, so the SQL
+    # oracle can embed the identical constant
+    num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << S)
+    # F.shiftleft only takes a literal shift; max_rho is a FIXED internal
+    # name, so the expr interpolation is hostile-identifier-safe
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {S} - max_rho)")
+    agg = sketch.groupBy(*bycols).agg(
+        F.sum(term).alias("__hll_occ"), F.count("*").alias("__hll_nb")
+    )
+    ssum = (
+        F.col("__hll_occ")
+        + (F.lit(m) - F.col("__hll_nb")) * F.lit(1 << S).cast("long")
+    ).cast("double")
+    zeros = (F.lit(m) - F.col("__hll_nb")).cast("double")
+    raw = F.lit(num) / ssum
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*bycols, est.alias(out_col))

@@ -5747,13 +5747,93 @@ def copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# alpha_m * m^2 * 2^S for p=8 — the identical shortest-repr double literal
+# lands in both the Spark plan (F.lit in hll_estimate) and the oracle SQL
+_HLL_P8_NUM = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 53)
+
+
+@query(
+    "event_type_pair_cardinality_hll",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_type,
+        CAST(user_id AS VARCHAR) || '|'
+          || CAST(CAST(props->>'k' AS BIGINT) AS VARCHAR) AS pk
+      FROM events WHERE (props->>'k') IS NOT NULL
+    ),
+    h AS (SELECT event_type,
+            ('0x' || substring(md5('hll' || chr(31) || pk), 1, 15))::UBIGINT AS h
+          FROM k),
+    r AS (SELECT event_type, CAST(h % 256 AS INT) AS bucket,
+            CAST(CASE WHEN h // 256 = 0 THEN 53
+                 ELSE 53 - length(bin(h // 256)) END AS INT) AS rho
+          FROM h),
+    reg AS (SELECT event_type, bucket, MAX(rho) AS max_rho FROM r GROUP BY 1, 2),
+    agg AS (SELECT event_type,
+              CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT)
+                + (256 - CAST(COUNT(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 53)
+                AS ssum,
+              256 - CAST(COUNT(*) AS BIGINT) AS zeros
+            FROM reg GROUP BY 1),
+    est AS (SELECT event_type,
+              CASE WHEN ({_HLL_P8_NUM!r} / CAST(ssum AS DOUBLE)) <= 640.0
+                    AND zeros > 0
+                THEN 256.0 * LN(256.0 / CAST(zeros AS DOUBLE))
+                ELSE {_HLL_P8_NUM!r} / CAST(ssum AS DOUBLE)
+              END AS est
+            FROM agg),
+    ex AS (SELECT event_type, CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_exact
+           FROM k GROUP BY 1)
+    SELECT ex.event_type, ex.n_exact, ROUND(est.est, 6) AS n_hll
+    FROM ex JOIN est USING (event_type) ORDER BY 1
+    """,
+    doc="Mergeable HyperLogLog (operators/sketches.py::hll_build/"
+        "hll_estimate, p=8 -> 256 registers, ~6.5% typical error): "
+        "per-event-type distinct (user, item) pair cardinality from "
+        "bounded register state — at most groups*256 rows shuffle "
+        "regardless of key count, and per-day register frames re-max into "
+        "a corpus cardinality without rescanning (the reusable-table "
+        "property approx_count_distinct's in-aggregate sketch can't give). "
+        "The register sum is exact integer arithmetic (2^(S-rho) bigints), "
+        "so the raw estimate is one double division and the oracle replays "
+        "every register bit-for-bit (md5-60 hash, bin() leading-zero "
+        "count); the exact COUNT DISTINCT rides along to certify the "
+        "error. Pair cardinality ~1.9k per type keeps both engines on the "
+        "pure-arithmetic path (no libm branch in the compared output).",
+)
+def event_type_pair_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+    )
+    pk = F.concat_ws(
+        "|", F.col("user_id").cast("string"), F.col("item_id").cast("string")
+    )
+    keyed = ev.select("event_type", pk.alias("pk"))
+    est = hll_estimate(
+        hll_build(keyed, F.col("pk"), p=8, by=["event_type"]),
+        p=8,
+        by=["event_type"],
+        out_col="est",
+    )
+    exact = keyed.groupBy("event_type").agg(
+        F.countDistinct("pk").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", F.round(F.col("est"), 6).alias("n_hll")
+    )
+
+
 _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
-    # the 11 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
-    # quantile sketch + RRF + triangles) + all 20 r3-stale (the r6 VERDICT's
-    # explicit re-front list) + 19 of the 50 r4-stale. The 31 r4-stale left
-    # out (front-of-queue for r8):
+    # the 12 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
+    # quantile sketch + RRF + triangles + HLL) + all 20 r3-stale (the r6
+    # VERDICT's explicit re-front list) + 18 of the 50 r4-stale. The 32
+    # r4-stale left out (front-of-queue for r8):
     # acctbal_zscore, click_and_purchase_users, collect_event_types,
     # customer_order_profile, daily_user_activity_spine,
     # eval_contamination_pruned, event_type_stats, event_value_norm,
@@ -5762,7 +5842,8 @@ _DRIVER_WINDOW = [
     # nation_pair_trade_volume, nations_with_presence, nfc_normalized_docs,
     # order_date_features, orders_profile, part_name_features,
     # promo_revenue_share, props_variant_stats, region_nation_revenue,
-    # revenue_rollup, rich_inactive_customers, segment_codes,
+    # revenue_rollup, rich_inactive_customers, salted_event_counts,
+    # segment_codes,
     # sessionize_events, small_qty_brand_revenue, status_priority_cube,
     # top_building_orders, top_revenue_suppliers, tumbling_window_counts,
     # waiting_suppliers.
@@ -5778,6 +5859,7 @@ _DRIVER_WINDOW = [
     "order_price_quantiles_by_priority",  # grouped quantile sketch
     "rrf_hybrid_recommendations",    # reciprocal-rank fusion of 3 generators
     "copurchase_clustering_coeff",   # degree-ordered triangle counting
+    "event_type_pair_cardinality_hll",  # mergeable HLL registers, exact-certified
     # r3-stale (newest green row is r3 — the full VERDICT re-front list):
     "bpe_packed_corpus",
     "brand_top_parts",
@@ -5819,7 +5901,8 @@ _DRIVER_WINDOW = [
     # key_part_value_share, r6-green) to make room for rrf_hybrid_recommendations
     "ranking_metrics_multi_k",
     "region_revenue",
-    "salted_event_counts",
+    # salted_event_counts left out (skew-handling family twins:
+    # event_key_skew + event_key_skew_cms, in-window) for the HLL entry
     "session_window_stats",
     # status_priority_cube left out (cube/pivot family twin:
     # event_type_pivot, in-window) to make room for price_quantile_sketch

@@ -761,3 +761,104 @@ def test_triangle_counts_hostile(spark, name):
     df = df.withColumnRenamed("src", name).withColumnRenamed("dst", f"{name}2")
     got = {r["node"]: r["triangles"] for r in triangle_counts(df, name, f"{name}2").collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ------------------------------------------------------------ hyperloglog
+
+
+def test_hll_accuracy_10k_keys(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.range(10000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    est = hll_estimate(hll_build(df, F.col("k"))).collect()[0]["est_distinct"]
+    assert abs(est - 10000) / 10000 < 0.20  # 3 sigma at p=8 (1.04/16 per sigma)
+
+
+def test_hll_merge_equals_global_build(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_merge
+
+    df = spark.range(5000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    parts = [
+        hll_build(df.where(F.col("id") % 3 == i), F.col("k")) for i in range(3)
+    ]
+    merged = sorted(tuple(r) for r in hll_merge(*parts).collect())
+    whole = sorted(tuple(r) for r in hll_build(df, F.col("k")).collect())
+    assert merged == whole
+
+
+def test_hll_small_range_correction_matches_formula(spark):
+    """With 20 keys the raw estimate falls under 2.5*m, so the linear-
+    counting branch must fire: est = m * ln(m / zeros)."""
+    import math
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.range(20).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+    sk = hll_build(df, F.col("k"))
+    occupied = sk.count()
+    est = hll_estimate(sk).collect()[0]["est_distinct"]
+    assert est == pytest.approx(256.0 * math.log(256.0 / (256 - occupied)), rel=1e-12)
+    assert abs(est - 20) < 3  # and linear counting is accurate down here
+
+
+def test_hll_duplicates_dont_move_registers(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build
+
+    once = spark.range(100).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    thrice = once.unionAll(once).unionAll(once)
+    assert sorted(map(tuple, hll_build(once, F.col("k")).collect())) == sorted(
+        map(tuple, hll_build(thrice, F.col("k")).collect())
+    )
+
+
+def test_hll_null_keys_skipped(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    regs = hll_build(df, F.col("k")).collect()
+    assert sum(1 for _ in regs) <= 2  # at most one register per non-null key
+
+
+def test_hll_grouped_matches_independent_builds(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build
+
+    df = spark.range(600).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("k"),
+    )
+    grouped = {
+        (r["g"], r["bucket"]): r["max_rho"]
+        for r in hll_build(df, F.col("k"), by=["g"]).collect()
+    }
+    for g in ["0", "1"]:
+        solo = {
+            (g, r["bucket"]): r["max_rho"]
+            for r in hll_build(df.where(F.col("g") == g), F.col("k")).collect()
+        }
+        assert solo == {k: v for k, v in grouped.items() if k[0] == g}, g
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_hll_hostile_names(spark, name):
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.createDataFrame(
+        [("x", "k1"), ("x", "k2"), ("y", "k3")], ["g", "k"]
+    ).withColumnRenamed("g", name).withColumnRenamed("k", f"{name}2")
+    sk = hll_build(df, qcol(f"{name}2"), by=[name])
+    est = {
+        r[name]: r["est_distinct"]
+        for r in hll_estimate(sk, by=[name]).collect()
+    }
+    assert abs(est["x"] - 2) < 0.1 and abs(est["y"] - 1) < 0.1
+
+
+def test_hll_guards(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build
+
+    df = spark.createDataFrame([("a", 1)], ["k", "max_rho"])
+    with pytest.raises(ValueError, match="max_rho"):
+        hll_build(df, F.col("k"))
+    with pytest.raises(ValueError, match="p must be"):
+        hll_build(df.select("k"), F.col("k"), p=3)
