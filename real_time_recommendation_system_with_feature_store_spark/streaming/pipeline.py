@@ -508,3 +508,41 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     return cells.groupBy("row", "bucket").agg(
         F.sum("cell_count").alias("cell_count")
     )
+
+
+def hll_sketch_stream(
+    sketch_dir: str,
+    key_col: str,
+    p: int = 8,
+    salt: str = "hll",
+):
+    """ST9 × sketches: streaming HyperLogLog maintenance — each micro-batch
+    builds its own register frame (``operators/sketches.hll_build``,
+    ≤ 2^p rows no matter the batch size) into an ``epoch=N`` partition; the
+    live corpus cardinality is ``read_hll_sketch``'s max-fold over all
+    epochs — the raw stream is never rescanned and the directory stays
+    O(epochs · 2^p), compactable at any time (hll_merge is associative,
+    commutative, AND idempotent: max-of-max absorbs duplicate epochs, so
+    even a non-overwriting replay could not inflate the estimate — strictly
+    stronger than the count-based sinks' overwrite-only idempotency).
+
+    Idempotent under foreachBatch's at-least-once replay: a replayed epoch
+    overwrites exactly its own register partition, same contract as
+    ``cms_sketch_stream``.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        regs = hll_build(batch_df, qcol(key_col), p=p, salt=salt)
+        regs.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_hll_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Fold an epoch-partitioned register directory into ONE HLL register
+    frame (the hll_merge of every epoch). Feed the result straight to
+    ``operators/sketches.hll_estimate``."""
+    regs = spark.read.parquet(sketch_dir).drop("epoch")
+    return regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))

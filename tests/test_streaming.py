@@ -908,3 +908,48 @@ def test_cms_sketch_stream_matches_batch(spark, events_batch):
         for r in read_cms_sketch(spark, sketch_dir).collect()
     }
     assert twice == once
+
+
+def test_hll_sketch_stream_matches_batch(spark, events_batch):
+    """Streaming HLL maintenance: replaying events as micro-batches through
+    the foreachBatch register sink and max-folding the epochs must equal
+    the one-pass batch registers bit-for-bit, and the estimate off the
+    streamed registers equals the batch estimate. The max-fold is
+    idempotent BEYOND overwrite semantics: appending the same data under a
+    NEW epoch id cannot move a single register (max absorbs duplicates),
+    so even a non-overwriting replay cannot inflate the cardinality."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_estimate
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import hll_sketch_stream, read_hll_sketch
+
+    stage = os.path.join(TMP, "hll_stage")
+    sketch_dir = os.path.join(TMP, "hll_sketch")
+    for p in (stage, sketch_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    events_batch.select("user_id").repartition(3).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sink = hll_sketch_stream(sketch_dir, "user_id")
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    folded = read_hll_sketch(spark, sketch_dir)
+    folded_regs = {(r["bucket"], r["max_rho"]) for r in folded.collect()}
+    batch_sk = hll_build(events_batch.select("user_id"), F.col("user_id"))
+    batch_regs = {(r["bucket"], r["max_rho"]) for r in batch_sk.collect()}
+    assert folded_regs == batch_regs
+
+    est_stream = hll_estimate(folded).collect()[0]["est_distinct"]
+    est_batch = hll_estimate(batch_sk).collect()[0]["est_distinct"]
+    assert est_stream == est_batch
+
+    # duplicate data under a NEW epoch id: registers must not move
+    dup = spark.read.parquet(stage)
+    sink(dup, 999)
+    refolded = {(r["bucket"], r["max_rho"]) for r in read_hll_sketch(spark, sketch_dir).collect()}
+    assert refolded == folded_regs
