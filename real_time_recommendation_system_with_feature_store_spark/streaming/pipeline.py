@@ -546,3 +546,42 @@ def read_hll_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     ``operators/sketches.hll_estimate``."""
     regs = spark.read.parquet(sketch_dir).drop("epoch")
     return regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def qsketch_stream(
+    sketch_dir: str,
+    value_col: str,
+    sub_bits: int = 4,
+    scale: int = 100,
+):
+    """ST9 × sketches: streaming quantile-sketch maintenance — each
+    micro-batch collapses its values into the bounded log-bucket cell
+    frame (``operators/sketches.qsketch_build``, O(log range * 2^sub_bits)
+    rows no matter the batch size) under an ``epoch=N`` partition; live
+    quantiles come from ``read_qsketch``'s re-sum fold — running
+    percentiles over an unbounded stream with fixed state and no
+    rescans, where the exact answer would need the whole history sorted.
+
+    Idempotent under foreachBatch's at-least-once replay: a replayed epoch
+    overwrites exactly its own cell partition (same contract as
+    ``cms_sketch_stream``)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = qsketch_build(
+            batch_df, qcol(value_col), sub_bits=sub_bits, scale=scale
+        )
+        cells.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_qsketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Fold an epoch-partitioned quantile-sketch directory into ONE cell
+    frame (the qsketch_merge of every epoch). Feed the result straight to
+    ``operators/sketches.qsketch_quantiles``."""
+    cells = spark.read.parquet(sketch_dir).drop("epoch")
+    return cells.groupBy("__qs_msb", "__qs_sub").agg(
+        F.sum("__qs_cnt").alias("__qs_cnt")
+    )

@@ -953,3 +953,48 @@ def test_hll_sketch_stream_matches_batch(spark, events_batch):
     sink(dup, 999)
     refolded = {(r["bucket"], r["max_rho"]) for r in read_hll_sketch(spark, sketch_dir).collect()}
     assert refolded == folded_regs
+
+
+def test_qsketch_stream_matches_batch(spark):
+    """Streaming quantile-sketch maintenance: micro-batched cells, re-sum
+    folded, must equal the one-pass batch sketch cell-for-cell, and the
+    quantile estimates off the fold equal the batch estimates. Replaying
+    an epoch overwrites (fold unchanged)."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import qsketch_stream, read_qsketch
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_extendedprice")
+
+    stage = os.path.join(TMP, "qs_stage")
+    sketch_dir = os.path.join(TMP, "qs_sketch")
+    for p in (stage, sketch_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    li.repartition(3).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sink = qsketch_stream(sketch_dir, "l_extendedprice")
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    folded = read_qsketch(spark, sketch_dir)
+    folded_cells = sorted(tuple(r) for r in folded.collect())
+    batch_sk = qsketch_build(li, F.col("l_extendedprice"))
+    assert folded_cells == sorted(tuple(r) for r in batch_sk.collect())
+
+    qs = [0.5, 0.9]
+    est_stream = {r["q"]: r["est_value"] for r in qsketch_quantiles(folded, qs).collect()}
+    est_batch = {r["q"]: r["est_value"] for r in qsketch_quantiles(batch_sk, qs).collect()}
+    assert est_stream == est_batch
+
+    # replayed epoch overwrites its own partition; the fold is unchanged
+    some = spark.read.parquet(stage).limit(40)
+    sink(some, 0)
+    once = sorted(tuple(r) for r in read_qsketch(spark, sketch_dir).collect())
+    sink(some, 0)
+    assert sorted(tuple(r) for r in read_qsketch(spark, sketch_dir).collect()) == once
