@@ -5827,15 +5827,102 @@ def event_type_pair_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "view_click_purchase_funnel",
+    oracle="""
+    WITH ea AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id,
+                  ts, event_type
+                FROM events WHERE (props->>'k') IS NOT NULL),
+    u AS (SELECT DISTINCT user_id, item_id FROM ea),
+    v AS (SELECT user_id, item_id, MIN(ts) AS tv FROM ea
+          WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT e.user_id, e.item_id, MIN(e.ts) AS tc FROM ea e
+          JOIN v ON e.user_id = v.user_id AND e.item_id = v.item_id
+            AND e.ts >= v.tv
+          WHERE e.event_type = 'click' GROUP BY 1, 2),
+    p AS (SELECT e.user_id, e.item_id, MIN(e.ts) AS tp FROM ea e
+          JOIN c ON e.user_id = c.user_id AND e.item_id = c.item_id
+            AND e.ts >= c.tc
+          WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+    agg AS (SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase)
+    SELECT n_pairs, n_view, n_click, n_purchase,
+      ROUND(CAST(n_click AS DOUBLE) / n_view, 6) AS view_to_click,
+      ROUND(CAST(n_purchase AS DOUBLE) / n_click, 6) AS click_to_purchase
+    FROM agg
+    """,
+    doc="Ordered per-(user, item) conversion funnel (first view -> first "
+        "click of the SAME item at/after that view -> first purchase "
+        "at/after that click; 7310 -> 1856 -> 117 -> 7 at sf0.01, so the "
+        "at-or-after sequence logic is genuinely discriminating): the "
+        "classic event-sequence analytics the reference's per-event "
+        "counters can't express. ONE fact shuffle: events group to "
+        "per-pair struct arrays and the whole ordered chain evaluates as "
+        "nested JVM-side array folds (filter/transform/array_min "
+        "higher-order functions — no Python, no re-scan), then a tiny "
+        "global count. The oracle takes the textbook 3-self-join "
+        "formulation instead — same answer, deliberately different "
+        "algorithm, certifying the sequence semantics rather than the "
+        "plan. At 100 TB the array path shuffles the fact table once vs "
+        "three join passes; per-pair event counts are bounded, so arrays "
+        "stay executor-sized.",
+)
+def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+        .select("user_id", "item_id", "ts", "event_type")
+    )
+    seqs = ev.groupBy("user_id", "item_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("seq")
+    )
+
+    def first_ts(seq, typ, lower=None):
+        def pred(x):
+            ok = x["event_type"] == typ
+            if lower is not None:
+                ok = ok & F.coalesce(lower.isNotNull() & (x["ts"] >= lower), F.lit(False))
+            return ok
+
+        return F.array_min(F.transform(F.filter(seq, pred), lambda x: x["ts"]))
+
+    staged = seqs.withColumn("tv", first_ts(F.col("seq"), "view"))
+    staged = staged.withColumn("tc", first_ts(F.col("seq"), "click", F.col("tv")))
+    staged = staged.withColumn("tp", first_ts(F.col("seq"), "purchase", F.col("tc")))
+    agg = staged.agg(
+        F.count("*").alias("n_pairs"),
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click"),
+        F.count("tp").alias("n_purchase"),
+    )
+    return agg.select(
+        "n_pairs",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
 _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
-    # the 12 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
-    # quantile sketch + RRF + triangles + HLL) + all 20 r3-stale (the r6
-    # VERDICT's explicit re-front list) + 18 of the 50 r4-stale. The 32
-    # r4-stale left out (front-of-queue for r8):
+    # the 13 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
+    # quantile sketch + RRF + triangles + HLL + funnel) + all 20 r3-stale
+    # (the r6 VERDICT's explicit re-front list) + 17 of the 50 r4-stale.
+    # The 33 r4-stale left out (front-of-queue for r8):
     # acctbal_zscore, click_and_purchase_users, collect_event_types,
     # customer_order_profile, daily_user_activity_spine,
+    # corpus_filter_funnel,
     # eval_contamination_pruned, event_type_stats, event_value_norm,
     # inter_event_gaps, item_interaction_counts, item_trending_scores,
     # late_ship_priority_counts,
@@ -5860,6 +5947,7 @@ _DRIVER_WINDOW = [
     "rrf_hybrid_recommendations",    # reciprocal-rank fusion of 3 generators
     "copurchase_clustering_coeff",   # degree-ordered triangle counting
     "event_type_pair_cardinality_hll",  # mergeable HLL registers, exact-certified
+    "view_click_purchase_funnel",    # one-shuffle array-fold funnel vs 3-join oracle
     # r3-stale (newest green row is r3 — the full VERDICT re-front list):
     "bpe_packed_corpus",
     "brand_top_parts",
@@ -5885,7 +5973,8 @@ _DRIVER_WINDOW = [
     "asof_purchase_click",
     # collect_event_types left out (grouped-collect family twin:
     # user_event_arrays, in-window) to make room for the 7th new entry
-    "corpus_filter_funnel",
+    # corpus_filter_funnel left out (doc-quality-gating family twins:
+    # gopher_quality_flags + text_quality, in-window) for the event funnel
     "customers_without_orders",
     # daily_user_activity_spine left out (spine family twin:
     # timeseries_feature_pipeline, r6-green) to make room for the 6th new entry
