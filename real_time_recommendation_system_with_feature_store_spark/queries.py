@@ -5913,13 +5913,67 @@ def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "daily_cohort_retention",
+    oracle="""
+    WITH w AS (SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS d FROM events),
+    c AS (SELECT user_id, MIN(d) AS cd FROM w GROUP BY 1),
+    j AS (SELECT c.cd, w.d - c.cd AS day_offset
+          FROM w JOIN c ON w.user_id = c.user_id),
+    m AS (SELECT cd, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM j GROUP BY 1, 2),
+    s AS (SELECT cd, MAX(CASE WHEN day_offset = 0 THEN n_users END) AS csize
+          FROM m GROUP BY 1)
+    SELECT m.cd AS cohort_day, m.day_offset, m.n_users,
+      ROUND(CAST(m.n_users AS DOUBLE) / s.csize, 6) AS retention
+    FROM m JOIN s ON m.cd = s.cd ORDER BY 1, 2
+    """,
+    doc="Daily cohort retention matrix (cohort = a user's first-activity "
+        "day, cells = distinct users active at each day offset, retention "
+        "= cell / cohort size): the standard growth-analytics shape the "
+        "reference has no operator for. ONE fact shuffle: per-user "
+        "(first_day, collect_set(day)) aggregates in a single pass, the "
+        "set explodes to (cohort, offset) rows — already distinct per "
+        "user-day, so no second distinct — and the matrix aggregates the "
+        "tiny exploded frame; cohort size arrives via a window max over "
+        "the matrix (offset 0 always exists), never a fact re-scan. The "
+        "oracle is the textbook self-join formulation — different "
+        "algorithm, same matrix. Day indices are exact integer "
+        "unix_micros div, no date-function parity risk. Per-user distinct "
+        "day counts are bounded (retention horizons are weeks, not "
+        "years), so the collected sets stay executor-sized at 100 TB.",
+)
+def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("cd"), F.collect_set("d").alias("days")
+    )
+    expl = per_user.select(F.col("cd"), F.explode("days").alias("d")).select(
+        "cd", (F.col("d") - F.col("cd")).alias("day_offset")
+    )
+    mat = expl.groupBy("cd", "day_offset").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy("cd")
+    csize = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(w)
+    return mat.select(
+        F.col("cd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / csize, 6).alias("retention"),
+    )
+
+
 _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
-    # the 13 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
-    # quantile sketch + RRF + triangles + HLL + funnel) + all 20 r3-stale
-    # (the r6 VERDICT's explicit re-front list) + 17 of the 50 r4-stale.
-    # The 33 r4-stale left out (front-of-queue for r8):
+    # the 14 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
+    # quantile sketch + RRF + triangles + HLL + funnel + cohort) + all 20
+    # r3-stale (the r6 VERDICT's explicit re-front list) + 16 of the 50
+    # r4-stale. The 34 r4-stale left out (front-of-queue for r8):
     # acctbal_zscore, click_and_purchase_users, collect_event_types,
     # customer_order_profile, daily_user_activity_spine,
     # corpus_filter_funnel,
@@ -5933,7 +5987,7 @@ _DRIVER_WINDOW = [
     # segment_codes,
     # sessionize_events, small_qty_brand_revenue, status_priority_cube,
     # top_building_orders, top_revenue_suppliers, tumbling_window_counts,
-    # waiting_suppliers.
+    # view_click_attribution, waiting_suppliers.
     # NEW in r7 (first driver rows):
     "item_pagerank_topk",            # co-purchase PageRank, unrolled-CTE oracle
     "pagerank_quality_prior",        # graph -> candidate-scoring composition
@@ -5948,6 +6002,7 @@ _DRIVER_WINDOW = [
     "copurchase_clustering_coeff",   # degree-ordered triangle counting
     "event_type_pair_cardinality_hll",  # mergeable HLL registers, exact-certified
     "view_click_purchase_funnel",    # one-shuffle array-fold funnel vs 3-join oracle
+    "daily_cohort_retention",        # one-shuffle cohort matrix vs self-join oracle
     # r3-stale (newest green row is r3 — the full VERDICT re-front list):
     "bpe_packed_corpus",
     "brand_top_parts",
@@ -6002,7 +6057,9 @@ _DRIVER_WINDOW = [
     # sliding_window_counts, in-window) for order_price_quantiles_by_priority
     "user_activity_windows",
     "user_value_scd2",
-    "view_click_attribution",
+    # view_click_attribution left out (event-sequence attribution family
+    # twins: asof_purchase_click + view_click_purchase_funnel, in-window)
+    # to make room for daily_cohort_retention
 ]
 
 def _reorder_registry() -> None:
