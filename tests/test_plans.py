@@ -606,3 +606,42 @@ def test_pagerank_loop_single_shuffle_per_iteration(spark):
     # (plus its join exchanges at most); the loop must not multiply scans
     assert p2.count("hashAggregate") <= p1.count("hashAggregate") + 2
     assert "CartesianProduct" not in p1 and "CartesianProduct" not in p2
+
+
+def test_funnel_and_cohort_plans_have_no_joins(spark):
+    """The round-7 analytics entries' whole pitch is one fact shuffle and
+    ZERO joins (their oracles use the 3-self-join / self-join textbook
+    formulations): the executed plans must contain no join operator and
+    exactly one file scan each."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    for name in ("view_click_purchase_funnel", "daily_cohort_retention"):
+        df = QUERIES[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, name
+        assert plan.count("FileScan") == 1, name
+
+
+def test_quantile_sketch_plans_single_scan_no_joins(spark):
+    """qsketch entries: one scan, cells partial-aggregate map-side (the
+    partial HashAggregate sits below the exchange), no joins."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    for name in ("price_quantile_sketch", "order_price_quantiles_by_priority"):
+        df = QUERIES[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, name
+        assert plan.count("FileScan") == 1, name
+        # map-side partial aggregation of the cell frame precedes the shuffle
+        assert "partial_count" in plan.lower() or "HashAggregate" in plan, name
+
+
+def test_hll_register_build_partial_aggregates_map_side(spark):
+    """hll_build's groupBy max must partial-aggregate before the exchange,
+    so a 100 TB scan ships at most groups*2^p register rows per task."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build
+
+    ev = spark.range(1000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    plan = hll_build(ev, F.col("k"))._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan[:500]
+    assert "Join" not in plan
