@@ -245,7 +245,7 @@ def bloom_might_contain(
 
 # -------------------------------------------------- quantile sketch
 
-_QS_INTERNAL = ("__qs_msb", "__qs_sub", "__qs_cnt")
+_QS_INTERNAL = ("__qs_msb", "__qs_sub", "__qs_cnt", "__qs_n", "__qs_w")
 
 
 def _qs_guard(df: DataFrame, by: list[str] | None) -> list[str]:
@@ -264,6 +264,7 @@ def qsketch_build(
     sub_bits: int = 4,
     scale: int = 100,
     by: list[str] | None = None,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Mergeable log-bucket quantile sketch (DDSketch-family): one scan of
     ``df`` collapses ``value`` into at most ``~log2(max) * 2^sub_bits``
@@ -289,6 +290,15 @@ def qsketch_build(
     COUNT-over-NULL; callers with signed data sketch magnitude + sign
     separately.
 
+    ``weight`` turns the histogram into a WEIGHTED quantile sketch (e.g.
+    token-weighted doc-length percentiles, revenue-weighted prices): each
+    row contributes ``weight`` instead of 1, and ``qsketch_quantiles``
+    then answers "the value below which fraction q of total WEIGHT lies".
+    The weight must cast to a non-negative BIGINT — integer weights keep
+    the cell sums (and therefore the cumsum and the quantile pick)
+    order-independent and oracle-exact; a double weight would leak
+    partial-aggregation order into the last ulp. NULL weights count 0.
+
     Reference parity: the reference computes distribution stats over fully
     materialized in-memory frames (src/evaluation/metrics.py popularity /
     score aggregations over pandas); this is the bounded-state scale path.
@@ -296,7 +306,12 @@ def qsketch_build(
     by = _qs_guard(df, by)
     bycols = [qcol(b) for b in by]
     n = F.round(value * F.lit(scale), 0).cast("long")
-    rows = df.select(*bycols, n.alias("__qs_n")).where(
+    w = (
+        F.coalesce(weight.cast("long"), F.lit(0).cast("long"))
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    rows = df.select(*bycols, n.alias("__qs_n"), w.alias("__qs_w")).where(
         F.col("__qs_n").isNotNull() & (F.col("__qs_n") > 0)
     )
     msb = (F.floor(F.log2(F.col("__qs_n").cast("double"))) + 1).cast("int")
@@ -311,7 +326,7 @@ def qsketch_build(
     return (
         rows.withColumn("__qs_sub", sub)
         .groupBy(*bycols, F.col("__qs_msb"), F.col("__qs_sub"))
-        .agg(F.count("*").alias("__qs_cnt"))
+        .agg(F.sum("__qs_w").alias("__qs_cnt"))
     )
 
 

@@ -862,3 +862,29 @@ def test_hll_guards(spark):
         hll_build(df, F.col("k"))
     with pytest.raises(ValueError, match="p must be"):
         hll_build(df.select("k"), F.col("k"), p=3)
+
+
+def test_qsketch_weighted_quantiles(spark):
+    """Weighted sketch: a value carrying weight w is equivalent to w
+    unweighted copies — cells match exactly, and the weighted median is
+    pulled toward the heavy value."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build, qsketch_quantiles
+
+    weighted = spark.createDataFrame(
+        [(1.00, 1), (2.00, 8), (4.00, 1)], ["v", "w"]
+    )
+    expanded = spark.createDataFrame(
+        [(1.00,)] + [(2.00,)] * 8 + [(4.00,)], ["v"]
+    )
+    sw = qsketch_build(weighted, F.col("v"), weight=F.col("w"))
+    se = qsketch_build(expanded, F.col("v"))
+    assert sorted(map(tuple, sw.collect())) == sorted(map(tuple, se.collect()))
+    est = {r["q"]: r["est_value"] for r in qsketch_quantiles(sw, [0.5]).collect()}
+    assert est[0.5] == pytest.approx(2.00)  # weight-8 value dominates
+    # NULL weight counts zero
+    withnull = spark.createDataFrame(
+        [(1.00, None), (2.00, 8), (4.00, 1)], "v double, w int"
+    )
+    sn = qsketch_build(withnull, F.col("v"), weight=F.col("w"))
+    total = sum(r["__qs_cnt"] for r in sn.collect())
+    assert total == 9
