@@ -5967,13 +5967,83 @@ def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "item_transition_matrix",
+    oracle="""
+    WITH ea AS (SELECT user_id, event_id, ts,
+                  CAST(props->>'k' AS BIGINT) AS item_id
+                FROM events WHERE (props->>'k') IS NOT NULL),
+    seq AS (SELECT user_id, item_id,
+              LAG(item_id) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev_item
+            FROM ea),
+    pairs AS (SELECT prev_item, item_id AS next_item,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE prev_item IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_item, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM pairs GROUP BY 1),
+    m AS (SELECT p.prev_item, p.next_item, p.n,
+            ROUND(CAST(p.n AS DOUBLE) / t.row_total, 6) AS prob
+          FROM pairs p JOIN tot t ON p.prev_item = t.prev_item)
+    SELECT prev_item, next_item, n, prob,
+      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, prev_item, next_item)
+        AS INTEGER) AS rank
+    FROM m ORDER BY rank LIMIT 25
+    """,
+    doc="First-order Markov next-item transition matrix (the classic "
+        "sequential-recommendation baseline the reference's two-tower/"
+        "popularity models don't cover): per-user event streams ordered by "
+        "the unique (ts, event_id) key, consecutive item pairs via a "
+        "window LAG, transition probability = pair count / row total. ONE "
+        "fact shuffle: the lag window partitions by user (the same "
+        "exchange the pair groupBy then reuses via partial aggregation); "
+        "row totals come from re-aggregating the tiny pair frame, never "
+        "the facts. Top-25 transitions with a total (n, prev, next) "
+        "tie-break. At 100 TB this is the shape of any n-gram/transition "
+        "count job: sequence once, count pairs, normalize off the "
+        "aggregate.",
+)
+def item_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ea = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+        .select("user_id", "event_id", "ts", "item_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ea.withColumn("prev_item", F.lag("item_id").over(w))
+    pairs = (
+        seq.where(F.col("prev_item").isNotNull())
+        .groupBy("prev_item", F.col("item_id").alias("next_item"))
+        .agg(F.count("*").alias("n"))
+        # two consumers (matrix + row totals): materialize the tiny pair
+        # frame once, or the totals branch re-scans the facts (the
+        # multi-consumer ReusedExchange trap — README scale notes)
+        .localCheckpoint(eager=True)
+    )
+    tot = pairs.groupBy("prev_item").agg(F.sum("n").alias("row_total"))
+    m = pairs.join(tot, "prev_item").select(
+        "prev_item",
+        "next_item",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("prob"),
+    )
+    wr = Window.orderBy(
+        F.col("n").desc(), F.col("prev_item").asc(), F.col("next_item").asc()
+    )
+    return m.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= 25)
+
+
 _DRIVER_WINDOW = [
     # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
     # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
-    # the 14 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
-    # quantile sketch + RRF + triangles + HLL + funnel + cohort) + all 20
-    # r3-stale (the r6 VERDICT's explicit re-front list) + 16 of the 50
-    # r4-stale. The 34 r4-stale left out (front-of-queue for r8):
+    # the 15 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
+    # quantile sketch + RRF + triangles + HLL + funnel + cohort + Markov
+    # transitions) + all 20 r3-stale (the r6 VERDICT's explicit re-front
+    # list) + 15 of the 50 r4-stale. The 35 r4-stale left out
+    # (front-of-queue for r8):
     # acctbal_zscore, click_and_purchase_users, collect_event_types,
     # customer_order_profile, daily_user_activity_spine,
     # corpus_filter_funnel,
@@ -5986,6 +6056,7 @@ _DRIVER_WINDOW = [
     # revenue_rollup, rich_inactive_customers, salted_event_counts,
     # segment_codes,
     # sessionize_events, small_qty_brand_revenue, status_priority_cube,
+    # supplier_running_totals,
     # top_building_orders, top_revenue_suppliers, tumbling_window_counts,
     # view_click_attribution, waiting_suppliers.
     # NEW in r7 (first driver rows):
@@ -6003,6 +6074,7 @@ _DRIVER_WINDOW = [
     "event_type_pair_cardinality_hll",  # mergeable HLL registers, exact-certified
     "view_click_purchase_funnel",    # one-shuffle array-fold funnel vs 3-join oracle
     "daily_cohort_retention",        # one-shuffle cohort matrix vs self-join oracle
+    "item_transition_matrix",        # Markov next-item transitions via window lag
     # r3-stale (newest green row is r3 — the full VERDICT re-front list):
     "bpe_packed_corpus",
     "brand_top_parts",
@@ -6050,7 +6122,8 @@ _DRIVER_WINDOW = [
     "session_window_stats",
     # status_priority_cube left out (cube/pivot family twin:
     # event_type_pivot, in-window) to make room for price_quantile_sketch
-    "supplier_running_totals",
+    # supplier_running_totals left out (running-window family twin:
+    # rolling_user_velocity, r6-green) for item_transition_matrix
     "token_budget_packing",
     "tree_rerank_topk",
     # tumbling_window_counts left out (stream-window family twin:
