@@ -497,8 +497,12 @@ def hll_estimate(
     # F.shiftleft only takes a literal shift; max_rho is a FIXED internal
     # name, so the expr interpolation is hostile-identifier-safe
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {S} - max_rho)")
+    # coalesce: a global (by=[]) estimate over an EMPTY register frame
+    # still aggregates to one row — null sum would poison it; with 0 the
+    # linear-counting branch correctly yields m*ln(m/m) = 0 distinct
     agg = sketch.groupBy(*bycols).agg(
-        F.sum(term).alias("__hll_occ"), F.count("*").alias("__hll_nb")
+        F.coalesce(F.sum(term), F.lit(0).cast("long")).alias("__hll_occ"),
+        F.count("*").alias("__hll_nb"),
     )
     ssum = (
         F.col("__hll_occ")

@@ -888,3 +888,13 @@ def test_qsketch_weighted_quantiles(spark):
     sn = qsketch_build(withnull, F.col("v"), weight=F.col("w"))
     total = sum(r["__qs_cnt"] for r in sn.collect())
     assert total == 9
+
+
+def test_hll_empty_sketch_estimates_zero(spark):
+    """A global estimate over an empty register frame must be 0 distinct
+    (linear-counting with all registers zero), not a NULL-poisoned row."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.createDataFrame([], "k string")
+    est = hll_estimate(hll_build(df, F.col("k"))).collect()
+    assert len(est) == 1 and est[0]["est_distinct"] == 0.0
