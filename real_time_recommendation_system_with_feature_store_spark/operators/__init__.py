@@ -33,6 +33,8 @@ from real_time_recommendation_system_with_feature_store_spark.operators.corpus i
 )
 
 from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join_union
+from real_time_recommendation_system_with_feature_store_spark.operators.cohort import cohort_retention
+from real_time_recommendation_system_with_feature_store_spark.operators.funnel import funnel_stage_times, funnel_summary
 from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
 from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank, triangle_counts
 from real_time_recommendation_system_with_feature_store_spark.operators.merge import latest_changes, merge_changelog
@@ -44,6 +46,7 @@ from real_time_recommendation_system_with_feature_store_spark.operators.sketches
     cms_merge,
     hll_build,
     hll_estimate,
+    hll_intersect_estimate,
     hll_merge,
     qsketch_build,
     qsketch_merge,
@@ -104,9 +107,13 @@ __all__ = [
     "cms_merge",
     "hll_build",
     "hll_estimate",
+    "hll_intersect_estimate",
     "hll_merge",
     "qsketch_build",
     "qsketch_merge",
     "qsketch_quantiles",
     "rrf_fuse",
+    "cohort_retention",
+    "funnel_stage_times",
+    "funnel_summary",
 ]

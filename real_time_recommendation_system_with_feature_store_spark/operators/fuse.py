@@ -27,7 +27,7 @@ recommend); rank must be 1-based and unique within a list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from real_time_recommendation_system_with_feature_store_spark.ident import qcol
@@ -43,6 +43,7 @@ def rrf_fuse(
     scale: int = 10**12,
     out_score: str = "rrf_score",
     out_lists: str = "n_lists",
+    strict: bool = False,
 ) -> DataFrame:
     """Fuse ranked lists into ``(on..., out_score, out_lists)``.
 
@@ -51,6 +52,15 @@ def rrf_fuse(
     pruning keeps the shuffle slim). ``out_lists`` counts how many lists
     proposed the entity — a useful consensus signal for downstream
     filtering (e.g. require >= 2 generators to agree).
+
+    Rank rows must be UNIQUE per entity within each list — a list that
+    proposes the same entity twice would silently double-count its
+    contribution (and inflate ``out_lists``). ``strict=True`` enforces
+    that in-plan: each list gets a per-key count window and the fuse job
+    fails loudly on the first duplicate instead of corrupting the fusion.
+    The check adds one window (re-using the groupBy's hash partitioning)
+    per list, so it is off by default for trusted upstream top-k output
+    (this engine's topk_per_key emits one row per key by construction).
     """
     if not ranked:
         raise ValueError("rrf_fuse: need at least one ranked list")
@@ -67,6 +77,19 @@ def rrf_fuse(
     nonnull = keys[0].isNotNull()
     for c in keys[1:]:
         nonnull = nonnull & c.isNotNull()
+    if strict:
+        dup = F.count("*").over(Window.partitionBy(*keys)) > 1
+        contrib = F.when(
+            dup,
+            F.raise_error(
+                F.concat(
+                    F.lit("rrf_fuse: duplicate entity within one ranked "
+                          "list (key "),
+                    F.concat_ws(",", *[k.cast("string") for k in keys]),
+                    F.lit(") — each list must propose an entity at most once"),
+                )
+            ).cast("long"),
+        ).otherwise(contrib)
     parts = [
         f.where(nonnull).select(*keys, contrib.alias("__rrf_contrib"))
         for f in ranked

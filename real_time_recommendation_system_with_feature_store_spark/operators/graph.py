@@ -44,13 +44,20 @@ def pagerank(
     reset: DataFrame | None = None,
     reset_node: str = "node",
     reset_weight: str = "weight",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Rank nodes of a directed weighted graph; returns (node, rank).
 
-    Nodes = distinct src ∪ dst. Dangling nodes (no out-edges) leak their
-    mass — callers wanting strict probability conservation should
-    symmetrize the edge list first (the co-interaction graphs this engine
-    builds are symmetrized upstream, so every node has out-degree ≥ 1).
+    Nodes = distinct src ∪ dst. Dangling nodes (no out-edges) LEAK their
+    mass by default — total rank then sums to less than 1 and an external
+    caller gets non-conserving ranks. Either symmetrize the edge list
+    first (the co-interaction graphs this engine builds are symmetrized
+    upstream, so every node has out-degree ≥ 1), or pass
+    ``redistribute_dangling=True`` to re-inject each round's dangling mass
+    through the teleport distribution (uniform, or the ``reset`` seeds in
+    personalized mode) — the standard PageRank completion, costing one
+    extra scalar aggregate + broadcast per iteration and restoring
+    sum(rank) ≈ 1 exactly.
 
     ``reset`` switches to PERSONALIZED PageRank (random walk with restart,
     the standard recommender centrality): a (node, weight) frame whose
@@ -86,6 +93,19 @@ def pagerank(
         rtot = rs.agg(
             F.sum(F.col("__rw").cast("decimal(28,12)")).cast("double").alias("__rt")
         )
+        # Guard BEFORE normalizing: an empty reset frame, all-NULL/zero
+        # weights, or seeds entirely outside the graph would make __rt
+        # NULL/0, every teleport coalesce to 0.0, and the output silently
+        # degenerate to all-zero ranks. One tiny scalar job on the
+        # node-bounded seed frame (the plan keeps the lazy broadcast rtot).
+        rtot_val = rtot.first()["__rt"]
+        if rtot_val is None or rtot_val <= 0.0:
+            raise ValueError(
+                "pagerank: personalized reset weights must have a strictly "
+                "positive total over nodes present in the graph — got "
+                f"{rtot_val!r} (empty/zero/NULL seeds, or no seed node "
+                "appears in the edge list)"
+            )
         nodes = (
             nodes.join(rs, "node", "left")
             .crossJoin(F.broadcast(rtot))
@@ -102,10 +122,21 @@ def pagerank(
         return nodes.select("node").withColumn("rank", F.lit(0.0))
     if reset is not None:
         base_col = F.lit(1.0 - damping) * F.col("__reset")
+        teleport = F.col("__reset")
         ranks = nodes.select("node", F.col("__reset").alias("rank"))
     else:
         base_col = F.lit((1.0 - damping) / n_nodes)
+        teleport = F.lit(1.0 / n_nodes)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    dang = None
+    if redistribute_dangling:
+        # nodes with no out-edges; node-sized at most, materialized once
+        dang = (
+            nodes.select("node")
+            .join(e.select(F.col("src").alias("node")).distinct(), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
 
     for i in range(iterations):
         inflow = (
@@ -114,9 +145,22 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double").alias("inflow"))
         )
-        ranks = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+        joined = nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+        flow = F.coalesce(F.col("inflow"), F.lit(0.0))
+        if redistribute_dangling:
+            # this round's dangling mass (decimal-exact scalar), re-injected
+            # through the teleport distribution — one tiny agg + broadcast
+            dmass = ranks.join(dang, "node").agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(28,12)")).cast("double"),
+                    F.lit(0.0),
+                ).alias("__dm")
+            )
+            joined = joined.crossJoin(F.broadcast(dmass))
+            flow = flow + F.col("__dm") * teleport
+        ranks = joined.select(
             F.col("node"),
-            (base_col + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            (base_col + F.lit(damping) * flow).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)

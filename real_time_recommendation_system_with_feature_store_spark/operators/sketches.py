@@ -66,8 +66,28 @@ def cms_build(
     shuffle. Sketches over disjoint data merge by unioning cell frames and
     re-summing (``cms_merge``) — the mergeability is the point at 100 TB:
     build per-day sketches, merge into a corpus sketch without rescanning.
+
+    ``weight`` must be non-negative: a negative weight would silently
+    break the count-min ``estimate >= truth`` guarantee (cells could
+    undershoot). The contract is ENFORCED in-plan — a negative weight
+    fails the build job with a loud error instead of corrupting the
+    sketch; NULL weights count 0 (COUNT-over-NULL semantics, same as the
+    qsketch weight).
     """
-    w = weight if weight is not None else F.lit(1).cast("long")
+    if weight is not None:
+        wl = weight.cast("long")
+        w = F.when(
+            wl < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("cms_build: negative weight "),
+                    wl.cast("string"),
+                    F.lit(" breaks the count-min >=-truth guarantee"),
+                )
+            ).cast("long"),
+        ).otherwise(F.coalesce(wl, F.lit(0).cast("long")))
+    else:
+        w = F.lit(1).cast("long")
     cells = df.where(key.isNotNull()).select(
         F.posexplode(
             F.array(*[_bucket(key, f"{salt}{d}", width) for d in range(depth)])
@@ -108,6 +128,15 @@ def cms_estimate(
     default eagerly localCheckpoints the sketch first (≤ ``depth*width``
     rows — always cheap); pass ``materialize=False`` when the sketch is
     already materialized (checkpointed, cached, or read from storage)."""
+    reserved = {
+        c for d in range(depth) for c in (f"__p{d}", f"__b{d}", f"__c{d}")
+    }
+    clash = reserved & set(keys.columns)
+    if clash:
+        raise ValueError(
+            f"cms_estimate: probe columns collide with reserved internal "
+            f"names: {sorted(clash)}"
+        )
     if materialize:
         sketch = sketch.localCheckpoint(eager=True)
     out = keys
@@ -298,6 +327,9 @@ def qsketch_build(
     the cell sums (and therefore the cumsum and the quantile pick)
     order-independent and oracle-exact; a double weight would leak
     partial-aggregation order into the last ulp. NULL weights count 0.
+    Non-negativity is ENFORCED in-plan: a negative weight would silently
+    yield non-monotonic cumulative counts and corrupt the quantile pick,
+    so the build job fails loudly instead (same contract as cms_build).
 
     Reference parity: the reference computes distribution stats over fully
     materialized in-memory frames (src/evaluation/metrics.py popularity /
@@ -306,11 +338,20 @@ def qsketch_build(
     by = _qs_guard(df, by)
     bycols = [qcol(b) for b in by]
     n = F.round(value * F.lit(scale), 0).cast("long")
-    w = (
-        F.coalesce(weight.cast("long"), F.lit(0).cast("long"))
-        if weight is not None
-        else F.lit(1).cast("long")
-    )
+    if weight is not None:
+        wl = weight.cast("long")
+        w = F.when(
+            wl < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("qsketch_build: negative weight "),
+                    wl.cast("string"),
+                    F.lit(" would corrupt the cumulative quantile pick"),
+                )
+            ).cast("long"),
+        ).otherwise(F.coalesce(wl, F.lit(0).cast("long")))
+    else:
+        w = F.lit(1).cast("long")
     rows = df.select(*bycols, n.alias("__qs_n"), w.alias("__qs_w")).where(
         F.col("__qs_n").isNotNull() & (F.col("__qs_n") > 0)
     )
@@ -470,6 +511,20 @@ def hll_merge(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
     )
 
 
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant: the HLL paper's exact per-m values for the
+    small register counts (alpha_16/32/64), the asymptotic formula above —
+    using the shared formula below m=128 would carry a ~0.5-1% systematic
+    bias on top of the sketch error (Flajolet et al. 2007, §4)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
 def hll_estimate(
     sketch: DataFrame,
     p: int = 8,
@@ -493,7 +548,7 @@ def hll_estimate(
     bycols = [qcol(b) for b in by]
     # alpha_m * m^2 * 2^S as one shortest-repr double literal, so the SQL
     # oracle can embed the identical constant
-    num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << S)
+    num = _hll_alpha(m) * m * m * float(1 << S)
     # F.shiftleft only takes a literal shift; max_rho is a FIXED internal
     # name, so the expr interpolation is hostile-identifier-safe
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {S} - max_rho)")
@@ -515,3 +570,58 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(*bycols, est.alias(out_col))
+
+
+def hll_intersect_estimate(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    p: int = 8,
+    by: list[str] | None = None,
+    out_col: str = "est_intersect",
+) -> DataFrame:
+    """Theta-sketch-style distinct INTERSECTION estimate from two HLL
+    register frames built with identical (p, salt, by): inclusion-exclusion
+    ``|A∩B| ≈ est(A) + est(B) - est(A∪B)``, where the union estimate comes
+    from ``hll_merge`` (register-wise max — exact for the union, the HLL
+    mergeability property). Output: ``(by..., est_a, est_b, est_union,
+    out_col)``; the intersection is clamped at 0 (inclusion-exclusion can
+    go slightly negative for near-disjoint sets).
+
+    This answers the question the per-group estimates can't — "how many
+    distinct keys do two sets SHARE" — without ever co-shuffling the raw
+    keys: all three estimates read the already-built bounded register
+    frames (≤ groups·2^p rows each), so intersecting a year of per-day
+    sketches is register arithmetic, not a rescan. Error compounds across
+    the three estimates (each ±1.04/sqrt(2^p) typical), so the relative
+    error on a SMALL intersection of two LARGE sets is amplified — the
+    standard theta/HLL intersection caveat; certify against an exact twin
+    where the answer matters (the catalog pairs this with the exact
+    distinct-intersection query).
+
+    Determinism contract: the three estimates are the hll_estimate
+    arithmetic (exact-integer register sums, one double division each) and
+    the inclusion-exclusion is three IEEE add/subtracts — replayed
+    bit-for-bit by the SQL oracle. ``by`` groups join on their keys; a
+    group present in only one sketch is dropped (its intersection with
+    nothing is undefined, not zero — the caller can re-add absent groups
+    with est 0 if that reading is wanted)."""
+    by = list(by) if by else []
+    est_a = hll_estimate(sketch_a, p=p, by=by, out_col="est_a")
+    est_b = hll_estimate(sketch_b, p=p, by=by, out_col="est_b")
+    est_u = hll_estimate(
+        hll_merge(sketch_a, sketch_b, by=by), p=p, by=by, out_col="est_union"
+    )
+    if by:
+        joined = est_a.join(est_b, by).join(est_u, by)
+    else:
+        joined = est_a.crossJoin(est_b).crossJoin(est_u)
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return joined.select(
+        *[qcol(b) for b in by],
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias(out_col),
+    )

@@ -5859,11 +5859,13 @@ def event_type_pair_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFra
         "at/after that click; 7310 -> 1856 -> 117 -> 7 at sf0.01, so the "
         "at-or-after sequence logic is genuinely discriminating): the "
         "classic event-sequence analytics the reference's per-event "
-        "counters can't express. ONE fact shuffle: events group to "
-        "per-pair struct arrays and the whole ordered chain evaluates as "
-        "nested JVM-side array folds (filter/transform/array_min "
-        "higher-order functions — no Python, no re-scan), then a tiny "
-        "global count. The oracle takes the textbook 3-self-join "
+        "counters can't express (operators/funnel.py::funnel_stage_times "
+        "+ funnel_summary; streaming twin funnel_state_stream is "
+        "parity-tested against this exact batch path). ONE fact shuffle: "
+        "events group to per-pair struct arrays and the whole ordered "
+        "chain evaluates as nested JVM-side array folds (filter/transform/"
+        "array_min higher-order functions — no Python, no re-scan), then "
+        "a tiny global count. The oracle takes the textbook 3-self-join "
         "formulation instead — same answer, deliberately different "
         "algorithm, certifying the sequence semantics rather than the "
         "plan. At 100 TB the array path shuffles the fact table once vs "
@@ -5871,46 +5873,17 @@ def event_type_pair_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFra
         "stay executor-sized.",
 )
 def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.funnel import funnel_stage_times, funnel_summary
+
     ev = (
         _t(spark, sf_dir, "events")
         .withColumn("item_id", _item(F.col("props")))
         .where(F.col("item_id").isNotNull())
         .select("user_id", "item_id", "ts", "event_type")
     )
-    seqs = ev.groupBy("user_id", "item_id").agg(
-        F.collect_list(F.struct("ts", "event_type")).alias("seq")
-    )
-
-    def first_ts(seq, typ, lower=None):
-        def pred(x):
-            ok = x["event_type"] == typ
-            if lower is not None:
-                ok = ok & F.coalesce(lower.isNotNull() & (x["ts"] >= lower), F.lit(False))
-            return ok
-
-        return F.array_min(F.transform(F.filter(seq, pred), lambda x: x["ts"]))
-
-    staged = seqs.withColumn("tv", first_ts(F.col("seq"), "view"))
-    staged = staged.withColumn("tc", first_ts(F.col("seq"), "click", F.col("tv")))
-    staged = staged.withColumn("tp", first_ts(F.col("seq"), "purchase", F.col("tc")))
-    agg = staged.agg(
-        F.count("*").alias("n_pairs"),
-        F.count("tv").alias("n_view"),
-        F.count("tc").alias("n_click"),
-        F.count("tp").alias("n_purchase"),
-    )
-    return agg.select(
-        "n_pairs",
-        "n_view",
-        "n_click",
-        "n_purchase",
-        F.round(F.col("n_click").cast("double") / F.col("n_view"), 6).alias(
-            "view_to_click"
-        ),
-        F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 6).alias(
-            "click_to_purchase"
-        ),
-    )
+    steps = ["view", "click", "purchase"]
+    staged = funnel_stage_times(ev, steps, ["user_id", "item_id"])
+    return funnel_summary(staged, steps, n_entities_col="n_pairs")
 
 
 @query(
@@ -5941,30 +5914,20 @@ def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle is the textbook self-join formulation — different "
         "algorithm, same matrix. Day indices are exact integer "
         "unix_micros div, no date-function parity risk. Per-user distinct "
-        "day counts are bounded (retention horizons are weeks, not "
-        "years), so the collected sets stay executor-sized at 100 TB.",
+        "day counts are bounded here (30-day fixture); at 100 TB the "
+        "operator's max_offset parameter bounds the collected set "
+        "structurally (operators/cohort.py::cohort_retention — the "
+        "horizon filter rides the same single fact shuffle).",
 )
 def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.operators.cohort import cohort_retention
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.min("d").alias("cd"), F.collect_set("d").alias("days")
-    )
-    expl = per_user.select(F.col("cd"), F.explode("days").alias("d")).select(
-        "cd", (F.col("d") - F.col("cd")).alias("day_offset")
-    )
-    mat = expl.groupBy("cd", "day_offset").agg(F.count("*").alias("n_users"))
-    w = Window.partitionBy("cd")
-    csize = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(w)
-    return mat.select(
-        F.col("cd").alias("cohort_day"),
-        "day_offset",
-        "n_users",
-        F.round(F.col("n_users").cast("double") / csize, 6).alias("retention"),
-    )
+    # horizon unbounded here (the events fixture spans 30 days); pass
+    # max_offset to bound per-user state on open-ended clickstreams
+    return cohort_retention(ev, "user_id", "d")
 
 
 @query(

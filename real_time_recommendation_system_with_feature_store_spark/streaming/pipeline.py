@@ -585,3 +585,73 @@ def read_qsketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     return cells.groupBy("__qs_msb", "__qs_sub").agg(
         F.sum("__qs_cnt").alias("__qs_cnt")
     )
+
+
+def funnel_state_stream(
+    state_dir: str,
+    group_cols: list[str],
+    steps: list[str],
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """ST9 × funnel: streaming maintenance of the ordered-conversion-funnel
+    state (``operators/funnel.py``) — each micro-batch compacts its events
+    into the SUFFICIENT per-entity state and writes an ``epoch=N``
+    partition; ``funnel_stage_times`` over ``read_funnel_state``'s fold
+    equals the one-pass batch funnel row-for-row (parity-tested), and the
+    raw stream is never rescanned.
+
+    Compaction soundness (why each tier keeps what it keeps):
+
+    * stage-0 events: only the GLOBAL first matters and min-of-epoch-mins
+      is the global min → one row per entity per epoch;
+    * non-step events: only entity EXISTENCE matters (the funnel counts
+      entities with any activity) → one min row per (entity, type);
+    * stage 1+ events: ``t_k`` = first stage-k event >= ``t_{k-1}``, and a
+      LATER-arriving EARLIER stage-0 event lowers ``t_{k-1}``, admitting
+      stage-k events a premature prune would have dropped → distinct
+      (entity, type, ts) rows all survive.
+
+    Fold idempotency is the strong HLL kind, not just overwrite: stage
+    times are mins and counts are per-entity distinct groups, so the SAME
+    event landing under two DIFFERENT epoch ids cannot move any stage time
+    or count (replaying an epoch additionally overwrites its own
+    partition, the sibling sinks' contract).
+    """
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    if not steps:
+        raise ValueError("funnel_state_stream: need at least one step")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        gcols = [qcol(c) for c in group_cols]
+        # no ts-null filter: a row whose timestamps are all NULL still
+        # records entity EXISTENCE (min() skips nulls and emits a null-ts
+        # marker row), exactly like the batch path's collected structs
+        ev = batch_df.select(*group_cols, ts_col, type_col)
+        later = qcol(type_col).isin(list(steps[1:])) if len(steps) > 1 else F.lit(False)
+        head = (
+            ev.where(~F.coalesce(later, F.lit(False)))
+            .groupBy(*gcols, qcol(type_col))
+            .agg(F.min(qcol(ts_col)).alias(ts_col))
+            .select(*group_cols, ts_col, type_col)
+        )
+        tail = (
+            ev.where(F.coalesce(later, F.lit(False)))
+            .dropDuplicates([*group_cols, type_col, ts_col])
+            .select(*group_cols, ts_col, type_col)
+        )
+        head.unionByName(tail).write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={epoch_id}"
+        )
+
+    return _process
+
+
+def read_funnel_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold an epoch-partitioned funnel-state directory into ONE event
+    frame; feed it straight to ``operators/funnel.funnel_stage_times`` /
+    ``funnel_summary`` with the same steps. No re-aggregation is needed —
+    stage times are mins and entity counts are distinct groups, both
+    insensitive to the cross-epoch duplicates the compaction leaves."""
+    return spark.read.parquet(state_dir).drop("epoch")

@@ -998,3 +998,77 @@ def test_qsketch_stream_matches_batch(spark):
     once = sorted(tuple(r) for r in read_qsketch(spark, sketch_dir).collect())
     sink(some, 0)
     assert sorted(tuple(r) for r in read_qsketch(spark, sketch_dir).collect()) == once
+
+
+def test_funnel_state_stream_matches_batch(spark, events_batch):
+    """Streaming funnel maintenance: replaying events as micro-batches
+    through the foreachBatch compacted-state sink, folding the epochs, and
+    running the SAME funnel_stage_times/funnel_summary over the fold must
+    equal the one-pass batch funnel exactly — counts, ratios, and the
+    per-pair stage times themselves. Cross-epoch duplicate events cannot
+    move any stage time (mins) or entity count (distinct groups), so the
+    fold is idempotent beyond overwrite semantics (the HLL property), also
+    asserted by replaying data under a NEW epoch id."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.funnel import (
+        funnel_stage_times,
+        funnel_summary,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        funnel_state_stream,
+        read_funnel_state,
+    )
+
+    steps = ["view", "click", "purchase"]
+    ev = events_batch.withColumn(
+        "item_id", F.get_json_object(F.col("props"), "$.k").cast("long")
+    ).where(F.col("item_id").isNotNull()).select(
+        "user_id", "item_id", "ts", "event_type"
+    )
+
+    stage = os.path.join(TMP, "funnel_stage")
+    state_dir = os.path.join(TMP, "funnel_state")
+    for p in (stage, state_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sink = funnel_state_stream(state_dir, ["user_id", "item_id"], steps)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    folded = read_funnel_state(spark, state_dir)
+    staged_stream = funnel_stage_times(folded, steps, ["user_id", "item_id"])
+    staged_batch = funnel_stage_times(ev, steps, ["user_id", "item_id"])
+    rows_stream = {tuple(r) for r in staged_stream.collect()}
+    rows_batch = {tuple(r) for r in staged_batch.collect()}
+    assert rows_stream == rows_batch
+
+    sum_stream = funnel_summary(staged_stream, steps).collect()[0]
+    sum_batch = funnel_summary(staged_batch, steps).collect()[0]
+    assert tuple(sum_stream) == tuple(sum_batch)
+    assert sum_batch["n_pairs"] > sum_batch["n_view"] > 0  # non-degenerate
+
+    # duplicate data under a NEW epoch id: stage times and counts immovable
+    sink(spark.read.parquet(stage).limit(200), 999)
+    refolded = read_funnel_state(spark, state_dir)
+    rows_again = {
+        tuple(r)
+        for r in funnel_stage_times(refolded, steps, ["user_id", "item_id"]).collect()
+    }
+    assert rows_again == rows_batch
+
+    # the per-epoch state is genuinely COMPACTED: a batch with repeated
+    # stage-0/non-step events for one pair collapses them to per-(pair,
+    # type) minima, while steps[1:] history survives in full
+    burst = spark.createDataFrame(
+        [(7, 7, f"2024-01-01 00:00:{s:02d}", t)
+         for s, t in enumerate(["view"] * 5 + ["other"] * 4 + ["click"] * 3)],
+        ["user_id", "item_id", "ts", "event_type"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sink(burst, 998)
+    epoch_rows = spark.read.parquet(os.path.join(state_dir, "epoch=998"))
+    assert epoch_rows.count() == 1 + 1 + 3  # min(view) + min(other) + 3 clicks
