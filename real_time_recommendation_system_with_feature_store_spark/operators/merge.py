@@ -13,10 +13,13 @@ change stream to a snapshot in ONE set-based pass:
      change's values (insert-or-update — true upsert).
 
 Scale posture: one shuffle of each side on the merge key. When the base is
-bucketed on the key (sources/bucketing.py::write_bucketed) the base-side
-Exchange disappears entirely — the same zero-Exchange co-location the
-bucketed-join tests assert. The changelog window shuffles only the (small)
-changelog.
+bucketed on the key (sources/bucketing.py::write_bucketed) AND the keys are
+non-null by contract (``null_safe_keys=False`` — null-safe ``<=>`` equality
+compiles to coalesce/isnull composite keys no bucket layout can satisfy),
+the base-side Exchange disappears entirely — the same zero-Exchange
+co-location the bucketed-join tests assert (plan-asserted for the merge
+itself in tests/test_plans.py). The changelog window shuffles only the
+(small) changelog.
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ def merge_changelog(
     op_col: str = "op",
     seq_col: str = "seq",
     tie_breaks: Sequence[str] = (),
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Apply a changelog (op in 'U' upsert / 'I' insert / 'D' delete) to
     ``base``; returns the merged snapshot with base's columns.
@@ -65,6 +69,19 @@ def merge_changelog(
     'U' and 'I' are both insert-or-update (MERGE WHEN MATCHED UPDATE /
     WHEN NOT MATCHED INSERT); the two codes exist so CDC sources that
     distinguish them round-trip losslessly.
+
+    ``null_safe_keys`` picks the key-equality flavor. The default (True)
+    merges NULL keys with NULL keys (``<=>``), but Spark compiles
+    null-safe equality to ``(coalesce(k, d), isnull(k))`` composite join
+    keys, which a layout bucketed on ``k`` CANNOT satisfy — the planner
+    disables the bucket scan and re-shuffles the base. Pass False when
+    the merge keys are non-null by contract (the usual primary-key CDC
+    shape): plain ``=`` keys let a base bucketed on the keys join with
+    ZERO base-side Exchange (plan-asserted in tests/test_plans.py), which
+    at 100 TB is the difference between rewriting the snapshot in place
+    and re-shuffling it every day-close. With False and NULL keys
+    actually present, NULL-keyed base rows pass through unmatched and
+    NULL-keyed changes insert — they never pair.
 
     Both sides are re-aliased to positional internal names (reserved
     ``__rn``/``__op``/``__bk_``/``__bv_``/``__ck_``/``__cv_`` prefixes) so
@@ -97,7 +114,10 @@ def merge_changelog(
     )
     cond = None
     for i in range(len(keys)):
-        eq = F.col(f"__bk_{i}").eqNullSafe(F.col(f"__ck_{i}"))
+        if null_safe_keys:
+            eq = F.col(f"__bk_{i}").eqNullSafe(F.col(f"__ck_{i}"))
+        else:
+            eq = F.col(f"__bk_{i}") == F.col(f"__ck_{i}")
         cond = eq if cond is None else (cond & eq)
     joined = b.join(ch, cond, "full_outer")
     keep = F.col("__op").isNull() | (F.col("__op") != "D")

@@ -5358,6 +5358,148 @@ def changelog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_day_close_pipeline",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, ts, value FROM events
+                WHERE user_id % 5 = 0),
+    log0 AS (SELECT * FROM ev WHERE ts < TIMESTAMP '{SPLIT_TS}'),
+    base AS (SELECT user_id, value, ts AS updated_at FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM log0) WHERE rn = 1),
+    day AS (SELECT *, CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+            FROM ev WHERE ts >= TIMESTAMP '{SPLIT_TS}'
+              AND ts < TIMESTAMP '2024-01-17 00:00:00'),
+    latest AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM day) WHERE rn = 1),
+    merged AS (
+      SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+        CASE WHEN l.op IS NOT NULL THEN l.value ELSE b.value END AS value
+      FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+      WHERE l.op IS NULL OR l.op <> 'D'),
+    hist0 AS (SELECT user_id, event_id, ts AS valid_from,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        value FROM log0),
+    delta AS (SELECT user_id, event_id, ts, value FROM day WHERE op <> 'D'),
+    firstc AS (SELECT user_id, MIN(ts) AS nf FROM delta GROUP BY 1),
+    hist AS (
+      SELECT user_id, valid_from, valid_to, value
+      FROM hist0 WHERE valid_to IS NOT NULL
+      UNION ALL
+      SELECT h.user_id, h.valid_from, COALESCE(f.nf, h.valid_to), h.value
+      FROM hist0 h LEFT JOIN firstc f ON f.user_id = h.user_id
+      WHERE h.valid_to IS NULL
+      UNION ALL
+      SELECT user_id, ts,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), value
+      FROM delta),
+    ent AS (SELECT event_id, user_id, ts FROM ev
+            WHERE ts >= TIMESTAMP '2024-01-17 00:00:00'
+              AND ts < TIMESTAMP '2024-01-18 00:00:00'),
+    feat AS (SELECT e.event_id, e.user_id, e.ts,
+               h.value AS feat_value, h.valid_from AS feat_from
+             FROM ent e LEFT JOIN hist h ON h.user_id = e.user_id
+               AND h.valid_from <= e.ts
+               AND (h.valid_to IS NULL OR h.valid_to > e.ts))
+    SELECT f.event_id, f.user_id, f.ts, f.feat_value, f.feat_from,
+      m.value AS snapshot_value,
+      CAST(m.user_id IS NOT NULL AS INTEGER) AS in_snapshot
+    FROM feat f LEFT JOIN merged m ON m.user_id = f.user_id
+    """,
+    doc="Feature-store DAY-CLOSE composition — the reference's daily "
+        "lifecycle (src/features/simple_feature_store.py:73-90 "
+        "push_streaming_features + materialize_features, applied "
+        "row-at-a-time there) as ONE lazy set-based DAG chaining the whole "
+        "CDC tier: (1) the day's events become a generated changelog "
+        "(event_id%13 -> deletes, latest-wins on (ts, event_id)); (2) "
+        "operators/merge.py::merge_changelog applies it to the day-open "
+        "online snapshot — deleted users drop, upserts win; (3) "
+        "operators/scd.py::scd2_apply_increment folds the day's upserts "
+        "into the interval history WITHOUT touching closed rows (only "
+        "each key's open row re-closes); (4) next-day training rows "
+        "point-in-time join the history on the interval predicate, plus "
+        "the merged snapshot's membership flag (deleted users keep "
+        "serving HISTORY — audit trail — but show in_snapshot=0). Scale: "
+        "the snapshot/merge side is the bucketed zero-base-Exchange shape "
+        "plan-asserted in tests/test_plans.py; closed history never "
+        "re-shuffles; the oracle replays every tier CTE-by-CTE.",
+)
+def feature_day_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import merge_changelog
+    from real_time_recommendation_system_with_feature_store_spark.operators.scd import scd2_apply_increment, scd2_from_changelog
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 5 == 0)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    split = F.lit(SPLIT_TS).cast("timestamp")
+    day_end = F.lit("2024-01-17 00:00:00").cast("timestamp")
+    next_end = F.lit("2024-01-18 00:00:00").cast("timestamp")
+
+    log0 = ev.where(F.col("ts") < split)
+    wn = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        log0.withColumn("__rn1", F.row_number().over(wn))
+        .where(F.col("__rn1") == 1)
+        .select("user_id", "value", F.col("ts").alias("updated_at"))
+    )
+
+    day = ev.where((F.col("ts") >= split) & (F.col("ts") < day_end)).withColumn(
+        "op", F.when(F.col("event_id") % 13 == 0, "D").otherwise("U")
+    )
+    changes = day.select(
+        "user_id",
+        "op",
+        F.col("ts").alias("seq"),
+        "event_id",
+        "value",
+        F.col("ts").alias("updated_at"),
+    )
+    merged = merge_changelog(
+        base, changes, ["user_id"], seq_col="seq", tie_breaks=["event_id"]
+    )
+
+    hist0 = scd2_from_changelog(log0, ["user_id"], "ts", tiebreak=["event_id"])
+    delta = day.where(F.col("op") != "D").select("user_id", "event_id", "ts", "value")
+    hist = scd2_apply_increment(hist0, delta, ["user_id"], "ts", tiebreak=["event_id"])
+
+    ent = ev.where((F.col("ts") >= day_end) & (F.col("ts") < next_end)).select(
+        "event_id", "user_id", "ts"
+    )
+    h = hist.select(
+        F.col("user_id").alias("__hu"),
+        F.col("valid_from").alias("feat_from"),
+        F.col("valid_to").alias("__hto"),
+        F.col("value").alias("feat_value"),
+    )
+    feat = ent.join(
+        h,
+        (ent["user_id"] == h["__hu"])
+        & (h["feat_from"] <= ent["ts"])
+        & (h["__hto"].isNull() | (h["__hto"] > ent["ts"])),
+        "left",
+    )
+    snap = merged.select(
+        F.col("user_id").alias("__su"), F.col("value").alias("snapshot_value")
+    )
+    out = feat.join(snap, F.col("user_id") == F.col("__su"), "left")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "feat_value",
+        "feat_from",
+        "snapshot_value",
+        F.col("__su").isNotNull().cast("int").alias("in_snapshot"),
+    )
+
+
+@query(
     "cms_heavy_hitters",
     oracle="""
     WITH ea AS (

@@ -645,3 +645,60 @@ def test_hll_register_build_partial_aggregates_map_side(spark):
     plan = hll_build(ev, F.col("k"))._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan, plan[:500]
     assert "Join" not in plan
+
+
+def test_bucketed_base_merge_changelog_has_no_base_side_exchange(spark):
+    """The merge.py scale claim, plan-asserted for the MERGE itself: a base
+    snapshot bucketed on the merge key with non-null-by-contract keys
+    (null_safe_keys=False — null-safe `<=>` compiles to coalesce/isnull
+    composite join keys that DEFEAT bucketing, the trap this pin guards)
+    full-outer-joins its changelog with the base side read straight from
+    buckets: exactly ONE Exchange in the whole plan (the small changelog
+    side), `Bucketed: true` on the base scan. At 100 TB this is the
+    difference between a day-close that re-shuffles the snapshot and one
+    that only shuffles the day's changes."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.merge import merge_changelog
+    from real_time_recommendation_system_with_feature_store_spark.sources.bucketing import write_bucketed
+
+    tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.sql("DROP TABLE IF EXISTS snap_bkt")
+        shutil.rmtree(os.path.join(tmp, "snap_bkt"), ignore_errors=True)
+        write_bucketed(
+            c, "snap_bkt", "c_custkey", buckets=8, path=os.path.join(tmp, "snap_bkt")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        base = spark.table("snap_bkt")
+        changes = c.where(F.col("c_custkey") % 7 == 1).select(
+            "c_custkey",
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+            F.concat(F.lit("v1:"), F.col("c_name")).alias("c_name"),
+            (F.col("c_acctbal") + 1.0).alias("c_acctbal"),
+        )
+        merged = merge_changelog(base, changes, ["c_custkey"], null_safe_keys=False)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange ") == 1, plan  # changelog side only
+        assert "Bucketed: true" in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # the null-safe default genuinely needs the guard: same merge with
+        # `<=>` keys re-shuffles the bucketed base AND re-shuffles the
+        # changelog a second time (the coalesce/isnull keys match neither
+        # the buckets nor the latest-wins window's partitioning)
+        ns = merge_changelog(base, changes, ["c_custkey"])
+        ns_plan = ns._jdf.queryExecution().executedPlan().toString()
+        assert ns_plan.count("Exchange ") == 3, ns_plan
+        assert "Bucketed: false" in ns_plan, ns_plan
+        # and the merged values are identical either way (keys are non-null)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, ns.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS snap_bkt")
