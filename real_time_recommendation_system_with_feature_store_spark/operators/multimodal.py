@@ -148,6 +148,47 @@ RESIZED_SCHEMA = "id long, blob binary, width int, height int"
 FRAMES_SCHEMA = "id long, frame_idx int, frame binary"
 
 
+def synthesize_image_blobs(
+    df: DataFrame, id_col: str, out_col: str = "blob", size: int = 2
+) -> DataFrame:
+    """Deterministic image-fixture materialization: each id becomes a REAL
+    ``size``×``size`` 24-bit BMP (``encode_bmp``) whose pixel bytes are the
+    md5 digest of the decimal id string —
+    ``pixel[y][x][c] = md5(str(id)).digest()[(y*size + x)*3 + c]``.
+
+    This makes the downstream DECODE → EMBED → ANN chain end-to-end
+    certifiable: the pixels are a pure, engine-replayable function of the
+    id, so a SQL oracle can recompute the color-moment features from the
+    same md5 bytes without ever touching the container format, while the
+    Spark side exercises the real encoder, the real header/pixel decoder,
+    and the real feature kernel on every row. Requires
+    ``3*size*size <= 16`` (one digest per image). Returns ``(id, out_col)``
+    via Arrow-batched mapInPandas — the same plumbing a production
+    blob-backfill kernel would use (swap the body for an object-store
+    fetch)."""
+    import hashlib
+
+    import numpy as np
+
+    if 3 * size * size > 16:
+        raise ValueError(f"synthesize_image_blobs: 3*{size}^2 exceeds one md5 digest")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                dg = hashlib.md5(str(int(i)).encode()).digest()
+                px = np.frombuffer(
+                    dg[: 3 * size * size], dtype=np.uint8
+                ).reshape(size, size, 3)
+                blobs.append(encode_bmp(px))
+            yield pd.DataFrame({"id": pdf[id_col].values, out_col: blobs})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        kernel, f"id long, {out_col} binary"
+    )
+
+
 def decode_bmp_pixels(blob: bytes):
     """REAL pixel decode for the BMP format the stdlib can fully parse:
     uncompressed (BI_RGB) 24-bit BITMAPINFOHEADER-family bitmaps. Returns an

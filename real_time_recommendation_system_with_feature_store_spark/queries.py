@@ -1945,6 +1945,92 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(blobs, "doc_id")
 
 
+def _mm_embed_oracle() -> str:
+    """SQL replay of the multimodal decode→embed→ANN chain: the fixture
+    pixels are md5(str(doc_id)) bytes (synthesize_image_blobs), so the
+    color-moment features are a pure function of doc_id the oracle computes
+    WITHOUT decoding any container. Arithmetic is chosen exact-until-rounded:
+    a 2×2 image puts one pixel per grid cell (means = exact integers /
+    127.5), the per-channel std's squared deviations all carry denominator
+    16 with small numerators (exact in float64 in ANY summation order, so
+    numpy's pairwise sum == SQL's sequential sum), sqrt is IEEE
+    correctly-rounded, and the REAL cast reproduces the kernel's float32
+    output exactly."""
+    bts = ", ".join(
+        f"CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), {2 * k + 1}, 2))"
+        f"::UBIGINT AS DOUBLE) AS b{k}"
+        for k in range(12)
+    )
+    ms = ", ".join(
+        f"(b{c} + b{c + 3} + b{c + 6} + b{c + 9}) / 4.0 AS m{c}" for c in range(3)
+    )
+    mean_feats = ", ".join(f"b{k} / 127.5 - 1.0" for k in range(12))
+    std_feats = ", ".join(
+        f"sqrt(((b{c}-m{c})*(b{c}-m{c}) + (b{c + 3}-m{c})*(b{c + 3}-m{c})"
+        f" + (b{c + 6}-m{c})*(b{c + 6}-m{c}) + (b{c + 9}-m{c})*(b{c + 9}-m{c}))"
+        f" / 4.0) / 127.5"
+        for c in range(3)
+    )
+    return f"""
+    WITH bts AS (SELECT doc_id, {bts} FROM documents),
+    ms AS (SELECT *, {ms} FROM bts),
+    feats AS (SELECT doc_id,
+      CAST(list_value({mean_feats}, {std_feats},
+                      CAST(-0.75 AS DOUBLE)) AS REAL[])::DOUBLE[] AS emb
+      FROM ms),
+    q AS (SELECT doc_id AS qid, emb AS qv FROM feats WHERE doc_id % 10 = 0),
+    s AS (SELECT qid, doc_id AS iid,
+            ROUND(list_cosine_similarity(qv, emb), 6) AS score
+          FROM q CROSS JOIN feats WHERE qid != doc_id),
+    r AS (SELECT qid AS query_id, iid AS item_id, score,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score DESC, iid) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= 5
+    """
+
+
+@query(
+    "multimodal_embed_topk",
+    oracle=_mm_embed_oracle(),
+    doc="Multimodal features FEED the ANN tier, end-to-end and "
+        "oracle-certified: deterministic 2×2 BMP fixtures materialize per "
+        "doc (operators/multimodal.py::synthesize_image_blobs — REAL "
+        "encode_bmp bytes from md5-of-id pixels), the REAL container "
+        "decode + color-moment embed kernel runs on every blob "
+        "(extract_features: header parse, pixel decode, grid means / "
+        "channel stds / aspect — the decodable path, not the stub), and "
+        "brute_force_topk cosine-ranks the resulting embeddings "
+        "(operators/knn.py arrow kernel). The reference's content "
+        "embeddings come from a learned encoder (src/models/two_tower.py:"
+        "149); absent weights, the classical-feature path proves the same "
+        "pipeline shape. The oracle recomputes the features from the SAME "
+        "md5 bytes in pure SQL — possible because the fixture pixels are "
+        "a function of doc_id, and every feature op is exact-until-"
+        "rounded (single-pixel cell means, denominator-16 std sums "
+        "immune to summation order, IEEE sqrt, REAL-cast float32 parity) "
+        "— then replays the cosine top-k. Scale: blobs flow as Arrow "
+        "batches through mapInPandas (bounded by maxRecordsPerBatch); "
+        "the ANN stage is the broadcast-queries × item-scan shape with "
+        "map-side per-batch top-k pruning.",
+)
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
+    from real_time_recommendation_system_with_feature_store_spark.operators.multimodal import (
+        extract_features,
+        synthesize_image_blobs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = synthesize_image_blobs(d, "doc_id")
+    emb = extract_features(blobs, "id", dim=16)
+    q = emb.where(F.col("id") % 10 == 0).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    it = emb.select(F.col("id").alias("item_id"), "embedding")
+    return brute_force_topk(q, it, "query_id", "item_id", k=5)
+
+
 # ================================================================ model scoring / ML-ish ops
 
 @query(
