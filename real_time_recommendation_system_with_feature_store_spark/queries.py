@@ -6056,6 +6056,103 @@ def event_type_pair_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "view_click_shared_pairs_hll",
+    oracle=f"""
+    WITH ea AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id,
+                  event_type
+                FROM events WHERE (props->>'k') IS NOT NULL),
+    k AS (SELECT event_type,
+            CAST(user_id AS VARCHAR) || '|' || CAST(item_id AS VARCHAR) AS pk
+          FROM ea WHERE event_type IN ('view', 'click')),
+    h AS (SELECT event_type,
+            ('0x' || substring(md5('hll' || chr(31) || pk), 1, 15))::UBIGINT AS h
+          FROM k),
+    r AS (SELECT event_type, CAST(h % 256 AS INT) AS bucket,
+            CAST(CASE WHEN h // 256 = 0 THEN 53
+                 ELSE 53 - length(bin(h // 256)) END AS INT) AS rho
+          FROM h),
+    reg AS (SELECT event_type, bucket, MAX(rho) AS max_rho FROM r GROUP BY 1, 2),
+    regu AS (SELECT bucket, MAX(max_rho) AS max_rho FROM reg GROUP BY 1),
+    esides AS (
+      SELECT event_type AS side,
+        CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT)
+          + (256 - CAST(COUNT(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 53) AS ssum,
+        256 - CAST(COUNT(*) AS BIGINT) AS zeros
+      FROM reg GROUP BY 1
+      UNION ALL
+      SELECT 'union',
+        CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT)
+          + (256 - CAST(COUNT(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 53),
+        256 - CAST(COUNT(*) AS BIGINT)
+      FROM regu),
+    vals AS (SELECT side,
+        CASE WHEN ({_HLL_P8_NUM!r} / CAST(ssum AS DOUBLE)) <= 640.0
+              AND zeros > 0
+          THEN 256.0 * LN(256.0 / CAST(zeros AS DOUBLE))
+          ELSE {_HLL_P8_NUM!r} / CAST(ssum AS DOUBLE)
+        END AS est
+      FROM esides),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+      SELECT pk FROM k WHERE event_type = 'view'
+      INTERSECT
+      SELECT pk FROM k WHERE event_type = 'click'))
+    SELECT ex.n_exact,
+      ROUND(a.est, 6) AS est_view,
+      ROUND(b.est, 6) AS est_click,
+      ROUND(u.est, 6) AS est_union,
+      ROUND(GREATEST(0.0, a.est + b.est - u.est), 6) AS est_shared
+    FROM ex,
+      (SELECT est FROM vals WHERE side = 'view') a,
+      (SELECT est FROM vals WHERE side = 'click') b,
+      (SELECT est FROM vals WHERE side = 'union') u
+    """,
+    doc="Theta-sketch-style distinct INTERSECTION "
+        "(operators/sketches.py::hll_intersect_estimate): how many "
+        "distinct (user, item) pairs were both VIEWED and CLICKED, by "
+        "inclusion-exclusion over the same mergeable HLL registers the "
+        "per-type cardinality entry builds — |A∩B| ≈ est(A) + est(B) - "
+        "est(A∪B), the union being a register-wise max (exact for unions, "
+        "the HLL mergeability property). The exact INTERSECT count rides "
+        "along to certify the compounded error (the SE2 twin "
+        "click_and_purchase_users covers the user-level exact path). All "
+        "three cardinalities (~1.9k views / ~1.9k clicks / union) sit on "
+        "the pure-arithmetic raw path (no libm branch in the compared "
+        "output), so the oracle replays every register AND the "
+        "inclusion-exclusion bit-for-bit. At 100 TB: intersecting a year "
+        "of per-day sketches is register arithmetic over ≤2^p rows each — "
+        "never a co-shuffle of raw keys.",
+)
+def view_click_shared_pairs_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_intersect_estimate
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+    )
+    pk = F.concat_ws(
+        "|", F.col("user_id").cast("string"), F.col("item_id").cast("string")
+    )
+    view = ev.where(F.col("event_type") == "view").select(pk.alias("pk"))
+    click = ev.where(F.col("event_type") == "click").select(pk.alias("pk"))
+    est = hll_intersect_estimate(
+        hll_build(view, F.col("pk"), p=8), hll_build(click, F.col("pk"), p=8), p=8
+    )
+    exact = (
+        view.distinct()
+        .join(click.distinct(), "pk", "left_semi")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return exact.crossJoin(est).select(
+        "n_exact",
+        F.round(F.col("est_a"), 6).alias("est_view"),
+        F.round(F.col("est_b"), 6).alias("est_click"),
+        F.round(F.col("est_union"), 6).alias("est_union"),
+        F.round(F.col("est_intersect"), 6).alias("est_shared"),
+    )
+
+
+@query(
     "view_click_purchase_funnel",
     oracle="""
     WITH ea AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id,
