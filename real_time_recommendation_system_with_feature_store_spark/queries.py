@@ -6325,102 +6325,80 @@ def item_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_WINDOW = [
-    # r7 ROTATION. After r6 the newest-green histogram was 50 @ r6 (the r5
-    # window, re-certified verbatim in r6), 50 @ r4, 20 @ r3. This window =
-    # the 15 NEW never-checked entries (round-7 graph/CDC/sketch wiring +
-    # quantile sketch + RRF + triangles + HLL + funnel + cohort + Markov
-    # transitions) + all 20 r3-stale (the r6 VERDICT's explicit re-front
-    # list) + 15 of the 50 r4-stale. The 35 r4-stale left out
-    # (front-of-queue for r8):
-    # acctbal_zscore, click_and_purchase_users, collect_event_types,
-    # customer_order_profile, daily_user_activity_spine,
-    # corpus_filter_funnel,
-    # eval_contamination_pruned, event_type_stats, event_value_norm,
-    # inter_event_gaps, item_interaction_counts, item_trending_scores,
-    # late_ship_priority_counts,
-    # nation_pair_trade_volume, nations_with_presence, nfc_normalized_docs,
-    # order_date_features, orders_profile, part_name_features,
-    # promo_revenue_share, props_variant_stats, region_nation_revenue,
-    # revenue_rollup, rich_inactive_customers, salted_event_counts,
-    # segment_codes,
-    # sessionize_events, small_qty_brand_revenue, status_priority_cube,
-    # supplier_running_totals,
-    # top_building_orders, top_revenue_suppliers, tumbling_window_counts,
-    # view_click_attribution, waiting_suppliers.
-    # NEW in r7 (first driver rows):
-    "item_pagerank_topk",            # co-purchase PageRank, unrolled-CTE oracle
-    "pagerank_quality_prior",        # graph -> candidate-scoring composition
-    "ppr_trending_items",            # personalized PageRank, trending seeds
-    "changelog_merge_snapshot",      # CDC MERGE onto customer snapshot
-    "cms_heavy_hitters",             # count-min estimates vs exact top-20
-    "event_key_skew_cms",            # mergeable count-min skew probe
-    "bloom_pruned_join",             # pre-shuffle bloom prune, exact-join oracle
-    "price_quantile_sketch",         # mergeable log-bucket quantile sketch
-    "order_price_quantiles_by_priority",  # grouped quantile sketch
-    "rrf_hybrid_recommendations",    # reciprocal-rank fusion of 3 generators
-    "copurchase_clustering_coeff",   # degree-ordered triangle counting
-    "event_type_pair_cardinality_hll",  # mergeable HLL registers, exact-certified
-    "view_click_purchase_funnel",    # one-shuffle array-fold funnel vs 3-join oracle
-    "daily_cohort_retention",        # one-shuffle cohort matrix vs self-join oracle
-    "item_transition_matrix",        # Markov next-item transitions via window lag
-    # r3-stale (newest green row is r3 — the full VERDICT re-front list):
-    "bpe_packed_corpus",
-    "brand_top_parts",
-    "coverage_novelty",
-    "dedup_cluster_keepers",
-    "domain_mixture_sample",
-    "embedding_near_dup_lsh",
-    "embedding_norms",
-    "global_top_parts",
-    "incremental_dedup_candidates",
-    "knn_cosine_topk",
-    "leave_one_out_events",
-    "linear_rerank_topk",
-    "perplexity_buckets",
-    "point_in_time_features",
-    "sliding_window_counts",
-    "text_quality",
-    "time_split_orders",
-    "two_stage_recommendations",
-    "user_event_arrays",
-    "value_percentiles",
-    # r4-stale (25 of 50, family-diverse):
-    "asof_purchase_click",
-    # collect_event_types left out (grouped-collect family twin:
-    # user_event_arrays, in-window) to make room for the 7th new entry
-    # corpus_filter_funnel left out (doc-quality-gating family twins:
-    # gopher_quality_flags + text_quality, in-window) for the event funnel
-    "customers_without_orders",
-    # daily_user_activity_spine left out (spine family twin:
-    # timeseries_feature_pipeline, r6-green) to make room for the 6th new entry
-    "event_key_skew",
-    "event_type_pivot",
-    "gopher_quality_flags",
-    "interpolated_event_values",
-    # item_trending_scores left out (decay-arithmetic family twin:
-    # rolling_user_velocity, r6-green) for copurchase_clustering_coeff
-    "nation_top_balance_customers",
-    "pricing_summary",
-    # promo_revenue_share left out (share-arithmetic family twin:
-    # key_part_value_share, r6-green) to make room for rrf_hybrid_recommendations
-    "ranking_metrics_multi_k",
-    "region_revenue",
-    # salted_event_counts left out (skew-handling family twins:
-    # event_key_skew + event_key_skew_cms, in-window) for the HLL entry
-    "session_window_stats",
-    # status_priority_cube left out (cube/pivot family twin:
-    # event_type_pivot, in-window) to make room for price_quantile_sketch
-    # supplier_running_totals left out (running-window family twin:
-    # rolling_user_velocity, r6-green) for item_transition_matrix
-    "token_budget_packing",
-    "tree_rerank_topk",
-    # tumbling_window_counts left out (stream-window family twin:
-    # sliding_window_counts, in-window) for order_price_quantiles_by_priority
-    "user_activity_windows",
-    "user_value_scd2",
-    # view_click_attribution left out (event-sequence attribution family
-    # twins: asof_purchase_click + view_click_purchase_funnel, in-window)
-    # to make room for daily_cohort_retention
+    # r8 ROTATION. After r7 the newest-green histogram was 50 @ r7, 50 @ r6,
+    # 35 @ r4. This window = the 3 NEW never-checked r8 entries (CDC
+    # day-close composition, multimodal decode->embed->ANN, HLL distinct
+    # intersection) + ALL 35 r4-stale entries (the r7 VERDICT's explicit
+    # re-front list, verbatim) + 12 family-diverse r6 entries (the oldest
+    # remaining tier). The 38 r6 entries left out (front-of-queue for r9):
+    # bpe_merge_table, bpe_tokenized_docs, brand_supplier_diversity,
+    # charlm_doc_scores, customer_order_histogram, customers_with_orders,
+    # dedup_clusters, doc_signatures, doc_token_chunks, embedding_near_dup,
+    # excess_shipment_suppliers, jaccard_similar_pairs, key_part_value_share,
+    # lang_id_confusion, large_order_customers, leakage_safe_folds,
+    # lsh_ann_topk, multimodal_metadata, ngram_repetition_signals,
+    # overlapping_customer_orders, part_type_multihot, pii_scrubbed_docs,
+    # popularity_ranking_metrics, price_deciles, priority_mix, rec_diversity,
+    # rolling_user_velocity, segment_code_map, simhash_dedup_candidates,
+    # span_dedup_docs, span_dedup_incremental, span_semantic_pack_pipeline,
+    # stratified_event_sample, tfidf_top_terms, timeseries_feature_pipeline,
+    # user_first_last_events, verbatim_span_pairs, weighted_doc_sample.
+    # NEW in r8 (first driver rows):
+    "feature_day_close_pipeline",    # changelog -> MERGE -> SCD2 -> as-of, chained oracle
+    "multimodal_embed_topk",         # real decode+embed feeds ANN, md5-pixel oracle
+    "view_click_shared_pairs_hll",   # theta-style HLL intersection, register replay
+    # r4-stale (all 35 — the r7 VERDICT re-front list):
+    "acctbal_zscore",
+    "click_and_purchase_users",
+    "collect_event_types",
+    "corpus_filter_funnel",
+    "customer_order_profile",
+    "daily_user_activity_spine",
+    "eval_contamination_pruned",
+    "event_type_stats",
+    "event_value_norm",
+    "inter_event_gaps",
+    "item_interaction_counts",
+    "item_trending_scores",
+    "late_ship_priority_counts",
+    "nation_pair_trade_volume",
+    "nations_with_presence",
+    "nfc_normalized_docs",
+    "order_date_features",
+    "orders_profile",
+    "part_name_features",
+    "promo_revenue_share",
+    "props_variant_stats",
+    "region_nation_revenue",
+    "revenue_rollup",
+    "rich_inactive_customers",
+    "salted_event_counts",
+    "segment_codes",
+    "sessionize_events",
+    "small_qty_brand_revenue",
+    "status_priority_cube",
+    "supplier_running_totals",
+    "top_building_orders",
+    "top_revenue_suppliers",
+    "tumbling_window_counts",
+    "view_click_attribution",
+    "waiting_suppliers",
+    # r6 fillers (12 of 50, family-diverse: ALS embeddings, corpus-export
+    # composition, exact dedup, decontamination, the three ANN index tiers,
+    # k-core, MinHash banding, negative sampling, two-stage recs + trained
+    # ranker, semantic dedup):
+    "als_item_embeddings",
+    "corpus_export_pipeline",
+    "doc_dedup_exact",
+    "eval_contamination_pairs",
+    "ivf_ann_topk",
+    "kcore_events",
+    "minhash_dedup_candidates",
+    "negative_samples",
+    "pq_ann_topk",
+    "segment_recommendations",
+    "semantic_dedup_embeddings",
+    "trained_linear_ranker_topk",
 ]
 
 def _reorder_registry() -> None:
