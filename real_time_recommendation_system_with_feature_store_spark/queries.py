@@ -201,6 +201,192 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_market_share",
+    oracle="""
+    SELECT o_year,
+      ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+          ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+        / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share,
+      COUNT(*) AS n_lineitems
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: one nation's market share of a region's yearly "
+        "revenue — a seven-way join where the SAME dimension (nation) "
+        "enters twice on different keys (customer side filters the market, "
+        "supplier side labels the share), and the share is a conditional/"
+        "total ratio resolved in ONE aggregation pass (exact DECIMAL "
+        "conditional sums, one double division at the end). All dims "
+        "broadcast; the region filter reaches the customer-side nation "
+        "scan so the fact join probes a pre-filtered market.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = _t(spark, sf_dir, "nation")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    market = (
+        c.join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp = s.join(F.broadcast(sn), s.s_nationkey == F.col("sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    zero = F.lit(0).cast("decimal(28,10)")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(market), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"), "supp_nation", vol.alias("vol"))
+    )
+    return j.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(zero)
+            ).cast("double")
+            / F.sum("vol").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@query(
+    "returned_revenue_customers",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+        ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+          AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name, revenue, n_items,
+      CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+      FROM g
+    ) WHERE rank <= 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue ranking — who cost us the "
+        "most in returns last quarter. Fact filters (returnflag, the "
+        "order-date quarter) prune before the joins, dims broadcast, and "
+        "the global top-20 ranks the AGGREGATED per-customer frame via "
+        "the TakeOrderedAndProject path (operators/topk.py::"
+        "global_topn_ranked — never a one-task window over the facts). "
+        "Ranking orders on the ROUNDED revenue with the customer key as "
+        "total tie-break, so both engines rank identical doubles. Rounds "
+        "at 4dp, not 2: discounted revenue sums carry exactly <=4 decimal "
+        "digits, so the 4dp round is value-RECOVERING in both engines, "
+        "whereas a 2dp round can land on a true half-cent tie (this "
+        "quarter's customer 249 sums to ...,5950 exactly) where Spark's "
+        "BigDecimal half-up and DuckDB's multiply-round disagree.",
+)
+def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dsum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), nd=4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return global_topn_ranked(
+        g, [F.col("revenue").desc(), F.col("c_custkey")], 20
+    )
+
+
+@query(
+    "bracket_part_revenue",
+    oracle="""
+    SELECT
+      ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive bracket predicate spanning BOTH join "
+        "sides — three OR'd (brand, size-range, quantity-range) brackets "
+        "that can only resolve after the part join. The part-only residue "
+        "of the disjunction (brand ∈ {12,23,7} AND size ≤ 15) is "
+        "extractable, so Catalyst prunes the broadcast build side before "
+        "the probe; the mixed conjuncts evaluate as the join filter. One "
+        "aggregation pass, exact DECIMAL revenue.",
+)
+def bracket_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).where(cond)
+    return j.agg(
+        _dsum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@query(
     "customer_order_profile",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment,
@@ -6347,6 +6533,9 @@ _DRIVER_WINDOW = [
     "feature_day_close_pipeline",    # changelog -> MERGE -> SCD2 -> as-of, chained oracle
     "multimodal_embed_topk",         # real decode+embed feeds ANN, md5-pixel oracle
     "view_click_shared_pairs_hll",   # theta-style HLL intersection, register replay
+    "nation_market_share",           # TPC-H Q8: twice-joined dim, conditional share
+    "returned_revenue_customers",    # TPC-H Q10: returns ranking, TakeOrdered path
+    "bracket_part_revenue",          # TPC-H Q19: disjunctive cross-side brackets
     # r4-stale (all 35 — the r7 VERDICT re-front list):
     "acctbal_zscore",
     "click_and_purchase_users",
@@ -6383,10 +6572,12 @@ _DRIVER_WINDOW = [
     "tumbling_window_counts",
     "view_click_attribution",
     "waiting_suppliers",
-    # r6 fillers (12 of 50, family-diverse: ALS embeddings, corpus-export
-    # composition, exact dedup, decontamination, the three ANN index tiers,
-    # k-core, MinHash banding, negative sampling, two-stage recs + trained
-    # ranker, semantic dedup):
+    # r6 fillers (9 of 50, family-diverse: ALS embeddings, corpus-export
+    # composition, exact dedup, decontamination, two ANN index tiers,
+    # k-core, MinHash banding, semantic dedup; negative_samples /
+    # segment_recommendations / trained_linear_ranker_topk yielded their
+    # slots to the three never-checked Q8/Q10/Q19 entries — they join the
+    # r9 queue with the other r6 entries above):
     "als_item_embeddings",
     "corpus_export_pipeline",
     "doc_dedup_exact",
@@ -6394,11 +6585,8 @@ _DRIVER_WINDOW = [
     "ivf_ann_topk",
     "kcore_events",
     "minhash_dedup_candidates",
-    "negative_samples",
     "pq_ann_topk",
-    "segment_recommendations",
     "semantic_dedup_embeddings",
-    "trained_linear_ranker_topk",
 ]
 
 def _reorder_registry() -> None:
