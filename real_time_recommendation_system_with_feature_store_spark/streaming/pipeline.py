@@ -655,3 +655,42 @@ def read_funnel_state(spark: SparkSession, state_dir: str) -> DataFrame:
     stage times are mins and entity counts are distinct groups, both
     insensitive to the cross-epoch duplicates the compaction leaves."""
     return spark.read.parquet(state_dir).drop("epoch")
+
+
+def cohort_state_stream(
+    state_dir: str,
+    entity_col: str,
+    period_col: str,
+):
+    """ST9 × cohort: streaming maintenance of the retention-matrix state
+    (``operators/cohort.py::cohort_retention``) — each micro-batch compacts
+    to its DISTINCT (entity, period) pairs under an ``epoch=N`` partition;
+    ``cohort_retention`` over ``read_cohort_state``'s fold equals the
+    one-pass batch matrix cell-for-cell (parity-tested). The distinct pairs
+    ARE the operator's sufficient statistic: the cohort day is a min over
+    periods and every matrix cell counts distinct entity-periods, so the
+    fold is min/distinct-idempotent — the same event landing under two
+    DIFFERENT epoch ids cannot move a cell (the strong HLL-style
+    idempotency; replayed epochs additionally overwrite their own
+    partition). State per epoch is bounded by active entities × distinct
+    periods touched in that epoch — for daily periods, one row per active
+    entity-day, the natural size of a daily activity spine."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = (
+            batch_df.select(entity_col, period_col)
+            .where(qcol(period_col).isNotNull())
+            .dropDuplicates([entity_col, period_col])
+        )
+        pairs.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_cohort_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold an epoch-partitioned cohort-state directory into ONE activity
+    frame; feed it straight to ``operators/cohort.cohort_retention``. No
+    re-dedup is needed — the operator's per-entity collect_set absorbs
+    cross-epoch duplicates."""
+    return spark.read.parquet(state_dir).drop("epoch")

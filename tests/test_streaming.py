@@ -1072,3 +1072,73 @@ def test_funnel_state_stream_matches_batch(spark, events_batch):
     sink(burst, 998)
     epoch_rows = spark.read.parquet(os.path.join(state_dir, "epoch=998"))
     assert epoch_rows.count() == 1 + 1 + 3  # min(view) + min(other) + 3 clicks
+
+
+def test_cohort_state_stream_matches_batch(spark, events_batch):
+    """Streaming cohort-retention maintenance: replaying events as
+    micro-batches through the distinct-pairs sink and running the SAME
+    cohort_retention over the fold must equal the one-pass batch matrix
+    cell-for-cell, and duplicate data under a NEW epoch id cannot move a
+    cell (min/distinct idempotency — collect_set absorbs cross-epoch
+    duplicates without any fold-side re-dedup)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.cohort import cohort_retention
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cohort_state_stream,
+        read_cohort_state,
+    )
+
+    ev = events_batch.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
+    )
+
+    stage = os.path.join(TMP, "cohort_stage")
+    state_dir = os.path.join(TMP, "cohort_state")
+    for p in (stage, state_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sink = cohort_state_stream(state_dir, "user_id", "d")
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    folded = read_cohort_state(spark, state_dir)
+    mat_stream = {
+        (r["cohort_day"], r["day_offset"]): (r["n_users"], r["retention"])
+        for r in cohort_retention(folded, "user_id", "d").collect()
+    }
+    mat_batch = {
+        (r["cohort_day"], r["day_offset"]): (r["n_users"], r["retention"])
+        for r in cohort_retention(ev, "user_id", "d").collect()
+    }
+    assert mat_stream == mat_batch and len(mat_batch) > 5
+
+    # the horizon-bounded variant folds identically
+    capped_stream = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(folded, "user_id", "d", max_offset=7).collect()
+    }
+    capped_batch = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(ev, "user_id", "d", max_offset=7).collect()
+    }
+    assert capped_stream == capped_batch
+
+    # duplicate data under a NEW epoch id: no cell moves
+    sink(spark.read.parquet(stage).limit(300), 999)
+    refold = read_cohort_state(spark, state_dir)
+    again = {
+        (r["cohort_day"], r["day_offset"]): (r["n_users"], r["retention"])
+        for r in cohort_retention(refold, "user_id", "d").collect()
+    }
+    assert again == mat_batch
+
+    # per-epoch state is the distinct-pair spine, strictly smaller than a
+    # raw batch with intra-batch duplicates
+    burst = ev.limit(1).unionByName(ev.limit(1)).unionByName(ev.limit(1))
+    sink(burst, 998)
+    assert spark.read.parquet(os.path.join(state_dir, "epoch=998")).count() == 1
