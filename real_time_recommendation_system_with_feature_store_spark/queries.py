@@ -2453,6 +2453,112 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_doc_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+               x -> lower(x))) AS term
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl,
+        SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS tf0,
+        SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf1,
+        SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf2
+      FROM toks GROUP BY 1
+    ),
+    st AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+        SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM dl
+    ),
+    scored AS (
+      SELECT doc_id, ROUND(
+        ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+          / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+               / (CAST(sumdl AS DOUBLE) / n))))
+        + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+          / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+               / (CAST(sumdl AS DOUBLE) / n))))
+        + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+          / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+               / (CAST(sumdl AS DOUBLE) / n)))),
+        6) AS score
+      FROM dl CROSS JOIN st
+    )
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 15
+    """,
+    doc="BM25 lexical retrieval (Okapi, Lucene idf variant: ln((N-df+.5)/"
+        "(df+.5)+1), k1=1.2, b=0.75) for the query {window, join, hash} — "
+        "the lexical generator a hybrid recommender fuses with vector ANN "
+        "(rrf_fuse takes exactly this rank column; the reference has only "
+        "the vector tower, src/models/two_tower.py). ONE fact shuffle: "
+        "per-doc lengths AND per-term tfs come from a single conditional "
+        "aggregation over the token stream (no per-term joins, no "
+        "re-scans); the corpus stats (N, Σdl, per-term df) reduce the "
+        "tiny per-doc frame again and broadcast back as ONE row. "
+        "Determinism: tf/df/dl are integers from conditional counts, the "
+        "score sums its per-term contributions in FIXED expression order "
+        "(never a groupBy over double addends), and ranking orders on the "
+        "ROUNDED score with doc_id tie-break. Scales as the classic "
+        "two-agg shape: tokens shuffle once on doc_id, stats are "
+        "O(1)-sized, scoring is a broadcast cross join.",
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import tokens
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    terms = ["window", "join", "hash"]
+    k1, bb = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.transform(tokens(F.col("text")), lambda t: F.lower(t))).alias(
+            "term"
+        ),
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    st = dl.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = dl.crossJoin(F.broadcast(st))
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    norm_len = F.lit(1.0) - F.lit(bb) + F.lit(bb) * (
+        F.col("dl").cast("double") / avgdl
+    )
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        part = idf * (F.col(f"tf{i}") * F.lit(k1 + 1.0)) / (
+            F.col(f"tf{i}") + F.lit(k1) * norm_len
+        )
+        score = part if score is None else score + part
+    scored = joined.select("doc_id", F.round(score, 6).alias("score"))
+    return global_topn_ranked(scored, [F.col("score").desc(), F.col("doc_id")], 15)
+
+
+@query(
     "sliding_window_counts",
     oracle="""
     WITH buckets AS (
@@ -6534,6 +6640,7 @@ _DRIVER_WINDOW = [
     "multimodal_embed_topk",         # real decode+embed feeds ANN, md5-pixel oracle
     "view_click_shared_pairs_hll",   # theta-style HLL intersection, register replay
     "nation_market_share",           # TPC-H Q8: twice-joined dim, conditional share
+    "bm25_doc_search",               # Okapi BM25 lexical retrieval, fixed-order score
     "returned_revenue_customers",    # TPC-H Q10: returns ranking, TakeOrdered path
     "bracket_part_revenue",          # TPC-H Q19: disjunctive cross-side brackets
     # r4-stale (all 35 — the r7 VERDICT re-front list):
@@ -6572,16 +6679,16 @@ _DRIVER_WINDOW = [
     "tumbling_window_counts",
     "view_click_attribution",
     "waiting_suppliers",
-    # r6 fillers (9 of 50, family-diverse: ALS embeddings, corpus-export
-    # composition, exact dedup, decontamination, two ANN index tiers,
-    # k-core, MinHash banding, semantic dedup; negative_samples /
-    # segment_recommendations / trained_linear_ranker_topk yielded their
-    # slots to the three never-checked Q8/Q10/Q19 entries — they join the
-    # r9 queue with the other r6 entries above):
+    # r6 fillers (8 of 50, family-diverse: ALS embeddings, corpus-export
+    # composition, exact dedup, two ANN index tiers, k-core, MinHash
+    # banding, semantic dedup; negative_samples / segment_recommendations /
+    # trained_linear_ranker_topk / eval_contamination_pairs yielded their
+    # slots to the never-checked Q8/Q10/Q19 + BM25 entries — they join the
+    # r9 queue; eval_contamination_pruned, the decontamination family twin,
+    # is in-window among the r4-stale 35):
     "als_item_embeddings",
     "corpus_export_pipeline",
     "doc_dedup_exact",
-    "eval_contamination_pairs",
     "ivf_ann_topk",
     "kcore_events",
     "minhash_dedup_candidates",
