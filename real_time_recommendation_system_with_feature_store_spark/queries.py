@@ -2452,10 +2452,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "term", "tfidf", "rank")
 
 
-@query(
-    "bm25_doc_search",
-    oracle="""
-    WITH toks AS (
+_BM25_SCORED_CTES = """
+    toks AS (
       SELECT doc_id,
         unnest(list_transform(regexp_split_to_array(trim(text), '\\s+'),
                x -> lower(x))) AS term
@@ -2475,7 +2473,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
       FROM dl
     ),
-    scored AS (
+    bm25_scored AS (
       SELECT doc_id, ROUND(
         ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
           / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
@@ -2488,31 +2486,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (CAST(sumdl AS DOUBLE) / n)))),
         6) AS score
       FROM dl CROSS JOIN st
-    )
-    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-      FROM scored
-    ) WHERE rank <= 15
-    """,
-    doc="BM25 lexical retrieval (Okapi, Lucene idf variant: ln((N-df+.5)/"
-        "(df+.5)+1), k1=1.2, b=0.75) for the query {window, join, hash} — "
-        "the lexical generator a hybrid recommender fuses with vector ANN "
-        "(rrf_fuse takes exactly this rank column; the reference has only "
-        "the vector tower, src/models/two_tower.py). ONE fact shuffle: "
-        "per-doc lengths AND per-term tfs come from a single conditional "
-        "aggregation over the token stream (no per-term joins, no "
-        "re-scans); the corpus stats (N, Σdl, per-term df) reduce the "
-        "tiny per-doc frame again and broadcast back as ONE row. "
-        "Determinism: tf/df/dl are integers from conditional counts, the "
-        "score sums its per-term contributions in FIXED expression order "
-        "(never a groupBy over double addends), and ranking orders on the "
-        "ROUNDED score with doc_id tie-break. Scales as the classic "
-        "two-agg shape: tokens shuffle once on doc_id, stats are "
-        "O(1)-sized, scoring is a broadcast cross join.",
-)
-def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Lucene idf, k1=1.2, b=0.75) for the fixed query
+    {window, join, hash}: (doc_id, score). One conditional-agg pass for
+    lengths + per-term tfs, one O(1) stats reduce broadcast back, score
+    summed in FIXED expression order (see bm25_doc_search doc)."""
     from real_time_recommendation_system_with_feature_store_spark.functions.text import tokens
-    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     terms = ["window", "join", "hash"]
     k1, bb = 1.2, 0.75
@@ -2554,8 +2536,115 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"tf{i}") + F.lit(k1) * norm_len
         )
         score = part if score is None else score + part
-    scored = joined.select("doc_id", F.round(score, 6).alias("score"))
+    return joined.select("doc_id", F.round(score, 6).alias("score"))
+
+
+@query(
+    "bm25_doc_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm25_scored
+    ) WHERE rank <= 15
+    """,
+    doc="BM25 lexical retrieval (Okapi, Lucene idf variant: ln((N-df+.5)/"
+        "(df+.5)+1), k1=1.2, b=0.75) for the query {window, join, hash} — "
+        "the lexical generator a hybrid recommender fuses with vector ANN "
+        "(rrf_fuse takes exactly this rank column; the reference has only "
+        "the vector tower, src/models/two_tower.py). ONE fact shuffle: "
+        "per-doc lengths AND per-term tfs come from a single conditional "
+        "aggregation over the token stream (no per-term joins, no "
+        "re-scans); the corpus stats (N, Σdl, per-term df) reduce the "
+        "tiny per-doc frame again and broadcast back as ONE row. "
+        "Determinism: tf/df/dl are integers from conditional counts, the "
+        "score sums its per-term contributions in FIXED expression order "
+        "(never a groupBy over double addends), and ranking orders on the "
+        "ROUNDED score with doc_id tie-break. Scales as the classic "
+        "two-agg shape: tokens shuffle once on doc_id, stats are "
+        "O(1)-sized, scoring is a broadcast cross join.",
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    scored = _bm25_scored(spark, sf_dir)
     return global_topn_ranked(scored, [F.col("score").desc(), F.col("doc_id")], 15)
+
+
+@query(
+    "hybrid_doc_retrieval",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
+    bmr AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm25_scored
+      ) WHERE rank <= 15
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    vscore AS (
+      SELECT e.vec_id AS doc_id,
+        ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS vs
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+    ),
+    vr AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vs DESC, doc_id) AS rank
+        FROM vscore
+      ) WHERE rank <= 15
+    ),
+    contrib AS (
+      SELECT doc_id,
+        CAST(floor(1000000000000.0 / (60 + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+      FROM bmr
+      UNION ALL
+      SELECT doc_id,
+        CAST(floor(1000000000000.0 / (60 + CAST(rank AS DOUBLE))) AS BIGINT)
+      FROM vr
+    ),
+    fused AS (
+      SELECT doc_id, SUM(c) / 1000000000000.0 AS rrf_score,
+        CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, rrf_score, n_lists, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc="HYBRID SEARCH composition — the full modern retrieval stack in one "
+        "lazy DAG: the BM25 lexical generator (bm25_doc_search's scorer) "
+        "and the vector generator (brute_force_topk cosine over the "
+        "embeddings table, probe vec_id=0) each produce a top-15, and "
+        "rrf_fuse merges them score-free (integer floor(scale/(60+rank)) "
+        "contributions) into the hybrid top-10. This is the two-generator "
+        "production shape the reference's single two-tower retriever "
+        "(src/models/two_tower.py) cannot express, and the exact "
+        "consumption path the RRF operator documents (n_lists = "
+        "cross-generator consensus). Every stage is oracle-replayed: BM25 "
+        "arithmetic, cosine ranks, and the integer RRF fold. Scale: two "
+        "independent generator DAGs (each one fact shuffle) + one slim "
+        "(doc_id, rank) union-groupBy — fusing more generators adds union "
+        "branches, never joins.",
+)
+def hybrid_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    bmr = global_topn_ranked(
+        _bm25_scored(spark, sf_dir), [F.col("score").desc(), F.col("doc_id")], 15
+    ).select("doc_id", "rank")
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    it = e.select(F.col("vec_id").alias("doc_id"), "embedding")
+    vr = brute_force_topk(q, it, "query_id", "doc_id", k=15).select("doc_id", "rank")
+    fused = rrf_fuse([bmr, vr], on=["doc_id"])
+    return global_topn_ranked(
+        fused, [F.col("rrf_score").desc(), F.col("doc_id")], 10
+    )
 
 
 @query(
@@ -6641,6 +6730,7 @@ _DRIVER_WINDOW = [
     "view_click_shared_pairs_hll",   # theta-style HLL intersection, register replay
     "nation_market_share",           # TPC-H Q8: twice-joined dim, conditional share
     "bm25_doc_search",               # Okapi BM25 lexical retrieval, fixed-order score
+    "hybrid_doc_retrieval",          # BM25 + vector ANN fused via RRF, full replay
     "returned_revenue_customers",    # TPC-H Q10: returns ranking, TakeOrdered path
     "bracket_part_revenue",          # TPC-H Q19: disjunctive cross-side brackets
     # r4-stale (all 35 — the r7 VERDICT re-front list):
@@ -6679,14 +6769,14 @@ _DRIVER_WINDOW = [
     "tumbling_window_counts",
     "view_click_attribution",
     "waiting_suppliers",
-    # r6 fillers (8 of 50, family-diverse: ALS embeddings, corpus-export
-    # composition, exact dedup, two ANN index tiers, k-core, MinHash
-    # banding, semantic dedup; negative_samples / segment_recommendations /
-    # trained_linear_ranker_topk / eval_contamination_pairs yielded their
-    # slots to the never-checked Q8/Q10/Q19 + BM25 entries — they join the
-    # r9 queue; eval_contamination_pruned, the decontamination family twin,
+    # r6 fillers (7 of 50, family-diverse: corpus-export composition,
+    # exact dedup, two ANN index tiers, k-core, MinHash banding, semantic
+    # dedup; negative_samples / segment_recommendations /
+    # trained_linear_ranker_topk / eval_contamination_pairs /
+    # als_item_embeddings yielded their slots to the never-checked
+    # Q8/Q10/Q19 + BM25 + hybrid-retrieval entries — they join the r9
+    # queue; eval_contamination_pruned, the decontamination family twin,
     # is in-window among the r4-stale 35):
-    "als_item_embeddings",
     "corpus_export_pipeline",
     "doc_dedup_exact",
     "ivf_ann_topk",
