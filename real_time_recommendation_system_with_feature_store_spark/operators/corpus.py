@@ -318,6 +318,87 @@ def _charlm_score_arrow(t: DataFrame, id_col: str, logp: dict) -> DataFrame:
     return t.mapInPandas(gen, schema=schema)
 
 
+def dsir_logratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance log-ratio for target-domain data selection
+    (Data Selection with Importance Resampling, Xie et al. 2023,
+    arXiv:2302.03169 — hashed-ngram LM importance weights), char-bigram
+    edition: score every doc by the average per-bigram
+    ``log p_target(bg) - log p_raw(bg)`` under two Laplace-smoothed
+    char-bigram models, the target model trained on the ``is_target``
+    slice and the raw model on the whole corpus. High scores = docs whose
+    character statistics look like the target domain; rank-and-take-top-k
+    on the score is the paper's top-k selection variant (deterministic —
+    no Gumbel noise, so the whole pipeline is engine-replayable).
+
+    Fully relational and SQL-replayable: ONE fact shuffle to per-doc
+    bigram counts; BOTH models re-aggregate from that frame (tiny
+    |charset|^2-bounded keys), broadcast back as one log-ratio per bigram.
+    Bigrams unseen in the target slice get the Laplace floor
+    ``log(alpha / (cp + alpha*V_t))`` via left-join + coalesce (the raw
+    model has every corpus bigram by construction). Returns
+    ``(id_col, n_bigrams, logratio)`` with logratio rounded half-up to 6.
+
+    Caller contract: the ``is_target`` slice must be non-empty — an empty
+    target makes V_t = 0 and the target floor degenerate (log of
+    alpha/0); this is the same "target domain must exist" contract
+    mixture_resample enforces for its shares.
+    """
+    t = df.select(
+        F.col(id_col),
+        F.col(is_target).cast("boolean").alias("__is_t")
+        if isinstance(is_target, str)
+        else is_target.cast("boolean").alias("__is_t"),
+        F.lower(F.trim(F.col(text_col))).alias("__t"),
+    ).where(F.length("__t") >= 2)
+    bigrams_expr = "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))"
+    grams = t.select(id_col, "__is_t", F.explode(F.expr(bigrams_expr)).alias("__bg"))
+    dc = grams.groupBy(id_col, "__bg").agg(
+        F.count("*").alias("__c"), F.max("__is_t").alias("__is_t")
+    )
+    raw = dc.groupBy("__bg").agg(F.sum("__c").alias("__cbr"))
+    tgt = dc.where(F.col("__is_t")).groupBy("__bg").agg(F.sum("__c").alias("__cbt"))
+    praw = raw.groupBy(F.substring("__bg", 1, 1).alias("__c1")).agg(
+        F.sum("__cbr").alias("__cpr")
+    )
+    ptgt = tgt.groupBy(F.substring("__bg", 1, 1).alias("__c1")).agg(
+        F.sum("__cbt").alias("__cpt")
+    )
+    vraw = raw.agg(F.countDistinct(F.substring("__bg", 2, 1)).alias("__vr"))
+    vtgt = tgt.agg(F.countDistinct(F.substring("__bg", 2, 1)).alias("__vt"))
+    lp_t = F.log(
+        (F.coalesce(F.col("__cbt"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("__cpt"), F.lit(0)) + F.lit(alpha) * F.col("__vt"))
+    )
+    lp_r = F.log(
+        (F.col("__cbr") + F.lit(alpha)) / (F.col("__cpr") + F.lit(alpha) * F.col("__vr"))
+    )
+    ratio = (
+        raw.withColumn("__c1", F.substring("__bg", 1, 1))
+        .join(F.broadcast(tgt), "__bg", "left")
+        .join(F.broadcast(praw), "__c1")
+        .join(F.broadcast(ptgt), "__c1", "left")
+        .join(F.broadcast(vraw))
+        .join(F.broadcast(vtgt))
+        .select("__bg", (lp_t - lp_r).alias("__lr"))
+    )
+    return (
+        dc.join(F.broadcast(ratio), "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_bigrams"),
+            F.round(F.sum(F.col("__c") * F.col("__lr")) / F.sum("__c"), 6).alias(
+                "logratio"
+            ),
+        )
+    )
+
+
 # PII patterns shared verbatim by the Spark expressions and the SQL oracle —
 # restricted to syntax Java regex and RE2 (DuckDB) interpret identically
 # (character classes, bounded reps, \b, \d; no backrefs or lookaround).

@@ -3547,6 +3547,74 @@ def charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_bigram_lm_scores(d, "text", "doc_id")
 
 
+@query(
+    "dsir_target_selection",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang = 'en' AS is_t, lower(trim(text)) AS txt
+      FROM documents WHERE len(lower(trim(text))) >= 2
+    ),
+    s AS (SELECT doc_id, is_t,
+            list_transform(range(1, len(txt)),
+                           i -> substr(txt, CAST(i AS INTEGER), 2)) AS bgs
+          FROM t),
+    g AS (SELECT doc_id, is_t, unnest(bgs) AS bg FROM s),
+    dc AS (SELECT doc_id, bg, COUNT(*) AS c, MAX(is_t) AS is_t
+           FROM g GROUP BY 1, 2),
+    raw AS (SELECT bg, SUM(c) AS cbr FROM dc GROUP BY 1),
+    tgt AS (SELECT bg, SUM(c) AS cbt FROM dc WHERE is_t GROUP BY 1),
+    praw AS (SELECT substr(bg, 1, 1) AS c1, SUM(cbr) AS cpr FROM raw GROUP BY 1),
+    ptgt AS (SELECT substr(bg, 1, 1) AS c1, SUM(cbt) AS cpt FROM tgt GROUP BY 1),
+    vraw AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vr FROM raw),
+    vtgt AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vt FROM tgt),
+    lr AS (
+      SELECT r.bg,
+        ln((COALESCE(tg.cbt, 0) + 1.0)
+           / (COALESCE(pt.cpt, 0) + 1.0 * (SELECT vt FROM vtgt)))
+        - ln((r.cbr + 1.0) / (pr.cpr + 1.0 * (SELECT vr FROM vraw))) AS lrv
+      FROM raw r
+      LEFT JOIN tgt tg USING (bg)
+      JOIN praw pr ON substr(r.bg, 1, 1) = pr.c1
+      LEFT JOIN ptgt pt ON substr(r.bg, 1, 1) = pt.c1
+    ),
+    sc AS (SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(dc.c * lr.lrv) / SUM(dc.c), 6) AS logratio
+           FROM dc JOIN lr USING (bg) GROUP BY 1),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY logratio DESC, doc_id)
+                 AS rank FROM sc)
+    SELECT r.doc_id, d.lang, r.n_bigrams, r.logratio,
+      CAST(r.rank AS INTEGER) AS rank
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE r.rank <= 50
+    """,
+    doc="DSIR-style target-domain data selection (operators/corpus.py::"
+        "dsir_logratio — Xie et al. 2023, arXiv:2302.03169, char-bigram "
+        "edition, deterministic top-k variant): every doc scored by avg "
+        "per-bigram log p_target/p_raw under two Laplace char-bigram "
+        "models (target = the lang='en' slice), top-50 most target-like "
+        "docs selected with the lang label riding along. This is the "
+        "pretraining-mixture curation step the reference has no analog "
+        "for: select from a raw 100 TB crawl the slice that looks like a "
+        "trusted target corpus. ONE fact shuffle to per-doc bigram "
+        "counts; both models re-aggregate from that frame (|charset|^2 "
+        "keys) and broadcast back as one log-ratio per bigram; bigrams "
+        "unseen in the target get the Laplace floor via left-join "
+        "coalesce. Oracle replays models, floors, and ranking CTE-by-CTE.",
+)
+def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import dsir_logratio
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    d = _t(spark, sf_dir, "documents")
+    scores = dsir_logratio(d, "text", "doc_id", F.col("lang") == "en")
+    ranked = global_topn_ranked(
+        scores, [F.col("logratio").desc(), F.col("doc_id")], 50
+    )
+    return d.select("doc_id", "lang").join(F.broadcast(ranked), "doc_id").select(
+        "doc_id", "lang", "n_bigrams", "logratio", "rank"
+    )
+
+
 from real_time_recommendation_system_with_feature_store_spark.operators.corpus import (  # noqa: E402
     PII_EMAIL as _PII_EMAIL,
     PII_IPV4 as _PII_IPV4,

@@ -5,6 +5,8 @@ alpha constants, cohort horizon bound, HLL intersection estimate)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -257,3 +259,44 @@ def test_cohort_retention_rejects_negative_horizon_and_reserved_cols(spark):
     bad = spark.createDataFrame([(1, 0, 0)], ["user_id", "d", "__coh_first"])
     with pytest.raises(ValueError, match="reserved"):
         cohort_retention(bad, "user_id", "d")
+
+
+# ------------------------------------------------------------ DSIR selection
+
+def test_dsir_logratio_prefers_target_like_docs(spark):
+    """Importance log-ratio sanity on a constructed two-domain corpus: an
+    UNLABELED doc drawn from the target's character distribution must
+    outscore every noise-domain doc, and target-slice docs themselves
+    score positive while noise docs score negative."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import dsir_logratio
+
+    target = [(i, "abab baba abba baab abab", 1) for i in range(5)]
+    noise = [(10 + i, "xyzq qzyx zzxx qqyy xzxz", 0) for i in range(5)]
+    probe = [(99, "abba abab baba baba abab", 0)]  # target-like, unlabeled
+    df = spark.createDataFrame(target + noise + probe, ["doc_id", "text", "t"])
+    scores = {
+        r["doc_id"]: r["logratio"]
+        for r in dsir_logratio(df, "text", "doc_id", F.col("t") == 1).collect()
+    }
+    noise_scores = [scores[10 + i] for i in range(5)]
+    assert scores[99] > max(noise_scores)
+    assert all(scores[i] > 0 for i in range(5))
+    assert all(s < 0 for s in noise_scores)
+
+
+def test_dsir_selection_recovers_target_domain_at_corpus_scale(spark):
+    """On the sf0.001 documents fixture the top quintile by log-ratio must
+    be enriched in the target language relative to its base rate — the
+    operator's whole point (DSIR top-k selection)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import dsir_logratio
+    from real_time_recommendation_system_with_feature_store_spark.session import load_tables
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load_tables(spark, sf_dir, register=False)["documents"]
+    scores = dsir_logratio(d, "text", "doc_id", F.col("lang") == "en")
+    joined = scores.join(d.select("doc_id", "lang"), "doc_id")
+    rows = sorted(joined.collect(), key=lambda r: (-r["logratio"], r["doc_id"]))
+    k = max(len(rows) // 5, 1)
+    top_en = sum(1 for r in rows[:k] if r["lang"] == "en") / k
+    base_en = sum(1 for r in rows if r["lang"] == "en") / len(rows)
+    assert top_en > base_en, (top_en, base_en)
