@@ -339,15 +339,22 @@ def dsir_logratio(
     Fully relational and SQL-replayable: ONE fact shuffle to per-doc
     bigram counts; BOTH models re-aggregate from that frame (tiny
     |charset|^2-bounded keys), broadcast back as one log-ratio per bigram.
-    Bigrams unseen in the target slice get the Laplace floor
-    ``log(alpha / (cp + alpha*V_t))`` via left-join + coalesce (the raw
-    model has every corpus bigram by construction). Returns
-    ``(id_col, n_bigrams, logratio)`` with logratio rounded half-up to 6.
+    Both models Laplace-smooth over the SAME vocabulary — the corpus-wide
+    distinct second-char count V. DSIR's importance ratio requires the
+    two distributions be normalized over one shared event space: smoothing
+    the target model over only *its own* charset inflates the unseen-bigram
+    floor ``alpha/(cp + alpha*V_t)`` whenever V_t < V, which can push the
+    floor ABOVE the raw model's estimate and give out-of-domain text a
+    positive score (the selection signal inverts). Bigrams unseen in the
+    target slice get the floor ``log(alpha / (cp + alpha*V))`` via
+    left-join + coalesce (the raw model has every corpus bigram by
+    construction). Returns ``(id_col, n_bigrams, logratio)`` with logratio
+    rounded half-up to 6.
 
     Caller contract: the ``is_target`` slice must be non-empty — an empty
-    target makes V_t = 0 and the target floor degenerate (log of
-    alpha/0); this is the same "target domain must exist" contract
-    mixture_resample enforces for its shares.
+    target leaves every bigram at the uniform floor, so the log-ratio
+    carries no selection signal; this is the same "target domain must
+    exist" contract mixture_resample enforces for its shares.
     """
     t = df.select(
         F.col(id_col),
@@ -370,10 +377,9 @@ def dsir_logratio(
         F.sum("__cbt").alias("__cpt")
     )
     vraw = raw.agg(F.countDistinct(F.substring("__bg", 2, 1)).alias("__vr"))
-    vtgt = tgt.agg(F.countDistinct(F.substring("__bg", 2, 1)).alias("__vt"))
     lp_t = F.log(
         (F.coalesce(F.col("__cbt"), F.lit(0)) + F.lit(alpha))
-        / (F.coalesce(F.col("__cpt"), F.lit(0)) + F.lit(alpha) * F.col("__vt"))
+        / (F.coalesce(F.col("__cpt"), F.lit(0)) + F.lit(alpha) * F.col("__vr"))
     )
     lp_r = F.log(
         (F.col("__cbr") + F.lit(alpha)) / (F.col("__cpr") + F.lit(alpha) * F.col("__vr"))
@@ -384,7 +390,6 @@ def dsir_logratio(
         .join(F.broadcast(praw), "__c1")
         .join(F.broadcast(ptgt), "__c1", "left")
         .join(F.broadcast(vraw))
-        .join(F.broadcast(vtgt))
         .select("__bg", (lp_t - lp_r).alias("__lr"))
     )
     return (

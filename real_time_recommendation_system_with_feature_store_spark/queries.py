@@ -3566,11 +3566,10 @@ def charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     praw AS (SELECT substr(bg, 1, 1) AS c1, SUM(cbr) AS cpr FROM raw GROUP BY 1),
     ptgt AS (SELECT substr(bg, 1, 1) AS c1, SUM(cbt) AS cpt FROM tgt GROUP BY 1),
     vraw AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vr FROM raw),
-    vtgt AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vt FROM tgt),
     lr AS (
       SELECT r.bg,
         ln((COALESCE(tg.cbt, 0) + 1.0)
-           / (COALESCE(pt.cpt, 0) + 1.0 * (SELECT vt FROM vtgt)))
+           / (COALESCE(pt.cpt, 0) + 1.0 * (SELECT vr FROM vraw)))
         - ln((r.cbr + 1.0) / (pr.cpr + 1.0 * (SELECT vr FROM vraw))) AS lrv
       FROM raw r
       LEFT JOIN tgt tg USING (bg)
@@ -3597,9 +3596,12 @@ def charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "for: select from a raw 100 TB crawl the slice that looks like a "
         "trusted target corpus. ONE fact shuffle to per-doc bigram "
         "counts; both models re-aggregate from that frame (|charset|^2 "
-        "keys) and broadcast back as one log-ratio per bigram; bigrams "
-        "unseen in the target get the Laplace floor via left-join "
-        "coalesce. Oracle replays models, floors, and ranking CTE-by-CTE.",
+        "keys), smooth over the SHARED corpus vocabulary (DSIR requires "
+        "one event space — per-model vocabularies invert the signal when "
+        "the target charset is smaller), and broadcast back as one "
+        "log-ratio per bigram; bigrams unseen in the target get the "
+        "Laplace floor via left-join coalesce. Oracle replays models, "
+        "floors, and ranking CTE-by-CTE.",
 )
 def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.corpus import dsir_logratio
