@@ -584,8 +584,10 @@ def hll_intersect_estimate(
     ``|A∩B| ≈ est(A) + est(B) - est(A∪B)``, where the union estimate comes
     from ``hll_merge`` (register-wise max — exact for the union, the HLL
     mergeability property). Output: ``(by..., est_a, est_b, est_union,
-    out_col)``; the intersection is clamped at 0 (inclusion-exclusion can
-    go slightly negative for near-disjoint sets).
+    out_col)``; the intersection is clamped to ``[0, min(est_a, est_b)]``
+    — inclusion-exclusion can go slightly negative for near-disjoint
+    sets, and estimate error can also push it above either set's own
+    estimated cardinality, which a true intersection can never exceed.
 
     This answers the question the per-group estimates can't — "how many
     distinct keys do two sets SHARE" — without ever co-shuffling the raw
@@ -615,8 +617,10 @@ def hll_intersect_estimate(
         joined = est_a.join(est_b, by).join(est_u, by)
     else:
         joined = est_a.crossJoin(est_b).crossJoin(est_u)
-    inter = F.greatest(
-        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    inter = F.least(
+        F.col("est_a"),
+        F.col("est_b"),
+        F.greatest(F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")),
     )
     return joined.select(
         *[qcol(b) for b in by],

@@ -1134,11 +1134,15 @@ _STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on','wit
     "text_quality",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+      -- list_filter drops the [''] regexp_split_to_array yields on
+      -- empty/whitespace-only docs (engine tokens() counts 0, not 1)
+      SELECT doc_id, text,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS toks
+      FROM documents
     )
     SELECT doc_id,
       CAST(len(toks) AS INTEGER) AS n_tokens,
-      ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS avg_token_len,
+      ROUND(CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS avg_token_len,
       ROUND(CAST(len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS stopword_ratio,
       ROUND(CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / GREATEST(len(text), 1), 6) AS punct_ratio
     FROM t
@@ -2407,7 +2411,11 @@ def trained_linear_ranker_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_terms",
     oracle="""
     WITH docs AS (
-      SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks
+      -- filter '' so an empty/whitespace-only doc contributes no terms,
+      -- matching the engine's tokens() (N itself counts all docs both ways)
+      SELECT doc_id,
+        list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> lower(x)), x -> x != '') AS toks
       FROM documents WHERE doc_id < 200
     ), n_docs AS (SELECT COUNT(*) AS n FROM docs),
     tf AS (
@@ -2454,9 +2462,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_SCORED_CTES = """
     toks AS (
+      -- list_filter drops the [''] that regexp_split_to_array yields for
+      -- empty/whitespace-only docs, so such a doc vanishes from dl (and
+      -- from the corpus stat N) exactly as the engine's tokens() does —
+      -- without it, one degenerate doc shifts N and breaks every score
       SELECT doc_id,
-        unnest(list_transform(regexp_split_to_array(trim(text), '\\s+'),
-               x -> lower(x))) AS term
+        unnest(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+               x -> lower(x)), x -> x != '')) AS term
       FROM documents
     ),
     dl AS (
@@ -6551,7 +6563,7 @@ def event_type_pair_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFra
       ROUND(a.est, 6) AS est_view,
       ROUND(b.est, 6) AS est_click,
       ROUND(u.est, 6) AS est_union,
-      ROUND(GREATEST(0.0, a.est + b.est - u.est), 6) AS est_shared
+      ROUND(LEAST(a.est, b.est, GREATEST(0.0, a.est + b.est - u.est)), 6) AS est_shared
     FROM ex,
       (SELECT est FROM vals WHERE side = 'view') a,
       (SELECT est FROM vals WHERE side = 'click') b,

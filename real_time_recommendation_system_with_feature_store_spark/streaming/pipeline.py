@@ -627,19 +627,21 @@ def funnel_state_stream(
         gcols = [qcol(c) for c in group_cols]
         # no ts-null filter: a row whose timestamps are all NULL still
         # records entity EXISTENCE (min() skips nulls and emits a null-ts
-        # marker row), exactly like the batch path's collected structs
-        ev = batch_df.select(*group_cols, ts_col, type_col)
+        # marker row), exactly like the batch path's collected structs.
+        # Every name routes through qcol — hostile identifiers (dots,
+        # spaces) must survive here exactly as in the batch operator.
+        ev = batch_df.select(*gcols, qcol(ts_col), qcol(type_col))
         later = qcol(type_col).isin(list(steps[1:])) if len(steps) > 1 else F.lit(False)
         head = (
             ev.where(~F.coalesce(later, F.lit(False)))
             .groupBy(*gcols, qcol(type_col))
             .agg(F.min(qcol(ts_col)).alias(ts_col))
-            .select(*group_cols, ts_col, type_col)
+            .select(*gcols, qcol(ts_col), qcol(type_col))
         )
         tail = (
             ev.where(F.coalesce(later, F.lit(False)))
             .dropDuplicates([*group_cols, type_col, ts_col])
-            .select(*group_cols, ts_col, type_col)
+            .select(*gcols, qcol(ts_col), qcol(type_col))
         )
         head.unionByName(tail).write.mode("overwrite").parquet(
             f"{state_dir}/epoch={epoch_id}"
@@ -679,7 +681,7 @@ def cohort_state_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         pairs = (
-            batch_df.select(entity_col, period_col)
+            batch_df.select(qcol(entity_col), qcol(period_col))
             .where(qcol(period_col).isNotNull())
             .dropDuplicates([entity_col, period_col])
         )

@@ -223,3 +223,79 @@ def test_interval_overlap_join_hostile(spark, name):
         )
         pairs = {(r[lid], r["jid"]) for r in out.where(F.col("`" + lid.replace("`", "``") + "`") != F.col("jid")).collect()}
         assert pairs == {(1, 2), (2, 1)}, (role, pairs)
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_funnel_state_stream_hostile(spark, name, tmp_path):
+    """The streaming funnel sink must route every received column name
+    through qcol exactly like the batch operator it twins: a dotted group
+    key or timestamp name that funnel_stage_times survives must also
+    survive the foreachBatch compaction + fold."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.funnel import funnel_stage_times
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        funnel_state_stream,
+        read_funnel_state,
+    )
+
+    g, ts, ty = name, name + " ts", name + " ty"
+    qi = lambda n: "`" + n.replace("`", "``") + "`"
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:01", "view"),
+            (1, "2024-01-01 00:00:05", "click"),
+            (1, "2024-01-01 00:00:03", "other"),
+            (2, "2024-01-01 00:00:07", "click"),  # click but never viewed
+        ],
+        f"{qi(g)} bigint, {qi(ts)} string, {qi(ty)} string",
+    ).withColumn(ts, qcol(ts).cast("timestamp"))
+
+    state_dir = str(tmp_path / "funnel_state")
+    sink = funnel_state_stream(state_dir, [g], ["view", "click"], ts_col=ts, type_col=ty)
+    sink(df, 0)
+
+    folded = read_funnel_state(spark, state_dir)
+    steps = ["view", "click"]
+    got = {
+        r[g]: (r["t_view"], r["t_click"])
+        for r in funnel_stage_times(folded, steps, [g], ts_col=ts, type_col=ty).collect()
+    }
+    exp = {
+        r[g]: (r["t_view"], r["t_click"])
+        for r in funnel_stage_times(df, steps, [g], ts_col=ts, type_col=ty).collect()
+    }
+    assert got == exp
+    assert got[1][0] is not None and got[1][1] is not None  # full conversion
+    assert got[2][0] is None  # never viewed -> no stage-0 time
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_cohort_state_stream_hostile(spark, name, tmp_path):
+    """The streaming cohort sink under hostile entity/period names: the
+    compacted distinct-pairs state folds to the same retention matrix the
+    batch operator computes, and the epoch partition really is distinct."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.cohort import cohort_retention
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cohort_state_stream,
+        read_cohort_state,
+    )
+
+    e, p = name, name + " d"
+    qi = lambda n: "`" + n.replace("`", "``") + "`"
+    df = spark.createDataFrame(
+        [(1, 0), (1, 0), (1, 1), (2, 1), (2, None)],
+        f"{qi(e)} bigint, {qi(p)} bigint",
+    )
+
+    state_dir = str(tmp_path / "cohort_state")
+    sink = cohort_state_stream(state_dir, e, p)
+    sink(df, 0)
+
+    # compacted epoch state: distinct non-null pairs only
+    assert spark.read.parquet(state_dir + "/epoch=0").count() == 3
+
+    folded = read_cohort_state(spark, state_dir)
+    key = lambda r: (r["cohort_day"], r["day_offset"])
+    got = {key(r): (r["n_users"], r["retention"]) for r in cohort_retention(folded, e, p).collect()}
+    exp = {key(r): (r["n_users"], r["retention"]) for r in cohort_retention(df, e, p).collect()}
+    assert got == exp
+    assert got[(0, 0)] == (1, 1.0) and got[(0, 1)] == (1, 1.0) and got[(1, 0)] == (1, 1.0)
