@@ -702,3 +702,30 @@ def test_bucketed_base_merge_changelog_has_no_base_side_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS snap_bkt")
+
+
+def test_bracket_residues_pushed_to_both_scans(spark):
+    """Q19 shape (bracket_part_revenue): the disjunction spans both join
+    sides, but each side's OR residue is extractable and must reach ITS
+    parquet scan — the lineitem scan gets the union of the quantity
+    brackets, the part scan gets the brand/size brackets — so neither side
+    reads rows no bracket can accept. A regression here silently turns a
+    pruned scan into a full scan at 100 TB."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["bracket_part_revenue"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    pushed = [seg[:600] for seg in plan.split("PushedFilters: [")[1:]]
+    li = [s for s in pushed if "l_quantity" in s]
+    pt = [s for s in pushed if "p_brand" in s]
+    assert li and pt, f"expected residues on both scans, got: {pushed}"
+    # lineitem residue: OR of the three quantity brackets
+    assert (
+        "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,11.0))" in li[0]
+        and "And(GreaterThanOrEqual(l_quantity,20.0),LessThanOrEqual(l_quantity,30.0))" in li[0]
+    ), li[0]
+    # part residue: OR of the three (brand, size) brackets
+    assert (
+        "Or(Or(And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,5))" in pt[0]
+        and "And(EqualTo(p_brand,Brand#7),LessThanOrEqual(p_size,15))" in pt[0]
+    ), pt[0]
