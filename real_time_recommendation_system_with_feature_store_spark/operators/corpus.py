@@ -404,6 +404,71 @@ def dsir_logratio(
     )
 
 
+def dsir_resample(
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+    salt: str = "dsir",
+    temperature: float = 1.0,
+    key_col: str = "sel_key",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """DSIR step 2 — seeded Gumbel top-k importance RESAMPLING (Xie et
+    al. 2023, arXiv:2302.03169 §2: the paper selects by sampling with
+    probability proportional to the importance weight, not by plain
+    top-k over the log-ratio). Draws k rows WITHOUT replacement with
+    ``P(i) ∝ exp(score_i / temperature)`` via the Gumbel-top-k trick
+    (Kool et al. 2019, arXiv:1903.06059): perturb each score with
+    independent Gumbel(0,1) noise ``g_i = -ln(-ln u_i)`` and keep the k
+    largest ``score_i/temperature + g_i`` — distributionally identical
+    to Efraimidis–Spirakis A-ES with weight ``e^{score/T}`` (the
+    ``weighted_sample`` operator) but computed in LOG space, so extreme
+    log-ratios never overflow an explicit exp().
+
+    Determinism contract: ``u_i`` derives from md5(salt, id) exactly like
+    every sampler in operators/sampling.py — stable under any
+    partitioning/AQE re-plan and replayable in an ANSI-SQL oracle. The
+    uniform is ``(bucket + 0.5) / 2^32`` over the first-8-hex-digit
+    bucket, strictly inside (0,1), so the double log never sees 0.
+    Temperature sharpens (T→0 approaches deterministic top-k by score)
+    or flattens (T→∞ approaches uniform sampling) the selection.
+
+    Output: the input row + ``key_col`` (the Gumbel-perturbed key,
+    rounded half-up to 6 for cross-engine value parity) + ``rank_col``
+    (1..k in key-desc order, id tiebreak). Scale: the key is a pure
+    expression and the selection is ``global_topn_ranked`` — per-
+    partition top-k heaps + driver merge (TakeOrderedAndProject), never
+    a global sort; resampling a 100 TB corpus shuffles only winners.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    if k <= 0:
+        raise ValueError(f"dsir_resample: k must be positive, got {k}")
+    if temperature <= 0:
+        raise ValueError(
+            f"dsir_resample: temperature must be positive, got {temperature}"
+        )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(salt), qcol(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (bucket + F.lit(0.5)) / F.lit(float(2**32))
+    gumbel = -F.log(-F.log(u))
+    key = qcol(score_col) / F.lit(float(temperature)) + gumbel
+    perturbed = scores.withColumn(key_col, F.round(key, 6))
+    return global_topn_ranked(
+        perturbed,
+        [F.col(key_col).desc(), qcol(id_col).asc()],
+        k,
+        rank_col=rank_col,
+    )
+
+
 # PII patterns shared verbatim by the Spark expressions and the SQL oracle —
 # restricted to syntax Java regex and RE2 (DuckDB) interpret identically
 # (character classes, bounded reps, \b, \d; no backrefs or lookaround).

@@ -3559,10 +3559,11 @@ def charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_bigram_lm_scores(d, "text", "doc_id")
 
 
-@query(
-    "dsir_target_selection",
-    oracle="""
-    WITH t AS (
+# DSIR scoring CTEs shared by the top-k-selection and Gumbel-resampling
+# entries — both replay the same two Laplace char-bigram models (SHARED
+# corpus vocabulary in both denominators) down to the per-doc log-ratio.
+_DSIR_SCORE_CTES = """
+    t AS (
       SELECT doc_id, lang = 'en' AS is_t, lower(trim(text)) AS txt
       FROM documents WHERE len(lower(trim(text))) >= 2
     ),
@@ -3590,7 +3591,13 @@ def charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sc AS (SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_bigrams,
              ROUND(SUM(dc.c * lr.lrv) / SUM(dc.c), 6) AS logratio
-           FROM dc JOIN lr USING (bg) GROUP BY 1),
+           FROM dc JOIN lr USING (bg) GROUP BY 1)"""
+
+
+@query(
+    "dsir_target_selection",
+    oracle=f"""
+    WITH {_DSIR_SCORE_CTES},
     ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY logratio DESC, doc_id)
                  AS rank FROM sc)
     SELECT r.doc_id, d.lang, r.n_bigrams, r.logratio,
@@ -3626,6 +3633,50 @@ def dsir_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select("doc_id", "lang").join(F.broadcast(ranked), "doc_id").select(
         "doc_id", "lang", "n_bigrams", "logratio", "rank"
+    )
+
+
+@query(
+    "dsir_resampled_docs",
+    oracle=f"""
+    WITH {_DSIR_SCORE_CTES},
+    keyed AS (
+      SELECT doc_id, n_bigrams, logratio,
+        ROUND(logratio + -ln(-ln(
+          ((('0x' || substring(md5('dsir' || chr(31) || CAST(doc_id AS VARCHAR)),
+             1, 8))::UBIGINT + 0.5) / 4294967296.0))), 6) AS sel_key
+      FROM sc
+    ),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id)
+                 AS rank FROM keyed)
+    SELECT r.doc_id, d.lang, r.n_bigrams, r.logratio, r.sel_key,
+      CAST(r.rank AS INTEGER) AS rank
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE r.rank <= 100
+    """,
+    doc="DSIR importance RESAMPLING (operators/corpus.py::dsir_resample — "
+        "Xie et al. 2023 §2's actual selection step): 100 docs drawn "
+        "WITHOUT replacement with P ∝ exp(logratio) via the Gumbel-top-k "
+        "trick (Kool et al. 2019) — each doc's log-ratio is perturbed by "
+        "deterministic Gumbel noise -ln(-ln u) with u = md5-of-(salt, "
+        "doc_id), and the k largest perturbed keys win. Unlike the "
+        "deterministic top-k twin dsir_target_selection, this preserves "
+        "tail diversity: lower-scoring docs still enter with proportional "
+        "probability, the property the paper needs for an unbiased "
+        "target-like mixture. Seeded md5 uniforms make the draw "
+        "partition-invariant and exactly SQL-replayable (same CTEs as the "
+        "top-k twin through the per-doc score, then one keyed rank). "
+        "Selection compiles to TakeOrderedAndProject — per-partition "
+        "heaps, never a global sort of the corpus.",
+)
+def dsir_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import dsir_logratio, dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    scores = dsir_logratio(d, "text", "doc_id", F.col("lang") == "en")
+    picked = dsir_resample(scores, "doc_id", "logratio", k=100, salt="dsir")
+    return d.select("doc_id", "lang").join(F.broadcast(picked), "doc_id").select(
+        "doc_id", "lang", "n_bigrams", "logratio", "sel_key", "rank"
     )
 
 
