@@ -696,3 +696,144 @@ def read_cohort_state(spark: SparkSession, state_dir: str) -> DataFrame:
     re-dedup is needed — the operator's per-entity collect_set absorbs
     cross-epoch duplicates."""
     return spark.read.parquet(state_dir).drop("epoch")
+
+
+def transition_state_stream(
+    state_dir: str,
+    entity_col: str,
+    order_cols: list[str],
+    item_col: str,
+):
+    """ST9 × Markov transitions: streaming maintenance of the first-order
+    next-item transition counts (the ``item_transition_matrix`` batch
+    analytic; reference analog: the incremental per-event handlers,
+    src/streaming/kafka_consumer.py:259-331). Sufficient statistic per the
+    r8 design review: per-epoch (prev_item, next_item) pair counts under
+    ``pairs/epoch=N``, plus each active entity's FRONTIER — its last event
+    by the unique ``order_cols`` key — under ``last/epoch=N``. The live
+    matrix is ``read_transition_state``'s sum-fold over the pair epochs;
+    the raw stream is never rescanned.
+
+    Cross-batch stitching: each micro-batch seeds the per-entity LAG with
+    the folded frontier — the max over ``last/`` epochs STRICTLY BEFORE
+    the current epoch id (partition-pruned), a monotone max needing no
+    "latest epoch" discovery. The strict bound is what makes epoch replay
+    exact: a replayed epoch sees the same frontier it saw the first time
+    (never its own previous partial write) and reproduces its partitions
+    byte-for-byte. The stitch pair (last event of batch k → first event
+    of batch k+1) is counted exactly once.
+
+    Ordering contract (the watermark-style rule): events at or before an
+    entity's recorded frontier are DROPPED as replays — this is what makes
+    at-least-once redelivery of already-processed data a no-op for the
+    counts (replaying any prefix of the stream under a NEW epoch id adds
+    zero pairs; replaying an epoch additionally overwrites its own
+    partitions, the sibling sinks' contract). The flip side: a genuinely
+    late event that time-travels behind its entity's frontier is ignored
+    rather than spliced into history — incremental pair counting cannot
+    re-open closed transitions, the same trade the reference's per-event
+    handlers make. Batch==stream parity therefore holds when micro-batches
+    partition each entity's timeline in order (parity-tested); within a
+    batch, arrival order is irrelevant (the LAG sorts).
+
+    State size: ``pairs/epoch=N`` is bounded by distinct (prev, next)
+    pairs touched in the epoch; ``last/epoch=N`` by entities active in the
+    epoch. Both compactable at any time by rewriting their folds (sum and
+    max are associative)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    if not order_cols:
+        raise ValueError("transition_state_stream: need at least one order col")
+
+    def _frontier(spark: SparkSession, epoch_id: int):
+        from pyspark.errors import AnalysisException
+
+        try:
+            # strictly-prior epochs only (partition-pruned): a REPLAYED
+            # epoch must see the same frontier it saw the first time, not
+            # its own previous partial write — otherwise the replay drops
+            # its whole batch as "already processed" and overwrites its
+            # pairs partition with nothing
+            last = (
+                spark.read.parquet(f"{state_dir}/last")
+                .where(F.col("epoch") < epoch_id)
+                .drop("epoch")
+            )
+        except AnalysisException:
+            return None
+        ocols = [qcol(c) for c in order_cols]
+        return (
+            last.groupBy(qcol(entity_col))
+            .agg(F.max(F.struct(*ocols, qcol(item_col))).alias("__fr"))
+            .select(
+                qcol(entity_col),
+                *[F.col("__fr").getField(c).alias(c) for c in order_cols],
+                F.col("__fr").getField(item_col).alias(item_col),
+            )
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        ocols = [qcol(c) for c in order_cols]
+        ev = (
+            batch_df.select(qcol(entity_col), *ocols, qcol(item_col))
+            .where(qcol(item_col).isNotNull())
+            .dropDuplicates([entity_col, *order_cols])
+        )
+        seeds = _frontier(spark, epoch_id)
+        if seeds is not None:
+            fr = seeds.select(
+                qcol(entity_col),
+                F.struct(*ocols).alias("__frontier"),
+            )
+            ev = (
+                ev.join(fr, [entity_col], "left")
+                .where(
+                    F.col("__frontier").isNull()
+                    | (F.struct(*ocols) > F.col("__frontier"))
+                )
+                .drop("__frontier")
+            )
+            union = ev.withColumn("__seed", F.lit(False)).unionByName(
+                seeds.withColumn("__seed", F.lit(True))
+            )
+        else:
+            union = ev.withColumn("__seed", F.lit(False))
+        w = Window.partitionBy(qcol(entity_col)).orderBy(*ocols)
+        seq = union.withColumn("__prev", F.lag(qcol(item_col)).over(w))
+        pairs = (
+            # the seed can only be each entity's FIRST row (survivors are
+            # strictly after the frontier), so no pair's current row is a
+            # seed — the filter below is belt-and-braces for the degenerate
+            # all-replay batch where the seed is the only row
+            seq.where(F.col("__prev").isNotNull() & ~F.col("__seed"))
+            .groupBy(
+                F.col("__prev").alias("prev_item"),
+                qcol(item_col).alias("next_item"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        pairs.write.mode("overwrite").parquet(f"{state_dir}/pairs/epoch={epoch_id}")
+        new_last = (
+            ev.groupBy(qcol(entity_col))
+            .agg(F.max(F.struct(*ocols, qcol(item_col))).alias("__fr"))
+            .select(
+                qcol(entity_col),
+                *[F.col("__fr").getField(c).alias(c) for c in order_cols],
+                F.col("__fr").getField(item_col).alias(item_col),
+            )
+        )
+        new_last.write.mode("overwrite").parquet(f"{state_dir}/last/epoch={epoch_id}")
+
+    return _process
+
+
+def read_transition_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold an epoch-partitioned transition-state directory into ONE
+    ``(prev_item, next_item, n)`` pair-count frame — the sum-fold over the
+    per-epoch counts. Feed it to the same normalize-and-rank tail the
+    batch ``item_transition_matrix`` entry uses (prob = n / row_total)."""
+    pairs = spark.read.parquet(f"{state_dir}/pairs").drop("epoch")
+    return pairs.groupBy("prev_item", "next_item").agg(F.sum("n").alias("n"))

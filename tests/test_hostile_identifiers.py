@@ -299,3 +299,30 @@ def test_cohort_state_stream_hostile(spark, name, tmp_path):
     exp = {key(r): (r["n_users"], r["retention"]) for r in cohort_retention(df, e, p).collect()}
     assert got == exp
     assert got[(0, 0)] == (1, 1.0) and got[(0, 1)] == (1, 1.0) and got[(1, 0)] == (1, 1.0)
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_transition_state_stream_hostile(spark, name, tmp_path):
+    """The streaming Markov-transition sink under hostile entity/order/item
+    names: the frontier stitch across micro-batches still counts the
+    cross-batch pair, and the fold matches the expected matrix."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_transition_state,
+        transition_state_stream,
+    )
+
+    e, ts, iid, item = name, name + " ts", name + " id", name + " item"
+    qi = lambda n: "`" + n.replace("`", "``") + "`"
+    mk = lambda rows: spark.createDataFrame(
+        rows, f"{qi(e)} bigint, {qi(ts)} bigint, {qi(iid)} bigint, {qi(item)} bigint"
+    )
+    state_dir = str(tmp_path / "tstate")
+    sink = transition_state_stream(state_dir, e, [ts, iid], item)
+    sink(mk([(1, 1, 1, 10), (1, 2, 2, 11)]), 0)
+    sink(mk([(1, 3, 3, 12), (2, 3, 4, 10)]), 1)  # (11->12) is the stitch pair
+
+    got = {
+        (r["prev_item"], r["next_item"]): r["n"]
+        for r in read_transition_state(spark, state_dir).collect()
+    }
+    assert got == {(10, 11): 1, (11, 12): 1}

@@ -1142,3 +1142,76 @@ def test_cohort_state_stream_matches_batch(spark, events_batch):
     burst = ev.limit(1).unionByName(ev.limit(1)).unionByName(ev.limit(1))
     sink(burst, 998)
     assert spark.read.parquet(os.path.join(state_dir, "epoch=998")).count() == 1
+
+
+def test_transition_state_stream_matches_batch(spark, events_batch):
+    """Streaming Markov-transition maintenance: processing time-ordered
+    micro-batches through the frontier-stitched pair-count sink and
+    sum-folding the epochs must equal the batch LAG pair counts exactly —
+    including the cross-batch stitch pairs (last event of batch k → first
+    event of batch k+1), which a naive per-batch LAG would drop. Replaying
+    any already-processed prefix under a NEW epoch id adds zero pairs (all
+    its events sit at or before every entity's frontier), and replaying an
+    epoch id overwrites its own partitions."""
+    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_transition_state,
+        transition_state_stream,
+    )
+
+    ea = events_batch.withColumn(
+        "item_id", F.get_json_object(F.col("props"), "$.k").cast("long")
+    ).where(F.col("item_id").isNotNull()).select("user_id", "ts", "event_id", "item_id")
+
+    # time-slice into 3 ordered micro-batches (split on ts only, so equal-ts
+    # events — ordered among themselves by event_id — stay in one batch)
+    ts_sorted = [r["ts"] for r in ea.select("ts").distinct().orderBy("ts").collect()]
+    t1, t2 = ts_sorted[len(ts_sorted) // 3], ts_sorted[2 * len(ts_sorted) // 3]
+    slices = [
+        ea.where(F.col("ts") < t1),
+        ea.where((F.col("ts") >= t1) & (F.col("ts") < t2)),
+        ea.where(F.col("ts") >= t2),
+    ]
+
+    state_dir = os.path.join(TMP, "transition_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = transition_state_stream(state_dir, "user_id", ["ts", "event_id"], "item_id")
+    for i, sl in enumerate(slices):
+        sink(sl, i)
+
+    def fold():
+        return {
+            (r["prev_item"], r["next_item"]): r["n"]
+            for r in read_transition_state(spark, state_dir).collect()
+        }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = {
+        (r["prev_item"], r["next_item"]): r["n"]
+        for r in ea.withColumn("__p", F.lag("item_id").over(w))
+        .where(F.col("__p").isNotNull())
+        .groupBy(F.col("__p").alias("prev_item"), F.col("item_id").alias("next_item"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = fold()
+    assert got == batch and len(batch) > 10
+    # the stitch really fired: within-slice pairs alone undercount
+    within = 0
+    for sl in slices:
+        within += (
+            sl.withColumn("__p", F.lag("item_id").over(w))
+            .where(F.col("__p").isNotNull())
+            .count()
+        )
+    assert within < sum(batch.values())
+
+    # replay of already-processed prefixes under NEW epoch ids: zero new pairs
+    sink(slices[0], 990)
+    sink(slices[1], 991)
+    assert fold() == batch
+    assert spark.read.parquet(f"{state_dir}/pairs/epoch=990").count() == 0
+
+    # epoch replay overwrites its own partition: fold unchanged
+    sink(slices[2], 2)
+    assert fold() == batch
