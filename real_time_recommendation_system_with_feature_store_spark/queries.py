@@ -6839,84 +6839,71 @@ def item_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_WINDOW = [
-    # r8 ROTATION. After r7 the newest-green histogram was 50 @ r7, 50 @ r6,
-    # 35 @ r4. This window = the 3 NEW never-checked r8 entries (CDC
-    # day-close composition, multimodal decode->embed->ANN, HLL distinct
-    # intersection) + ALL 35 r4-stale entries (the r7 VERDICT's explicit
-    # re-front list, verbatim) + 12 family-diverse r6 entries (the oldest
-    # remaining tier). The 38 r6 entries left out (front-of-queue for r9):
-    # bpe_merge_table, bpe_tokenized_docs, brand_supplier_diversity,
-    # charlm_doc_scores, customer_order_histogram, customers_with_orders,
-    # dedup_clusters, doc_signatures, doc_token_chunks, embedding_near_dup,
-    # excess_shipment_suppliers, jaccard_similar_pairs, key_part_value_share,
-    # lang_id_confusion, large_order_customers, leakage_safe_folds,
-    # lsh_ann_topk, multimodal_metadata, ngram_repetition_signals,
-    # overlapping_customer_orders, part_type_multihot, pii_scrubbed_docs,
-    # popularity_ranking_metrics, price_deciles, priority_mix, rec_diversity,
-    # rolling_user_velocity, segment_code_map, simhash_dedup_candidates,
-    # span_dedup_docs, span_dedup_incremental, span_semantic_pack_pipeline,
-    # stratified_event_sample, tfidf_top_terms, timeseries_feature_pipeline,
-    # user_first_last_events, verbatim_span_pairs, weighted_doc_sample.
-    # NEW in r8 (first driver rows):
-    "feature_day_close_pipeline",    # changelog -> MERGE -> SCD2 -> as-of, chained oracle
-    "multimodal_embed_topk",         # real decode+embed feeds ANN, md5-pixel oracle
-    "view_click_shared_pairs_hll",   # theta-style HLL intersection, register replay
-    "nation_market_share",           # TPC-H Q8: twice-joined dim, conditional share
-    "bm25_doc_search",               # Okapi BM25 lexical retrieval, fixed-order score
-    "hybrid_doc_retrieval",          # BM25 + vector ANN fused via RRF, full replay
-    "returned_revenue_customers",    # TPC-H Q10: returns ranking, TakeOrdered path
-    "bracket_part_revenue",          # TPC-H Q19: disjunctive cross-side brackets
-    # r4-stale (all 35 — the r7 VERDICT re-front list):
-    "acctbal_zscore",
-    "click_and_purchase_users",
-    "collect_event_types",
-    "corpus_filter_funnel",
-    "customer_order_profile",
-    "daily_user_activity_spine",
-    "eval_contamination_pruned",
-    "event_type_stats",
-    "event_value_norm",
-    "inter_event_gaps",
-    "item_interaction_counts",
-    "item_trending_scores",
-    "late_ship_priority_counts",
-    "nation_pair_trade_volume",
-    "nations_with_presence",
-    "nfc_normalized_docs",
-    "order_date_features",
-    "orders_profile",
-    "part_name_features",
-    "promo_revenue_share",
-    "props_variant_stats",
-    "region_nation_revenue",
-    "revenue_rollup",
-    "rich_inactive_customers",
-    "salted_event_counts",
-    "segment_codes",
-    "sessionize_events",
-    "small_qty_brand_revenue",
-    "status_priority_cube",
-    "supplier_running_totals",
-    "top_building_orders",
-    "top_revenue_suppliers",
-    "tumbling_window_counts",
-    "view_click_attribution",
-    "waiting_suppliers",
-    # r6 fillers (7 of 50, family-diverse: corpus-export composition,
-    # exact dedup, two ANN index tiers, k-core, MinHash banding, semantic
-    # dedup; negative_samples / segment_recommendations /
-    # trained_linear_ranker_topk / eval_contamination_pairs /
-    # als_item_embeddings yielded their slots to the never-checked
-    # Q8/Q10/Q19 + BM25 + hybrid-retrieval entries — they join the r9
-    # queue; eval_contamination_pruned, the decontamination family twin,
-    # is in-window among the r4-stale 35):
-    "corpus_export_pipeline",
-    "doc_dedup_exact",
-    "ivf_ann_topk",
-    "kcore_events",
-    "minhash_dedup_candidates",
-    "pq_ann_topk",
-    "semantic_dedup_embeddings",
+    # r10 ROTATION (the r9 VERDICT's #1 directive, third time asked).
+    # Evidence ledger after r9: 50 entries newest-green @ r9, 50 @ r7,
+    # 43 @ r6, and 2 never driver-checked (the DSIR pair added in r8,
+    # fixed in r9, but left outside the unrotated r9 window).  This
+    # window = the 2 never-checked DSIR entries + ALL 43 r6-stale
+    # entries + 5 family-diverse oldest-r7 fillers (feature-store
+    # point-in-time, CDC merge, graph PageRank, streaming sliding
+    # window, global top-N).  After this round no entry's newest
+    # driver evidence is older than r7.  The remaining 45 r7 entries
+    # are the front of the r11 queue; tests/test_driver_window.py now
+    # derives this invariant from CORRECTNESS_r*.json and fails any
+    # future non-rotation.
+    # Never driver-checked (the r9 headline DSIR fix rides on these):
+    "dsir_target_selection",
+    "dsir_resampled_docs",
+    # r6-stale (all 43):
+    "als_item_embeddings",
+    "bpe_merge_table",
+    "bpe_tokenized_docs",
+    "brand_supplier_diversity",
+    "charlm_doc_scores",
+    "customer_order_histogram",
+    "customers_with_orders",
+    "dedup_clusters",
+    "doc_signatures",
+    "doc_token_chunks",
+    "embedding_near_dup",
+    "eval_contamination_pairs",
+    "excess_shipment_suppliers",
+    "jaccard_similar_pairs",
+    "key_part_value_share",
+    "lang_id_confusion",
+    "large_order_customers",
+    "leakage_safe_folds",
+    "lsh_ann_topk",
+    "multimodal_metadata",
+    "negative_samples",
+    "ngram_repetition_signals",
+    "overlapping_customer_orders",
+    "part_type_multihot",
+    "pii_scrubbed_docs",
+    "popularity_ranking_metrics",
+    "price_deciles",
+    "priority_mix",
+    "rec_diversity",
+    "rolling_user_velocity",
+    "segment_code_map",
+    "segment_recommendations",
+    "simhash_dedup_candidates",
+    "span_dedup_docs",
+    "span_dedup_incremental",
+    "span_semantic_pack_pipeline",
+    "stratified_event_sample",
+    "tfidf_top_terms",
+    "timeseries_feature_pipeline",
+    "trained_linear_ranker_topk",
+    "user_first_last_events",
+    "verbatim_span_pairs",
+    "weighted_doc_sample",
+    # r7 fillers (5, family-diverse):
+    "point_in_time_features",
+    "changelog_merge_snapshot",
+    "item_pagerank_topk",
+    "sliding_window_counts",
+    "global_top_parts",
 ]
 
 def _reorder_registry() -> None:
