@@ -440,6 +440,21 @@ def dsir_resample(
     expression and the selection is ``global_topn_ranked`` — per-
     partition top-k heaps + driver merge (TakeOrderedAndProject), never
     a global sort; resampling a 100 TB corpus shuffles only winners.
+
+    Tie semantics (r9 verdict #6): the 6-dp rounding can collide two
+    docs' keys (P ≈ |docs|²/2 · 2e-6 · key-density per unit — vanishing
+    for continuous scores, nonzero for coarse ones); the id-asc tiebreak
+    keeps selection deterministic but biases exact-tie resolution toward
+    low ids. This is a deliberate trade: ranking on the ROUNDED key is
+    what lets a DuckDB/ANSI oracle replay the ordering bit-for-bit
+    (unrounded doubles from ln() are not guaranteed to agree across
+    engines). Callers needing unbiased ties can salt the id space.
+
+    Determinism precondition: ``id_col`` must be NON-NULL — concat_ws
+    skips NULLs, so every NULL-id row would collapse onto md5(salt) and
+    share ONE Gumbel draw (and escape the id tiebreak). Violations fail
+    loudly in-plan via a runtime assert rather than silently degrading
+    the contract.
     """
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
@@ -459,7 +474,19 @@ def dsir_resample(
     ).cast("long")
     u = (bucket + F.lit(0.5)) / F.lit(float(2**32))
     gumbel = -F.log(-F.log(u))
-    key = qcol(score_col) / F.lit(float(temperature)) + gumbel
+    # assert_true is NULL when the condition holds, so coalesce passes the
+    # key through untouched; a NULL id raises at execution time instead of
+    # silently collapsing onto md5(salt)'s shared draw (r9 ADVICE)
+    null_guard = F.assert_true(
+        qcol(id_col).isNotNull(),
+        F.lit(
+            "dsir_resample: NULL id_col — every NULL-id row would share one "
+            "Gumbel draw, breaking the md5-seeded determinism contract"
+        ),
+    ).cast("double")
+    key = F.coalesce(
+        null_guard, qcol(score_col) / F.lit(float(temperature)) + gumbel
+    )
     perturbed = scores.withColumn(key_col, F.round(key, 6))
     return global_topn_ranked(
         perturbed,

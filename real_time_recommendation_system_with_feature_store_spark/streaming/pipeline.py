@@ -739,7 +739,22 @@ def transition_state_stream(
     State size: ``pairs/epoch=N`` is bounded by distinct (prev, next)
     pairs touched in the epoch; ``last/epoch=N`` by entities active in the
     epoch. Both compactable at any time by rewriting their folds (sum and
-    max are associative)."""
+    max are associative).
+
+    Null-ordered events (r9 ADVICE): a row with NULL in any order col is
+    dropped UP FRONT, in every epoch. Previously such rows were dropped
+    only for entities that already had a frontier (the ``struct > frontier``
+    comparison is NULL) but survived — and sorted FIRST under Spark's
+    nulls-first ordering — in epoch 0, a batch==stream parity break. A
+    NULL order key has no position on the entity's timeline, so the sink
+    enforces the non-null order-key contract uniformly; the drop is
+    visible in the meta counter below.
+
+    Observability: each epoch also writes ``meta/epoch=N`` — one row of
+    ``(late_dropped, null_dropped)`` counting events discarded as
+    behind-frontier replays/late arrivals vs. null-order-key rows, so an
+    operator can SEE the late-data drop rate instead of inferring it from
+    count drift (``read_transition_meta`` folds the per-epoch rows)."""
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
 
     if not order_cols:
@@ -777,11 +792,19 @@ def transition_state_stream(
 
         spark = batch_df.sparkSession
         ocols = [qcol(c) for c in order_cols]
-        ev = (
+        raw = (
             batch_df.select(qcol(entity_col), *ocols, qcol(item_col))
             .where(qcol(item_col).isNotNull())
             .dropDuplicates([entity_col, *order_cols])
         )
+        # non-null order-key contract, enforced identically in EVERY epoch
+        # (see docstring): a null order col has no timeline position
+        nn = raw
+        for oc in ocols:
+            nn = nn.where(oc.isNotNull())
+        nn = nn.persist()
+        null_dropped = raw.count() - nn.count()
+        ev = nn
         seeds = _frontier(spark, epoch_id)
         if seeds is not None:
             fr = seeds.select(
@@ -795,11 +818,14 @@ def transition_state_stream(
                     | (F.struct(*ocols) > F.col("__frontier"))
                 )
                 .drop("__frontier")
+                .persist()
             )
+            late_dropped = nn.count() - ev.count()
             union = ev.withColumn("__seed", F.lit(False)).unionByName(
                 seeds.withColumn("__seed", F.lit(True))
             )
         else:
+            late_dropped = 0
             union = ev.withColumn("__seed", F.lit(False))
         w = Window.partitionBy(qcol(entity_col)).orderBy(*ocols)
         seq = union.withColumn("__prev", F.lag(qcol(item_col)).over(w))
@@ -826,8 +852,30 @@ def transition_state_stream(
             )
         )
         new_last.write.mode("overwrite").parquet(f"{state_dir}/last/epoch={epoch_id}")
+        meta = spark.createDataFrame(
+            [(int(late_dropped), int(null_dropped))],
+            "late_dropped long, null_dropped long",
+        )
+        meta.write.mode("overwrite").parquet(f"{state_dir}/meta/epoch={epoch_id}")
+        nn.unpersist()
+        if ev is not nn:
+            ev.unpersist()
 
     return _process
+
+
+def read_transition_meta(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the per-epoch drop counters into ONE observability row:
+    ``(late_dropped, null_dropped)`` totals across all epochs. Non-zero
+    ``late_dropped`` means genuinely-late events time-traveled behind
+    their entity's frontier and were excluded from the transition counts
+    (the documented watermark-style trade); ``null_dropped`` counts rows
+    rejected by the non-null order-key contract."""
+    meta = spark.read.parquet(f"{state_dir}/meta").drop("epoch")
+    return meta.agg(
+        F.sum("late_dropped").alias("late_dropped"),
+        F.sum("null_dropped").alias("null_dropped"),
+    )
 
 
 def read_transition_state(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -719,13 +719,26 @@ def test_bracket_residues_pushed_to_both_scans(spark):
     li = [s for s in pushed if "l_quantity" in s]
     pt = [s for s in pushed if "p_brand" in s]
     assert li and pt, f"expected residues on both scans, got: {pushed}"
-    # lineitem residue: OR of the three quantity brackets
-    assert (
-        "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,11.0))" in li[0]
-        and "And(GreaterThanOrEqual(l_quantity,20.0),LessThanOrEqual(l_quantity,30.0))" in li[0]
-    ), li[0]
-    # part residue: OR of the three (brand, size) brackets
-    assert (
-        "Or(Or(And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,5))" in pt[0]
-        and "And(EqualTo(p_brand,Brand#7),LessThanOrEqual(p_size,15))" in pt[0]
-    ), pt[0]
+    # Assert each bracket's conjuncts individually, not the exact
+    # Or(Or(And(...))) nesting/format — Spark may reorder or reformat the
+    # residue rendering across versions while still pushing it (r9 ADVICE).
+    for conjunct in (
+        "GreaterThanOrEqual(l_quantity,1.0)",
+        "LessThanOrEqual(l_quantity,11.0)",
+        "GreaterThanOrEqual(l_quantity,10.0)",
+        "LessThanOrEqual(l_quantity,20.0)",
+        "GreaterThanOrEqual(l_quantity,20.0)",
+        "LessThanOrEqual(l_quantity,30.0)",
+    ):
+        assert conjunct in li[0], f"missing {conjunct} in lineitem residue: {li[0]}"
+    assert "Or(" in li[0], f"lineitem residue lost its disjunction: {li[0]}"
+    for conjunct in (
+        "EqualTo(p_brand,Brand#12)",
+        "LessThanOrEqual(p_size,5)",
+        "EqualTo(p_brand,Brand#23)",
+        "LessThanOrEqual(p_size,10)",
+        "EqualTo(p_brand,Brand#7)",
+        "LessThanOrEqual(p_size,15)",
+    ):
+        assert conjunct in pt[0], f"missing {conjunct} in part residue: {pt[0]}"
+    assert "Or(" in pt[0], f"part residue lost its disjunction: {pt[0]}"

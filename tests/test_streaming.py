@@ -1215,3 +1215,80 @@ def test_transition_state_stream_matches_batch(spark, events_batch):
     # epoch replay overwrites its own partition: fold unchanged
     sink(slices[2], 2)
     assert fold() == batch
+
+
+def test_transition_state_stream_null_order_and_meta(spark):
+    """r9 ADVICE hardening: rows with NULL in any order col are dropped
+    identically in EVERY epoch (previously epoch 0 kept them and they
+    sorted nulls-first into pairs — a batch==stream parity break), and the
+    per-epoch meta partition exposes late_dropped / null_dropped so the
+    documented behind-frontier drop is observable instead of silent."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_transition_meta,
+        read_transition_state,
+        transition_state_stream,
+    )
+
+    sch = "user_id long, ts long, event_id long, item_id long"
+    b0 = spark.createDataFrame(
+        [
+            (1, 10, 1, 100),
+            (1, 20, 2, 101),
+            (1, None, 3, 999),  # null order col in EPOCH 0 — must drop
+            (2, 10, 4, 200),
+        ],
+        sch,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, 30, 5, 102),
+            (1, None, 6, 998),  # null order col with a frontier — must drop
+            (2, 5, 7, 201),  # genuinely late: behind user 2's frontier (ts=10)
+            (2, 20, 8, 202),
+        ],
+        sch,
+    )
+    state_dir = os.path.join(TMP, "transition_state_nulls")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = transition_state_stream(state_dir, "user_id", ["ts", "event_id"], "item_id")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    got = {
+        (r["prev_item"], r["next_item"]): r["n"]
+        for r in read_transition_state(spark, state_dir).collect()
+    }
+    # null-ordered items (999, 998) appear in NO pair, either epoch; the
+    # late item 201 is dropped, so user 2 stitches 200 -> 202 directly
+    assert got == {(100, 101): 1, (101, 102): 1, (200, 202): 1}
+
+    meta = read_transition_meta(spark, state_dir).collect()[0]
+    assert meta["null_dropped"] == 2
+    assert meta["late_dropped"] == 1
+
+    per_epoch = {
+        r["epoch"]: (r["late_dropped"], r["null_dropped"])
+        for r in spark.read.parquet(f"{state_dir}/meta").collect()
+    }
+    assert per_epoch == {0: (0, 1), 1: (1, 1)}
+
+
+def test_dsir_resample_null_id_raises(spark):
+    """r9 ADVICE: a NULL id collapses every NULL-id row onto md5(salt)'s
+    single Gumbel draw — the operator now fails loudly in-plan instead of
+    silently degrading its determinism contract."""
+    import pytest
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.corpus import dsir_resample
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (None, 0.7), (3, 0.9)], "doc_id long, score double"
+    )
+    out = dsir_resample(df, "doc_id", "score", k=2)
+    with pytest.raises(Exception, match="NULL id_col"):
+        out.collect()
+    # non-null input still works and is deterministic
+    ok = dsir_resample(df.where(F.col("doc_id").isNotNull()), "doc_id", "score", k=2)
+    a = [tuple(r) for r in ok.orderBy("rank").collect()]
+    b = [tuple(r) for r in ok.orderBy("rank").collect()]
+    assert a == b and len(a) == 2
