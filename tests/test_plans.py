@@ -742,3 +742,39 @@ def test_bracket_residues_pushed_to_both_scans(spark):
     ):
         assert conjunct in pt[0], f"missing {conjunct} in part residue: {pt[0]}"
     assert "Or(" in pt[0], f"part residue lost its disjunction: {pt[0]}"
+
+
+def test_q17_threshold_agg_broadcasts_no_row_subquery(spark):
+    """Q17 shape (small_qty_avg_revenue): the correlated scalar subquery
+    (0.2*avg(l_quantity) per part) must decorrelate into ONE per-part
+    aggregate joined back as a BROADCAST build side — never a per-row
+    subquery re-execution (no ScalarSubquery in the physical plan, no
+    nested-loop/cartesian), and the brand filter must prune both fact
+    passes at the parquet scan via the broadcast semi structure."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["small_qty_avg_revenue"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "ScalarSubquery" not in plan and "Subquery" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the threshold aggregate reaches the probe as a broadcast hash join
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # brand residue pushed to the part scan
+    pushed = plan.split("PushedFilters: [")[1:]
+    assert any("EqualTo(p_brand,Brand#23)" in seg[:300] for seg in pushed), pushed
+
+
+def test_q21_exists_chain_stays_semi_anti(spark):
+    """Q21 shape (waiting_multi_supplier_orders): the EXISTS / NOT EXISTS
+    chain must compile to LeftSemi / LeftAnti hash joins on the orderkey
+    equi-key (suppkey inequality as join residual) — no per-row subquery
+    re-execution, no nested-loop join over lineitem — and the final
+    ranking must take the TakeOrderedAndProject path."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["waiting_multi_supplier_orders"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
