@@ -885,3 +885,143 @@ def read_transition_state(spark: SparkSession, state_dir: str) -> DataFrame:
     batch ``item_transition_matrix`` entry uses (prob = n / row_total)."""
     pairs = spark.read.parquet(f"{state_dir}/pairs").drop("epoch")
     return pairs.groupBy("prev_item", "next_item").agg(F.sum("n").alias("n"))
+
+
+def bm25_index_stream(
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+):
+    """ST9 × lexical retrieval: streaming maintenance of the BM25 inverted
+    index (the ``bm25_doc_search`` batch analytic; reference analog: the
+    incremental index updates, src/serving/retrieval.py:199-226). The
+    sufficient statistic folds exactly like the CMS/HLL/Markov sinks:
+
+    * ``postings/epoch=N`` — (term, doc_id, tf): the epoch's inverted-index
+      increments (term → df is the per-term doc count of the fold);
+    * ``doclen/epoch=N`` — (doc_id, dl): per-doc token lengths (corpus N
+      and Σdl are one tiny aggregate over the fold).
+
+    Each micro-batch tokenizes ONLY its own documents (lowercased
+    whitespace tokens — functions/text.tokens, the exact batch tokenizer);
+    the raw stream is never rescanned and scoring any query replays the
+    batch expression over a term-pruned slice of the fold.
+
+    Idempotency is the strong HLL kind, not just overwrite: a document's
+    (tf, dl) stats are a pure function of its text, so the fold reads
+    ``max(tf)`` / ``max(dl)`` per (term, doc) / doc — the SAME document
+    re-delivered under a DIFFERENT epoch id cannot move any score
+    (at-least-once replay of any stream prefix is a no-op; replaying an
+    epoch additionally overwrites its own partitions, the sibling sinks'
+    contract). Contract: documents are IMMUTABLE and ``id_col`` unique per
+    document — an edited doc re-sent under the same id folds max-wise, not
+    last-write (document edits need a tombstone/compaction pass, same as
+    every append-only lexical index).
+
+    State size: ``postings/epoch=N`` is bounded by the epoch's distinct
+    (term, doc) pairs, ``doclen/epoch=N`` by its documents — both
+    compactable at any time by rewriting their max-folds (max is
+    associative, commutative, idempotent)."""
+    from real_time_recommendation_system_with_feature_store_spark.functions.text import tokens
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = batch_df.where(qcol(text_col).isNotNull()).select(
+            qcol(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(tokens(qcol(text_col)), lambda t: F.lower(t))
+            ).alias("term"),
+        )
+        postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+        doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        postings.write.mode("overwrite").parquet(
+            f"{index_dir}/postings/epoch={epoch_id}"
+        )
+        doclen.write.mode("overwrite").parquet(
+            f"{index_dir}/doclen/epoch={epoch_id}"
+        )
+
+    return _process
+
+
+def read_bm25_index(spark: SparkSession, index_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Fold an epoch-partitioned BM25 index into its two live frames:
+    ``postings`` (term, doc_id, tf) and ``doclen`` (doc_id, dl). Max-folds
+    — see ``bm25_index_stream`` for why max makes cross-epoch duplicates
+    free."""
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .drop("epoch")
+        .groupBy("term", "doc_id")
+        .agg(F.max("tf").alias("tf"))
+    )
+    doclen = (
+        spark.read.parquet(f"{index_dir}/doclen")
+        .drop("epoch")
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+    )
+    return postings, doclen
+
+
+def bm25_score_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every indexed document against ``terms`` with Okapi BM25
+    (Lucene idf, the ``queries._bm25_scored`` constants) from the folded
+    streaming index — exact batch parity: tf/df/dl/N are integers, the
+    score sums its per-term contributions in the SAME fixed expression
+    order, and a tf=0 term contributes exactly +0.0, so the stream-side
+    left-join-coalesce path produces bit-identical doubles to the batch
+    conditional-agg path (parity-tested over time-sliced micro-batches).
+
+    Scale: the postings read is term-pruned (predicate pushdown on the
+    query's terms — the only rows that leave the index are the query's
+    postings lists), df/N/Σdl reduce to ONE broadcast row, and the per-doc
+    score is a broadcast hash join of ≤len(terms) slim posting lists onto
+    the doclen frame. Returns (doc_id, score) rounded half-up to 6."""
+    postings, doclen = read_bm25_index(spark, index_dir)
+    qp = postings.where(F.col("term").isin(list(terms)))
+    per_doc = doclen
+    for i, t in enumerate(terms):
+        tfs = qp.where(F.col("term") == t).select(
+            "doc_id", F.col("tf").alias(f"tf{i}")
+        )
+        per_doc = per_doc.join(F.broadcast(tfs), "doc_id", "left")
+    per_doc = per_doc.select(
+        "doc_id",
+        "dl",
+        *[
+            F.coalesce(F.col(f"tf{i}"), F.lit(0)).alias(f"tf{i}")
+            for i in range(len(terms))
+        ],
+    )
+    st = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(st))
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    norm_len = F.lit(1.0) - F.lit(b) + F.lit(b) * (
+        F.col("dl").cast("double") / avgdl
+    )
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        part = idf * (F.col(f"tf{i}") * F.lit(k1 + 1.0)) / (
+            F.col(f"tf{i}") + F.lit(k1) * norm_len
+        )
+        score = part if score is None else score + part
+    return joined.select("doc_id", F.round(score, 6).alias("score"))

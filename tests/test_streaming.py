@@ -1292,3 +1292,64 @@ def test_dsir_resample_null_id_raises(spark):
     a = [tuple(r) for r in ok.orderBy("rank").collect()]
     b = [tuple(r) for r in ok.orderBy("rank").collect()]
     assert a == b and len(a) == 2
+
+
+def test_bm25_index_stream_matches_batch(spark):
+    """Streaming BM25 index maintenance (r9 verdict #5): ingesting the
+    documents table as micro-batches through the postings/doclen sink and
+    scoring the fixed catalog query from the folded index must equal the
+    batch conditional-agg scorer (queries._bm25_scored) row-for-row —
+    tf/df/dl/N are integers and the score expression order is identical,
+    so the doubles match bit-for-bit. Re-delivering any already-indexed
+    slice under a NEW epoch id moves nothing (max-fold idempotency), and
+    replaying an epoch id overwrites its own partitions."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import _bm25_scored
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_score_from_index,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    c1, c2 = ids[n // 3], ids[2 * n // 3]
+    slices = [
+        docs.where(F.col("doc_id") < c1),
+        docs.where((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        docs.where(F.col("doc_id") >= c2),
+    ]
+
+    index_dir = os.path.join(TMP, "bm25_index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sink = bm25_index_stream(index_dir, "doc_id", "text")
+    for i, sl in enumerate(slices):
+        sink(sl, i)
+
+    terms = ["window", "join", "hash"]
+
+    def stream_scores():
+        return {
+            r["doc_id"]: r["score"]
+            for r in bm25_score_from_index(spark, index_dir, terms).collect()
+        }
+
+    batch = {r["doc_id"]: r["score"] for r in _bm25_scored(spark, sf_dir).collect()}
+    got = stream_scores()
+    assert got == batch and len(batch) > 50
+
+    # at-least-once replay of an already-indexed slice under a NEW epoch:
+    # max-fold absorbs it, no score moves
+    sink(slices[1], 990)
+    assert stream_scores() == batch
+
+    # epoch replay overwrites its own partitions: fold unchanged
+    sink(slices[2], 2)
+    assert stream_scores() == batch
+
+    # the index really is incremental state, not a rescan: postings are
+    # term-sliced on read (only the query's lists leave the store)
+    plan = bm25_score_from_index(
+        spark, index_dir, terms
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
