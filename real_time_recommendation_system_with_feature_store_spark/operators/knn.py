@@ -547,6 +547,35 @@ def semantic_dedup(
     )
 
 
+def ivf_build_centroids(
+    items: DataFrame,
+    item_id: str,
+    item_vec: str = "embedding",
+    n_cells: int = 16,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Train the IVF coarse quantizer (the k-means "model"): seed
+    ``n_cells`` centroids from the lowest-id items — a TakeOrderedAndProject
+    per-partition heap, NOT a global row_number window (this is the path
+    that must survive an oversized catalog, exactly when a one-task sort
+    would hurt most) — then ``refine_iters`` distributed Lloyd steps.
+    Returns ``(__cell int, __cv array)``, unit-norm. This is the exact
+    construction ``ivf_topk(kernel="expr")`` uses internally; a FROZEN
+    copy of it is what the streaming index sink
+    (streaming/pipeline.py::ivf_index_stream) keeps adding into — the
+    faiss train-once / add-incrementally split the reference makes
+    (src/serving/retrieval.py:88-139)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    it = items.select(
+        F.col(item_id).alias("__iid"), l2_normalize(F.col(item_vec)).alias("__iv")
+    )
+    centroids = global_topn_ranked(
+        it, [F.col("__iid").asc()], n_cells, rank_col="__cell"
+    ).select(F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv"))
+    return _lloyd_refine(it, centroids, refine_iters)
+
+
 def ivf_topk(
     queries: DataFrame,
     items: DataFrame,
@@ -593,16 +622,7 @@ def ivf_topk(
             k, n_cells, n_probe, refine_iters, exclude_self,
         )
     it = items.select(F.col(item_id).alias("__iid"), l2_normalize(F.col(item_vec)).alias("__iv"))
-    # seed pick = lowest n_cells ids: TakeOrderedAndProject (per-partition
-    # heap of n_cells rows), NOT a global row_number window — this expr path
-    # is the fallback for oversized inputs, exactly when a one-task sort of
-    # the whole catalog would hurt most
-    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
-
-    centroids = global_topn_ranked(
-        it, [F.col("__iid").asc()], n_cells, rank_col="__cell"
-    ).select(F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv"))
-    centroids = _lloyd_refine(it, centroids, refine_iters)
+    centroids = ivf_build_centroids(items, item_id, item_vec, n_cells, refine_iters)
     assigned = _assign_cells(it, centroids)
 
     q = queries.select(F.col(query_id).alias("__qid"), l2_normalize(F.col(query_vec)).alias("__qv"))

@@ -1025,3 +1025,114 @@ def bm25_score_from_index(
         )
         score = part if score is None else score + part
     return joined.select("doc_id", F.round(score, 6).alias("score"))
+
+
+def ivf_index_stream(
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+):
+    """ST9 × vector retrieval: streaming maintenance of the IVF-ANN index —
+    the reference's faiss train-once / ``index.add``-incrementally split
+    (src/serving/retrieval.py:88-139, the incremental index updates at
+    :199-226). The coarse quantizer (``operators/knn.ivf_build_centroids``)
+    is a FROZEN model written once under ``centroids/`` at sink creation;
+    each micro-batch l2-normalizes its vectors, assigns them to their
+    nearest centroid (broadcast ≤n_cells frame — one map-side pass, no
+    shuffle of the vector stream), and writes ``cells/epoch=N/__cell=C``
+    partitions. The live index is the fold over epochs;
+    ``ivf_search_from_index`` probes it reading ONLY the probed cells'
+    partitions (partition-pruned — the 100 TB design point: a query
+    touches n_probe/n_cells of the stored vectors, never the corpus).
+
+    Idempotency is the strong kind: a vector's cell assignment is a pure
+    function of (vector, frozen centroids), so the fold's per-id dedup
+    absorbs the SAME vector re-delivered under a DIFFERENT epoch id
+    (at-least-once replay of any prefix is a no-op; replaying an epoch id
+    additionally overwrites its own partitions, the sibling sinks'
+    contract). Contract: vectors are immutable per id — like every
+    append-only ANN index, an EDITED vector needs a tombstone/compaction
+    pass, and centroid refresh (model drift) is a rebuild, exactly as
+    faiss retrains.
+
+    The frozen-quantizer trade (documented, not hidden): incremental adds
+    never move centroids, so recall degrades if the embedding
+    distribution drifts far from the training sample — the same trade the
+    reference's serving index makes between retrains."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import _assign_cells
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import l2_normalize
+
+    cents = centroids.select("__cell", "__cv")
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        frozen = spark.read.parquet(f"{index_dir}/centroids")
+        it = batch_df.where(qcol(vec_col).isNotNull()).select(
+            qcol(id_col).alias("__iid"),
+            l2_normalize(qcol(vec_col)).alias("__iv"),
+        )
+        assigned = _assign_cells(it, frozen)
+        assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+            f"{index_dir}/cells/epoch={epoch_id}"
+        )
+
+    return _process
+
+
+def ivf_search_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str = "embedding",
+    item_id: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe the streaming-built IVF index: per query, score only the
+    ``n_probe`` nearest cells' stored vectors — identical math to
+    ``ivf_topk(kernel="expr")``'s search tail, so a stream-built index
+    over the same corpus returns the SAME rows (parity-tested). The union
+    of probed cells is collected driver-side (≤ n_cells scalars — the
+    sanctioned stats-gate collect) and pushed as an IN filter so the
+    parquet read prunes to the probed ``__cell=`` partitions before the
+    epoch fold; the probe list broadcasts (a shuffle join on __cell would
+    hash the whole index across ≤ n_cells keys — guaranteed skew)."""
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    q = queries.select(
+        F.col(query_id).alias("__qid"), l2_normalize(F.col(query_vec)).alias("__qv")
+    )
+    probes = topk_per_key(
+        q.crossJoin(F.broadcast(cents)).select(
+            "__qid", "__qv", "__cell", dot(F.col("__qv"), F.col("__cv")).alias("__cs")
+        ),
+        ["__qid"],
+        [F.col("__cs").desc(), F.col("__cell").asc()],
+        n_probe,
+        rank_col="__prank",
+    ).select("__qid", "__qv", "__cell")
+    probed_cells = [r["__cell"] for r in probes.select("__cell").distinct().collect()]
+    cells = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .where(F.col("__cell").isin(probed_cells))
+        .drop("epoch")
+        .dropDuplicates(["__iid"])
+    )
+    cand = cells.join(F.broadcast(probes), "__cell")
+    if exclude_self:
+        cand = cand.where(F.col("__qid") != F.col("__iid"))
+    scored = cand.select(
+        F.col("__qid").alias(query_id),
+        F.col("__iid").alias(item_id),
+        F.round(dot(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+    )
+    return topk_per_key(
+        scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+    )

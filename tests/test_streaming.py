@@ -1353,3 +1353,85 @@ def test_bm25_index_stream_matches_batch(spark):
         spark, index_dir, terms
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_stream_matches_batch(spark):
+    """Streaming IVF-ANN maintenance: a frozen coarse quantizer
+    (ivf_build_centroids — the exact construction ivf_topk(kernel='expr')
+    trains internally) plus micro-batch cell assignments, folded and
+    probed, must return the SAME top-k rows as the one-shot batch
+    ivf_topk over the full corpus. Re-delivering an already-indexed slice
+    under a NEW epoch id moves nothing (assignment is a pure function of
+    the frozen model), and replaying an epoch id overwrites its own
+    partitions."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        _assign_cells,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        ivf_search_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    n = len(ids)
+    c1, c2 = ids[n // 3], ids[2 * n // 3]
+    slices = [
+        emb.where(F.col("vec_id") < c1),
+        emb.where((F.col("vec_id") >= c1) & (F.col("vec_id") < c2)),
+        emb.where(F.col("vec_id") >= c2),
+    ]
+
+    cents = ivf_build_centroids(emb, "vec_id", "embedding", n_cells=8, refine_iters=1)
+    index_dir = os.path.join(TMP, "ivf_index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sink = ivf_index_stream(index_dir, "vec_id", "embedding", cents)
+    for i, sl in enumerate(slices):
+        sink(sl, i)
+
+    queries = emb.where(F.col("vec_id") < 20)
+
+    def search():
+        return sorted(
+            (r["vec_id"], r["rank"], r["vec_id_nn"], r["score"])
+            for r in ivf_search_from_index(
+                spark, index_dir, queries, "vec_id", "embedding",
+                item_id="vec_id_nn", k=5, n_probe=3,
+            ).withColumnRenamed("vec_id_nn", "vec_id_nn").collect()
+        )
+
+    batch = sorted(
+        (r["vec_id"], r["rank"], r["vec_id_nn"], r["score"])
+        for r in ivf_topk(
+            queries.withColumnRenamed("vec_id", "qid"), emb, "qid", "vec_id",
+            query_vec="embedding", item_vec="embedding",
+            k=5, n_cells=8, n_probe=3, refine_iters=1, kernel="expr",
+        ).select(
+            F.col("qid").alias("vec_id"), "rank",
+            F.col("vec_id").alias("vec_id_nn"), "score",
+        ).collect()
+    )
+    got = search()
+    assert got == batch and len(batch) == 20 * 5
+
+    # the folded assignments equal the batch one-shot assignment
+    folded = {
+        (r["__iid"], r["__cell"])
+        for r in spark.read.parquet(f"{index_dir}/cells").drop("epoch")
+        .dropDuplicates(["__iid"]).select("__iid", "__cell").collect()
+    }
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import l2_normalize
+    it = emb.select(F.col("vec_id").alias("__iid"), l2_normalize(F.col("embedding")).alias("__iv"))
+    one_shot = {(r["__iid"], r["__cell"]) for r in _assign_cells(it, cents).select("__iid", "__cell").collect()}
+    assert folded == one_shot
+
+    # at-least-once redelivery under a NEW epoch: no result moves
+    sink(slices[0], 990)
+    assert search() == batch
+    # epoch replay overwrites its own partitions: unchanged
+    sink(slices[1], 1)
+    assert search() == batch
