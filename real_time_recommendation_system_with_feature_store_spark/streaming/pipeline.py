@@ -926,7 +926,12 @@ def bm25_index_stream(
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        toks = batch_df.where(qcol(text_col).isNotNull()).select(
+        # null doc id would fold every anonymous doc into ONE phantom
+        # document (postings/doclen key on it) — same contract as the
+        # Markov sink's non-null order key: reject up front
+        toks = batch_df.where(
+            qcol(text_col).isNotNull() & qcol(id_col).isNotNull()
+        ).select(
             qcol(id_col).alias("doc_id"),
             F.explode(
                 F.transform(tokens(qcol(text_col)), lambda t: F.lower(t))
@@ -983,7 +988,19 @@ def bm25_score_from_index(
     query's terms — the only rows that leave the index are the query's
     postings lists), df/N/Σdl reduce to ONE broadcast row, and the per-doc
     score is a broadcast hash join of ≤len(terms) slim posting lists onto
-    the doclen frame. Returns (doc_id, score) rounded half-up to 6."""
+    the doclen frame. Returns (doc_id, score) rounded half-up to 6.
+
+    ``terms`` must be non-empty and duplicate-free (a repeated term would
+    double-count its contribution — the batch scorer's query is a set);
+    terms are matched as stored, i.e. lowercased."""
+    terms = list(terms)
+    if not terms:
+        raise ValueError("bm25_score_from_index: empty query terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            f"bm25_score_from_index: duplicate query terms {sorted(terms)} "
+            "would double-count their score contributions"
+        )
     postings, doclen = read_bm25_index(spark, index_dir)
     qp = postings.where(F.col("term").isin(list(terms)))
     per_doc = doclen
@@ -1070,7 +1087,11 @@ def ivf_index_stream(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         frozen = spark.read.parquet(f"{index_dir}/centroids")
-        it = batch_df.where(qcol(vec_col).isNotNull()).select(
+        # null id/vector rows have no index position (same non-null-key
+        # contract as the BM25/Markov sinks)
+        it = batch_df.where(
+            qcol(vec_col).isNotNull() & qcol(id_col).isNotNull()
+        ).select(
             qcol(id_col).alias("__iid"),
             l2_normalize(qcol(vec_col)).alias("__iv"),
         )
@@ -1102,6 +1123,11 @@ def ivf_search_from_index(
     parquet read prunes to the probed ``__cell=`` partitions before the
     epoch fold; the probe list broadcasts (a shuffle join on __cell would
     hash the whole index across ≤ n_cells keys — guaranteed skew)."""
+    if k <= 0 or n_probe <= 0:
+        raise ValueError(
+            f"ivf_search_from_index: k and n_probe must be positive, got "
+            f"k={k}, n_probe={n_probe}"
+        )
     from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
 

@@ -1435,3 +1435,37 @@ def test_ivf_index_stream_matches_batch(spark):
     # epoch replay overwrites its own partitions: unchanged
     sink(slices[1], 1)
     assert search() == batch
+
+
+def test_streaming_index_read_side_guards(spark):
+    """Degenerate-input contracts on the new index read/write APIs fail
+    loudly instead of silently mis-scoring: empty/duplicate BM25 query
+    terms, non-positive IVF search params, and null ids at ingest."""
+    import pytest
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_score_from_index,
+        ivf_search_from_index,
+    )
+
+    with pytest.raises(ValueError, match="empty query terms"):
+        bm25_score_from_index(spark, "/nonexistent", [])
+    with pytest.raises(ValueError, match="duplicate query terms"):
+        bm25_score_from_index(spark, "/nonexistent", ["a", "a"])
+    with pytest.raises(ValueError, match="must be positive"):
+        ivf_search_from_index(spark, "/nonexistent", None, "q", k=0)
+
+    # null doc ids are rejected at ingest: the phantom-doc row never lands
+    index_dir = os.path.join(TMP, "bm25_null_ids")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sink = bm25_index_stream(index_dir, "doc_id", "text")
+    sink(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (None, "ghost doc"), (2, None)],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    dl = spark.read.parquet(f"{index_dir}/doclen").collect()
+    assert {r["doc_id"] for r in dl} == {1}
