@@ -1162,3 +1162,52 @@ def ivf_search_from_index(
     return topk_per_key(
         scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
     )
+
+
+def compact_epoch_state(
+    folded: DataFrame,
+    state_dir: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite an epoch-partitioned state directory as ONE compacted epoch
+    holding the given fold — the operation every sink docstring promises
+    ("compactable at any time by rewriting the fold"). Pass the matching
+    read-side fold (``read_cms_sketch``, ``read_bm25_index``'s frames,
+    ``read_transition_state`` …, each of which drops the epoch column);
+    the fold is fully MATERIALIZED into a temp directory before any
+    source partition is deleted, then renamed to ``epoch=<max old id>``
+    so the sinks' strictly-monotone epoch arithmetic (e.g. the Markov
+    frontier's ``epoch < current``) keeps working for every FUTURE epoch.
+
+    Contract: run only while the stream is stopped and only when the
+    checkpoint's committed offset is past every folded epoch — compaction
+    finalizes history, so an epoch-id replay of a pre-compaction epoch is
+    no longer byte-exact (its partition is gone; for the sum-folds it
+    would double-count, for the max-folds it is absorbed). This is the
+    standard log-compaction trade; the per-epoch partitions exist
+    precisely so the operator chooses when to pay it.
+
+    Local/HDFS-style filesystems only (directory rename); object-store
+    deployments should rewrite to a fresh prefix instead. Returns the
+    epoch id the compacted state landed under."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    epochs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{state_dir}/epoch=*")
+        if p.rsplit("=", 1)[1].isdigit()
+    )
+    if not epochs:
+        raise ValueError(f"compact_epoch_state: no epoch partitions under {state_dir}")
+    tmp = f"{state_dir}/.compact.tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    writer = folded.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    for e in epochs:
+        _shutil.rmtree(f"{state_dir}/epoch={e}")
+    _os.rename(tmp, f"{state_dir}/epoch={epochs[-1]}")
+    return epochs[-1]

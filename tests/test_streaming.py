@@ -1469,3 +1469,72 @@ def test_streaming_index_read_side_guards(spark):
     )
     dl = spark.read.parquet(f"{index_dir}/doclen").collect()
     assert {r["doc_id"] for r in dl} == {1}
+
+
+def test_compact_epoch_state_preserves_folds(spark):
+    """Compaction rewrites an epoch-partitioned state dir as one epoch
+    holding the fold; every read-side fold must be unchanged afterwards,
+    and FUTURE epochs must keep folding on top. Exercised on a sum-fold
+    (CMS), the BM25 max-fold pair, and the Markov sink (whose frontier
+    arithmetic depends on the kept epoch id being the max old id)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_score_from_index,
+        cms_sketch_stream,
+        compact_epoch_state,
+        read_bm25_index,
+        read_cms_sketch,
+        read_transition_state,
+        transition_state_stream,
+    )
+
+    # CMS sum-fold
+    cms_dir = os.path.join(TMP, "cms_compact")
+    shutil.rmtree(cms_dir, ignore_errors=True)
+    csink = cms_sketch_stream(cms_dir, "k", depth=2, width=16)
+    data = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    csink(data.limit(60), 0)
+    csink(data, 1)
+    before = sorted(map(tuple, read_cms_sketch(spark, cms_dir).collect()))
+    kept = compact_epoch_state(read_cms_sketch(spark, cms_dir), cms_dir)
+    assert kept == 1
+    assert sorted(map(tuple, read_cms_sketch(spark, cms_dir).collect())) == before
+    csink(data.limit(10), 2)  # future epochs still fold on top
+    after = read_cms_sketch(spark, cms_dir)
+    assert after.agg(F.sum("cell_count")).collect()[0][0] == (60 + 100 + 10) * 2
+
+    # BM25 max-folds (two subdirs) — scores identical post-compaction
+    bdir = os.path.join(TMP, "bm25_compact")
+    shutil.rmtree(bdir, ignore_errors=True)
+    bsink = bm25_index_stream(bdir, "doc_id", "text")
+    docs = spark.createDataFrame(
+        [(1, "join hash join"), (2, "window scan"), (3, "hash window join")],
+        "doc_id long, text string",
+    )
+    bsink(docs.where(F.col("doc_id") < 3), 0)
+    bsink(docs.where(F.col("doc_id") >= 3), 1)
+    terms = ["join", "window"]
+    sb = sorted(map(tuple, bm25_score_from_index(spark, bdir, terms).collect()))
+    post, dl = read_bm25_index(spark, bdir)
+    compact_epoch_state(post, f"{bdir}/postings")
+    compact_epoch_state(dl, f"{bdir}/doclen")
+    assert sorted(map(tuple, bm25_score_from_index(spark, bdir, terms).collect())) == sb
+
+    # Markov: compact pairs+last, then a FUTURE epoch must still stitch
+    tdir = os.path.join(TMP, "transition_compact")
+    shutil.rmtree(tdir, ignore_errors=True)
+    tsink = transition_state_stream(tdir, "u", ["ts"], "item")
+    tsink(spark.createDataFrame([(1, 10, 100), (1, 20, 101)], "u long, ts long, item long"), 0)
+    tsink(spark.createDataFrame([(1, 30, 102)], "u long, ts long, item long"), 1)
+    pairs_before = sorted(map(tuple, read_transition_state(spark, tdir).collect()))
+    compact_epoch_state(read_transition_state(spark, tdir), f"{tdir}/pairs")
+    last_fold = (
+        spark.read.parquet(f"{tdir}/last").drop("epoch")
+        .groupBy("u").agg(F.max(F.struct("ts", "item")).alias("__fr"))
+        .select("u", F.col("__fr.ts").alias("ts"), F.col("__fr.item").alias("item"))
+    )
+    compact_epoch_state(last_fold, f"{tdir}/last")
+    assert sorted(map(tuple, read_transition_state(spark, tdir).collect())) == pairs_before
+    tsink(spark.createDataFrame([(1, 40, 103)], "u long, ts long, item long"), 2)
+    got = {(r["prev_item"], r["next_item"]): r["n"] for r in read_transition_state(spark, tdir).collect()}
+    assert got == {(100, 101): 1, (101, 102): 1, (102, 103): 1}
