@@ -1538,3 +1538,60 @@ def test_compact_epoch_state_preserves_folds(spark):
     tsink(spark.createDataFrame([(1, 40, 103)], "u long, ts long, item long"), 2)
     got = {(r["prev_item"], r["next_item"]): r["n"] for r in read_transition_state(spark, tdir).collect()}
     assert got == {(100, 101): 1, (101, 102): 1, (102, 103): 1}
+
+
+def test_compact_epoch_state_ivf_cells(spark):
+    """Compaction of the IVF sink's nested cells/epoch=N/__cell=C layout:
+    partition_by re-establishes the cell partitioning in the compacted
+    epoch, search results are unchanged, and future adds keep landing."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_build_centroids
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        compact_epoch_state,
+        ivf_index_stream,
+        ivf_search_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_build_centroids(emb, "vec_id", "embedding", n_cells=4, refine_iters=1)
+    index_dir = os.path.join(TMP, "ivf_compact")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sink = ivf_index_stream(index_dir, "vec_id", "embedding", cents)
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 100)
+    sink(half, 0)
+    sink(rest, 1)
+
+    queries = emb.where(F.col("vec_id") < 10)
+
+    def search():
+        return sorted(
+            map(
+                tuple,
+                ivf_search_from_index(
+                    spark, index_dir, queries, "vec_id", "embedding",
+                    item_id="nn", k=3, n_probe=2,
+                ).collect(),
+            )
+        )
+
+    before = search()
+    folded = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .drop("epoch")
+        .dropDuplicates(["__iid"])
+    )
+    kept = compact_epoch_state(folded, f"{index_dir}/cells", partition_by=["__cell"])
+    assert kept == 1
+    assert search() == before
+    # cell partitioning survived compaction (prunable layout)
+    import glob as g
+    assert g.glob(f"{index_dir}/cells/epoch=1/__cell=*")
+    # future adds keep folding
+    late = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") >= 100))
+    sink(late, 2)
+    n_idx = (
+        spark.read.parquet(f"{index_dir}/cells").dropDuplicates(["__iid"]).count()
+    )
+    assert n_idx == emb.count()
