@@ -7005,6 +7005,12 @@ def item_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= 25)
 
 
+# The round this window was rotated FOR: tests/test_driver_window.py
+# evaluates the rotation invariant against evidence from rounds BEFORE
+# this one (the window must front what was stalest when it was written),
+# and fails once a newer round's artifact lands without a bump+rotation.
+_DRIVER_WINDOW_ROUND = 10
+
 _DRIVER_WINDOW = [
     # r10 ROTATION (the r9 VERDICT's #1 directive, third time asked).
     # Evidence ledger after r9: 50 entries newest-green @ r9, 50 @ r7,

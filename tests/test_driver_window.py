@@ -43,10 +43,12 @@ def _green(res: dict) -> bool:
     )
 
 
-def _ledger() -> dict[str, int]:
+def _ledger(before_round: int | None = None) -> dict[str, int]:
     newest: dict[str, int] = {}
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         with open(path) as fh:
             data = json.load(fh)
         if not isinstance(data, dict):
@@ -61,11 +63,26 @@ def test_driver_window_fronts_stalest_entries():
     from real_time_recommendation_system_with_feature_store_spark.queries import (
         QUERIES,
         _DRIVER_WINDOW,
+        _DRIVER_WINDOW_ROUND,
     )
 
     assert len(_DRIVER_WINDOW) == 50
     assert len(set(_DRIVER_WINDOW)) == 50
-    newest = _ledger()
+
+    # The window is valid FOR its declared round: it must front whatever
+    # was stalest / never-checked given the evidence from rounds before
+    # it. Once an artifact from _DRIVER_WINDOW_ROUND itself lands (the
+    # round was served), the window is allowed to stand until the NEXT
+    # round's artifact appears — at which point an un-bumped, un-rotated
+    # window fails here, in the verdict's own suite run.
+    max_present = max(_ledger().values(), default=0)
+    assert _DRIVER_WINDOW_ROUND in (max_present, max_present + 1), (
+        f"_DRIVER_WINDOW targets round {_DRIVER_WINDOW_ROUND} but driver "
+        f"evidence through round {max_present} is already committed — "
+        "rotate the window for the new round and bump _DRIVER_WINDOW_ROUND"
+    )
+
+    newest = _ledger(before_round=_DRIVER_WINDOW_ROUND)
     rounds = {name: newest.get(name, 0) for name in QUERIES}
     cutoff = sorted(rounds.values())[49]
     window = set(_DRIVER_WINDOW)
