@@ -565,10 +565,11 @@ def ivf_build_centroids(
     (streaming/pipeline.py::ivf_index_stream) keeps adding into — the
     faiss train-once / add-incrementally split the reference makes
     (src/serving/retrieval.py:88-139)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     it = items.select(
-        F.col(item_id).alias("__iid"), l2_normalize(F.col(item_vec)).alias("__iv")
+        qcol(item_id).alias("__iid"), l2_normalize(qcol(item_vec)).alias("__iv")
     )
     centroids = global_topn_ranked(
         it, [F.col("__iid").asc()], n_cells, rank_col="__cell"

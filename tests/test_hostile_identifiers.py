@@ -326,3 +326,58 @@ def test_transition_state_stream_hostile(spark, name, tmp_path):
         for r in read_transition_state(spark, state_dir).collect()
     }
     assert got == {(10, 11): 1, (11, 12): 1}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_bm25_index_stream_hostile(spark, name, tmp_path):
+    """The streaming BM25 sink receives id/text column names from the
+    caller: a dotted or quoted name must index identically to a plain one
+    (the internal frames rename to fixed doc_id/term/tf columns, so only
+    the ingest projection touches the hostile names)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_score_from_index,
+    )
+
+    idc, txt = name + " id", name + " txt"
+    qi = lambda n: "`" + n.replace("`", "``") + "`"
+    df = spark.createDataFrame(
+        [(1, "join hash join"), (2, "window scan"), (3, None)],
+        f"{qi(idc)} bigint, {qi(txt)} string",
+    )
+    index_dir = str(tmp_path / "bm25_hostile")
+    sink = bm25_index_stream(index_dir, idc, txt)
+    sink(df, 0)
+    got = {r["doc_id"]: r["score"] for r in bm25_score_from_index(spark, index_dir, ["join"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2] == 0.0
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_ivf_index_stream_hostile(spark, name, tmp_path):
+    """The streaming IVF sink's ingest projection must treat hostile
+    id/vector names as single identifiers; assignments land under the
+    internal __iid/__iv/__cell schema either way."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_build_centroids
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        ivf_search_from_index,
+    )
+
+    idc, vec = name + " id", name + " v"
+    qi = lambda n: "`" + n.replace("`", "``") + "`"
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]) for i in range(12)]
+    df = spark.createDataFrame(rows, f"{qi(idc)} bigint, {qi(vec)} array<double>")
+    cents = ivf_build_centroids(df, idc, vec, n_cells=3, refine_iters=1)
+    index_dir = str(tmp_path / "ivf_hostile")
+    sink = ivf_index_stream(index_dir, idc, vec, cents)
+    sink(df, 0)
+    q = df.select(qcol(idc).alias("qid"), qcol(vec).alias("emb")).where(F.col("qid") < 3)
+    out = ivf_search_from_index(
+        spark, index_dir, q, "qid", "emb", item_id="nn", k=2, n_probe=1
+    ).collect()
+    assert len(out) == 3 * 2
+    # nearest neighbors of an axis vector are same-axis vectors (cosine 1)
+    for r in out:
+        if r["rank"] == 1:
+            assert r["score"] == 1.0 and r["nn"] % 3 == r["qid"] % 3
