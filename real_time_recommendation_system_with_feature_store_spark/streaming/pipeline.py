@@ -1211,3 +1211,102 @@ def compact_epoch_state(
         _shutil.rmtree(f"{state_dir}/epoch={e}")
     _os.rename(tmp, f"{state_dir}/epoch={epochs[-1]}")
     return epochs[-1]
+
+
+def decayed_count_stream(
+    state_dir: str,
+    key_col: str,
+    ts_col: str,
+    half_life: str = "7 days",
+    anchor: str = "2024-01-01 00:00:00",
+):
+    """ST9 × trending: streaming maintenance of exponentially-decayed
+    per-key event counts — the ``item_trending_scores`` batch analytic's
+    decay weighting (functions/scalars.py decay; reference analog: the
+    recency-weighted popularity the serving layer ranks by) kept as
+    BOUNDED streaming state.
+
+    The trick that makes decay mergeable: a decayed count at read time T,
+    ``Σ 2^(-(T - ts_i)/hl)``, factors into ``2^(-(T - anchor)/hl) · Σ
+    2^((ts_i - anchor)/hl)`` — the right-hand sum is a pure per-key SUM
+    in a fixed numeraire (the anchor), independent of T and of arrival
+    order, so each micro-batch folds its events into ONE row per active
+    key (``w_sum``) and the live trending score for ANY read time is a
+    scalar rescale of the sum-fold. No window state, no event retention:
+    O(distinct keys) state for an unbounded stream, and reads never
+    rescan raw events.
+
+    Numeric bound (documented, not hidden): the numeraire grows as
+    ``2^((ts - anchor)/hl)`` — doubles overflow past ~1023 half-lives
+    after the anchor (~19 years at a 7-day half-life, ~2.8 years at 1
+    day). Re-base during compaction: fold, multiply every ``w_sum`` by
+    ``2^(-(new_anchor - old_anchor)/hl)``, write back with the new
+    anchor (an exact scalar rescale — decayed scores are unchanged).
+
+    Replay contract: sum-fold, the CMS tier — a replayed epoch id
+    overwrites its own partition (at-least-once safe); redelivery under a
+    NEW epoch id double-counts, so upstream must be exactly-once per
+    epoch id (the foreachBatch guarantee)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        # cast timestamp -> double keeps fractional (micro)seconds;
+        # unix_timestamp would truncate to whole seconds
+        exponent = (
+            qcol(ts_col).cast("timestamp").cast("double")
+            - F.lit(anchor).cast("timestamp").cast("double")
+        ) / F.lit(float(_interval_seconds(half_life)))
+        w = (
+            batch_df.where(qcol(ts_col).isNotNull() & qcol(key_col).isNotNull())
+            .select(qcol(key_col).alias("key"), F.pow(F.lit(2.0), exponent).alias("__w"))
+            .groupBy("key")
+            .agg(F.sum("__w").alias("w_sum"))
+        )
+        w.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def _interval_seconds(interval: str) -> float:
+    """Parse a '<n> <unit>' half-life into seconds (units: seconds,
+    minutes, hours, days, weeks)."""
+    n, unit = interval.strip().split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }.get(unit.lower())
+    if mult is None:
+        raise ValueError(f"unsupported half-life unit: {interval!r}")
+    return float(n) * mult
+
+
+def read_decayed_counts(
+    spark: SparkSession,
+    state_dir: str,
+    at_ts: str,
+    half_life: str = "7 days",
+    anchor: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Fold the per-epoch numeraire sums and rescale to the decayed count
+    as of ``at_ts``: ``(key, decayed_count)``. Pass the SAME half_life
+    and anchor the sink was built with."""
+    import math
+
+    folded = (
+        spark.read.parquet(state_dir)
+        .drop("epoch")
+        .groupBy("key")
+        .agg(F.sum("w_sum").alias("w_sum"))
+    )
+    from datetime import datetime, timezone
+
+    def _epoch(s: str) -> float:
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S").replace(
+            tzinfo=timezone.utc
+        ).timestamp()
+
+    scale = math.pow(2.0, -(_epoch(at_ts) - _epoch(anchor)) / _interval_seconds(half_life))
+    return folded.select("key", (F.col("w_sum") * F.lit(scale)).alias("decayed_count"))

@@ -1595,3 +1595,79 @@ def test_compact_epoch_state_ivf_cells(spark):
         spark.read.parquet(f"{index_dir}/cells").dropDuplicates(["__iid"]).count()
     )
     assert n_idx == emb.count()
+
+
+def test_decayed_count_stream_matches_batch(spark, events_batch):
+    """Streaming decayed popularity: the per-epoch numeraire sums, folded
+    and rescaled at read time, must equal the direct batch decayed count
+    Σ 2^(-(T-ts)/hl) per item (same events, any slicing, any arrival
+    order) to float tolerance — the sufficient statistic is ONE double
+    per active key per epoch, for an unbounded stream."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        decayed_count_stream,
+        read_decayed_counts,
+    )
+
+    ev = events_batch.withColumn(
+        "item_id", F.get_json_object(F.col("props"), "$.k").cast("long")
+    ).where(F.col("item_id").isNotNull()).select("item_id", "ts")
+
+    anchor, at_ts, hl = "2024-01-01 00:00:00", "2024-01-31 00:00:00", "7 days"
+    state_dir = os.path.join(TMP, "decayed_counts")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = decayed_count_stream(state_dir, "item_id", "ts", half_life=hl, anchor=anchor)
+    # arbitrary (non-time-ordered!) slicing: the fold is order-independent
+    sink(ev.where(F.col("item_id") % 3 == 0), 0)
+    sink(ev.where(F.col("item_id") % 3 == 1), 1)
+    sink(ev.where(F.col("item_id") % 3 == 2), 2)
+
+    got = {
+        r["key"]: r["decayed_count"]
+        for r in read_decayed_counts(spark, state_dir, at_ts, half_life=hl, anchor=anchor).collect()
+    }
+    exp_expr = F.pow(
+        F.lit(2.0),
+        -(
+            F.lit(at_ts).cast("timestamp").cast("double")
+            - F.col("ts").cast("timestamp").cast("double")
+        )
+        / F.lit(7.0 * 86400.0),
+    )
+    exp = {
+        r["item_id"]: r["d"]
+        for r in ev.groupBy("item_id").agg(F.sum(exp_expr).alias("d")).collect()
+    }
+    assert set(got) == set(exp) and len(exp) > 20
+    for k in exp:
+        assert abs(got[k] - exp[k]) <= 1e-9 * max(1.0, abs(exp[k])), (k, got[k], exp[k])
+
+    # epoch replay overwrites its own partition: unchanged
+    sink(ev.where(F.col("item_id") % 3 == 1), 1)
+    again = {
+        r["key"]: r["decayed_count"]
+        for r in read_decayed_counts(spark, state_dir, at_ts, half_life=hl, anchor=anchor).collect()
+    }
+    for k in exp:
+        assert abs(again[k] - exp[k]) <= 1e-9 * max(1.0, abs(exp[k]))
+
+    # re-basing the anchor (the documented compaction rescale) is exact
+    # up to float tolerance: scores at at_ts unchanged
+    import math
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        _interval_seconds,
+        compact_epoch_state,
+    )
+
+    new_anchor = "2024-01-15 00:00:00"
+    shift = 14 * 86400.0
+    folded = (
+        spark.read.parquet(state_dir).drop("epoch").groupBy("key")
+        .agg((F.sum("w_sum") * F.lit(math.pow(2.0, -shift / _interval_seconds(hl)))).alias("w_sum"))
+    )
+    compact_epoch_state(folded, state_dir)
+    rebased = {
+        r["key"]: r["decayed_count"]
+        for r in read_decayed_counts(spark, state_dir, at_ts, half_life=hl, anchor=new_anchor).collect()
+    }
+    for k in exp:
+        assert abs(rebased[k] - exp[k]) <= 1e-9 * max(1.0, abs(exp[k]))
