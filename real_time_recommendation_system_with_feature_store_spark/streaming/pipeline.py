@@ -1246,7 +1246,13 @@ def decayed_count_stream(
     Replay contract: sum-fold, the CMS tier — a replayed epoch id
     overwrites its own partition (at-least-once safe); redelivery under a
     NEW epoch id double-counts, so upstream must be exactly-once per
-    epoch id (the foreachBatch guarantee)."""
+    epoch id (the foreachBatch guarantee).
+
+    Timezone contract: ``anchor`` (and the reader's ``at_ts``) are
+    interpreted in UTC — the engine's sessions pin
+    ``spark.sql.session.timeZone=UTC`` (session.get_spark), and
+    ``read_decayed_counts`` parses with an explicit UTC offset. A
+    non-UTC caller session would shift the sink-side anchor cast."""
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
