@@ -1,0 +1,105 @@
+"""Aggregate incremental-view-maintenance (operators/ivm.py): delta
+propagation must equal a full recompute — including exact retraction
+cancellation, group birth/death, and the negative-count guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_recommendation_system_with_feature_store_spark.operators.ivm import agg_delta, apply_agg_delta
+
+
+def _view(spark, rows):
+    base = spark.createDataFrame(rows, "g string, m double")
+    return base.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("m").cast("decimal(28,10)")).alias("total"),
+    )
+
+
+def test_ivm_matches_full_recompute(spark):
+    base_rows = [("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.5)]
+    view = _view(spark, base_rows)
+    # update a's 10.0 -> 12.5 (D/I pair), insert into b, delete c's only
+    # row (group death), insert brand-new group d (group birth)
+    chg = spark.createDataFrame(
+        [
+            ("D", "a", 10.0),
+            ("I", "a", 12.5),
+            ("I", "b", 1.0),
+            ("D", "c", 7.5),
+            ("I", "d", 3.0),
+        ],
+        "op string, g string, m double",
+    )
+    out = apply_agg_delta(view, agg_delta(chg, ["g"], F.col("m")), ["g"])
+    got = {r["g"]: (r["n"], float(r["total"])) for r in out.collect()}
+    # full recompute over base+changes
+    final_rows = [("a", 12.5), ("a", 20.0), ("b", 5.0), ("b", 1.0), ("d", 3.0)]
+    exp = {
+        r["g"]: (r["n"], float(r["total"]))
+        for r in _view(spark, final_rows).collect()
+    }
+    assert got == exp
+    assert "c" not in got  # group death: zero-count groups leave the view
+
+
+def test_ivm_retractions_cancel_exactly(spark):
+    """Float-poisonous measures (0.1-style) must cancel to EXACT decimal
+    zero on a full retraction — a float partial sum would leave 1-ulp
+    ghosts that keep dead groups alive."""
+    view = _view(spark, [("a", 0.1), ("a", 0.2), ("b", 1.0)])
+    chg = spark.createDataFrame(
+        [("D", "a", 0.1), ("D", "a", 0.2)], "op string, g string, m double"
+    )
+    out = apply_agg_delta(view, agg_delta(chg, ["g"], F.col("m")), ["g"])
+    got = {r["g"] for r in out.collect()}
+    assert got == {"b"}
+
+
+def test_ivm_split_update_pair_across_batches(spark):
+    """The D and I halves of an update may land in different deltas —
+    + and − commute, so applying them in either order converges."""
+    view = _view(spark, [("a", 10.0)])
+    d1 = agg_delta(
+        spark.createDataFrame([("I", "a", 15.0)], "op string, g string, m double"),
+        ["g"], F.col("m"),
+    )
+    d2 = agg_delta(
+        spark.createDataFrame([("D", "a", 10.0)], "op string, g string, m double"),
+        ["g"], F.col("m"),
+    )
+    step = apply_agg_delta(view, d1, ["g"])
+    out = apply_agg_delta(step, d2, ["g"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1 and float(rows[0]["total"]) == 15.0
+
+
+def test_ivm_negative_count_guard(spark):
+    view = _view(spark, [("a", 1.0)])
+    chg = spark.createDataFrame(
+        [("D", "a", 1.0), ("D", "a", 1.0)], "op string, g string, m double"
+    )
+    out = apply_agg_delta(view, agg_delta(chg, ["g"], F.col("m")), ["g"])
+    with pytest.raises(Exception, match="went negative"):
+        out.collect()
+
+
+def test_ivm_unknown_op_raises(spark):
+    chg = spark.createDataFrame([("X", "a", 1.0)], "op string, g string, m double")
+    with pytest.raises(Exception, match="unknown op"):
+        agg_delta(chg, ["g"], F.col("m")).collect()
+
+
+def test_ivm_null_group_key_pairs_null_safe(spark):
+    """groupBy emits NULL groups; the null-safe default must pair a NULL
+    view group with its NULL delta contribution instead of duplicating
+    the group (plain equality never matches NULL = the trap)."""
+    view = _view(spark, [(None, 4.0), ("b", 2.0)])
+    chg = spark.createDataFrame(
+        [("I", None, 6.0)], "op string, g string, m double"
+    )
+    out = apply_agg_delta(view, agg_delta(chg, ["g"], F.col("m")), ["g"])
+    got = {r["g"]: (r["n"], float(r["total"])) for r in out.collect()}
+    assert got == {None: (2, 10.0), "b": (1, 2.0)}
