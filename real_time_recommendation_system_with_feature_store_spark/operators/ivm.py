@@ -25,6 +25,13 @@ bucketed-base pattern merge_changelog uses (store the view bucketed by
 the group keys; plan-asserted). Groups whose count reaches zero are
 dropped (the view contains exactly the groups a full recompute would
 produce, asserted by the golden tests and the catalog oracle).
+
+Scope boundary (the honest one every IVM system has): count/sum — and
+anything derived from them (avg, ratio, variance via sum-of-squares) —
+are SELF-MAINTAINABLE under deletes; MIN/MAX are not (retracting the
+current extremum needs the group's next-best value, i.e. a base
+re-scan of that group). Maintain extrema with the sketches tier
+(qsketch quantile bounds) or accept per-touched-group base re-reads.
 """
 
 from __future__ import annotations

@@ -1316,3 +1316,47 @@ def read_decayed_counts(
 
     scale = math.pow(2.0, -(_epoch(at_ts) - _epoch(anchor)) / _interval_seconds(half_life))
     return folded.select("key", (F.col("w_sum") * F.lit(scale)).alias("decayed_count"))
+
+
+def agg_delta_stream(
+    state_dir: str,
+    keys: list[str],
+    measure_col: str,
+    op_col: str = "op",
+):
+    """ST9 × IVM: streaming maintenance of an aggregated rollup from a CDC
+    changelog stream (``operators/ivm.py``) — each micro-batch collapses
+    its D/I rows into per-group (Δcount, Δsum) under ``epoch=N``; the live
+    rollup is ``read_agg_delta_state``'s sum-fold applied onto the base
+    view with ``apply_agg_delta`` (or standalone, starting from an empty
+    base). Equals the from-scratch recompute row-for-row (parity-tested),
+    and the raw changelog is never rescanned.
+
+    Replay contract: sum-fold, the CMS tier — a replayed epoch id
+    overwrites its own partition; + and − commute, so the D and I halves
+    of an update may land in different epochs and the fold still
+    converges. Per-epoch state is bounded by the groups the epoch
+    touched."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import agg_delta
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = agg_delta(batch_df, keys, qcol(measure_col), op_col=op_col)
+        delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_agg_delta_state(spark: SparkSession, state_dir: str, keys: list[str]) -> DataFrame:
+    """Fold an epoch-partitioned delta directory into ONE per-group
+    (n, total) contribution frame — feed it to
+    ``operators/ivm.apply_agg_delta`` against the materialized base view
+    (drop groups with n <= 0 yourself if using it standalone)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    return (
+        spark.read.parquet(state_dir)
+        .drop("epoch")
+        .groupBy(*[qcol(k) for k in keys])
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )

@@ -1671,3 +1671,52 @@ def test_decayed_count_stream_matches_batch(spark, events_batch):
     }
     for k in exp:
         assert abs(rebased[k] - exp[k]) <= 1e-9 * max(1.0, abs(exp[k]))
+
+
+def test_agg_delta_stream_matches_recompute(spark):
+    """Streaming rollup maintenance: folding the per-epoch IVM deltas onto
+    the base view equals a from-scratch recompute over base+changes —
+    with an update's D/I halves deliberately split across epochs."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_agg_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        read_agg_delta_state,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], "g string, m double"
+    )
+    view = base.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("m").cast("decimal(28,10)")).alias("total"),
+    )
+    state_dir = os.path.join(TMP, "agg_delta_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = agg_delta_stream(state_dir, ["g"], "m")
+    # epoch 0: delete half of an update + an insert into c
+    sink(spark.createDataFrame([("D", "a", 10.0), ("I", "c", 2.0)],
+                               "op string, g string, m double"), 0)
+    # epoch 1: the insert half of the update + b death
+    sink(spark.createDataFrame([("I", "a", 12.5), ("D", "b", 5.0)],
+                               "op string, g string, m double"), 1)
+
+    folded = read_agg_delta_state(spark, state_dir, ["g"])
+    out = apply_agg_delta(view, folded, ["g"])
+    got = {r["g"]: (r["n"], float(r["total"])) for r in out.collect()}
+    final = spark.createDataFrame(
+        [("a", 12.5), ("a", 20.0), ("c", 2.0)], "g string, m double"
+    )
+    exp = {
+        r["g"]: (r["n"], float(r["total"]))
+        for r in final.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("m").cast("decimal(28,10)")).alias("total"),
+        ).collect()
+    }
+    assert got == exp and "b" not in got
+
+    # epoch replay overwrites its own partition: unchanged
+    sink(spark.createDataFrame([("I", "a", 12.5), ("D", "b", 5.0)],
+                               "op string, g string, m double"), 1)
+    again = apply_agg_delta(view, read_agg_delta_state(spark, state_dir, ["g"]), ["g"])
+    assert {r["g"]: (r["n"], float(r["total"])) for r in again.collect()} == exp
