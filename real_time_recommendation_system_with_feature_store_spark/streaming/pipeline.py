@@ -703,6 +703,7 @@ def transition_state_stream(
     entity_col: str,
     order_cols: list[str],
     item_col: str,
+    track_meta: bool = True,
 ):
     """ST9 × Markov transitions: streaming maintenance of the first-order
     next-item transition counts (the ``item_transition_matrix`` batch
@@ -754,7 +755,11 @@ def transition_state_stream(
     ``(late_dropped, null_dropped)`` counting events discarded as
     behind-frontier replays/late arrivals vs. null-order-key rows, so an
     operator can SEE the late-data drop rate instead of inferring it from
-    count drift (``read_transition_meta`` folds the per-epoch rows)."""
+    count drift (``read_transition_meta`` folds the per-epoch rows). The
+    counters cost two extra count jobs per micro-batch (over the
+    persisted frames); pass ``track_meta=False`` on latency-critical
+    sinks to skip them — the drops themselves are identical either
+    way."""
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
 
     if not order_cols:
@@ -802,8 +807,8 @@ def transition_state_stream(
         nn = raw
         for oc in ocols:
             nn = nn.where(oc.isNotNull())
-        nn = nn.persist()
-        null_dropped = raw.count() - nn.count()
+        nn = nn.persist() if track_meta else nn
+        null_dropped = (raw.count() - nn.count()) if track_meta else None
         ev = nn
         seeds = _frontier(spark, epoch_id)
         if seeds is not None:
@@ -818,14 +823,17 @@ def transition_state_stream(
                     | (F.struct(*ocols) > F.col("__frontier"))
                 )
                 .drop("__frontier")
-                .persist()
             )
-            late_dropped = nn.count() - ev.count()
+            if track_meta:
+                ev = ev.persist()
+                late_dropped = nn.count() - ev.count()
+            else:
+                late_dropped = None
             union = ev.withColumn("__seed", F.lit(False)).unionByName(
                 seeds.withColumn("__seed", F.lit(True))
             )
         else:
-            late_dropped = 0
+            late_dropped = 0 if track_meta else None
             union = ev.withColumn("__seed", F.lit(False))
         w = Window.partitionBy(qcol(entity_col)).orderBy(*ocols)
         seq = union.withColumn("__prev", F.lag(qcol(item_col)).over(w))
@@ -852,14 +860,15 @@ def transition_state_stream(
             )
         )
         new_last.write.mode("overwrite").parquet(f"{state_dir}/last/epoch={epoch_id}")
-        meta = spark.createDataFrame(
-            [(int(late_dropped), int(null_dropped))],
-            "late_dropped long, null_dropped long",
-        )
-        meta.write.mode("overwrite").parquet(f"{state_dir}/meta/epoch={epoch_id}")
-        nn.unpersist()
-        if ev is not nn:
-            ev.unpersist()
+        if track_meta:
+            meta = spark.createDataFrame(
+                [(int(late_dropped), int(null_dropped))],
+                "late_dropped long, null_dropped long",
+            )
+            meta.write.mode("overwrite").parquet(f"{state_dir}/meta/epoch={epoch_id}")
+            nn.unpersist()
+            if ev is not nn:
+                ev.unpersist()
 
     return _process
 
@@ -1188,7 +1197,10 @@ def compact_epoch_state(
     precisely so the operator chooses when to pay it.
 
     Local/HDFS-style filesystems only (directory rename); object-store
-    deployments should rewrite to a fresh prefix instead. Returns the
+    deployments should rewrite to a fresh prefix instead. Crash window:
+    the fold lands in ``.compact.tmp`` BEFORE any deletion, so a crash
+    between the deletes and the final rename loses nothing — re-rename
+    ``.compact.tmp`` to ``epoch=<max old id>`` to recover. Returns the
     epoch id the compacted state landed under."""
     import glob as _glob
     import os as _os

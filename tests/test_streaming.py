@@ -1720,3 +1720,25 @@ def test_agg_delta_stream_matches_recompute(spark):
                                "op string, g string, m double"), 1)
     again = apply_agg_delta(view, read_agg_delta_state(spark, state_dir, ["g"]), ["g"])
     assert {r["g"]: (r["n"], float(r["total"])) for r in again.collect()} == exp
+
+
+def test_transition_state_stream_track_meta_off(spark):
+    """track_meta=False skips the per-epoch counter jobs but the drop
+    behavior (null order keys, behind-frontier lates) is identical."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_transition_state,
+        transition_state_stream,
+    )
+
+    sch = "u long, ts long, item long"
+    state_dir = os.path.join(TMP, "transition_no_meta")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = transition_state_stream(state_dir, "u", ["ts"], "item", track_meta=False)
+    sink(spark.createDataFrame([(1, 10, 100), (1, None, 999), (1, 20, 101)], sch), 0)
+    sink(spark.createDataFrame([(1, 5, 998), (1, 30, 102)], sch), 1)
+    got = {
+        (r["prev_item"], r["next_item"]): r["n"]
+        for r in read_transition_state(spark, state_dir).collect()
+    }
+    assert got == {(100, 101): 1, (101, 102): 1}
+    assert not os.path.exists(f"{state_dir}/meta")
