@@ -792,3 +792,70 @@ def test_interval_overlap_join_matches_naive(spark, rows, bin_days):
         if x[0] == y[0] and x[1] < y[1] and x[2] <= y[3] and y[2] <= x[3]
     }
     assert got == naive
+
+
+# IVM property: a random base + a random VALID changelog (deletes only
+# retract rows that exist, updates are D/I pairs) must satisfy
+# incremental == full recompute, for any grouping of the ops into deltas.
+ivm_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # group
+        st.integers(min_value=-999, max_value=999),      # measure (as /10)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(
+    base=ivm_strategy,
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_agg_ivm_matches_recompute(spark, base, data):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import agg_delta, apply_agg_delta
+
+    # random valid ops over the base multiset: delete an existing row
+    # (tracked), insert a fresh one, or update (delete+insert)
+    remaining = list(base)
+    ops = []
+    n_ops = data.draw(st.integers(min_value=0, max_value=10))
+    for _ in range(n_ops):
+        choice = data.draw(st.sampled_from(["insert", "delete", "update"]))
+        if choice != "insert" and remaining:
+            idx = data.draw(st.integers(min_value=0, max_value=len(remaining) - 1))
+            g, m = remaining.pop(idx)
+            ops.append(("D", g, m))
+            if choice == "update":
+                nm = data.draw(st.integers(min_value=-999, max_value=999))
+                ops.append(("I", g, nm))
+                remaining.append((g, nm))
+        else:
+            g = data.draw(st.integers(min_value=0, max_value=4))
+            m = data.draw(st.integers(min_value=-999, max_value=999))
+            ops.append(("I", g, m))
+            remaining.append((g, m))
+
+    view = (
+        spark.createDataFrame([(g, m / 10.0) for g, m in base], "g int, m double")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("m").cast("decimal(28,10)")).alias("total"),
+        )
+    )
+    if ops:
+        chg = spark.createDataFrame(
+            [(op, g, m / 10.0) for op, g, m in ops], "op string, g int, m double"
+        )
+        out = apply_agg_delta(view, agg_delta(chg, ["g"], F.col("m")), ["g"])
+    else:
+        out = view
+    got = {r["g"]: (r["n"], float(r["total"])) for r in out.collect()}
+
+    exp = {}
+    for g, m in remaining:
+        n, s = exp.get(g, (0, 0))
+        exp[g] = (n + 1, s + m)  # exact integer tenths
+    exp = {g: (n, s / 10.0) for g, (n, s) in exp.items() if n > 0}
+    assert got == exp
