@@ -527,21 +527,40 @@ def waiting_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(of, F.col("l_orderkey") == F.col("o_orderkey"))
         .drop("o_orderkey")
     )
-    li2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    # probe-key prune: l1 is tiny after the nation/status/returnflag cuts
+    # (~1/25 · ~1/3 · ~1/3 of lineitem), so broadcast a SUPERSET of its
+    # order keys into the EXISTS sides' scans first — without this, the
+    # semi/anti joins stream l1 against the FULL lineitem (a left-semi
+    # cannot build-broadcast its left side), i.e. a whole-fact shuffle at
+    # 100 TB; with it, the pruned sides are probe-order-sized and the
+    # residual-inequality joins broadcast. The key set deliberately skips
+    # the orders leg (any superset prunes correctly; the slimmer lineage
+    # keeps the replicated subtree to one fact scan + two broadcast dims,
+    # and ReuseExchange dedupes the twin copies at runtime).
+    okeys = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey")
+        .distinct()
     )
-    li3 = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    li2 = (
+        li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+        .join(F.broadcast(okeys), F.col("o2") == F.col("l_orderkey"), "leftsemi")
+    )
+    li3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .join(F.broadcast(okeys), F.col("o3") == F.col("l_orderkey"), "leftsemi")
     )
     survivors = (
         l1.join(
-            li2,
+            F.broadcast(li2),
             (F.col("l_orderkey") == F.col("o2"))
             & (F.col("l_suppkey") != F.col("s2")),
             "leftsemi",
         )
         .join(
-            li3,
+            F.broadcast(li3),
             (F.col("l_orderkey") == F.col("o3"))
             & (F.col("l_suppkey") != F.col("s3")),
             "leftanti",

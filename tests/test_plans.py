@@ -774,7 +774,10 @@ def test_q21_exists_chain_stays_semi_anti(spark):
 
     df = QUERIES["waiting_multi_supplier_orders"].fn(spark, SF_DIR)
     plan = explain_str(df)
-    assert "LeftSemi" in plan, plan[:2000]
+    # >= 3 semis: the probe-key prunes broadcast into BOTH exists-side
+    # scans (without them a left-semi streams l1 against the FULL
+    # lineitem — whole-fact shuffle at scale) plus the outer EXISTS
+    assert plan.count("LeftSemi") >= 3, plan[:2000]
     assert "LeftAnti" in plan, plan[:2000]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
