@@ -51,8 +51,9 @@ def agg_delta(
     op_col: str = "op",
     count_col: str = "n",
     sum_col: str = "total",
+    extra_measures: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """Collapse a changelog into per-group (Δcount, Δsum) contributions.
+    """Collapse a changelog into per-group (Δcount, Δsum…) contributions.
 
     ``op_col`` ∈ {'I' insert, 'D' delete}: an update arrives as its D/I
     pair (the lossless CDC convention — the pair may even land in
@@ -61,6 +62,11 @@ def agg_delta(
     summing so retractions cancel EXACTLY — float partial sums would
     leave 1-ulp residue on groups that should return to zero, and those
     ghosts would keep the group alive in the view.
+
+    ``extra_measures`` maintains additional sums (e.g. revenue AND
+    quantity) in the SAME delta pass — one shuffle for all measures; the
+    view side must carry matching column names and
+    ``apply_agg_delta(extra_sum_cols=...)`` merges them.
     """
     op = qcol(op_col)
     sign = (
@@ -75,10 +81,14 @@ def agg_delta(
     # negate in DOUBLE (an exact sign flip), THEN cast to decimal: a
     # decimal(28,10) × decimal(28,10) product would widen past Spark's
     # 38-digit cap and round differently from other engines
-    signed_measure = F.when(op == "I", measure).otherwise(-measure)
+    def _signed(m: Column) -> Column:
+        return F.sum(F.when(op == "I", m).otherwise(-m).cast("decimal(28,10)"))
+
+    extras = extra_measures or {}
     return changes.groupBy(*[qcol(k) for k in keys]).agg(
         F.sum(sign).alias(count_col),
-        F.sum(signed_measure.cast("decimal(28,10)")).alias(sum_col),
+        _signed(measure).alias(sum_col),
+        *[_signed(m).alias(name) for name, m in extras.items()],
     )
 
 
@@ -89,6 +99,7 @@ def apply_agg_delta(
     count_col: str = "n",
     sum_col: str = "total",
     null_safe_keys: bool = True,
+    extra_sum_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Merge per-group delta contributions into a materialized
     (keys, count, sum) rollup: changed groups adjust, new groups appear,
@@ -112,15 +123,16 @@ def apply_agg_delta(
     an in-plan assert rather than materializing a negative-count group.
     """
     kcols = list(keys)
+    sums = [sum_col, *extra_sum_cols]
     v = view.select(
         *[qcol(k).alias(f"__vk_{i}") for i, k in enumerate(kcols)],
         qcol(count_col).alias("__vn"),
-        qcol(sum_col).cast("decimal(28,10)").alias("__vs"),
+        *[qcol(s).cast("decimal(28,10)").alias(f"__vs_{j}") for j, s in enumerate(sums)],
     )
     d = delta.select(
         *[qcol(k).alias(f"__dk_{i}") for i, k in enumerate(kcols)],
         qcol(count_col).alias("__dn"),
-        qcol(sum_col).cast("decimal(28,10)").alias("__ds"),
+        *[qcol(s).cast("decimal(28,10)").alias(f"__ds_{j}") for j, s in enumerate(sums)],
     )
     cond = None
     for i in range(len(kcols)):
@@ -132,7 +144,10 @@ def apply_agg_delta(
     merged = v.join(d, cond, "full_outer")
     n_new = F.coalesce(F.col("__vn"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
     zero = F.lit(0).cast("decimal(28,10)")
-    s_new = F.coalesce(F.col("__vs"), zero) + F.coalesce(F.col("__ds"), zero)
+    s_news = [
+        F.coalesce(F.col(f"__vs_{j}"), zero) + F.coalesce(F.col(f"__ds_{j}"), zero)
+        for j in range(len(sums))
+    ]
     guard = F.coalesce(
         F.assert_true(
             n_new >= 0,
@@ -149,5 +164,5 @@ def apply_agg_delta(
             for i, k in enumerate(kcols)
         ],
         guard.alias(count_col),
-        s_new.alias(sum_col),
+        *[s_news[j].alias(s) for j, s in enumerate(sums)],
     ).where(F.col(count_col) > 0)

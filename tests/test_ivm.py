@@ -103,3 +103,34 @@ def test_ivm_null_group_key_pairs_null_safe(spark):
     out = apply_agg_delta(view, agg_delta(chg, ["g"], F.col("m")), ["g"])
     got = {r["g"]: (r["n"], float(r["total"])) for r in out.collect()}
     assert got == {None: (2, 10.0), "b": (1, 2.0)}
+
+
+def test_ivm_multi_measure_single_pass(spark):
+    """extra_measures maintains several sums in ONE delta pass (one
+    shuffle for all measures) — each must equal its own recompute."""
+    base = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("a", 20.0, 3.0), ("b", 5.0, 1.0)],
+        "g string, rev double, qty double",
+    )
+    view = base.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rev").cast("decimal(28,10)")).alias("total"),
+        F.sum(F.col("qty").cast("decimal(28,10)")).alias("qty_total"),
+    )
+    chg = spark.createDataFrame(
+        [("D", "a", 10.0, 2.0), ("I", "a", 12.0, 5.0), ("I", "c", 7.0, 7.0)],
+        "op string, g string, rev double, qty double",
+    )
+    delta = agg_delta(
+        chg, ["g"], F.col("rev"), extra_measures={"qty_total": F.col("qty")}
+    )
+    out = apply_agg_delta(view, delta, ["g"], extra_sum_cols=["qty_total"])
+    got = {
+        r["g"]: (r["n"], float(r["total"]), float(r["qty_total"]))
+        for r in out.collect()
+    }
+    assert got == {
+        "a": (2, 32.0, 8.0),
+        "b": (1, 5.0, 1.0),
+        "c": (1, 7.0, 7.0),
+    }
