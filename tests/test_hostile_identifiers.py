@@ -381,3 +381,29 @@ def test_ivf_index_stream_hostile(spark, name, tmp_path):
     for r in out:
         if r["rank"] == 1:
             assert r["score"] == 1.0 and r["nn"] % 3 == r["qid"] % 3
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_agg_ivm_hostile(spark, name):
+    """agg_delta/apply_agg_delta receive group-key, op, and measure column
+    names from the caller — dotted/spaced/quoted names must maintain the
+    rollup identically to plain ones."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import agg_delta, apply_agg_delta
+
+    g, op, m = name, name + " op", name + " m"
+    qi = lambda n: "`" + n.replace("`", "``") + "`"
+    base = spark.createDataFrame(
+        [("x", 10.0), ("y", 5.0)], f"{qi(g)} string, {qi(m)} double"
+    )
+    view = base.groupBy(qcol(g)).agg(
+        F.count("*").alias("n"),
+        F.sum(qcol(m).cast("decimal(28,10)")).alias("total"),
+    )
+    chg = spark.createDataFrame(
+        [("D", "x", 10.0), ("I", "x", 11.0), ("I", "z", 3.0)],
+        f"{qi(op)} string, {qi(g)} string, {qi(m)} double",
+    )
+    delta = agg_delta(chg, [g], qcol(m), op_col=op)
+    out = apply_agg_delta(view, delta, [g])
+    got = {r[g]: (r["n"], float(r["total"])) for r in out.collect()}
+    assert got == {"x": (1, 11.0), "y": (1, 5.0), "z": (1, 3.0)}
