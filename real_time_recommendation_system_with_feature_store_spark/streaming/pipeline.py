@@ -1372,3 +1372,97 @@ def read_agg_delta_state(spark: SparkSession, state_dir: str, keys: list[str]) -
         .groupBy(*[qcol(k) for k in keys])
         .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
     )
+
+
+def lsh_index_stream(
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+):
+    """ST9 × vector retrieval, LSH tier: streaming maintenance of the
+    sign-random-projection bucket index (the ``lsh_topk`` batch analytic;
+    the same incremental-add contract as ``ivf_index_stream`` — reference
+    analog src/serving/retrieval.py:199-226). Each micro-batch runs the
+    EXACT batch bucketing kernel (``operators/knn._bucket_rows_arrow`` —
+    SplitMix64 hyperplanes, one matmul per Arrow batch) over its own
+    vectors and writes the (id, normalized vec, bucket) rows under
+    ``epoch=N``; the live index is the per-(id, bucket) dedup-fold.
+    Unlike IVF there is no trained model at all — the hyperplanes are a
+    pure hash family, so the sink has NO drift trade: stream-built and
+    one-shot indexes are IDENTICAL row sets (parity-tested bit-for-bit
+    against ``lsh_topk(kernel="arrow")``).
+
+    Idempotency is the strong kind: bucket rows are a pure function of
+    the vector, so the dedup-fold absorbs the SAME vector re-delivered
+    under a DIFFERENT epoch id (replaying an epoch id additionally
+    overwrites its own partition). Contract: vectors immutable per id;
+    ``dim``/``n_planes``/``n_tables`` MUST match between sink and search
+    (they parameterize the hash family — a mismatch probes a different
+    index; persist them alongside the index in practice)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import _bucket_rows_arrow
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        src = batch_df.where(
+            qcol(vec_col).isNotNull() & qcol(id_col).isNotNull()
+        ).select(qcol(id_col).alias("__id"), qcol(vec_col).alias("__vec"))
+        rows = _bucket_rows_arrow(src, "__id", "__vec", "__iid", dim, n_planes, n_tables)
+        rows.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def lsh_search_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    dim: int,
+    item_id: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe the streaming-built LSH index with ``lsh_topk``'s exact
+    search tail: bucket the queries with the same kernel, join on the
+    bucket key, dedup candidate pairs across tables, exact-cosine rescore
+    (Arrow einsum), per-query top-k. Same hash-family params as the sink
+    or you are probing a different index."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        _bucket_rows_arrow,
+        _pair_dot_arrow,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    it = (
+        spark.read.parquet(index_dir)
+        .drop("epoch")
+        .dropDuplicates(["__iid", "__bucket"])
+    )
+    q = _bucket_rows_arrow(queries, query_id, query_vec, "__qid", dim, n_planes, n_tables)
+    cand = (
+        q.join(it, "__bucket")
+        .where(F.col("__qid") != F.col("__iid") if exclude_self else F.lit(True))
+        .select("__qid", "__iid", q["__v"].alias("__qv"), it["__v"].alias("__iv"))
+        .dropDuplicates(["__qid", "__iid"])
+    )
+    scored = _pair_dot_arrow(
+        cand.select(
+            F.col("__qid").alias(query_id),
+            F.col("__iid").alias(item_id),
+            "__qv",
+            "__iv",
+        ),
+        query_id,
+        item_id,
+        "__qv",
+        "__iv",
+    )
+    return topk_per_key(
+        scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+    )

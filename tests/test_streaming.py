@@ -1742,3 +1742,56 @@ def test_transition_state_stream_track_meta_off(spark):
     }
     assert got == {(100, 101): 1, (101, 102): 1}
     assert not os.path.exists(f"{state_dir}/meta")
+
+
+def test_lsh_index_stream_matches_batch(spark):
+    """Streaming LSH maintenance: the hash family has no trained model,
+    so a stream-built index is IDENTICAL to the one-shot batch bucketing
+    — lsh_search_from_index must equal lsh_topk(kernel='arrow') with the
+    same params, bit-for-bit, plus the usual redelivery / epoch-replay
+    invariance."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import lsh_topk
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        lsh_index_stream,
+        lsh_search_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    index_dir = os.path.join(TMP, "lsh_index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sink = lsh_index_stream(index_dir, "vec_id", "embedding", dim, n_planes=4, n_tables=4)
+    slices = [
+        emb.where(F.col("vec_id") % 3 == i) for i in range(3)
+    ]
+    for i, sl in enumerate(slices):
+        sink(sl, i)
+
+    queries = emb.where(F.col("vec_id") < 15)
+
+    def search():
+        return sorted(
+            map(tuple, lsh_search_from_index(
+                spark, index_dir, queries, "vec_id", "embedding", dim,
+                item_id="nn", k=4, n_planes=4, n_tables=4,
+            ).collect())
+        )
+
+    batch = sorted(
+        map(tuple, lsh_topk(
+            queries.withColumnRenamed("vec_id", "qid"), emb, "qid", "vec_id",
+            dim, k=4, n_planes=4, n_tables=4, kernel="arrow",
+        ).select(
+            F.col("qid").alias("vec_id"),
+            F.col("vec_id").alias("nn"), "score", "rank",
+        ).collect())
+    )
+    got = search()
+    assert got == batch and len(batch) > 30
+
+    sink(slices[0], 990)       # redelivery under a new epoch: no-op
+    assert search() == batch
+    sink(slices[1], 1)         # epoch replay: overwrite, unchanged
+    assert search() == batch
