@@ -928,6 +928,116 @@ def _pq_codebooks_np(sub_mats, n_codes: int, refine_iters: int):
     return books
 
 
+def pq_train_codebooks(
+    items: DataFrame,
+    item_id: str,
+    item_vec: str,
+    dim: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    train_rows: int = 4096,
+):
+    """Train the PQ codebooks (the frozen "model": m × n_codes × sub_dim
+    floats, KBs) on the ``train_rows`` lowest-id items — deterministic, no
+    rand(). Returns the numpy codebook list, or None for an empty input.
+    This is the exact construction ``pq_topk`` runs internally; a frozen
+    copy is what the streaming index sink
+    (streaming/pipeline.py::pq_index_stream) keeps encoding against — the
+    same train-once / add-incrementally split as ``ivf_build_centroids``."""
+    sub_dim = dim // n_sub
+    train_pd = (
+        items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__v"))
+        .orderBy("__iid")
+        .limit(train_rows)
+        .toPandas()
+    )
+    if len(train_pd) == 0:
+        return None
+    tmat = _normalize_np(_stack_vecs(train_pd["__v"]))
+    return _pq_codebooks_np(
+        [tmat[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)],
+        n_codes,
+        refine_iters,
+    )
+
+
+def _pq_encode(items: DataFrame, item_id: str, item_vec: str, books, dim: int, n_sub: int) -> DataFrame:
+    """Encode every item as n_sub codes against the (broadcast-captured)
+    codebooks — one matmul-style argmin per Arrow batch. Output:
+    (__iid, __code array<int>), the slim PQ index rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sub_dim = dim // n_sub
+    code_schema = T.StructType(
+        [
+            T.StructField("__iid", items.schema[item_id].dataType),
+            T.StructField("__code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = _normalize_np(_stack_vecs(pdf[item_vec]))
+            codes = np.empty((len(vm), n_sub), dtype=np.int32)
+            for m, cw in enumerate(books):
+                sub = vm[:, m * sub_dim : (m + 1) * sub_dim]
+                d = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame({"__iid": pdf[item_id], "__code": list(codes)})
+
+    return items.select(item_id, item_vec).mapInPandas(encode, code_schema)
+
+
+def _pq_query_tables(queries: DataFrame, query_id: str, query_vec: str, books, dim: int, n_sub: int) -> DataFrame:
+    """Per-query ADC lookup tables, built DISTRIBUTED (one Arrow pass
+    against the broadcast codebooks — nothing query-sized touches the
+    driver). Output: (__qid, __qv normalized, __dt flat n_sub·n_codes)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sub_dim = dim // n_sub
+    dt_schema = T.StructType(
+        [
+            T.StructField("__qid", queries.schema[query_id].dataType),
+            T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            T.StructField("__dt", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def query_tables(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _normalize_np(_stack_vecs(pdf[query_vec]))
+            dt = np.concatenate(
+                [qm[:, m * sub_dim : (m + 1) * sub_dim] @ books[m].T for m in range(n_sub)],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {"__qid": pdf[query_id], "__qv": list(qm), "__dt": list(dt)}
+            )
+
+    return queries.select(query_id, query_vec).mapInPandas(query_tables, dt_schema)
+
+
+def _pq_adc_score_expr(n_sub: int, n_codes: int):
+    """ADC score = Σ_m dt[m·n_codes + code_m] — n_sub literal element_at
+    lookups over the broadcast table, fully codegen'd."""
+    score = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.col("__dt"), F.lit(m * n_codes) + F.element_at(F.col("__code"), m + 1) + 1
+        )
+        score = term if score is None else score + term
+    return score
+
+
 def pq_topk(
     queries: DataFrame,
     items: DataFrame,
@@ -976,12 +1086,9 @@ def pq_topk(
 
     Returns (query_id, item_id, score, rank<=k).
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     spark = items.sparkSession
-    sub_dim = dim // n_sub
     empty_schema = T.StructType(
         [
             T.StructField(query_id, queries.schema[query_id].dataType),
@@ -990,71 +1097,22 @@ def pq_topk(
             T.StructField("rank", T.IntegerType()),
         ]
     )
-    train_pd = (
-        items.select(F.col(item_id).alias("__iid"), F.col(item_vec).alias("__v"))
-        .orderBy("__iid")
-        .limit(train_rows)
-        .toPandas()
+    books = pq_train_codebooks(
+        items, item_id, item_vec, dim, n_sub, n_codes, refine_iters, train_rows
     )
-    if len(train_pd) == 0:
+    if books is None:
         return spark.createDataFrame([], empty_schema)
-    tmat = _normalize_np(_stack_vecs(train_pd["__v"]))
-    books = _pq_codebooks_np(
-        [tmat[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)],
-        n_codes,
-        refine_iters,
-    )
 
     # encode: one matmul-style argmin per Arrow batch against the broadcast
     # codebook; output is the slim (id, array<int> codes) PQ index
-    code_schema = T.StructType(
-        [
-            T.StructField("__iid", items.schema[item_id].dataType),
-            T.StructField("__code", T.ArrayType(T.IntegerType())),
-        ]
-    )
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vm = _normalize_np(_stack_vecs(pdf[item_vec]))
-            codes = np.empty((len(vm), n_sub), dtype=np.int32)
-            for m, cw in enumerate(books):
-                sub = vm[:, m * sub_dim : (m + 1) * sub_dim]
-                d = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d.argmin(axis=1)
-            yield pd.DataFrame({"__iid": pdf[item_id], "__code": list(codes)})
-
-    encoded = items.select(item_id, item_vec).mapInPandas(encode, code_schema)
+    encoded = _pq_encode(items, item_id, item_vec, books, dim, n_sub)
 
     # Query tables are built DISTRIBUTED (mapInPandas against the broadcast
     # codebook) — no driver collect, so an unbounded query side works; the
     # broadcast hint on the join is still gated on the plan-size estimate
     # (oversized query frames leave the join strategy to AQE).
-    dt_schema = T.StructType(
-        [
-            T.StructField("__qid", queries.schema[query_id].dataType),
-            T.StructField("__qv", T.ArrayType(T.DoubleType())),
-            T.StructField("__dt", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
-    def query_tables(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qm = _normalize_np(_stack_vecs(pdf[query_vec]))
-            dt = np.concatenate(
-                [qm[:, m * sub_dim : (m + 1) * sub_dim] @ books[m].T for m in range(n_sub)],
-                axis=1,
-            )
-            yield pd.DataFrame(
-                {"__qid": pdf[query_id], "__qv": list(qm), "__dt": list(dt)}
-            )
-
     q_small = _fits_driver(queries.select(query_id, query_vec))
-    qtab = queries.select(query_id, query_vec).mapInPandas(query_tables, dt_schema)
+    qtab = _pq_query_tables(queries, query_id, query_vec, books, dim, n_sub)
     if rerank > 0:
         # consumed twice (ADC join + re-rank qv join): snapshot so the
         # normalization+codebook-matmul kernel runs once, not per consumer
@@ -1064,12 +1122,7 @@ def pq_topk(
 
     # ADC: approximate score = Σ_m dt[m·n_codes + code_m] — n_sub literal
     # element_at lookups, fully codegen'd; no vectors on the scan side
-    score = None
-    for m in range(n_sub):
-        term = F.element_at(
-            F.col("__dt"), F.lit(m * n_codes) + F.element_at(F.col("__code"), m + 1) + 1
-        )
-        score = term if score is None else score + term
+    score = _pq_adc_score_expr(n_sub, n_codes)
     cand = encoded.crossJoin(F.broadcast(qdt) if q_small else qdt)
     if exclude_self:
         cand = cand.where(F.col("__qid") != F.col("__iid"))

@@ -1466,3 +1466,125 @@ def lsh_search_from_index(
     return topk_per_key(
         scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
     )
+
+
+def pq_index_stream(
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    books,
+    n_sub: int = 8,
+):
+    """ST9 × vector retrieval, PQ tier: streaming maintenance of the
+    product-quantization code index — the third leg of the incremental
+    serving-index family (LSH: pure hash, IVF: frozen centroids, PQ:
+    frozen codebooks; reference analog src/serving/retrieval.py:88-139,
+    199-226). ``books`` is the trained codebook list from
+    ``operators/knn.pq_train_codebooks`` — persisted once under
+    ``codebooks/`` as (m, code, codeword) rows at sink creation; each
+    micro-batch encodes its vectors with the EXACT batch Arrow kernel
+    (``knn._pq_encode``) into ``codes/epoch=N`` — 8 int codes replace the
+    full vector, the 64x compression that keeps a 100 TB catalog's hot
+    index small.
+
+    Idempotency is the strong kind: a vector's codes are a pure function
+    of (vector, frozen codebooks), so the per-id dedup-fold absorbs
+    redelivery under new epoch ids (epoch-id replays additionally
+    overwrite their own partition). Same frozen-model trades as IVF:
+    vectors immutable per id; codebook refresh (distribution drift) is a
+    rebuild."""
+    import numpy as np
+
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import _pq_encode
+
+    def _persist_books(spark: SparkSession) -> None:
+        rows = [
+            (m, c, [float(x) for x in cw[c]])
+            for m, cw in enumerate(books)
+            for c in range(len(cw))
+        ]
+        spark.createDataFrame(
+            rows, "m int, code int, codeword array<double>"
+        ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+
+    persisted = {"done": False}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not persisted["done"]:
+            _persist_books(batch_df.sparkSession)
+            persisted["done"] = True
+        src = batch_df.where(
+            qcol(vec_col).isNotNull() & qcol(id_col).isNotNull()
+        ).select(qcol(id_col).alias("__id"), qcol(vec_col).alias("__vec"))
+        encoded = _pq_encode(src, "__id", "__vec", books, dim, n_sub)
+        encoded.write.mode("overwrite").parquet(f"{index_dir}/codes/epoch={epoch_id}")
+
+    return _process
+
+
+def load_pq_codebooks(spark: SparkSession, index_dir: str):
+    """Reload the persisted codebooks as the numpy list the knn kernels
+    take — round-trips ``pq_index_stream``'s layout exactly."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{index_dir}/codebooks")
+        .orderBy("m", "code")
+        .collect()
+    )
+    n_sub = max(r["m"] for r in rows) + 1
+    books = []
+    for m in range(n_sub):
+        cws = [np.asarray(r["codeword"], dtype=np.float64) for r in rows if r["m"] == m]
+        books.append(np.stack(cws))
+    return books
+
+
+def pq_search_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    dim: int,
+    item_id: str = "vec_id",
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe the streaming-built PQ index with ``pq_topk``'s exact ADC
+    tail (rerank=0 semantics — the raw ADC ranking; exact re-ranking
+    needs the original vectors, which the code index deliberately does
+    not store): per-query lookup tables built distributed against the
+    reloaded codebooks, n_sub codegen'd element_at lookups per item, no
+    vectors on the scan side. Same n_sub/n_codes as the sink or you are
+    probing a different index."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        _pq_adc_score_expr,
+        _pq_query_tables,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    books = load_pq_codebooks(spark, index_dir)
+    encoded = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .drop("epoch")
+        .dropDuplicates(["__iid"])
+    )
+    qtab = _pq_query_tables(queries, query_id, query_vec, books, dim, n_sub)
+    qdt = qtab.select("__qid", "__dt")
+    score = _pq_adc_score_expr(n_sub, n_codes)
+    cand = encoded.crossJoin(F.broadcast(qdt))
+    if exclude_self:
+        cand = cand.where(F.col("__qid") != F.col("__iid"))
+    scored = cand.select(
+        F.col("__qid").alias(query_id),
+        F.col("__iid").alias(item_id),
+        F.round(score, 6).alias("score"),
+    )
+    return topk_per_key(
+        scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+    )

@@ -1795,3 +1795,59 @@ def test_lsh_index_stream_matches_batch(spark):
     assert search() == batch
     sink(slices[1], 1)         # epoch replay: overwrite, unchanged
     assert search() == batch
+
+
+def test_pq_index_stream_matches_batch(spark):
+    """Streaming PQ maintenance: frozen codebooks (pq_train_codebooks —
+    the exact construction pq_topk trains internally) + micro-batch code
+    encoding, folded and ADC-probed, must equal the one-shot batch
+    pq_topk(rerank=0) row-for-row — including a codebook reload
+    round-trip through the persisted parquet layout — plus redelivery /
+    epoch-replay invariance."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        pq_index_stream,
+        pq_search_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    books = pq_train_codebooks(emb, "vec_id", "embedding", dim, n_sub=4, n_codes=8)
+    index_dir = os.path.join(TMP, "pq_index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sink = pq_index_stream(index_dir, "vec_id", "embedding", dim, books, n_sub=4)
+    slices = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i, sl in enumerate(slices):
+        sink(sl, i)
+
+    queries = emb.where(F.col("vec_id") < 15)
+
+    def search():
+        return sorted(
+            map(tuple, pq_search_from_index(
+                spark, index_dir, queries, "vec_id", "embedding", dim,
+                item_id="nn", k=4, n_sub=4, n_codes=8,
+            ).collect())
+        )
+
+    batch = sorted(
+        map(tuple, pq_topk(
+            queries.withColumnRenamed("vec_id", "qid"), emb, "qid", "vec_id",
+            dim, k=4, n_sub=4, n_codes=8, rerank=0,
+        ).select(
+            F.col("qid").alias("vec_id"),
+            F.col("vec_id").alias("nn"), "score", "rank",
+        ).collect())
+    )
+    got = search()
+    assert got == batch and len(batch) == 15 * 4
+
+    sink(slices[2], 990)   # redelivery under a new epoch: no-op
+    assert search() == batch
+    sink(slices[0], 0)     # epoch replay: overwrite, unchanged
+    assert search() == batch
