@@ -1851,3 +1851,82 @@ def test_pq_index_stream_matches_batch(spark):
     assert search() == batch
     sink(slices[0], 0)     # epoch replay: overwrite, unchanged
     assert search() == batch
+
+
+def test_bm25_index_stream_via_writestream(spark):
+    """Drive the BM25 sink through a REAL Structured Streaming query
+    (file source, maxFilesPerTrigger=1, availableNow, foreachBatch) —
+    epoch ids and batch slicing come from the engine, not the test — and
+    the folded index must still score bit-identically to the batch
+    conditional-agg path."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import _bm25_scored
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_score_from_index,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    stage = os.path.join(TMP, "bm25_ws_stage")
+    index_dir = os.path.join(TMP, "bm25_ws_index")
+    for p in (stage, index_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    sink = bm25_index_stream(index_dir, "doc_id", "text")
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    terms = ["window", "join", "hash"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_from_index(spark, index_dir, terms).collect()
+    }
+    batch = {r["doc_id"]: r["score"] for r in _bm25_scored(spark, sf_dir).collect()}
+    assert got == batch and len(batch) > 50
+
+
+def test_compact_epoch_state_decayed_and_meta_layouts(spark):
+    """Compaction round-trips the remaining epoch layouts: the decayed
+    numeraire sums (scalar-rescale reads unchanged) and the Markov meta
+    counters (totals unchanged)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        compact_epoch_state,
+        decayed_count_stream,
+        read_decayed_counts,
+        read_transition_meta,
+        transition_state_stream,
+    )
+
+    ddir = os.path.join(TMP, "decayed_compact")
+    shutil.rmtree(ddir, ignore_errors=True)
+    dsink = decayed_count_stream(ddir, "k", "ts", half_life="1 days", anchor="2024-01-01 00:00:00")
+    sch = "k long, ts timestamp"
+    dsink(spark.sql("SELECT 1L AS k, TIMESTAMP '2024-01-02 00:00:00' AS ts"), 0)
+    dsink(spark.sql("SELECT 1L AS k, TIMESTAMP '2024-01-03 00:00:00' AS ts"), 1)
+    at = "2024-01-04 00:00:00"
+    before = {r["key"]: r["decayed_count"] for r in read_decayed_counts(spark, ddir, at, half_life="1 days").collect()}
+    folded = spark.read.parquet(ddir).drop("epoch").groupBy("key").agg(F.sum("w_sum").alias("w_sum"))
+    compact_epoch_state(folded, ddir)
+    after = {r["key"]: r["decayed_count"] for r in read_decayed_counts(spark, ddir, at, half_life="1 days").collect()}
+    assert after == before and abs(before[1] - (0.25 + 0.5)) < 1e-12
+
+    tdir = os.path.join(TMP, "meta_compact")
+    shutil.rmtree(tdir, ignore_errors=True)
+    tsink = transition_state_stream(tdir, "u", ["ts"], "item")
+    tsink(spark.createDataFrame([(1, 10, 100), (1, None, 9)], "u long, ts long, item long"), 0)
+    tsink(spark.createDataFrame([(1, 5, 8), (1, 20, 101)], "u long, ts long, item long"), 1)
+    m_before = tuple(read_transition_meta(spark, tdir).collect()[0])
+    meta_fold = spark.read.parquet(f"{tdir}/meta").drop("epoch").agg(
+        F.sum("late_dropped").alias("late_dropped"),
+        F.sum("null_dropped").alias("null_dropped"),
+    )
+    compact_epoch_state(meta_fold, f"{tdir}/meta")
+    assert tuple(read_transition_meta(spark, tdir).collect()[0]) == m_before == (1, 1)
