@@ -7110,76 +7110,71 @@ def item_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
 # and fails once a newer round's artifact lands without a bump+rotation.
-_DRIVER_WINDOW_ROUND = 10
+_DRIVER_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
-    # r10 ROTATION (the r9 VERDICT's #1 directive, third time asked).
-    # Evidence ledger after r9: 50 entries newest-green @ r9, 50 @ r7,
-    # 43 @ r6, and 2 never driver-checked (the DSIR pair added in r8,
-    # fixed in r9, but left outside the unrotated r9 window).  This
-    # window = the 2 never-checked DSIR entries + ALL 43 r6-stale
-    # entries + 5 family-diverse oldest-r7 fillers (feature-store
-    # point-in-time, CDC merge, graph PageRank, streaming sliding
-    # window, global top-N).  After this round no entry's newest
-    # driver evidence is older than r7.  The remaining 45 r7 entries
-    # are the front of the r11 queue; tests/test_driver_window.py now
-    # derives this invariant from CORRECTNESS_r*.json and fails any
-    # future non-rotation.
-    # Never driver-checked (the r9 headline DSIR fix rides on these):
-    "dsir_target_selection",
-    "dsir_resampled_docs",
-    # r6-stale (all 43):
-    "als_item_embeddings",
-    "bpe_merge_table",
-    "bpe_tokenized_docs",
-    "brand_supplier_diversity",
-    "charlm_doc_scores",
-    "customer_order_histogram",
-    "customers_with_orders",
-    "dedup_clusters",
-    "doc_signatures",
-    "doc_token_chunks",
-    "embedding_near_dup",
-    "eval_contamination_pairs",
-    "excess_shipment_suppliers",
-    "jaccard_similar_pairs",
-    "key_part_value_share",
-    "lang_id_confusion",
-    "large_order_customers",
-    "leakage_safe_folds",
-    "lsh_ann_topk",
-    "multimodal_metadata",
-    "negative_samples",
-    "ngram_repetition_signals",
-    "overlapping_customer_orders",
-    "part_type_multihot",
-    "pii_scrubbed_docs",
-    "popularity_ranking_metrics",
-    "price_deciles",
-    "priority_mix",
-    "rec_diversity",
-    "rolling_user_velocity",
-    "segment_code_map",
-    "segment_recommendations",
-    "simhash_dedup_candidates",
-    "span_dedup_docs",
-    "span_dedup_incremental",
-    "span_semantic_pack_pipeline",
-    "stratified_event_sample",
-    "tfidf_top_terms",
-    "timeseries_feature_pipeline",
-    "trained_linear_ranker_topk",
-    "user_first_last_events",
-    "verbatim_span_pairs",
-    "weighted_doc_sample",
-    # NEW this round (never driver-checked): TPC-H Q17/Q21 decorrelations
-    # + the aggregate-IVM rollup refresh
-    "small_qty_avg_revenue",
-    "waiting_multi_supplier_orders",
-    "rollup_ivm_priority_revenue",
-    # r7 fillers (2, family-diverse):
-    "point_in_time_features",
-    "changelog_merge_snapshot",
+    # r11 ROTATION.  Evidence ledger after r10: 50 entries newest-green
+    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = ALL 48
+    # r7-stale entries + 2 r9 fillers chosen for adjacency to this
+    # round's work (bm25_doc_search — the one-plan index scorer shares
+    # its scoring expressions; waiting_suppliers — sibling of the Q21
+    # broadcast-gate fix).  New catalog entries added during r11
+    # (streaming-state fold twins) displace the fillers, then the
+    # least-recently-benched r7 entries, per the cutoff rule in
+    # tests/test_driver_window.py.  After this round no entry's newest
+    # driver evidence is older than r9.
+    # r7-stale (all 48):
+    "asof_purchase_click",
+    "bloom_pruned_join",
+    "bpe_packed_corpus",
+    "brand_top_parts",
+    "cms_heavy_hitters",
+    "copurchase_clustering_coeff",
+    "coverage_novelty",
+    "customers_without_orders",
+    "daily_cohort_retention",
+    "dedup_cluster_keepers",
+    "domain_mixture_sample",
+    "embedding_near_dup_lsh",
+    "embedding_norms",
+    "event_key_skew",
+    "event_key_skew_cms",
+    "event_type_pair_cardinality_hll",
+    "event_type_pivot",
+    "global_top_parts",
+    "gopher_quality_flags",
+    "incremental_dedup_candidates",
+    "interpolated_event_values",
+    "item_pagerank_topk",
+    "item_transition_matrix",
+    "knn_cosine_topk",
+    "leave_one_out_events",
+    "linear_rerank_topk",
+    "nation_top_balance_customers",
+    "order_price_quantiles_by_priority",
+    "pagerank_quality_prior",
+    "perplexity_buckets",
+    "ppr_trending_items",
+    "price_quantile_sketch",
+    "pricing_summary",
+    "ranking_metrics_multi_k",
+    "region_revenue",
+    "rrf_hybrid_recommendations",
+    "session_window_stats",
+    "sliding_window_counts",
+    "text_quality",
+    "time_split_orders",
+    "token_budget_packing",
+    "tree_rerank_topk",
+    "two_stage_recommendations",
+    "user_activity_windows",
+    "user_event_arrays",
+    "user_value_scd2",
+    "value_percentiles",
+    "view_click_purchase_funnel",
+    # r9 fillers (2):
+    "bm25_doc_search",
+    "waiting_suppliers",
 ]
 
 def _reorder_registry() -> None:
