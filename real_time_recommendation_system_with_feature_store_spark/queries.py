@@ -3279,16 +3279,19 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, "vec_id", n_cells=16, threshold=0.3, refine_iters=1)
 
 
-@query(
-    "ivf_ann_topk",
-    # The whole IVF build is deterministic (lowest-id seeds, one Lloyd step,
-    # lowest-cell tiebreaks), so the oracle replays it: seed -> assign ->
-    # per-dimension mean -> renormalize -> reassign -> nprobe -> rescore.
-    # Float caveat: the kernel's numpy pairwise sums and SQL's sequential
-    # list_sum/AVG can differ at the last ulp, which would only diverge if an
-    # item sat within ~1e-12 of a cell boundary — not observed at any SF;
-    # scores go through the round6 contract as everywhere else.
-    oracle=f"""
+def _ivf_oracle(q_max: int, n_probe: int, k: int) -> str:
+    """The deterministic IVF replay oracle — seed (lowest-id) -> assign ->
+    per-dimension mean -> renormalize -> reassign -> nprobe -> rescore —
+    parameterized over the query set / probe width / k so the batch entry
+    (``ivf_ann_topk``) and the streaming-index fold twin
+    (``ivf_index_fold``) share one source of truth (n_cells fixed at 16,
+    dim at 64).
+
+    Float caveat: the kernel's numpy pairwise sums and SQL's sequential
+    list_sum/AVG can differ at the last ulp, which would only diverge if an
+    item sat within ~1e-12 of a cell boundary — not observed at any SF;
+    scores go through the round6 contract as everywhere else."""
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
     c0 AS (
@@ -3325,8 +3328,8 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS qid, cell FROM (
         SELECT n.vec_id, c.cell,
           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
-        FROM norm n CROSS JOIN cents c WHERE n.vec_id < 10
-      ) WHERE rn <= 4
+        FROM norm n CROSS JOIN cents c WHERE n.vec_id < {q_max}
+      ) WHERE rn <= {n_probe}
     ),
     s AS (
       SELECT p.qid, a2.vec_id AS iid, ROUND(list_cosine_similarity(qe.v, ie.v), 6) AS score
@@ -3338,8 +3341,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS INTEGER) AS rank
       FROM s
     )
-    SELECT query_id, item_id, score, rank FROM r WHERE rank <= 5
-    """,
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=_ivf_oracle(q_max=10, n_probe=4, k=5),
     doc="IVF-style ANN: deterministic-seed k-means cells + nprobe probing "
         "(the reference's faiss IVF index as DataFrame joins; full DuckDB "
         "differential check incl. the Lloyd step).",
@@ -7106,6 +7114,252 @@ def item_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= 25)
 
 
+# ================================================= streaming-state fold twins
+# The 14 streaming state sinks (streaming/pipeline.py) keep epoch-
+# partitioned sufficient statistics whose READ side is pure DataFrame
+# code.  These entries drive the real sink + fold functions inside a
+# batch query — time/key-sliced micro-batches written through the sink's
+# own foreachBatch processor, then folded with the real ``read_*`` — and
+# oracle against the equivalent one-shot batch aggregate, giving the
+# sink tier driver-oracle evidence (r10 VERDICT "Next round" #2).  The
+# fold result is slice-independent by each sink's merge contract, so the
+# oracle never needs to model the slicing.
+
+
+def _fold_state_dir(name: str, sf_dir: str) -> str:
+    """Fresh per-(entry, SF) local state directory for the fold twins —
+    wiped per call so a previous run's epochs (possibly from different
+    slicing) can never leak into the fold."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "rtrs_fold_state",
+        name,
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query(
+    "decayed_counts_fold",
+    oracle="""
+    WITH w AS (
+      SELECT user_id AS key,
+        POW(2.0, (epoch(date_trunc('day', ts))
+                  - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 86400.0) AS w
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT key, ROUND(SUM(w) * POW(2.0, -30.0), 6) AS decayed_count
+    FROM w GROUP BY key
+    """,
+    doc="Streaming decayed-count sink driven in-query: events sliced into "
+        "3 micro-batches by user_id mod 3 through decayed_count_stream's "
+        "exponential-numeraire fold, read back with read_decayed_counts at "
+        "2024-01-31 — the oracle is the direct one-shot decayed sum, so "
+        "the driver hash certifies fold == from-scratch. Timestamps are "
+        "day-truncated BEFORE the sink, making every numeraire weight an "
+        "exact power of two (exponents 0..29) and every per-key sum an "
+        "exact integer < 2^53: the parity is bit-exact regardless of "
+        "partial-sum order on either engine — no float-ordering tolerance "
+        "needed. Scale: per-epoch state is one row per active key; the "
+        "fold reads O(keys), never the raw stream "
+        "(streaming/pipeline.py:1228).",
+)
+def decayed_counts_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        decayed_count_stream,
+        read_decayed_counts,
+    )
+
+    state_dir = _fold_state_dir("decayed_counts_fold", sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    )
+    sink = decayed_count_stream(
+        state_dir, "user_id", "day_ts",
+        half_life="1 days", anchor="2024-01-01 00:00:00",
+    )
+    for i in range(3):
+        sink(ev.where(F.col("user_id") % 3 == i), i)
+    out = read_decayed_counts(
+        spark, state_dir, at_ts="2024-01-31 00:00:00",
+        half_life="1 days", anchor="2024-01-01 00:00:00",
+    )
+    return out.select("key", F.round(F.col("decayed_count"), 6).alias("decayed_count"))
+
+
+@query(
+    "bm25_index_fold",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm25_scored
+    ) WHERE rank <= 25
+    """,
+    doc="Streaming BM25 inverted-index sink driven in-query: documents "
+        "sliced into 3 micro-batches by doc_id mod 3 through "
+        "bm25_index_stream (per-epoch postings/doclen), scored for "
+        "{window, join, hash} from the max-folded index "
+        "(bm25_score_from_index), top-25. The oracle is the one-shot "
+        "batch conditional-agg scorer (the bm25_doc_search CTEs): tf/df/"
+        "dl/N are integers and the score sums in the same fixed "
+        "expression order, so index-fold scores are bit-identical to the "
+        "batch scan. Scale: the query reads term-pruned postings lists "
+        "from the fold, never the corpus (streaming/pipeline.py:899).",
+)
+def bm25_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_score_from_index,
+    )
+
+    index_dir = _fold_state_dir("bm25_index_fold", sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sink = bm25_index_stream(index_dir, "doc_id", "text")
+    for i in range(3):
+        sink(docs.where(F.col("doc_id") % 3 == i), i)
+    scored = bm25_score_from_index(spark, index_dir, ["window", "join", "hash"])
+    return global_topn_ranked(scored, [F.col("score").desc(), F.col("doc_id")], 25)
+
+
+@query(
+    "ivm_delta_fold",
+    oracle="""
+    WITH contrib AS (
+      SELECT o_orderpriority, o_orderstatus, 1 AS sgn, o_totalprice AS m
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+      UNION ALL
+      SELECT o_orderpriority, o_orderstatus, 1, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      UNION ALL
+      SELECT o_orderpriority, o_orderstatus, -1, o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderpriority, o_orderstatus, 1, o_totalprice * 0.9
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 11 = 0
+    )
+    SELECT o_orderpriority, o_orderstatus,
+      CAST(SUM(sgn) AS BIGINT) AS n,
+      -- round to 3 (not the money-contract 2): the 0.9-corrected prices
+      -- are exact 3-dp values, so group totals land EXACTLY on half-cent
+      -- boundaries (…x.745) where Spark's shortest-repr HALF_UP and
+      -- DuckDB's binary-double rounding disagree; 3 dp is boundary-free
+      -- because the true totals are exact multiples of 0.001
+      ROUND(CAST(SUM(CASE WHEN sgn = 1 THEN CAST(m AS DECIMAL(28,10))
+                          ELSE CAST(-m AS DECIMAL(28,10)) END) AS DOUBLE), 3)
+        AS total_revenue
+    FROM contrib
+    GROUP BY 1, 2
+    HAVING SUM(sgn) > 0
+    """,
+    doc="Streaming IVM delta sink driven in-query: a (priority, status) "
+        "revenue rollup over the pre-2000 orders is refreshed from a "
+        "changelog (late-window inserts + 10%-discount corrections as D/I "
+        "pairs) routed through agg_delta_stream in 3 epochs sliced by "
+        "o_orderkey mod 3 — D and I halves of one correction land in the "
+        "SAME epoch but different groups fold across epochs; + and - "
+        "commute, so read_agg_delta_state's sum-fold converges "
+        "regardless. apply_agg_delta merges the folded delta onto the "
+        "view; the oracle IS the full recompute, so the driver hash "
+        "certifies epoch-folded incremental == from-scratch. Retractions "
+        "cancel in exact DECIMAL (rollup_ivm_priority_revenue's "
+        "contract). Scale: each epoch's state is bounded by the groups "
+        "it touched; the refresh is O(|delta|) "
+        "(streaming/pipeline.py:1333, operators/ivm.py).",
+)
+def ivm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_agg_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        read_agg_delta_state,
+    )
+
+    state_dir = _fold_state_dir("ivm_delta_fold", sf_dir)
+    keys = ["o_orderpriority", "o_orderstatus"]
+    split = F.lit("2000-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderdate") < split)
+    view = base.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("total"),
+    )
+    corrections = base.where(F.col("o_orderkey") % 11 == 0)
+    changelog = (
+        o.where(F.col("o_orderdate") >= split)
+        .select(F.lit("I").alias("op"), *keys, "o_totalprice", "o_orderkey")
+        .unionByName(
+            corrections.select(
+                F.lit("D").alias("op"), *keys, "o_totalprice", "o_orderkey"
+            )
+        )
+        .unionByName(
+            corrections.select(
+                F.lit("I").alias("op"),
+                *keys,
+                (F.col("o_totalprice") * F.lit(0.9)).alias("o_totalprice"),
+                "o_orderkey",
+            )
+        )
+    )
+    sink = agg_delta_stream(state_dir, keys, "o_totalprice")
+    for i in range(3):
+        sink(changelog.where(F.col("o_orderkey") % 3 == i), i)
+    delta = read_agg_delta_state(spark, state_dir, keys)
+    out = apply_agg_delta(view, delta, keys, null_safe_keys=False)
+    return out.select(
+        *keys,
+        "n",
+        F.round(F.col("total").cast("double"), 3).alias("total_revenue"),
+    )
+
+
+@query(
+    "ivf_index_fold",
+    oracle=_ivf_oracle(q_max=8, n_probe=3, k=6),
+    doc="Streaming IVF-ANN index sink driven in-query: the frozen coarse "
+        "quantizer is trained once (ivf_build_centroids, the exact "
+        "ivf_topk construction — lowest-id seeds, one Lloyd step), "
+        "embeddings stream in as 3 micro-batches sliced by vec_id mod 3 "
+        "(ivf_index_stream cell-assigns each batch against the frozen "
+        "model), and queries vec_id < 8 probe the folded index "
+        "(ivf_search_from_index, n_probe=3, k=6) reading ONLY the probed "
+        "__cell= partitions. The oracle replays the deterministic build + "
+        "probe (the ivf_ann_topk oracle, reparameterized), so the driver "
+        "hash certifies fold-probe == one-shot batch IVF. Scale: a query "
+        "touches n_probe/n_cells of stored vectors, never the corpus "
+        "(streaming/pipeline.py:1056).",
+)
+def ivf_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_build_centroids
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        ivf_search_from_index,
+    )
+
+    index_dir = _fold_state_dir("ivf_index_fold", sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(e, "vec_id", "embedding", n_cells=16, refine_iters=1)
+    sink = ivf_index_stream(index_dir, "vec_id", "embedding", cents)
+    for i in range(3):
+        sink(e.where(F.col("vec_id") % 3 == i), i)
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_search_from_index(
+        spark, index_dir, q, "query_id", query_vec="embedding",
+        item_id="item_id", k=6, n_probe=3,
+    )
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -7114,15 +7368,20 @@ _DRIVER_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
     # r11 ROTATION.  Evidence ledger after r10: 50 entries newest-green
-    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = ALL 48
-    # r7-stale entries + 2 r9 fillers chosen for adjacency to this
-    # round's work (bm25_doc_search — the one-plan index scorer shares
-    # its scoring expressions; waiting_suppliers — sibling of the Q21
-    # broadcast-gate fix).  New catalog entries added during r11
-    # (streaming-state fold twins) displace the fillers, then the
-    # least-recently-benched r7 entries, per the cutoff rule in
-    # tests/test_driver_window.py.  After this round no entry's newest
-    # driver evidence is older than r9.
+    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 4
+    # NEW never-checked streaming-state fold twins (the r10 verdict's #2
+    # directive: first driver-oracle evidence for the sink tier) + 46 of
+    # the 48 r7-stale entries.  With 152 catalog entries the guard's
+    # cutoff lands at r7, so the r9 fillers initially slotted here had
+    # to yield; user_event_arrays and value_percentiles are the two
+    # at-cutoff entries left waiting (front of the r12 queue).  After
+    # this round no entry's newest driver evidence is older than r7,
+    # and only those two are that old.
+    # New this round (never driver-checked):
+    "decayed_counts_fold",
+    "bm25_index_fold",
+    "ivm_delta_fold",
+    "ivf_index_fold",
     # r7-stale (all 48):
     "asof_purchase_click",
     "bloom_pruned_join",
@@ -7168,13 +7427,8 @@ _DRIVER_WINDOW = [
     "tree_rerank_topk",
     "two_stage_recommendations",
     "user_activity_windows",
-    "user_event_arrays",
     "user_value_scd2",
-    "value_percentiles",
     "view_click_purchase_funnel",
-    # r9 fillers (2):
-    "bm25_doc_search",
-    "waiting_suppliers",
 ]
 
 def _reorder_registry() -> None:
