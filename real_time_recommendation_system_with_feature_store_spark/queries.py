@@ -2769,14 +2769,19 @@ _BM25_SCORED_CTES = """
     )"""
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 (Lucene idf, k1=1.2, b=0.75) for the fixed query
-    {window, join, hash}: (doc_id, score). One conditional-agg pass for
-    lengths + per-term tfs, one O(1) stats reduce broadcast back, score
-    summed in FIXED expression order (see bm25_doc_search doc)."""
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = ("window", "join", "hash")
+) -> DataFrame:
+    """Okapi BM25 (Lucene idf, k1=1.2, b=0.75): (doc_id, score) for
+    ``terms`` (default: the catalog's fixed query {window, join, hash}).
+    One conditional-agg pass for lengths + per-term tfs, one O(1) stats
+    reduce broadcast back, score summed in FIXED expression order (see
+    bm25_doc_search doc). The terms parameter exists for the streaming
+    index's long-query parity tests; the catalog entries pin the
+    default."""
     from real_time_recommendation_system_with_feature_store_spark.functions.text import tokens
 
-    terms = ["window", "join", "hash"]
+    terms = list(terms)
     k1, bb = 1.2, 0.75
     d = _t(spark, sf_dir, "documents")
     toks = d.select(

@@ -937,13 +937,23 @@ def bm25_index_stream(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         # null doc id would fold every anonymous doc into ONE phantom
         # document (postings/doclen key on it) — same contract as the
-        # Markov sink's non-null order key: reject up front
-        toks = batch_df.where(
-            qcol(text_col).isNotNull() & qcol(id_col).isNotNull()
-        ).select(
-            qcol(id_col).alias("doc_id"),
+        # Markov sink's non-null order key: reject up front.
+        # dropDuplicates: the strong-idempotency claim covers CROSS-epoch
+        # redelivery (max-fold absorbs it); a duplicate doc_id INSIDE one
+        # micro-batch would double tf/dl before the epoch write and the
+        # max-fold would then keep the inflated values forever — dedup up
+        # front (documents are immutable per id, so any same-id row
+        # carries the same text and the pick is immaterial), the same
+        # guard the Markov sink applies.
+        docs = (
+            batch_df.where(qcol(text_col).isNotNull() & qcol(id_col).isNotNull())
+            .select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__text"))
+            .dropDuplicates(["doc_id"])
+        )
+        toks = docs.select(
+            "doc_id",
             F.explode(
-                F.transform(tokens(qcol(text_col)), lambda t: F.lower(t))
+                F.transform(tokens(F.col("__text")), lambda t: F.lower(t))
             ).alias("term"),
         )
         postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
@@ -995,9 +1005,15 @@ def bm25_score_from_index(
 
     Scale: the postings read is term-pruned (predicate pushdown on the
     query's terms — the only rows that leave the index are the query's
-    postings lists), df/N/Σdl reduce to ONE broadcast row, and the per-doc
-    score is a broadcast hash join of ≤len(terms) slim posting lists onto
-    the doclen frame. Returns (doc_id, score) rounded half-up to 6.
+    postings lists), the matched postings pivot to per-doc tf columns in
+    ONE conditional aggregation + ONE left join onto doclen (the batch
+    scorer's shape — plan size is O(1) in query length, where a per-term
+    join loop would compile one join per term and blow up the analyzer
+    on long queries), and df/N/Σdl reduce to ONE broadcast row. The
+    per-doc frame is consumed twice (stats reduce + final projection),
+    so it snapshots via localCheckpoint — the pq_topk pattern — instead
+    of re-running the postings scan and join per consumer. Returns
+    (doc_id, score) rounded half-up to 6.
 
     ``terms`` must be non-empty and duplicate-free (a repeated term would
     double-count its contribution — the batch scorer's query is a set);
@@ -1012,19 +1028,29 @@ def bm25_score_from_index(
         )
     postings, doclen = read_bm25_index(spark, index_dir)
     qp = postings.where(F.col("term").isin(list(terms)))
-    per_doc = doclen
-    for i, t in enumerate(terms):
-        tfs = qp.where(F.col("term") == t).select(
-            "doc_id", F.col("tf").alias(f"tf{i}")
-        )
-        per_doc = per_doc.join(F.broadcast(tfs), "doc_id", "left")
-    per_doc = per_doc.select(
-        "doc_id",
-        "dl",
+    # pivot the ≤len(terms) matched posting lists to per-doc tf columns:
+    # integer conditional sums, so tf values are exactly the stored ones
+    tfs = qp.groupBy("doc_id").agg(
         *[
-            F.coalesce(F.col(f"tf{i}"), F.lit(0)).alias(f"tf{i}")
-            for i in range(len(terms))
-        ],
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
+                f"tf{i}"
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    per_doc = (
+        # tfs is bounded by the query terms' posting lists (slim), doclen
+        # by the corpus: broadcast the small side of the left join
+        doclen.join(F.broadcast(tfs), "doc_id", "left")
+        .select(
+            "doc_id",
+            "dl",
+            *[
+                F.coalesce(F.col(f"tf{i}"), F.lit(0)).alias(f"tf{i}")
+                for i in range(len(terms))
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
     st = per_doc.agg(
         F.count("*").alias("n"),
@@ -1188,16 +1214,25 @@ def compact_epoch_state(
     so the sinks' strictly-monotone epoch arithmetic (e.g. the Markov
     frontier's ``epoch < current``) keeps working for every FUTURE epoch.
 
-    Contract: run only while the stream is stopped and only when the
-    checkpoint's committed offset is past every folded epoch — compaction
-    finalizes history, so an epoch-id replay of a pre-compaction epoch is
-    no longer byte-exact (its partition is gone; for the sum-folds it
-    would double-count, for the max-folds it is absorbed). This is the
-    standard log-compaction trade; the per-epoch partitions exist
-    precisely so the operator chooses when to pay it.
+    Contract: run only while the stream is stopped, only when the
+    checkpoint's committed offset is past every folded epoch, AND with no
+    fold-readers in flight — between the epoch deletions and the final
+    rename a concurrent ``read_*`` sees partial state (an empty or
+    single-epoch directory), so reads must drain before compacting, the
+    same way they must for any non-atomic multi-directory rewrite.
+    Compaction finalizes history: an epoch-id replay of a pre-compaction
+    epoch is no longer byte-exact (its partition is gone; for the
+    sum-folds it would double-count, for the max-folds it is absorbed).
+    This is the standard log-compaction trade; the per-epoch partitions
+    exist precisely so the operator chooses when to pay it.
 
-    Local/HDFS-style filesystems only (directory rename); object-store
-    deployments should rewrite to a fresh prefix instead. Crash window:
+    Locally-mounted POSIX paths only: the listing/delete/rename run
+    through Python glob/shutil/os, which never touch an ``hdfs://`` or
+    ``s3://`` URI (against one the glob finds nothing and this raises
+    "no epoch partitions" — safe, but unsupported). Remote-filesystem
+    deployments should rewrite to a fresh prefix with the engine's own
+    writers (or route through the Hadoop FileSystem API) instead.
+    Crash window:
     the fold lands in ``.compact.tmp`` BEFORE any deletion, so a crash
     between the deletes and the final rename loses nothing — re-rename
     ``.compact.tmp`` to ``epoch=<max old id>`` to recover. Returns the
@@ -1251,9 +1286,11 @@ def decayed_count_stream(
     Numeric bound (documented, not hidden): the numeraire grows as
     ``2^((ts - anchor)/hl)`` — doubles overflow past ~1023 half-lives
     after the anchor (~19 years at a 7-day half-life, ~2.8 years at 1
-    day). Re-base during compaction: fold, multiply every ``w_sum`` by
-    ``2^(-(new_anchor - old_anchor)/hl)``, write back with the new
-    anchor (an exact scalar rescale — decayed scores are unchanged).
+    day). Re-base during compaction with ``rebase_decayed_counts``:
+    fold, multiply every ``w_sum`` by ``2^(-(new_anchor - old_anchor)/
+    hl)``, write back with the new anchor (a scalar rescale — decayed
+    scores are unchanged, exactly so when the anchor moves a whole
+    number of half-lives, to 1-2 ulp otherwise).
 
     Replay contract: sum-fold, the CMS tier — a replayed epoch id
     overwrites its own partition (at-least-once safe); redelivery under a
@@ -1319,15 +1356,60 @@ def read_decayed_counts(
         .groupBy("key")
         .agg(F.sum("w_sum").alias("w_sum"))
     )
+    scale = math.pow(
+        2.0, -(_epoch_seconds(at_ts) - _epoch_seconds(anchor)) / _interval_seconds(half_life)
+    )
+    return folded.select("key", (F.col("w_sum") * F.lit(scale)).alias("decayed_count"))
+
+
+def _epoch_seconds(s: str) -> float:
+    """'YYYY-MM-DD HH:MM:SS' -> UTC epoch seconds (the sink's anchor
+    contract: anchors/read times are UTC wall-clock strings)."""
     from datetime import datetime, timezone
 
-    def _epoch(s: str) -> float:
-        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S").replace(
-            tzinfo=timezone.utc
-        ).timestamp()
+    return (
+        datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    )
 
-    scale = math.pow(2.0, -(_epoch(at_ts) - _epoch(anchor)) / _interval_seconds(half_life))
-    return folded.select("key", (F.col("w_sum") * F.lit(scale)).alias("decayed_count"))
+
+def rebase_decayed_counts(
+    spark: SparkSession,
+    state_dir: str,
+    old_anchor: str,
+    new_anchor: str,
+    half_life: str = "7 days",
+) -> int:
+    """Move a decayed-count sink's numeraire anchor — the documented
+    escape hatch for the ~1023-half-life overflow bound: fold the
+    per-epoch sums, rescale every ``w_sum`` by the scalar
+    ``2^(-(new_anchor - old_anchor)/hl)``, and rewrite the state as one
+    compacted epoch via ``compact_epoch_state`` (whose stopped-stream /
+    no-readers / local-path contract applies verbatim). After this, the
+    sink and every ``read_decayed_counts`` MUST be constructed with
+    ``anchor=new_anchor`` — mixing anchors mis-scales silently, the same
+    contract as mixing half-lives.
+
+    Exactness: decayed scores are unchanged to the last 1-2 ulp (two pow
+    calls + a multiply replace one pow); moving the anchor a whole
+    number of half-lives makes the rescale a power of two and the
+    roundtrip bit-exact. Returns the epoch id the rebased state landed
+    under."""
+    import math
+
+    scale = math.pow(
+        2.0,
+        -(_epoch_seconds(new_anchor) - _epoch_seconds(old_anchor))
+        / _interval_seconds(half_life),
+    )
+    folded = (
+        spark.read.parquet(state_dir)
+        .drop("epoch")
+        .groupBy("key")
+        .agg((F.sum("w_sum") * F.lit(scale)).alias("w_sum"))
+    )
+    return compact_epoch_state(folded, state_dir)
 
 
 def agg_delta_stream(
@@ -1494,27 +1576,28 @@ def pq_index_stream(
     overwrite their own partition). Same frozen-model trades as IVF:
     vectors immutable per id; codebook refresh (distribution drift) is a
     rebuild."""
-    import numpy as np
-
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import _pq_encode
 
-    def _persist_books(spark: SparkSession) -> None:
-        rows = [
-            (m, c, [float(x) for x in cw[c]])
-            for m, cw in enumerate(books)
-            for c in range(len(cw))
-        ]
-        spark.createDataFrame(
-            rows, "m int, code int, codeword array<double>"
-        ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
-
-    persisted = {"done": False}
+    # persist the frozen model EAGERLY at sink construction (mirroring
+    # ivf_index_stream's centroids write): a search/load against an index
+    # whose stream hasn't processed a batch yet must find the codebooks,
+    # not die on a raw missing-path parquet error
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            "pq_index_stream: no active SparkSession to persist the codebooks"
+        )
+    rows = [
+        (m, c, [float(x) for x in cw[c]])
+        for m, cw in enumerate(books)
+        for c in range(len(cw))
+    ]
+    spark.createDataFrame(
+        rows, "m int, code int, codeword array<double>"
+    ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        if not persisted["done"]:
-            _persist_books(batch_df.sparkSession)
-            persisted["done"] = True
         src = batch_df.where(
             qcol(vec_col).isNotNull() & qcol(id_col).isNotNull()
         ).select(qcol(id_col).alias("__id"), qcol(vec_col).alias("__vec"))
