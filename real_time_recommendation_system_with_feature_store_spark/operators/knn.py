@@ -26,12 +26,13 @@ _DRIVER_COLLECT_LIMIT_BYTES = 256 << 20
 
 
 def _fits_driver(df: DataFrame, limit_bytes: int = _DRIVER_COLLECT_LIMIT_BYTES) -> bool:
-    """Catalyst's optimized-plan size estimate (no job; file-source stats).
-    Unknown/failed estimates count as too big — the fallback is always safe."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()) <= limit_bytes
-    except Exception:  # pragma: no cover - estimation is best-effort
-        return False
+    """Catalyst's optimized-plan size estimate (plans.inspect.
+    plan_size_bytes — no job; file-source stats). Unknown/failed estimates
+    count as too big — the fallback is always safe."""
+    from real_time_recommendation_system_with_feature_store_spark.plans.inspect import plan_size_bytes
+
+    est = plan_size_bytes(df)
+    return est is not None and est <= limit_bytes
 
 
 def brute_force_topk(

@@ -537,30 +537,42 @@ def waiting_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     # the orders leg (any superset prunes correctly; the slimmer lineage
     # keeps the replicated subtree to one fact scan + two broadcast dims,
     # and ReuseExchange dedupes the twin copies at runtime).
+    #
+    # Every forced broadcast here is STATS-GATED (plans.gated_broadcast):
+    # these are data-dependent-size frames — a hot nation at 100x the
+    # tested scale could outgrow executor memory, and the gate then lets
+    # the planner fall back to shuffled semi/anti joins instead of an
+    # OOM. okeys itself ends in join+distinct (its no-column-stats
+    # estimate is meaninglessly inflated), so its gate reads the sanely-
+    # estimated R-filtered key projection — a strict superset.
+    from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
+    rkeys_bound = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
     okeys = (
         li.where(F.col("l_returnflag") == "R")
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey")
         .distinct()
     )
+    okeys_b = gated_broadcast(okeys, gate_df=rkeys_bound)
     li2 = (
         li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
-        .join(F.broadcast(okeys), F.col("o2") == F.col("l_orderkey"), "leftsemi")
+        .join(okeys_b, F.col("o2") == F.col("l_orderkey"), "leftsemi")
     )
     li3 = (
         li.where(F.col("l_returnflag") == "R")
         .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
-        .join(F.broadcast(okeys), F.col("o3") == F.col("l_orderkey"), "leftsemi")
+        .join(okeys_b, F.col("o3") == F.col("l_orderkey"), "leftsemi")
     )
     survivors = (
         l1.join(
-            F.broadcast(li2),
+            gated_broadcast(li2),
             (F.col("l_orderkey") == F.col("o2"))
             & (F.col("l_suppkey") != F.col("s2")),
             "leftsemi",
         )
         .join(
-            F.broadcast(li3),
+            gated_broadcast(li3),
             (F.col("l_orderkey") == F.col("o3"))
             & (F.col("l_suppkey") != F.col("s3")),
             "leftanti",
