@@ -924,8 +924,9 @@ def bm25_index_stream(
     epoch additionally overwrites its own partitions, the sibling sinks'
     contract). Contract: documents are IMMUTABLE and ``id_col`` unique per
     document — an edited doc re-sent under the same id folds max-wise, not
-    last-write (document edits need a tombstone/compaction pass, same as
-    every append-only lexical index).
+    last-write. Edits/takedowns go through the tombstone path
+    (``bm25_tombstone_stream`` + ``bm25_purge_tombstones``), same as every
+    append-only lexical index.
 
     State size: ``postings/epoch=N`` is bounded by the epoch's distinct
     (term, doc) pairs, ``doclen/epoch=N`` by its documents — both
@@ -968,11 +969,52 @@ def bm25_index_stream(
     return _process
 
 
+def bm25_tombstone_stream(index_dir: str, id_col: str):
+    """Takedown/edit path for the append-only BM25 index (the lifecycle
+    piece the max-fold contract cannot express — an edited doc re-sent
+    under the same id folds max-wise, not last-write; reference analog:
+    the mocked item updates, src/streaming/kafka_consumer.py:333-350).
+    Each micro-batch writes its distinct non-null doc_ids under
+    ``deletes/epoch=N``; ``read_bm25_index`` anti-joins the tombstone
+    fold out of BOTH frames, so tombstoned docs stop scoring AND leave
+    the corpus statistics (N, Σdl, df) exactly as if never indexed.
+
+    Set semantics make the fold strongly idempotent: re-delivering a
+    tombstone under a new epoch id is a no-op, an epoch replay overwrites
+    its own partition. A tombstone hides EVERY past and FUTURE posting of
+    that doc_id — re-indexing an edited document therefore uses a NEW
+    doc_id, or runs ``bm25_purge_tombstones`` first (which physically
+    drops the dead postings and clears the tombstones, releasing the id
+    for reuse)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        ids = (
+            batch_df.where(qcol(id_col).isNotNull())
+            .select(qcol(id_col).alias("doc_id"))
+            .distinct()
+        )
+        ids.write.mode("overwrite").parquet(f"{index_dir}/deletes/epoch={epoch_id}")
+
+    return _process
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-portable existence check through the Hadoop FileSystem
+    API (works on local, hdfs://, s3a:// — unlike os.path)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def read_bm25_index(spark: SparkSession, index_dir: str) -> tuple[DataFrame, DataFrame]:
     """Fold an epoch-partitioned BM25 index into its two live frames:
     ``postings`` (term, doc_id, tf) and ``doclen`` (doc_id, dl). Max-folds
     — see ``bm25_index_stream`` for why max makes cross-epoch duplicates
-    free."""
+    free. Tombstoned doc_ids (``bm25_tombstone_stream``) anti-join out of
+    both frames; the tombstone set is usually tiny relative to the corpus,
+    so the anti-joins broadcast."""
     postings = (
         spark.read.parquet(f"{index_dir}/postings")
         .drop("epoch")
@@ -985,7 +1027,27 @@ def read_bm25_index(spark: SparkSession, index_dir: str) -> tuple[DataFrame, Dat
         .groupBy("doc_id")
         .agg(F.max("dl").alias("dl"))
     )
+    if _hadoop_path_exists(spark, f"{index_dir}/deletes"):
+        dead = (
+            spark.read.parquet(f"{index_dir}/deletes").drop("epoch").distinct()
+        )
+        postings = postings.join(F.broadcast(dead), "doc_id", "left_anti")
+        doclen = doclen.join(F.broadcast(dead), "doc_id", "left_anti")
     return postings, doclen
+
+
+def bm25_purge_tombstones(spark: SparkSession, index_dir: str) -> None:
+    """Make the tombstones physical: compact postings/doclen to their
+    live (tombstone-applied) folds, then drop the ``deletes/`` directory —
+    after this, a tombstoned doc_id is reusable (re-indexing it is a
+    fresh add). ``compact_epoch_state``'s contract applies verbatim:
+    stream stopped, no readers in flight, locally-mounted paths."""
+    import shutil as _shutil
+
+    postings, doclen = read_bm25_index(spark, index_dir)  # deletes applied
+    compact_epoch_state(postings, f"{index_dir}/postings")
+    compact_epoch_state(doclen, f"{index_dir}/doclen")
+    _shutil.rmtree(f"{index_dir}/deletes")
 
 
 def bm25_score_from_index(
@@ -1417,14 +1479,22 @@ def agg_delta_stream(
     keys: list[str],
     measure_col: str,
     op_col: str = "op",
+    extra_measure_cols: list[str] | None = None,
 ):
     """ST9 × IVM: streaming maintenance of an aggregated rollup from a CDC
     changelog stream (``operators/ivm.py``) — each micro-batch collapses
-    its D/I rows into per-group (Δcount, Δsum) under ``epoch=N``; the live
+    its D/I rows into per-group (Δcount, Δsum…) under ``epoch=N``; the live
     rollup is ``read_agg_delta_state``'s sum-fold applied onto the base
     view with ``apply_agg_delta`` (or standalone, starting from an empty
     base). Equals the from-scratch recompute row-for-row (parity-tested),
     and the raw changelog is never rescanned.
+
+    ``extra_measure_cols`` maintains additional sums in the SAME delta
+    pass (one shuffle for all measures — the batch ``agg_delta``'s
+    ``extra_measures`` threaded through): each named column lands as its
+    own Δsum under its own name; pass the same list to
+    ``read_agg_delta_state`` and the view-side names to
+    ``apply_agg_delta(extra_sum_cols=...)``.
 
     Replay contract: sum-fold, the CMS tier — a replayed epoch id
     overwrites its own partition; + and − commute, so the D and I halves
@@ -1434,25 +1504,39 @@ def agg_delta_stream(
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
     from real_time_recommendation_system_with_feature_store_spark.operators.ivm import agg_delta
 
+    extras = {c: qcol(c) for c in (extra_measure_cols or [])}
+
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        delta = agg_delta(batch_df, keys, qcol(measure_col), op_col=op_col)
+        delta = agg_delta(
+            batch_df, keys, qcol(measure_col), op_col=op_col, extra_measures=extras
+        )
         delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
 
     return _process
 
 
-def read_agg_delta_state(spark: SparkSession, state_dir: str, keys: list[str]) -> DataFrame:
+def read_agg_delta_state(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    extra_measure_cols: list[str] | None = None,
+) -> DataFrame:
     """Fold an epoch-partitioned delta directory into ONE per-group
-    (n, total) contribution frame — feed it to
+    (n, total, extras…) contribution frame — feed it to
     ``operators/ivm.apply_agg_delta`` against the materialized base view
-    (drop groups with n <= 0 yourself if using it standalone)."""
+    (drop groups with n <= 0 yourself if using it standalone). Pass the
+    same ``extra_measure_cols`` the sink was built with."""
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
 
     return (
         spark.read.parquet(state_dir)
         .drop("epoch")
         .groupBy(*[qcol(k) for k in keys])
-        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").alias("total"),
+            *[F.sum(qcol(c)).alias(c) for c in (extra_measure_cols or [])],
+        )
     )
 
 

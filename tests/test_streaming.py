@@ -1431,6 +1431,73 @@ def test_bm25_index_stream_intra_batch_duplicates(spark):
     assert dirty == clean
 
 
+def test_bm25_tombstones_edit_lifecycle(spark):
+    """Document takedown/edit on the append-only BM25 index (r10 VERDICT
+    #5): a tombstoned doc's postings stop scoring AND leave the corpus
+    stats — scores equal an index that never saw the doc, bit-for-bit.
+    Tombstones are replay-idempotent, they shadow a max-fold re-add of
+    the same id, and bm25_purge_tombstones makes the delete physical and
+    releases the id for a genuine edit."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_purge_tombstones,
+        bm25_score_from_index,
+        bm25_tombstone_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    victim = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    terms = ["window", "join", "hash"]
+
+    full_dir = os.path.join(TMP, "bm25_tomb_full")
+    ref_dir = os.path.join(TMP, "bm25_tomb_ref")
+    for d in (full_dir, ref_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    bm25_index_stream(full_dir, "doc_id", "text")(docs, 0)
+    bm25_index_stream(ref_dir, "doc_id", "text")(
+        docs.where(F.col("doc_id") != victim), 0
+    )
+
+    def scores(d):
+        return {
+            r["doc_id"]: r["score"]
+            for r in bm25_score_from_index(spark, d, terms).collect()
+        }
+
+    # tombstone the victim: scores == the never-indexed reference
+    # (N/Σdl/df shift too — the doc leaves the corpus, not just the hits)
+    tomb = bm25_tombstone_stream(full_dir, "doc_id")
+    tomb(docs.where(F.col("doc_id") == victim), 1)
+    ref = scores(ref_dir)
+    assert victim not in ref and len(ref) > 50
+    assert scores(full_dir) == ref
+
+    # replay-idempotent: same tombstone under a NEW epoch id — no change
+    tomb(docs.where(F.col("doc_id") == victim), 990)
+    assert scores(full_dir) == ref
+
+    # a max-fold re-add of the tombstoned id stays shadowed (the
+    # documented contract: edits need a new id or a purge first)
+    bm25_index_stream(full_dir, "doc_id", "text")(
+        docs.where(F.col("doc_id") == victim), 2
+    )
+    assert scores(full_dir) == ref
+
+    # purge: physical drop, deletes cleared, id reusable — re-indexing
+    # the doc now restores the ORIGINAL full-corpus scores
+    bm25_purge_tombstones(spark, full_dir)
+    assert scores(full_dir) == ref
+    assert not os.path.exists(f"{full_dir}/deletes")
+    bm25_index_stream(full_dir, "doc_id", "text")(
+        docs.where(F.col("doc_id") == victim), 3
+    )
+    clean_dir = os.path.join(TMP, "bm25_tomb_clean")
+    shutil.rmtree(clean_dir, ignore_errors=True)
+    bm25_index_stream(clean_dir, "doc_id", "text")(docs, 0)
+    assert scores(full_dir) == scores(clean_dir)
+
+
 def test_ivf_index_stream_matches_batch(spark):
     """Streaming IVF-ANN maintenance: a frozen coarse quantizer
     (ivf_build_centroids — the exact construction ivf_topk(kernel='expr')
@@ -1811,6 +1878,46 @@ def test_agg_delta_stream_matches_recompute(spark):
                                "op string, g string, m double"), 1)
     again = apply_agg_delta(view, read_agg_delta_state(spark, state_dir, ["g"]), ["g"])
     assert {r["g"]: (r["n"], float(r["total"])) for r in again.collect()} == exp
+
+
+def test_agg_delta_stream_multi_measure(spark):
+    """extra_measure_cols — the stream twin of agg_delta's extra_measures
+    (test_ivm_multi_measure_single_pass): several sums maintained in ONE
+    delta pass per epoch, each equal to its own recompute after the
+    epoch fold."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_agg_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        read_agg_delta_state,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("a", 20.0, 3.0), ("b", 5.0, 1.0)],
+        "g string, rev double, qty double",
+    )
+    view = base.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rev").cast("decimal(28,10)")).alias("total"),
+        F.sum(F.col("qty").cast("decimal(28,10)")).alias("qty"),
+    )
+    state_dir = os.path.join(TMP, "agg_delta_multi")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sch = "op string, g string, rev double, qty double"
+    sink = agg_delta_stream(state_dir, ["g"], "rev", extra_measure_cols=["qty"])
+    # the D/I halves of the 'a' update split across epochs
+    sink(spark.createDataFrame([("D", "a", 10.0, 2.0), ("I", "c", 7.0, 7.0)], sch), 0)
+    sink(spark.createDataFrame([("I", "a", 12.0, 5.0)], sch), 1)
+
+    folded = read_agg_delta_state(spark, state_dir, ["g"], extra_measure_cols=["qty"])
+    out = apply_agg_delta(view, folded, ["g"], extra_sum_cols=["qty"])
+    got = {
+        r["g"]: (r["n"], float(r["total"]), float(r["qty"])) for r in out.collect()
+    }
+    assert got == {
+        "a": (2, 32.0, 8.0),
+        "b": (1, 5.0, 1.0),
+        "c": (1, 7.0, 7.0),
+    }
 
 
 def test_transition_state_stream_track_meta_off(spark):
