@@ -1166,9 +1166,10 @@ def ivf_index_stream(
     (at-least-once replay of any prefix is a no-op; replaying an epoch id
     additionally overwrites its own partitions, the sibling sinks'
     contract). Contract: vectors are immutable per id — like every
-    append-only ANN index, an EDITED vector needs a tombstone/compaction
-    pass, and centroid refresh (model drift) is a rebuild, exactly as
-    faiss retrains.
+    append-only ANN index, an EDITED/removed vector goes through the
+    tombstone path (``vector_tombstone_stream`` +
+    ``purge_vector_tombstones``), and centroid refresh (model drift) is a
+    rebuild, exactly as faiss retrains.
 
     The frozen-quantizer trade (documented, not hidden): incremental adds
     never move centroids, so recall degrades if the embedding
@@ -1242,11 +1243,13 @@ def ivf_search_from_index(
         rank_col="__prank",
     ).select("__qid", "__qv", "__cell")
     probed_cells = [r["__cell"] for r in probes.select("__cell").distinct().collect()]
-    cells = (
+    cells = _apply_vector_tombstones(
+        spark,
+        index_dir,
         spark.read.parquet(f"{index_dir}/cells")
         .where(F.col("__cell").isin(probed_cells))
         .drop("epoch")
-        .dropDuplicates(["__iid"])
+        .dropDuplicates(["__iid"]),
     )
     cand = cells.join(F.broadcast(probes), "__cell")
     if exclude_self:
@@ -1540,6 +1543,88 @@ def read_agg_delta_state(
     )
 
 
+def vector_tombstone_stream(index_dir: str, id_col: str):
+    """Takedown path shared by the ANN index family (IVF/LSH/PQ) — the
+    vector-side twin of ``bm25_tombstone_stream`` (a GDPR delete or an
+    embedding refresh cannot be expressed by the append-only dedup-folds;
+    reference analog: the mocked item updates,
+    src/streaming/kafka_consumer.py:333-350). Each micro-batch writes its
+    distinct non-null ids as ``__iid`` under ``.deletes/epoch=N`` — the
+    DOT-prefixed name keeps the tombstones invisible to the LSH sink's
+    root-level epoch read (Spark's listing skips hidden dirs; explicit
+    reads of the dir still work), and is harmless for the IVF/PQ layouts
+    whose data lives under ``cells/``/``codes/``. Every
+    ``*_search_from_index`` anti-joins the fold out of its candidate set.
+
+    Set semantics: replay-idempotent under new epoch ids, epoch replays
+    overwrite. A tombstone shadows past AND future adds of the id —
+    re-indexing an updated vector uses a new id, or runs
+    ``purge_vector_tombstones`` first (physical drop + id release)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        ids = (
+            batch_df.where(qcol(id_col).isNotNull())
+            .select(qcol(id_col).alias("__iid"))
+            .distinct()
+        )
+        ids.write.mode("overwrite").parquet(f"{index_dir}/.deletes/epoch={epoch_id}")
+
+    return _process
+
+
+def _apply_vector_tombstones(
+    spark: SparkSession, index_dir: str, frame: DataFrame
+) -> DataFrame:
+    """Anti-join the index's tombstone fold (if any) out of a candidate
+    frame keyed by ``__iid``. The tombstone set is tiny relative to the
+    corpus, so the anti-join broadcasts."""
+    if _hadoop_path_exists(spark, f"{index_dir}/.deletes"):
+        dead = spark.read.parquet(f"{index_dir}/.deletes").drop("epoch").distinct()
+        return frame.join(F.broadcast(dead), "__iid", "left_anti")
+    return frame
+
+
+def purge_vector_tombstones(spark: SparkSession, index_dir: str) -> None:
+    """Make an ANN index's tombstones physical: compact the stored rows
+    to their live (tombstone-applied) fold, then drop ``.deletes/`` —
+    after this a tombstoned id is reusable. The layout is auto-detected
+    (``cells/`` = IVF, re-partitioned by ``__cell``; ``codes/`` = PQ;
+    otherwise the LSH root-level epochs). ``compact_epoch_state``'s
+    contract applies verbatim: stream stopped, no readers in flight,
+    locally-mounted paths."""
+    import shutil as _shutil
+
+    if _hadoop_path_exists(spark, f"{index_dir}/cells"):
+        fold = _apply_vector_tombstones(
+            spark,
+            index_dir,
+            spark.read.parquet(f"{index_dir}/cells")
+            .drop("epoch")
+            .dropDuplicates(["__iid"]),
+        )
+        compact_epoch_state(fold, f"{index_dir}/cells", partition_by=["__cell"])
+    elif _hadoop_path_exists(spark, f"{index_dir}/codes"):
+        fold = _apply_vector_tombstones(
+            spark,
+            index_dir,
+            spark.read.parquet(f"{index_dir}/codes")
+            .drop("epoch")
+            .dropDuplicates(["__iid"]),
+        )
+        compact_epoch_state(fold, f"{index_dir}/codes")
+    else:
+        fold = _apply_vector_tombstones(
+            spark,
+            index_dir,
+            spark.read.parquet(index_dir)
+            .drop("epoch")
+            .dropDuplicates(["__iid", "__bucket"]),
+        )
+        compact_epoch_state(fold, index_dir)
+    _shutil.rmtree(f"{index_dir}/.deletes")
+
+
 def lsh_index_stream(
     index_dir: str,
     id_col: str,
@@ -1605,10 +1690,12 @@ def lsh_search_from_index(
     )
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
 
-    it = (
+    it = _apply_vector_tombstones(
+        spark,
+        index_dir,
         spark.read.parquet(index_dir)
         .drop("epoch")
-        .dropDuplicates(["__iid", "__bucket"])
+        .dropDuplicates(["__iid", "__bucket"]),
     )
     q = _bucket_rows_arrow(queries, query_id, query_vec, "__qid", dim, n_planes, n_tables)
     cand = (
@@ -1736,10 +1823,12 @@ def pq_search_from_index(
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
 
     books = load_pq_codebooks(spark, index_dir)
-    encoded = (
+    encoded = _apply_vector_tombstones(
+        spark,
+        index_dir,
         spark.read.parquet(f"{index_dir}/codes")
         .drop("epoch")
-        .dropDuplicates(["__iid"])
+        .dropDuplicates(["__iid"]),
     )
     qtab = _pq_query_tables(queries, query_id, query_vec, books, dim, n_sub)
     qdt = qtab.select("__qid", "__dt")

@@ -2051,6 +2051,96 @@ def test_pq_index_stream_matches_batch(spark):
     assert search() == batch
 
 
+def test_vector_tombstones_all_ann_tiers(spark):
+    """Vector takedown across the ANN index family: after tombstoning an
+    id, every search tier returns EXACTLY what an index that never held
+    the vector returns (same frozen model where one exists), the
+    tombstone is replay-idempotent, it shadows a re-add of the same id,
+    and purge_vector_tombstones makes the drop physical (auto-detecting
+    each tier's layout) and releases the id."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        ivf_build_centroids,
+        pq_train_codebooks,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        ivf_search_from_index,
+        lsh_index_stream,
+        lsh_search_from_index,
+        pq_index_stream,
+        pq_search_from_index,
+        purge_vector_tombstones,
+        vector_tombstone_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    victim = 37
+    rest = emb.where(F.col("vec_id") != victim)
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = ivf_build_centroids(emb, "vec_id", "embedding", n_cells=8, refine_iters=1)
+    books = pq_train_codebooks(emb, "vec_id", "embedding", dim, n_sub=4, n_codes=8)
+
+    def build(tier, d, data):
+        shutil.rmtree(d, ignore_errors=True)
+        if tier == "ivf":
+            sink = ivf_index_stream(d, "vec_id", "embedding", cents)
+        elif tier == "pq":
+            sink = pq_index_stream(d, "vec_id", "embedding", dim, books, n_sub=4)
+        else:
+            sink = lsh_index_stream(d, "vec_id", "embedding", dim)
+        sink(data, 0)
+        return sink
+
+    def search(tier, d):
+        if tier == "ivf":
+            out = ivf_search_from_index(
+                spark, d, queries, "vec_id", "embedding", item_id="nn", k=5, n_probe=3
+            )
+        elif tier == "pq":
+            out = pq_search_from_index(
+                spark, d, queries, "vec_id", "embedding", dim,
+                item_id="nn", k=5, n_sub=4, n_codes=8,
+            )
+        else:
+            out = lsh_search_from_index(
+                spark, d, queries, "vec_id", "embedding", dim, item_id="nn", k=5
+            )
+        return sorted(map(tuple, out.collect()))
+
+    for tier in ("ivf", "pq", "lsh"):
+        full_dir = os.path.join(TMP, f"tomb_{tier}_full")
+        ref_dir = os.path.join(TMP, f"tomb_{tier}_ref")
+        sink = build(tier, full_dir, emb)
+        build(tier, ref_dir, rest)
+        ref = search(tier, ref_dir)
+        assert ref and all(r[1] != victim for r in ref), tier  # (qid, nn, ...)
+
+        tomb = vector_tombstone_stream(full_dir, "vec_id")
+        tomb(emb.where(F.col("vec_id") == victim), 1)
+        assert search(tier, full_dir) == ref, tier
+
+        # replay-idempotent under a new epoch id
+        tomb(emb.where(F.col("vec_id") == victim), 990)
+        assert search(tier, full_dir) == ref, tier
+
+        # a re-add of the tombstoned id stays shadowed
+        sink(emb.where(F.col("vec_id") == victim), 2)
+        assert search(tier, full_dir) == ref, tier
+
+        # purge: physical, deletes cleared, id reusable — re-adding now
+        # restores the full-corpus results
+        purge_vector_tombstones(spark, full_dir)
+        assert search(tier, full_dir) == ref, tier
+        assert not os.path.exists(f"{full_dir}/.deletes"), tier
+        sink(emb.where(F.col("vec_id") == victim), 3)
+        clean_dir = os.path.join(TMP, f"tomb_{tier}_clean")
+        build(tier, clean_dir, emb)
+        assert search(tier, full_dir) == search(tier, clean_dir), tier
+
+
 def test_pq_codebooks_persist_at_sink_creation(spark):
     """The frozen model lands EAGERLY at sink construction (the IVF
     centroids contract, driver ADVICE r10): load_pq_codebooks works on an
