@@ -7062,9 +7062,12 @@ def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "d")
 
 
-@query(
-    "item_transition_matrix",
-    oracle="""
+# Shared by the batch entry and the streaming-sink fold twin
+# (transition_state_fold): with micro-batches that partition each user's
+# timeline in order, the sink's frontier-stitched pair counts equal the
+# batch LAG chain row-for-row — so both entries certify against the SAME
+# replay.
+_TRANSITION_MATRIX_ORACLE = """
     WITH ea AS (SELECT user_id, event_id, ts,
                   CAST(props->>'k' AS BIGINT) AS item_id
                 FROM events WHERE (props->>'k') IS NOT NULL),
@@ -7084,7 +7087,12 @@ def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, prev_item, next_item)
         AS INTEGER) AS rank
     FROM m ORDER BY rank LIMIT 25
-    """,
+    """
+
+
+@query(
+    "item_transition_matrix",
+    oracle=_TRANSITION_MATRIX_ORACLE,
     doc="First-order Markov next-item transition matrix (the classic "
         "sequential-recommendation baseline the reference's two-tower/"
         "popularity models don't cover): per-user event streams ordered by "
@@ -7113,11 +7121,20 @@ def item_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.where(F.col("prev_item").isNotNull())
         .groupBy("prev_item", F.col("item_id").alias("next_item"))
         .agg(F.count("*").alias("n"))
-        # two consumers (matrix + row totals): materialize the tiny pair
-        # frame once, or the totals branch re-scans the facts (the
-        # multi-consumer ReusedExchange trap — README scale notes)
-        .localCheckpoint(eager=True)
     )
+    return _transition_rank_tail(pairs)
+
+
+def _transition_rank_tail(pairs: DataFrame) -> DataFrame:
+    """Normalize-and-rank tail shared by ``item_transition_matrix`` and
+    the ``transition_state_fold`` twin: prob = n / row_total, global
+    top-25 with a total tie-break. The pair frame has two consumers
+    (matrix + row totals), so it materializes once via localCheckpoint —
+    otherwise the totals branch re-runs the upstream (the multi-consumer
+    ReusedExchange trap, README scale notes)."""
+    from pyspark.sql import Window
+
+    pairs = pairs.localCheckpoint(eager=True)
     tot = pairs.groupBy("prev_item").agg(F.sum("n").alias("row_total"))
     m = pairs.join(tot, "prev_item").select(
         "prev_item",
@@ -7377,6 +7394,46 @@ def ivf_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "transition_state_fold",
+    oracle=_TRANSITION_MATRIX_ORACLE,
+    doc="Streaming Markov transition sink driven in-query: events stream "
+        "in as 3 TIME-sliced micro-batches (10-day windows — micro-batch "
+        "semantics partition each user's timeline in order) through "
+        "transition_state_stream, whose per-epoch LAG seeds from the "
+        "folded FRONTIER of strictly-prior epochs; the cross-epoch stitch "
+        "pair (a user's last event of batch k -> first of batch k+1) is "
+        "the part a naive per-batch LAG loses. read_transition_state's "
+        "sum-fold feeds the same normalize-and-rank tail as "
+        "item_transition_matrix, and the oracle IS that batch entry's "
+        "LAG-chain replay — the driver hash certifies frontier-stitched "
+        "incremental == one-shot batch. Scale: per-epoch state is "
+        "bounded by pairs touched + active users; the raw stream is "
+        "never rescanned (streaming/pipeline.py:701).",
+)
+def transition_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_transition_state,
+        transition_state_stream,
+    )
+
+    state_dir = _fold_state_dir("transition_state_fold", sf_dir)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+        .select("user_id", "event_id", "ts", "item_id")
+    )
+    sink = transition_state_stream(
+        state_dir, "user_id", ["ts", "event_id"], "item_id", track_meta=False
+    )
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    sink(ev.where(F.col("ts") < cuts[0]), 0)
+    sink(ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])), 1)
+    sink(ev.where(F.col("ts") >= cuts[1]), 2)
+    return _transition_rank_tail(read_transition_state(spark, state_dir))
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -7385,20 +7442,23 @@ _DRIVER_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
     # r11 ROTATION.  Evidence ledger after r10: 50 entries newest-green
-    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 4
+    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 5
     # NEW never-checked streaming-state fold twins (the r10 verdict's #2
-    # directive: first driver-oracle evidence for the sink tier) + 46 of
-    # the 48 r7-stale entries.  With 152 catalog entries the guard's
+    # directive: first driver-oracle evidence for the sink tier) + 45 of
+    # the 48 r7-stale entries.  With 153 catalog entries the guard's
     # cutoff lands at r7, so the r9 fillers initially slotted here had
-    # to yield; user_event_arrays and value_percentiles are the two
-    # at-cutoff entries left waiting (front of the r12 queue).  After
-    # this round no entry's newest driver evidence is older than r7,
-    # and only those two are that old.
+    # to yield; user_event_arrays, value_percentiles and
+    # user_activity_windows are the three at-cutoff entries left waiting
+    # (front of the r12 queue — each has a fresher sibling exercising
+    # the same operator family).  After this round no entry's newest
+    # driver evidence is older than r7, and only those three are that
+    # old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
     "ivm_delta_fold",
     "ivf_index_fold",
+    "transition_state_fold",
     # r7-stale (all 48):
     "asof_purchase_click",
     "bloom_pruned_join",
@@ -7443,7 +7503,6 @@ _DRIVER_WINDOW = [
     "token_budget_packing",
     "tree_rerank_topk",
     "two_stage_recommendations",
-    "user_activity_windows",
     "user_value_scd2",
     "view_click_purchase_funnel",
 ]
