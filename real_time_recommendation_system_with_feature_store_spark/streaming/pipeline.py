@@ -1297,15 +1297,29 @@ def compact_epoch_state(
     "no epoch partitions" — safe, but unsupported). Remote-filesystem
     deployments should rewrite to a fresh prefix with the engine's own
     writers (or route through the Hadoop FileSystem API) instead.
-    Crash window:
-    the fold lands in ``.compact.tmp`` BEFORE any deletion, so a crash
-    between the deletes and the final rename loses nothing — re-rename
-    ``.compact.tmp`` to ``epoch=<max old id>`` to recover. Returns the
-    epoch id the compacted state landed under."""
+
+    Crash safety (every window covered, none silent): the fold fully
+    materializes into ``.compact.tmp``, is renamed to
+    ``.compact.ready.epoch=<id>`` (the target id travels in the name),
+    and only THEN are source epochs deleted and the ready dir renamed
+    into place. A crash before the ready-rename leaves a discardable
+    tmp; a crash after it leaves a complete fold plus possibly-partial
+    epochs — ``recover_epoch_state`` finishes either case, and THIS
+    function refuses to run while leftovers exist (compacting over a
+    half-deleted directory would silently fold partial state: the
+    caller's ``folded`` frame must be rebuilt AFTER recovery). Returns
+    the epoch id the compacted state landed under."""
     import glob as _glob
     import os as _os
-    import shutil as _shutil
 
+    tmp = f"{state_dir}/.compact.tmp"
+    if _glob.glob(f"{state_dir}/.compact.ready.epoch=*") or _os.path.exists(tmp):
+        raise RuntimeError(
+            f"compact_epoch_state: leftover compaction state under {state_dir} "
+            "from an interrupted run — call recover_epoch_state(state_dir) "
+            "first, then REBUILD the fold from the recovered directory "
+            "(a fold built over half-deleted epochs would be partial)"
+        )
     epochs = sorted(
         int(p.rsplit("=", 1)[1])
         for p in _glob.glob(f"{state_dir}/epoch=*")
@@ -1313,16 +1327,58 @@ def compact_epoch_state(
     )
     if not epochs:
         raise ValueError(f"compact_epoch_state: no epoch partitions under {state_dir}")
-    tmp = f"{state_dir}/.compact.tmp"
-    _shutil.rmtree(tmp, ignore_errors=True)
     writer = folded.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    for e in epochs:
-        _shutil.rmtree(f"{state_dir}/epoch={e}")
-    _os.rename(tmp, f"{state_dir}/epoch={epochs[-1]}")
+    ready = f"{state_dir}/.compact.ready.epoch={epochs[-1]}"
+    _os.rename(tmp, ready)
+    _finish_compaction(state_dir, ready, epochs[-1])
     return epochs[-1]
+
+
+def _finish_compaction(state_dir: str, ready: str, target: int) -> None:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    for p in _glob.glob(f"{state_dir}/epoch=*"):
+        if p.rsplit("=", 1)[1].isdigit():
+            _shutil.rmtree(p)
+    _os.rename(ready, f"{state_dir}/epoch={target}")
+
+
+def recover_epoch_state(state_dir: str) -> bool:
+    """Finish or discard a compaction interrupted by a crash — run this
+    BEFORE building any fold over (or restarting any sink into) a state
+    directory that may hold an interrupted ``compact_epoch_state``:
+
+    * ``.compact.ready.epoch=<id>`` present: the fold was FULLY
+      materialized and the target id travels in the dir name — finish
+      the compaction (delete leftover epoch dirs, rename into place).
+      This is the only complete copy when the crash hit mid-delete, so
+      finishing is the lossless choice.
+    * ``.compact.tmp`` present: the fold write itself crashed — the
+      source epochs are all intact; discard the partial tmp.
+
+    Returns True when it changed anything, False on a clean directory.
+    Same stopped-stream / no-readers / local-path contract as
+    ``compact_epoch_state``."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    changed = False
+    ready_dirs = _glob.glob(f"{state_dir}/.compact.ready.epoch=*")
+    if ready_dirs:
+        ready = ready_dirs[0]
+        _finish_compaction(state_dir, ready, int(ready.rsplit("=", 1)[1]))
+        changed = True
+    tmp = f"{state_dir}/.compact.tmp"
+    if _os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+        changed = True
+    return changed
 
 
 def decayed_count_stream(

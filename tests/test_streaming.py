@@ -1683,6 +1683,63 @@ def test_compact_epoch_state_preserves_folds(spark):
     assert got == {(100, 101): 1, (101, 102): 1, (102, 103): 1}
 
 
+def test_compact_epoch_state_crash_recovery(spark):
+    """Every compaction crash window recovers losslessly (and the
+    dangerous one is no longer silent): a leftover ready-dir (crash
+    after materialization, possibly mid-delete — the ONLY complete copy)
+    is finished by recover_epoch_state; a leftover tmp (crash mid-write)
+    is discarded; and compact_epoch_state REFUSES to run over leftovers,
+    because a fold built over a half-deleted directory would silently
+    compact partial state."""
+    import pytest
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cms_sketch_stream,
+        compact_epoch_state,
+        read_cms_sketch,
+        recover_epoch_state,
+    )
+
+    state_dir = os.path.join(TMP, "cms_crash_recovery")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = cms_sketch_stream(state_dir, "k", depth=2, width=16)
+    data = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    sink(data.limit(60), 0)
+    sink(data, 1)
+    want = sorted(map(tuple, read_cms_sketch(spark, state_dir).collect()))
+
+    # crash AFTER materialization + mid-delete: ready dir holds the full
+    # fold, epoch=0 already gone. Simulate by hand: write the fold to
+    # ready, delete one epoch.
+    read_cms_sketch(spark, state_dir).write.mode("overwrite").parquet(
+        f"{state_dir}/.compact.ready.epoch=1"
+    )
+    shutil.rmtree(f"{state_dir}/epoch=0")
+
+    # compact over the half-deleted dir must refuse, not silently fold
+    with pytest.raises(RuntimeError, match="recover_epoch_state"):
+        compact_epoch_state(read_cms_sketch(spark, state_dir), state_dir)
+
+    assert recover_epoch_state(state_dir) is True
+    assert sorted(map(tuple, read_cms_sketch(spark, state_dir).collect())) == want
+    assert os.path.isdir(f"{state_dir}/epoch=1")
+    assert not os.path.isdir(f"{state_dir}/epoch=0")
+
+    # crash DURING the tmp write: epochs intact, tmp partial — discard
+    os.makedirs(f"{state_dir}/.compact.tmp", exist_ok=True)
+    with pytest.raises(RuntimeError, match="recover_epoch_state"):
+        compact_epoch_state(read_cms_sketch(spark, state_dir), state_dir)
+    assert recover_epoch_state(state_dir) is True
+    assert not os.path.exists(f"{state_dir}/.compact.tmp")
+    assert sorted(map(tuple, read_cms_sketch(spark, state_dir).collect())) == want
+
+    # clean directory: no-op, and a real compaction still works end-to-end
+    assert recover_epoch_state(state_dir) is False
+    kept = compact_epoch_state(read_cms_sketch(spark, state_dir), state_dir)
+    assert kept == 1
+    assert sorted(map(tuple, read_cms_sketch(spark, state_dir).collect())) == want
+
+
 def test_compact_epoch_state_ivf_cells(spark):
     """Compaction of the IVF sink's nested cells/epoch=N/__cell=C layout:
     partition_by re-establishes the cell partitioning in the compacted
