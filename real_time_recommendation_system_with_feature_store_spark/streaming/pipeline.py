@@ -1028,11 +1028,15 @@ def read_bm25_index(spark: SparkSession, index_dir: str) -> tuple[DataFrame, Dat
         .agg(F.max("dl").alias("dl"))
     )
     if _hadoop_path_exists(spark, f"{index_dir}/deletes"):
-        dead = (
-            spark.read.parquet(f"{index_dir}/deletes").drop("epoch").distinct()
-        )
-        postings = postings.join(F.broadcast(dead), "doc_id", "left_anti")
-        doclen = doclen.join(F.broadcast(dead), "doc_id", "left_anti")
+        from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
+        raw_dead = spark.read.parquet(f"{index_dir}/deletes")
+        # usually tiny relative to the corpus, but years of takedowns
+        # without a purge could outgrow the broadcast budget — stats-gate
+        # on the un-deduped scan (sane estimate) rather than force
+        dead = gated_broadcast(raw_dead.drop("epoch").distinct(), gate_df=raw_dead)
+        postings = postings.join(dead, "doc_id", "left_anti")
+        doclen = doclen.join(dead, "doc_id", "left_anti")
     return postings, doclen
 
 
@@ -1100,10 +1104,16 @@ def bm25_score_from_index(
             for i, t in enumerate(terms)
         ]
     )
+    from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
     per_doc = (
-        # tfs is bounded by the query terms' posting lists (slim), doclen
-        # by the corpus: broadcast the small side of the left join
-        doclen.join(F.broadcast(tfs), "doc_id", "left")
+        # tfs is bounded by the query terms' posting lists (slim for
+        # selective terms) while doclen is corpus-sized — but a STOPWORD
+        # query term makes tfs corpus-sized too, so the hint is stats-
+        # gated on the term-pruned postings read (a sanely-estimated
+        # bounding child) and falls back to a shuffled join when the
+        # posting lists outgrow the broadcast budget
+        doclen.join(gated_broadcast(tfs, gate_df=qp), "doc_id", "left")
         .select(
             "doc_id",
             "dl",
@@ -1633,11 +1643,16 @@ def _apply_vector_tombstones(
     spark: SparkSession, index_dir: str, frame: DataFrame
 ) -> DataFrame:
     """Anti-join the index's tombstone fold (if any) out of a candidate
-    frame keyed by ``__iid``. The tombstone set is tiny relative to the
-    corpus, so the anti-join broadcasts."""
+    frame keyed by ``__iid``. The tombstone set is usually tiny relative
+    to the corpus, so the anti-join broadcasts — stats-gated (on the
+    un-deduped scan, a sanely-estimated bound) so an unpurged years-long
+    takedown log falls back to a shuffled anti-join instead of an OOM."""
     if _hadoop_path_exists(spark, f"{index_dir}/.deletes"):
-        dead = spark.read.parquet(f"{index_dir}/.deletes").drop("epoch").distinct()
-        return frame.join(F.broadcast(dead), "__iid", "left_anti")
+        from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
+        raw_dead = spark.read.parquet(f"{index_dir}/.deletes")
+        dead = gated_broadcast(raw_dead.drop("epoch").distinct(), gate_df=raw_dead)
+        return frame.join(dead, "__iid", "left_anti")
     return frame
 
 
