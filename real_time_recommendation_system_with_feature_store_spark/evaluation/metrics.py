@@ -167,9 +167,13 @@ def novelty(
     (reference metrics.py:467-477)."""
     n_users = interactions.select(user).distinct().count()
     pop = interactions.groupBy(item).agg(F.count_distinct(user).alias("__pop"))
+    # pop is item-catalog-sized (data-dependent): stats-gate the hint so
+    # an oversized catalog shuffles instead of OOMing the executors
+    from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
     return (
         recs.where(F.col("rank") <= k)
-        .join(F.broadcast(pop), item, "inner")
+        .join(gated_broadcast(pop), item, "inner")
         .agg(F.round(F.avg(-F.log2(F.col("__pop") / F.lit(float(n_users)))), 6).alias(f"novelty_at_{k}"))
     )
 

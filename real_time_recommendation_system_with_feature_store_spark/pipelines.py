@@ -113,10 +113,24 @@ def build_training_data(
     split = time_fraction_split(
         encoded, ["timestamp", "user_id", "movie_id"], train_frac, val_frac
     )
+    # the distinct key sets are data-dependent (user/item cardinality, not
+    # a fixed dim): stats-gate the broadcast hint on the sanely-estimated
+    # pre-distinct projection so a billion-entity catalog falls back to a
+    # shuffled semi join instead of an executor OOM
+    from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
     users_kept = users.join(
-        F.broadcast(split.select("user_id").distinct()), "user_id", "left_semi"
+        gated_broadcast(
+            split.select("user_id").distinct(), gate_df=split.select("user_id")
+        ),
+        "user_id",
+        "left_semi",
     )
     movies_kept = movies.join(
-        F.broadcast(split.select("movie_id").distinct()), "movie_id", "left_semi"
+        gated_broadcast(
+            split.select("movie_id").distinct(), gate_df=split.select("movie_id")
+        ),
+        "movie_id",
+        "left_semi",
     )
     return InteractionData(interactions=split, users=users_kept, items=movies_kept)
