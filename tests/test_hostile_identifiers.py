@@ -407,3 +407,77 @@ def test_agg_ivm_hostile(spark, name):
     out = apply_agg_delta(view, delta, [g])
     got = {r[g]: (r["n"], float(r["total"])) for r in out.collect()}
     assert got == {"x": (1, 11.0), "y": (1, 5.0), "z": (1, 3.0)}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_decayed_count_stream_hostile(spark, name, tmp_path):
+    """The decayed-count sink receives key/timestamp column names: dotted
+    or quoted names must fold the same numeraire sums as plain ones (the
+    state schema renames to fixed key/w_sum)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        decayed_count_stream,
+        read_decayed_counts,
+    )
+
+    k, ts = name + " k", name + " ts"
+    qi = lambda n: "`" + n.replace("`", "``") + "`"
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-01-02 00:00:00"),
+         ("b", "2024-01-02 00:00:00"), (None, "2024-01-02 00:00:00")],
+        f"{qi(k)} string, {qi(ts)} string",
+    ).select(qcol(k), qcol(ts).cast("timestamp").alias(ts))
+    state_dir = str(tmp_path / "decayed_hostile")
+    sink = decayed_count_stream(
+        state_dir, k, ts, half_life="1 days", anchor="2024-01-01 00:00:00"
+    )
+    sink(df, 0)
+    got = {
+        r["key"]: r["decayed_count"]
+        for r in read_decayed_counts(
+            spark, state_dir, "2024-01-02 00:00:00",
+            half_life="1 days", anchor="2024-01-01 00:00:00",
+        ).collect()
+    }
+    assert got == {"a": 0.5 + 1.0, "b": 1.0}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_tombstone_streams_hostile(spark, name, tmp_path):
+    """Both tombstone sinks receive the id column name from the caller:
+    hostile names must tombstone exactly the named ids."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_score_from_index,
+        bm25_tombstone_stream,
+        lsh_index_stream,
+        lsh_search_from_index,
+        vector_tombstone_stream,
+    )
+
+    idc = name + " id"
+    qi = lambda n: "`" + n.replace("`", "``") + "`"
+
+    # BM25: tombstone doc 1, only doc 2 keeps scoring
+    bdir = str(tmp_path / "bm25_tomb_hostile")
+    docs = spark.createDataFrame(
+        [(1, "join hash"), (2, "join window")],
+        f"{qi(idc)} bigint, txt string",
+    )
+    bm25_index_stream(bdir, idc, "txt")(docs, 0)
+    bm25_tombstone_stream(bdir, idc)(docs.where(qcol(idc) == 1), 1)
+    got = {r["doc_id"] for r in bm25_score_from_index(spark, bdir, ["join"]).collect()}
+    assert got == {2}
+
+    # LSH: tombstone vector 0, it leaves every candidate set
+    vdir = str(tmp_path / "lsh_tomb_hostile")
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i), 0.5]) for i in range(8)],
+        f"{qi(idc)} bigint, v array<double>",
+    )
+    lsh_index_stream(vdir, idc, "v", dim=4)(vecs, 0)
+    vector_tombstone_stream(vdir, idc)(vecs.where(qcol(idc) == 0), 1)
+    out = lsh_search_from_index(
+        spark, vdir, vecs.select(qcol(idc).alias("qid"), "v"), "qid", "v",
+        dim=4, item_id="nn", k=3,
+    )
+    assert all(r["nn"] != 0 for r in out.collect())
