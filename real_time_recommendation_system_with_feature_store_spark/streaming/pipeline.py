@@ -1261,7 +1261,17 @@ def ivf_search_from_index(
         .drop("epoch")
         .dropDuplicates(["__iid"]),
     )
-    cand = cells.join(F.broadcast(probes), "__cell")
+    # probe-side broadcast is stats-gated on the query projection (the
+    # probe frame is |Q|·n_probe rows — a bulk-inference query set can
+    # outgrow the budget; the batch ivf_topk applies the same gate, and
+    # the unhinted fallback lets AQE pick, since a static shuffle join on
+    # __cell would hash the whole index across ≤ n_cells keys)
+    from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
+    cand = cells.join(
+        gated_broadcast(probes, gate_df=queries.select(query_id, query_vec)),
+        "__cell",
+    )
     if exclude_self:
         cand = cand.where(F.col("__qid") != F.col("__iid"))
     scored = cand.select(
@@ -1904,7 +1914,14 @@ def pq_search_from_index(
     qtab = _pq_query_tables(queries, query_id, query_vec, books, dim, n_sub)
     qdt = qtab.select("__qid", "__dt")
     score = _pq_adc_score_expr(n_sub, n_codes)
-    cand = encoded.crossJoin(F.broadcast(qdt))
+    # query-table broadcast gated on the query projection — the batch
+    # pq_topk's q_small gate mirrored (ADC tables are n_sub·n_codes
+    # doubles per query; a bulk query set can outgrow the budget)
+    from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
+    cand = encoded.crossJoin(
+        gated_broadcast(qdt, gate_df=queries.select(query_id, query_vec))
+    )
     if exclude_self:
         cand = cand.where(F.col("__qid") != F.col("__iid"))
     scored = cand.select(
