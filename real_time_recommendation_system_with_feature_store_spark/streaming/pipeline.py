@@ -1048,6 +1048,11 @@ def bm25_purge_tombstones(spark: SparkSession, index_dir: str) -> None:
     stream stopped, no readers in flight, locally-mounted paths."""
     import shutil as _shutil
 
+    if not _hadoop_path_exists(spark, f"{index_dir}/deletes"):
+        raise ValueError(
+            f"bm25_purge_tombstones: no tombstones under {index_dir}/deletes — "
+            "nothing to purge (plain compaction is compact_epoch_state)"
+        )
     postings, doclen = read_bm25_index(spark, index_dir)  # deletes applied
     compact_epoch_state(postings, f"{index_dir}/postings")
     compact_epoch_state(doclen, f"{index_dir}/doclen")
@@ -1676,6 +1681,11 @@ def purge_vector_tombstones(spark: SparkSession, index_dir: str) -> None:
     locally-mounted paths."""
     import shutil as _shutil
 
+    if not _hadoop_path_exists(spark, f"{index_dir}/.deletes"):
+        raise ValueError(
+            f"purge_vector_tombstones: no tombstones under {index_dir}/.deletes "
+            "— nothing to purge (plain compaction is compact_epoch_state)"
+        )
     if _hadoop_path_exists(spark, f"{index_dir}/cells"):
         fold = _apply_vector_tombstones(
             spark,

@@ -1599,6 +1599,18 @@ def test_streaming_index_read_side_guards(spark):
     with pytest.raises(ValueError, match="must be positive"):
         ivf_search_from_index(spark, "/nonexistent", None, "q", k=0)
 
+    # purging an index that has no tombstones fails loudly instead of
+    # compacting for nothing and crashing on the missing deletes dir
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_purge_tombstones,
+        purge_vector_tombstones,
+    )
+
+    with pytest.raises(ValueError, match="no tombstones"):
+        bm25_purge_tombstones(spark, "/nonexistent")
+    with pytest.raises(ValueError, match="no tombstones"):
+        purge_vector_tombstones(spark, "/nonexistent")
+
     # null doc ids are rejected at ingest: the phantom-doc row never lands
     index_dir = os.path.join(TMP, "bm25_null_ids")
     shutil.rmtree(index_dir, ignore_errors=True)
