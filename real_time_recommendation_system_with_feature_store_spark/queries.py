@@ -1901,18 +1901,20 @@ def _lsh_buckets_cte() -> str:
     )"""
 
 
-@query(
-    "lsh_ann_topk",
-    # Full differential check: the hyperplane family is deterministic
-    # (SplitMix64), so the bucketing — not just the rescoring — is
-    # reproduced in SQL. list_cosine_similarity matches the kernel's
-    # normalized-dot round6 bit-for-bit (proven by knn_cosine_topk).
-    oracle=f"""
+def _lsh_oracle(q_max: int, k: int) -> str:
+    """Full LSH differential replay — the hyperplane family is
+    deterministic (SplitMix64), so the bucketing, not just the rescoring,
+    is reproduced in SQL; list_cosine_similarity matches the kernel's
+    normalized-dot round6 bit-for-bit (proven by knn_cosine_topk).
+    Parameterized over the query set / k so the batch entry
+    (``lsh_ann_topk``) and the streaming-index fold twin
+    (``lsh_index_fold``) share one source of truth."""
+    return f"""
     WITH {_lsh_buckets_cte()},
     cand AS (
       SELECT DISTINCT q.vec_id AS qid, i.vec_id AS iid
       FROM buckets q JOIN buckets i ON q.bucket = i.bucket AND q.vec_id != i.vec_id
-      WHERE q.vec_id < 10
+      WHERE q.vec_id < {q_max}
     ),
     s AS (
       SELECT c.qid, c.iid, ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
@@ -1923,8 +1925,13 @@ def _lsh_buckets_cte() -> str:
         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS INTEGER) AS rank
       FROM s
     )
-    SELECT query_id, item_id, score, rank FROM r WHERE rank <= 5
-    """,
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query(
+    "lsh_ann_topk",
+    oracle=_lsh_oracle(q_max=10, k=5),
     doc="Approximate ANN: sign-random-projection LSH buckets + exact "
         "rescoring (full DuckDB differential check incl. the bucketing).",
 )
@@ -3383,16 +3390,46 @@ _SQL_PQ_SQDIST = (
 )
 
 
-@query(
-    "pq_ann_topk",
-    # Full differential check of the PQ pipeline: the codebook build is
-    # deterministic (lowest-id training rows seed each subspace's k-means,
-    # one Lloyd step, lowest-code tiebreak), so the oracle replays
-    # train -> per-subspace assign -> mean -> encode -> ADC table-lookup
-    # scoring -> over-fetch -> exact re-rank. ADC terms sum in subspace
-    # order on both sides (list_sum over list(... ORDER BY m) == the
-    # expression's left fold); all scores pass the round6 contract.
-    oracle=f"""
+def _pq_oracle(q_max: int, k: int, rerank: int | None) -> str:
+    """Full differential replay of the PQ pipeline: the codebook build is
+    deterministic (lowest-id training rows seed each subspace's k-means,
+    one Lloyd step, lowest-code tiebreak), so the oracle replays
+    train -> per-subspace assign -> mean -> encode -> ADC table-lookup
+    scoring; with ``rerank`` set it over-fetches k*rerank and exact
+    re-ranks (the ``pq_ann_topk`` batch shape), with ``rerank=None`` it
+    ranks the raw ADC scores (the streaming index probe's rerank=0
+    semantics — the code index stores no vectors to re-rank with). ADC
+    terms sum in subspace order on both sides (list_sum over
+    list(... ORDER BY m) == the expression's left fold); all scores pass
+    the round6 contract."""
+    if rerank is None:
+        tail = f"""
+    r AS (
+      SELECT qid AS query_id, iid AS item_id, s AS score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS INTEGER) AS rank
+      FROM adc
+    )
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= {k}
+    """
+    else:
+        tail = f"""
+    short AS (
+      SELECT qid, iid FROM (
+        SELECT qid, iid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rnk FROM adc
+      ) WHERE rnk <= {k * rerank}
+    ),
+    x AS (
+      SELECT sh.qid, sh.iid, ROUND(list_cosine_similarity(qe.v, ie.v), 6) AS score
+      FROM short sh JOIN e qe ON qe.vec_id = sh.qid JOIN e ie ON ie.vec_id = sh.iid
+    ),
+    r AS (
+      SELECT qid AS query_id, iid AS item_id, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS INTEGER) AS rank
+      FROM x
+    )
+    SELECT query_id, item_id, score, rank FROM r WHERE rank <= {k}
+    """
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
     train AS (
@@ -3438,25 +3475,14 @@ _SQL_PQ_SQDIST = (
       FROM allsub qs
       JOIN codes c ON qs.m = c.m
       JOIN books b ON b.m = c.m AND b.code = c.code
-      WHERE qs.vec_id < 10 AND qs.vec_id != c.vec_id
+      WHERE qs.vec_id < {q_max} AND qs.vec_id != c.vec_id
       GROUP BY qs.vec_id, c.vec_id
-    ),
-    short AS (
-      SELECT qid, iid FROM (
-        SELECT qid, iid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rnk FROM adc
-      ) WHERE rnk <= 20
-    ),
-    x AS (
-      SELECT sh.qid, sh.iid, ROUND(list_cosine_similarity(qe.v, ie.v), 6) AS score
-      FROM short sh JOIN e qe ON qe.vec_id = sh.qid JOIN e ie ON ie.vec_id = sh.iid
-    ),
-    r AS (
-      SELECT qid AS query_id, iid AS item_id, score,
-        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS INTEGER) AS rank
-      FROM x
-    )
-    SELECT query_id, item_id, score, rank FROM r WHERE rank <= 5
-    """,
+    ),{tail}"""
+
+
+@query(
+    "pq_ann_topk",
+    oracle=_pq_oracle(q_max=10, k=5, rerank=4),
     doc="Product-quantization ANN with ADC table-lookup scoring + exact "
         "re-rank of the over-fetched shortlist (faiss-style PQ as pure "
         "DataFrame ops; full DuckDB differential check incl. the per-"
@@ -7434,6 +7460,79 @@ def transition_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _transition_rank_tail(read_transition_state(spark, state_dir))
 
 
+@query(
+    "lsh_index_fold",
+    oracle=_lsh_oracle(q_max=12, k=4),
+    doc="Streaming LSH-ANN index sink driven in-query: embeddings stream "
+        "in as 3 micro-batches sliced by vec_id mod 3 through "
+        "lsh_index_stream (the exact batch SplitMix64 bucketing kernel — "
+        "a pure hash family, NO trained model, so the fold is bit-"
+        "identical to a one-shot index); queries vec_id < 12 probe the "
+        "folded buckets (lsh_search_from_index, k=4). The oracle replays "
+        "the hyperplane bucketing + exact rescore (the lsh_ann_topk "
+        "oracle, reparameterized), so the driver hash certifies "
+        "fold-probe == one-shot batch LSH. Scale: candidates come only "
+        "from shared buckets, never all pairs "
+        "(streaming/pipeline.py:1377).",
+)
+def lsh_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        lsh_index_stream,
+        lsh_search_from_index,
+    )
+
+    index_dir = _fold_state_dir("lsh_index_fold", sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    sink = lsh_index_stream(index_dir, "vec_id", "embedding", dim=64)
+    for i in range(3):
+        sink(e.where(F.col("vec_id") % 3 == i), i)
+    q = e.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_search_from_index(
+        spark, index_dir, q, "query_id", "embedding", dim=64,
+        item_id="item_id", k=4,
+    )
+
+
+@query(
+    "pq_index_fold",
+    oracle=_pq_oracle(q_max=6, k=5, rerank=None),
+    doc="Streaming PQ-ANN index sink driven in-query: frozen codebooks "
+        "trained once (pq_train_codebooks — the exact pq_topk "
+        "construction), embeddings stream in as 3 micro-batches sliced "
+        "by vec_id mod 3 (pq_index_stream encodes each batch to 8 int "
+        "codes against the frozen model — the 64x compression), and "
+        "queries vec_id < 6 probe the folded code index "
+        "(pq_search_from_index: ADC table-lookup scoring, rerank=0 "
+        "semantics — the code index stores no vectors to re-rank with). "
+        "The oracle replays train -> encode -> ADC rank (the pq_ann_topk "
+        "oracle with the ADC tail), so the driver hash certifies "
+        "fold-probe == one-shot batch PQ. Scale: the scan side carries "
+        "codes, never vectors (streaming/pipeline.py:1589).",
+)
+def pq_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import pq_train_codebooks
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        pq_index_stream,
+        pq_search_from_index,
+    )
+
+    index_dir = _fold_state_dir("pq_index_fold", sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, "vec_id", "embedding", 64, n_sub=8, n_codes=16)
+    sink = pq_index_stream(index_dir, "vec_id", "embedding", 64, books, n_sub=8)
+    for i in range(3):
+        sink(e.where(F.col("vec_id") % 3 == i), i)
+    q = e.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_search_from_index(
+        spark, index_dir, q, "query_id", "embedding", 64,
+        item_id="item_id", k=5, n_sub=8, n_codes=16,
+    )
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -7442,23 +7541,27 @@ _DRIVER_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
     # r11 ROTATION.  Evidence ledger after r10: 50 entries newest-green
-    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 5
+    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 7
     # NEW never-checked streaming-state fold twins (the r10 verdict's #2
-    # directive: first driver-oracle evidence for the sink tier) + 45 of
-    # the 48 r7-stale entries.  With 153 catalog entries the guard's
-    # cutoff lands at r7, so the r9 fillers initially slotted here had
-    # to yield; user_event_arrays, value_percentiles and
-    # user_activity_windows are the three at-cutoff entries left waiting
-    # (front of the r12 queue — each has a fresher sibling exercising
-    # the same operator family).  After this round no entry's newest
-    # driver evidence is older than r7, and only those three are that
-    # old.
+    # directive: first driver-oracle evidence for the sink tier — all
+    # four ANN tiers, the Markov frontier stitch, decayed counts, and
+    # IVM) + 43 of the 48 r7-stale entries.  With 155 catalog entries
+    # the guard's cutoff lands at r7, so the r9 fillers initially
+    # slotted here had to yield; the five at-cutoff entries left
+    # waiting (front of the r12 queue) are user_event_arrays,
+    # value_percentiles, user_activity_windows, embedding_norms, and
+    # knn_cosine_topk — each with a fresher sibling exercising the same
+    # operator family (the last two: the five driver-fronted ANN
+    # entries above).  After this round no entry's newest driver
+    # evidence is older than r7, and only those five are that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
     "ivm_delta_fold",
     "ivf_index_fold",
     "transition_state_fold",
+    "lsh_index_fold",
+    "pq_index_fold",
     # r7-stale (all 48):
     "asof_purchase_click",
     "bloom_pruned_join",
@@ -7472,7 +7575,6 @@ _DRIVER_WINDOW = [
     "dedup_cluster_keepers",
     "domain_mixture_sample",
     "embedding_near_dup_lsh",
-    "embedding_norms",
     "event_key_skew",
     "event_key_skew_cms",
     "event_type_pair_cardinality_hll",
@@ -7483,7 +7585,6 @@ _DRIVER_WINDOW = [
     "interpolated_event_values",
     "item_pagerank_topk",
     "item_transition_matrix",
-    "knn_cosine_topk",
     "leave_one_out_events",
     "linear_rerank_topk",
     "nation_top_balance_customers",
