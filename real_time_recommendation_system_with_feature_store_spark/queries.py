@@ -6985,9 +6985,11 @@ def view_click_shared_pairs_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "view_click_purchase_funnel",
-    oracle="""
+# Shared by the batch funnel entry and the streaming-sink fold twin
+# (funnel_state_fold): the sink state is the funnel's sufficient
+# statistic, so the fold feeds the SAME batch operators and both certify
+# against the SAME textbook 3-self-join replay.
+_FUNNEL_ORACLE = """
     WITH ea AS (SELECT user_id, CAST(props->>'k' AS BIGINT) AS item_id,
                   ts, event_type
                 FROM events WHERE (props->>'k') IS NOT NULL),
@@ -7011,7 +7013,12 @@ def view_click_shared_pairs_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(CAST(n_click AS DOUBLE) / n_view, 6) AS view_to_click,
       ROUND(CAST(n_purchase AS DOUBLE) / n_click, 6) AS click_to_purchase
     FROM agg
-    """,
+    """
+
+
+@query(
+    "view_click_purchase_funnel",
+    oracle=_FUNNEL_ORACLE,
     doc="Ordered per-(user, item) conversion funnel (first view -> first "
         "click of the SAME item at/after that view -> first purchase "
         "at/after that click; 7310 -> 1856 -> 117 -> 7 at sf0.01, so the "
@@ -7044,9 +7051,11 @@ def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_summary(staged, steps, n_entities_col="n_pairs")
 
 
-@query(
-    "daily_cohort_retention",
-    oracle="""
+# Shared by the batch cohort entry and the streaming-sink fold twin
+# (cohort_state_fold): the sink state is the distinct (entity, period)
+# pairs — the operator's sufficient statistic — so both certify against
+# the SAME textbook self-join replay.
+_COHORT_ORACLE = """
     WITH w AS (SELECT DISTINCT user_id,
                  epoch_us(ts) // 86400000000 AS d FROM events),
     c AS (SELECT user_id, MIN(d) AS cd FROM w GROUP BY 1),
@@ -7059,7 +7068,12 @@ def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.cd AS cohort_day, m.day_offset, m.n_users,
       ROUND(CAST(m.n_users AS DOUBLE) / s.csize, 6) AS retention
     FROM m JOIN s ON m.cd = s.cd ORDER BY 1, 2
-    """,
+    """
+
+
+@query(
+    "daily_cohort_retention",
+    oracle=_COHORT_ORACLE,
     doc="Daily cohort retention matrix (cohort = a user's first-activity "
         "day, cells = distinct users active at each day offset, retention "
         "= cell / cohort size): the standard growth-analytics shape the "
@@ -7533,6 +7547,79 @@ def pq_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "funnel_state_fold",
+    oracle=_FUNNEL_ORACLE,
+    doc="Streaming funnel sink driven in-query: events stream in as 3 "
+        "micro-batches sliced by event_id mod 3 — deliberately OUT of "
+        "time order, so stage-0 events arrive in later epochs than the "
+        "stage-k events they admit (the re-admission case a premature "
+        "per-epoch prune would break; the sink keeps distinct stage-1+ "
+        "rows precisely for this). funnel_stage_times + funnel_summary "
+        "over read_funnel_state's fold; the oracle is the batch entry's "
+        "textbook 3-self-join replay, so the driver hash certifies the "
+        "epoch-compacted state == one-pass batch funnel. Scale: "
+        "per-epoch state compacts stage-0/non-step events to per-entity "
+        "minima (streaming/pipeline.py:590).",
+)
+def funnel_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.funnel import (
+        funnel_stage_times,
+        funnel_summary,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        funnel_state_stream,
+        read_funnel_state,
+    )
+
+    state_dir = _fold_state_dir("funnel_state_fold", sf_dir)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+        .select("user_id", "item_id", "ts", "event_type", "event_id")
+    )
+    steps = ["view", "click", "purchase"]
+    sink = funnel_state_stream(state_dir, ["user_id", "item_id"], steps)
+    for i in range(3):
+        sink(ev.where(F.col("event_id") % 3 == i), i)
+    staged = funnel_stage_times(
+        read_funnel_state(spark, state_dir), steps, ["user_id", "item_id"]
+    )
+    return funnel_summary(staged, steps, n_entities_col="n_pairs")
+
+
+@query(
+    "cohort_state_fold",
+    oracle=_COHORT_ORACLE,
+    doc="Streaming cohort sink driven in-query: events stream in as 3 "
+        "micro-batches sliced by event_id mod 3 (out of time order — the "
+        "distinct (entity, period) state is min/distinct-idempotent, so "
+        "arrival order is immaterial by construction, and the driver "
+        "hash certifies it). cohort_retention over read_cohort_state's "
+        "fold; the oracle is the batch entry's textbook self-join "
+        "replay. Scale: per-epoch state is one row per active "
+        "entity-period (streaming/pipeline.py:662).",
+)
+def cohort_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.cohort import cohort_retention
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cohort_state_stream,
+        read_cohort_state,
+    )
+
+    state_dir = _fold_state_dir("cohort_state_fold", sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        "event_id",
+    )
+    sink = cohort_state_stream(state_dir, "user_id", "d")
+    for i in range(3):
+        sink(ev.where(F.col("event_id") % 3 == i), i)
+    return cohort_retention(read_cohort_state(spark, state_dir), "user_id", "d")
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -7541,19 +7628,21 @@ _DRIVER_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
     # r11 ROTATION.  Evidence ledger after r10: 50 entries newest-green
-    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 7
+    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 9
     # NEW never-checked streaming-state fold twins (the r10 verdict's #2
     # directive: first driver-oracle evidence for the sink tier — all
-    # four ANN tiers, the Markov frontier stitch, decayed counts, and
-    # IVM) + 43 of the 48 r7-stale entries.  With 155 catalog entries
-    # the guard's cutoff lands at r7, so the r9 fillers initially
-    # slotted here had to yield; the five at-cutoff entries left
-    # waiting (front of the r12 queue) are user_event_arrays,
-    # value_percentiles, user_activity_windows, embedding_norms, and
-    # knn_cosine_topk — each with a fresher sibling exercising the same
-    # operator family (the last two: the five driver-fronted ANN
-    # entries above).  After this round no entry's newest driver
-    # evidence is older than r7, and only those five are that old.
+    # four ANN tiers, the Markov frontier stitch, the funnel's
+    # out-of-order re-admission, cohort, decayed counts, and IVM) + 41
+    # of the 48 r7-stale entries.  With 157 catalog entries the guard's
+    # cutoff lands at r7, so the r9 fillers initially slotted here had
+    # to yield; the seven at-cutoff entries left waiting (front of the
+    # r12 queue) are user_event_arrays, value_percentiles,
+    # user_activity_windows, embedding_norms, knn_cosine_topk,
+    # view_click_purchase_funnel, and daily_cohort_retention — each with
+    # a fresher sibling exercising the same operator family (the last
+    # two share their EXACT oracle with the driver-fronted fold twins
+    # above).  After this round no entry's newest driver evidence is
+    # older than r7, and only those seven are that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
@@ -7562,6 +7651,8 @@ _DRIVER_WINDOW = [
     "transition_state_fold",
     "lsh_index_fold",
     "pq_index_fold",
+    "funnel_state_fold",
+    "cohort_state_fold",
     # r7-stale (all 48):
     "asof_purchase_click",
     "bloom_pruned_join",
@@ -7571,7 +7662,6 @@ _DRIVER_WINDOW = [
     "copurchase_clustering_coeff",
     "coverage_novelty",
     "customers_without_orders",
-    "daily_cohort_retention",
     "dedup_cluster_keepers",
     "domain_mixture_sample",
     "embedding_near_dup_lsh",
@@ -7605,7 +7695,6 @@ _DRIVER_WINDOW = [
     "tree_rerank_topk",
     "two_stage_recommendations",
     "user_value_scd2",
-    "view_click_purchase_funnel",
 ]
 
 def _reorder_registry() -> None:
