@@ -1752,6 +1752,49 @@ def test_compact_epoch_state_crash_recovery(spark):
     assert sorted(map(tuple, read_cms_sketch(spark, state_dir).collect())) == want
 
 
+def test_compact_recovery_every_crash_prefix(spark):
+    """Compaction deletes source epochs in sorted order, so the reachable
+    post-materialization crash states are exactly the deletion PREFIXES
+    (none deleted, epoch=0 gone, 0..1 gone, all gone). Recovery must
+    restore the identical fold from every one of them."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cms_sketch_stream,
+        read_cms_sketch,
+        recover_epoch_state,
+    )
+
+    data = spark.createDataFrame([(i % 5,) for i in range(90)], "k long")
+
+    def build(d):
+        shutil.rmtree(d, ignore_errors=True)
+        sink = cms_sketch_stream(d, "k", depth=2, width=16)
+        sink(data.limit(30), 0)
+        sink(data.limit(70), 1)
+        sink(data, 2)
+
+    base = os.path.join(TMP, "cms_crash_prefix_ref")
+    build(base)
+    want = sorted(map(tuple, read_cms_sketch(spark, base).collect()))
+
+    for n_deleted in range(4):
+        d = os.path.join(TMP, f"cms_crash_prefix_{n_deleted}")
+        build(d)
+        # simulate: fold fully materialized to the ready dir (target = max
+        # old id 2), then crash after deleting the first n_deleted epochs
+        read_cms_sketch(spark, d).write.mode("overwrite").parquet(
+            f"{d}/.compact.ready.epoch=2"
+        )
+        for e in range(n_deleted):
+            shutil.rmtree(f"{d}/epoch={e}")
+        assert recover_epoch_state(d) is True, n_deleted
+        assert sorted(map(tuple, read_cms_sketch(spark, d).collect())) == want, n_deleted
+        assert os.path.isdir(f"{d}/epoch=2") and not os.path.isdir(f"{d}/epoch=0")
+        # and the recovered directory accepts future epochs + folds on
+        cms_sketch_stream(d, "k", depth=2, width=16)(data.limit(10), 3)
+        total = read_cms_sketch(spark, d).agg(F.sum("cell_count")).collect()[0][0]
+        assert total == (30 + 70 + 90 + 10) * 2, n_deleted
+
+
 def test_compact_epoch_state_ivf_cells(spark):
     """Compaction of the IVF sink's nested cells/epoch=N/__cell=C layout:
     partition_by re-establishes the cell partitioning in the compacted
