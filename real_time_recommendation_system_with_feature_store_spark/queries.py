@@ -6418,9 +6418,11 @@ def feature_day_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cms_heavy_hitters",
-    oracle="""
+# Shared by the batch CMS entry and the streaming-sink fold twin
+# (cms_sketch_fold): the md5-portable sketch math is replayed bit-for-bit
+# and the fold == one-pass sketch by merge associativity, so both certify
+# against the SAME replay.
+_CMS_HH_ORACLE = """
     WITH ea AS (
       SELECT CAST(props->>'k' AS BIGINT) AS item_id FROM events
       WHERE props->>'k' IS NOT NULL
@@ -6445,7 +6447,12 @@ def feature_day_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.item_id, p.exact_count, MIN(COALESCE(c.cell_count, 0)) AS est_count
     FROM probes p LEFT JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
     GROUP BY 1, 2
-    """,
+    """
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=_CMS_HH_ORACLE,
     doc="Count-min sketch (operators/sketches.py::cms_build/cms_estimate, "
         "depth 4 × width 64): bounded-state frequency estimation replacing "
         "the reference's exact per-key counters "
@@ -6593,15 +6600,22 @@ def _qsketch_cte_sql(table: str, value: str, by: str | None = None) -> str:
     )"""
 
 
-@query(
-    "price_quantile_sketch",
-    oracle=f"""
+# Shared by the batch quantile-sketch entry and the streaming-sink fold
+# twin (qsketch_fold): bucket coordinates are exact integer arithmetic and
+# the fold == one-pass sketch by re-sum, so both certify against the SAME
+# bit-for-bit replay.
+_QSKETCH_PRICE_ORACLE = f"""
     WITH {_qsketch_cte_sql("lineitem", "l_extendedprice")},
     qv AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
     SELECT qv.q, MIN(c.lb) AS est_price
     FROM qv JOIN c ON c.cum >= CEIL(qv.q * c.total)
     GROUP BY 1 ORDER BY 1
-    """,
+    """
+
+
+@query(
+    "price_quantile_sketch",
+    oracle=_QSKETCH_PRICE_ORACLE,
     doc="Mergeable log-bucket quantile sketch (operators/sketches.py::"
         "qsketch_build/qsketch_quantiles, DDSketch-family, sub_bits=4 -> "
         "<=6.25% relative bucket width): one lineitem scan collapses "
@@ -7620,6 +7634,150 @@ def cohort_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(read_cohort_state(spark, state_dir), "user_id", "d")
 
 
+@query(
+    "cms_sketch_fold",
+    oracle=_CMS_HH_ORACLE,
+    doc="Streaming count-min sink driven in-query: events stream in as 3 "
+        "micro-batches sliced by event_id mod 3 through cms_sketch_stream "
+        "(each epoch's state is the bounded <=depth*width cell frame), "
+        "read_cms_sketch sum-folds the epochs, and the top-20 exact heavy "
+        "hitters probe the folded sketch — the cms_heavy_hitters batch "
+        "shape over the INCREMENTALLY built sketch. The oracle replays "
+        "the md5-portable sketch bit-for-bit (fold == one-pass by merge "
+        "associativity), so the driver hash certifies the epoch-merged "
+        "counters. Scale: per-epoch state is O(depth*width) no matter the "
+        "batch size (streaming/pipeline.py:468).",
+)
+def cms_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_estimate
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cms_sketch_stream,
+        read_cms_sketch,
+    )
+
+    state_dir = _fold_state_dir("cms_sketch_fold", sf_dir)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+        .select("item_id", F.col("item_id").cast("string").alias("item_key"), "event_id")
+    )
+    sink = cms_sketch_stream(state_dir, "item_key", depth=4, width=64)
+    for i in range(3):
+        sink(ev.where(F.col("event_id") % 3 == i), i)
+    sketch = read_cms_sketch(spark, state_dir)
+    exact = ev.groupBy("item_id").agg(F.count("*").alias("exact_count"))
+    top = global_topn(exact, [F.col("exact_count").desc(), F.col("item_id").asc()], 20)
+    return cms_estimate(
+        top, sketch, F.col("item_id").cast("string"), depth=4, width=64
+    ).select("item_id", "exact_count", "est_count")
+
+
+@query(
+    "hll_sketch_fold",
+    oracle=f"""
+    WITH k AS (
+      SELECT CAST(user_id AS VARCHAR) || '|'
+          || CAST(CAST(props->>'k' AS BIGINT) AS VARCHAR) AS pk
+      FROM events WHERE (props->>'k') IS NOT NULL
+    ),
+    h AS (SELECT ('0x' || substring(md5('hll' || chr(31) || pk), 1, 15))::UBIGINT AS h
+          FROM k),
+    r AS (SELECT CAST(h % 256 AS INT) AS bucket,
+            CAST(CASE WHEN h // 256 = 0 THEN 53
+                 ELSE 53 - length(bin(h // 256)) END AS INT) AS rho
+          FROM h),
+    reg AS (SELECT bucket, MAX(rho) AS max_rho FROM r GROUP BY 1),
+    agg AS (SELECT
+              CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT)
+                + (256 - CAST(COUNT(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 53)
+                AS ssum,
+              256 - CAST(COUNT(*) AS BIGINT) AS zeros
+            FROM reg),
+    est AS (SELECT
+              CASE WHEN ({_HLL_P8_NUM!r} / CAST(ssum AS DOUBLE)) <= 640.0
+                    AND zeros > 0
+                THEN 256.0 * LN(256.0 / CAST(zeros AS DOUBLE))
+                ELSE {_HLL_P8_NUM!r} / CAST(ssum AS DOUBLE)
+              END AS est
+            FROM agg),
+    ex AS (SELECT CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_exact FROM k)
+    SELECT ex.n_exact, ROUND(est.est, 6) AS n_hll FROM ex CROSS JOIN est
+    """,
+    doc="Streaming HyperLogLog sink driven in-query: (user, item) pair "
+        "keys stream in as 3 micro-batches sliced by event_id mod 3 "
+        "through hll_sketch_stream (each epoch's state is its <=256-row "
+        "register frame), read_hll_sketch max-folds the registers, and "
+        "the corpus pair cardinality is estimated off the fold — the "
+        "global form of event_type_pair_cardinality_hll over the "
+        "INCREMENTALLY built registers. The oracle replays every "
+        "register bit-for-bit (max-fold == one-pass registers — the "
+        "strong idempotency), with the exact COUNT DISTINCT riding along "
+        "to certify the error. Scale: per-epoch state is <=2^p rows no "
+        "matter the batch size (streaming/pipeline.py:513).",
+)
+def hll_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_estimate
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        hll_sketch_stream,
+        read_hll_sketch,
+    )
+
+    state_dir = _fold_state_dir("hll_sketch_fold", sf_dir)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+    )
+    keyed = ev.select(
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"), F.col("item_id").cast("string")
+        ).alias("pk"),
+        "event_id",
+    )
+    sink = hll_sketch_stream(state_dir, "pk", p=8)
+    for i in range(3):
+        sink(keyed.where(F.col("event_id") % 3 == i), i)
+    est = hll_estimate(read_hll_sketch(spark, state_dir), p=8, out_col="est")
+    exact = keyed.agg(F.countDistinct("pk").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact", F.round(F.col("est"), 6).alias("n_hll")
+    )
+
+
+@query(
+    "qsketch_fold",
+    oracle=_QSKETCH_PRICE_ORACLE,
+    doc="Streaming quantile-sketch sink driven in-query: lineitem prices "
+        "stream in as 3 micro-batches sliced by l_orderkey mod 3 through "
+        "qsketch_stream (each epoch's state is the bounded log-bucket "
+        "cell frame), read_qsketch re-sums the epochs, and the quantiles "
+        "read off the fold — the price_quantile_sketch batch shape over "
+        "the INCREMENTALLY built histogram, sharing that entry's "
+        "bit-for-bit oracle (fold == one-pass by re-sum; bucket "
+        "coordinates are exact integer arithmetic). Scale: per-epoch "
+        "state is O(log range * 2^sub_bits) cells no matter the batch "
+        "size (streaming/pipeline.py:551).",
+)
+def qsketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_quantiles
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        qsketch_stream,
+        read_qsketch,
+    )
+
+    state_dir = _fold_state_dir("qsketch_fold", sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_orderkey")
+    sink = qsketch_stream(state_dir, "l_extendedprice")
+    for i in range(3):
+        sink(li.where(F.col("l_orderkey") % 3 == i), i)
+    return qsketch_quantiles(
+        read_qsketch(spark, state_dir), [0.25, 0.5, 0.75, 0.9, 0.99],
+        out_col="est_price",
+    )
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -7628,21 +7786,23 @@ _DRIVER_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
     # r11 ROTATION.  Evidence ledger after r10: 50 entries newest-green
-    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 9
+    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 12
     # NEW never-checked streaming-state fold twins (the r10 verdict's #2
     # directive: first driver-oracle evidence for the sink tier — all
     # four ANN tiers, the Markov frontier stitch, the funnel's
-    # out-of-order re-admission, cohort, decayed counts, and IVM) + 41
-    # of the 48 r7-stale entries.  With 157 catalog entries the guard's
-    # cutoff lands at r7, so the r9 fillers initially slotted here had
-    # to yield; the seven at-cutoff entries left waiting (front of the
-    # r12 queue) are user_event_arrays, value_percentiles,
-    # user_activity_windows, embedding_norms, knn_cosine_topk,
-    # view_click_purchase_funnel, and daily_cohort_retention — each with
-    # a fresher sibling exercising the same operator family (the last
-    # two share their EXACT oracle with the driver-fronted fold twins
-    # above).  After this round no entry's newest driver evidence is
-    # older than r7, and only those seven are that old.
+    # out-of-order re-admission, cohort, decayed counts, IVM, and the
+    # CMS/HLL/qsketch trio) + 38 of the 48 r7-stale entries.  With 160
+    # catalog entries the guard's cutoff lands at r7, so the r9 fillers
+    # initially slotted here had to yield; the ten at-cutoff entries
+    # left waiting (front of the r12 queue) are user_event_arrays,
+    # value_percentiles, user_activity_windows, embedding_norms,
+    # knn_cosine_topk, view_click_purchase_funnel,
+    # daily_cohort_retention, cms_heavy_hitters,
+    # event_type_pair_cardinality_hll, and price_quantile_sketch — each
+    # with a fresher sibling exercising the same operator family (five
+    # of them share their EXACT oracle text with a driver-fronted fold
+    # twin above).  After this round no entry's newest driver evidence
+    # is older than r7, and only those ten are that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
@@ -7653,12 +7813,14 @@ _DRIVER_WINDOW = [
     "pq_index_fold",
     "funnel_state_fold",
     "cohort_state_fold",
+    "cms_sketch_fold",
+    "hll_sketch_fold",
+    "qsketch_fold",
     # r7-stale (all 48):
     "asof_purchase_click",
     "bloom_pruned_join",
     "bpe_packed_corpus",
     "brand_top_parts",
-    "cms_heavy_hitters",
     "copurchase_clustering_coeff",
     "coverage_novelty",
     "customers_without_orders",
@@ -7667,7 +7829,6 @@ _DRIVER_WINDOW = [
     "embedding_near_dup_lsh",
     "event_key_skew",
     "event_key_skew_cms",
-    "event_type_pair_cardinality_hll",
     "event_type_pivot",
     "global_top_parts",
     "gopher_quality_flags",
@@ -7682,7 +7843,6 @@ _DRIVER_WINDOW = [
     "pagerank_quality_prior",
     "perplexity_buckets",
     "ppr_trending_items",
-    "price_quantile_sketch",
     "pricing_summary",
     "ranking_metrics_multi_k",
     "region_revenue",
