@@ -1501,9 +1501,11 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "span_dedup_docs",
-    oracle="""
+# Shared by the batch corpus-rewrite entry and the streaming-sink fold twin
+# (span_dedup_fold): when micro-batches arrive in corpus (doc_id) order the
+# union of the sink's rewritten epochs equals the one-shot rewrite, so both
+# certify against the SAME replay.
+_SPAN_DEDUP_ORACLE = """
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), spans AS (
@@ -1526,7 +1528,12 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(r.n_spans_kept, 0) AS n_spans_kept,
            greatest(1, CAST(ceil(len(w.ws) / 8.0) AS BIGINT)) AS n_spans_total
     FROM words w LEFT JOIN rebuilt r USING (doc_id)
-    """,
+    """
+
+
+@query(
+    "span_dedup_docs",
+    oracle=_SPAN_DEDUP_ORACLE,
     doc="Corpus-rewriting exact span dedup (ExactSubstr-style, Lee et al. "
     "2022): drop every repeated 8-word span after its first corpus "
     "occurrence, rebuild documents from the survivors.",
@@ -7778,6 +7785,83 @@ def qsketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_index_fold",
+    oracle=_minhash_pairs_oracle(),
+    doc="Streaming incremental near-dup sink driven in-query: documents "
+        "stream in as 3 doc_id-range micro-batches (corpus order) through "
+        "near_dup_dedup_stream — each batch probes the persisted band "
+        "index, emits the verified pairs TOUCHING it, then adds its own "
+        "bands — and the union of the per-epoch pair emissions equals the "
+        "one-shot full-corpus MinHash dedup (each pair surfaces exactly "
+        "when its later member arrives: the union-equals-full invariant). "
+        "hash_fn='portable' so the oracle (minhash_dedup_candidates' "
+        "md5-60 + mod-p replay) certifies the whole incremental pipeline "
+        "differentially. Scale: a batch compares only against shared "
+        "band buckets of the slim persisted index, never the corpus "
+        "(streaming/pipeline.py:224).",
+)
+def minhash_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import near_dup_dedup_stream
+
+    base = _fold_state_dir("minhash_index_fold", sf_dir)
+    dirs = {k: _os.path.join(base, k) for k in ("index", "docs", "pairs")}
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000).select(
+        "doc_id", "text"
+    )
+    sink = near_dup_dedup_stream(
+        dirs["index"], dirs["docs"], dirs["pairs"],
+        verify_threshold=0.5, hash_fn="portable",
+    )
+    cuts = [(0, 170), (170, 340), (340, 1000)]
+    for i, (lo, hi) in enumerate(cuts):
+        sink(d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i)
+    return (
+        spark.read.parquet(dirs["pairs"]).drop("epoch").select("id_a", "id_b", "jaccard")
+    )
+
+
+@query(
+    "span_dedup_fold",
+    oracle=_SPAN_DEDUP_ORACLE,
+    doc="Streaming span-rewrite sink driven in-query: documents stream in "
+        "as 3 doc_id-range micro-batches (corpus order) through "
+        "span_dedup_stream — each batch rewrites against the persisted "
+        "fingerprint index and appends only its genuinely new "
+        "fingerprints — and the union of rewritten epochs equals the "
+        "one-shot corpus-scope dedup_spans rewrite (span_dedup_docs' "
+        "oracle, shared). The driver hash certifies ingest-time dedup == "
+        "second-pass batch dedup. Scale: the index rows are 16-byte "
+        "hashes and a batch anti-joins only against them, never the "
+        "corpus text (streaming/pipeline.py:318).",
+)
+def span_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import span_dedup_stream
+
+    base = _fold_state_dir("span_dedup_fold", sf_dir)
+    index_dir = _os.path.join(base, "index")
+    out_dir = _os.path.join(base, "out")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sink = span_dedup_stream(index_dir, out_dir, span_words=8)
+    cuts = [(0, 170), (170, 340), (340, 1 << 40)]
+    for i, (lo, hi) in enumerate(cuts):
+        sink(d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i)
+    return (
+        spark.read.parquet(out_dir)
+        .drop("epoch")
+        .select(
+            "doc_id",
+            "dedup_text",
+            F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+            F.col("n_spans_total").cast("long").alias("n_spans_total"),
+        )
+    )
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -7786,23 +7870,29 @@ _DRIVER_WINDOW_ROUND = 11
 
 _DRIVER_WINDOW = [
     # r11 ROTATION.  Evidence ledger after r10: 50 entries newest-green
-    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 12
+    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 14
     # NEW never-checked streaming-state fold twins (the r10 verdict's #2
     # directive: first driver-oracle evidence for the sink tier — all
     # four ANN tiers, the Markov frontier stitch, the funnel's
-    # out-of-order re-admission, cohort, decayed counts, IVM, and the
-    # CMS/HLL/qsketch trio) + 38 of the 48 r7-stale entries.  With 160
-    # catalog entries the guard's cutoff lands at r7, so the r9 fillers
-    # initially slotted here had to yield; the ten at-cutoff entries
-    # left waiting (front of the r12 queue) are user_event_arrays,
-    # value_percentiles, user_activity_windows, embedding_norms,
-    # knn_cosine_topk, view_click_purchase_funnel,
-    # daily_cohort_retention, cms_heavy_hitters,
-    # event_type_pair_cardinality_hll, and price_quantile_sketch — each
-    # with a fresher sibling exercising the same operator family (five
-    # of them share their EXACT oracle text with a driver-fronted fold
-    # twin above).  After this round no entry's newest driver evidence
-    # is older than r7, and only those ten are that old.
+    # out-of-order re-admission, cohort, decayed counts, IVM, the
+    # CMS/HLL/qsketch trio, and the minhash/span dedup-index rewrites;
+    # the semantic-dedup sink is the one family left out, its cell
+    # geometry being frozen from the data-dependent FIRST batch, which
+    # no corpus-level SQL replay can reproduce — its stream==offline
+    # invariant is pinned in tests/test_streaming.py instead) + 36 of
+    # the 48 r7-stale entries.  With 162 catalog entries the guard's
+    # cutoff lands at r7, so the r9 fillers initially slotted here had
+    # to yield; the twelve at-cutoff entries left waiting (front of the
+    # r12 queue) are user_event_arrays, value_percentiles,
+    # user_activity_windows, embedding_norms, knn_cosine_topk,
+    # view_click_purchase_funnel, daily_cohort_retention,
+    # cms_heavy_hitters, event_type_pair_cardinality_hll,
+    # price_quantile_sketch, incremental_dedup_candidates, and
+    # embedding_near_dup_lsh — each with a fresher sibling exercising
+    # the same operator family (seven of them share their EXACT oracle
+    # text or generator with a driver-fronted fold twin above).  After
+    # this round no entry's newest driver evidence is older than r7,
+    # and only those twelve are that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
@@ -7816,6 +7906,8 @@ _DRIVER_WINDOW = [
     "cms_sketch_fold",
     "hll_sketch_fold",
     "qsketch_fold",
+    "minhash_index_fold",
+    "span_dedup_fold",
     # r7-stale (all 48):
     "asof_purchase_click",
     "bloom_pruned_join",
@@ -7826,13 +7918,11 @@ _DRIVER_WINDOW = [
     "customers_without_orders",
     "dedup_cluster_keepers",
     "domain_mixture_sample",
-    "embedding_near_dup_lsh",
     "event_key_skew",
     "event_key_skew_cms",
     "event_type_pivot",
     "global_top_parts",
     "gopher_quality_flags",
-    "incremental_dedup_candidates",
     "interpolated_event_values",
     "item_pagerank_topk",
     "item_transition_matrix",
