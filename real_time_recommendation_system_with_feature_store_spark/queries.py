@@ -7862,6 +7862,94 @@ def span_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup_fold",
+    # The semantic_dedup_embeddings oracle with a TRAIN predicate: the
+    # stream freezes its cell geometry from the first micro-batch, and
+    # because the fold twin slices the corpus by id order in-query, that
+    # first batch is the pure predicate vec_id < MAX(vec_id)//3 — so the
+    # seed/assign/Lloyd-mean CTEs run over the train slice while the final
+    # assignment and intra-cell pairing run over the full corpus.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    cut AS (SELECT MAX(vec_id) // 3 AS t FROM embeddings),
+    train AS (SELECT n.vec_id, n.nv FROM norm n, cut WHERE n.vec_id < cut.t),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell, nv AS cv
+      FROM train QUALIFY cell <= 16
+    ),
+    a1 AS (
+      SELECT vec_id, nv, cell FROM (
+        SELECT n.vec_id, n.nv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM train n CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cell, list(mval ORDER BY i) AS mv FROM (
+        SELECT a.cell, i.i, AVG(a.nv[i.i]) AS mval
+        FROM a1 a, range(1, 65) i(i) GROUP BY a.cell, i.i
+      ) GROUP BY cell
+    ),
+    cents AS (
+      SELECT c0.cell,
+        CASE WHEN m.mv IS NULL THEN {_SQL_L2NORM.format(l='c0.cv')}
+             ELSE {_SQL_L2NORM.format(l='m.mv')} END AS cv
+      FROM c0 LEFT JOIN m ON c0.cell = m.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+    FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id
+    WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+    """,
+    doc="Streaming SemDeDup sink driven in-query: embeddings stream in as "
+        "3 id-ordered micro-batches through semantic_dedup_stream — the "
+        "FIRST batch trains and freezes the IVF cell geometry "
+        "(deterministic lowest-id seeds + one Lloyd step over batch-1 "
+        "vectors only), later batches assign against the frozen centroids "
+        "and pair against prior members of the same cell — and the union "
+        "of per-epoch pair emissions equals the one-shot intra-cell pair "
+        "set under those centroids. The oracle replays the first-slice "
+        "build (train CTEs predicated on vec_id < max//3) then assigns "
+        "and pairs corpus-wide, so the driver hash certifies "
+        "incremental-pairing == batch SemDeDup under the frozen model. "
+        "Scale: a batch compares only against same-cell members "
+        "(~1/n_cells of the index), never all pairs "
+        "(streaming/pipeline.py:377).",
+)
+def semantic_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import semantic_dedup_stream
+
+    base = _fold_state_dir("semantic_dedup_fold", sf_dir)
+    dirs = {k: _os.path.join(base, k) for k in ("centroids", "members", "pairs")}
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hi = int(e.agg(F.max("vec_id")).collect()[0][0])  # scalar stat, not data
+    t = hi // 3
+    sink = semantic_dedup_stream(
+        dirs["centroids"], dirs["members"], dirs["pairs"],
+        n_cells=16, threshold=0.3, refine_iters=1,
+    )
+    cuts = [(0, t), (t, 2 * t), (2 * t, hi + 1)]
+    for i, (lo, up) in enumerate(cuts):
+        sink(e.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up)), i)
+    return (
+        spark.read.parquet(dirs["pairs"])
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates()
+    )
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -7875,24 +7963,26 @@ _DRIVER_WINDOW = [
     # directive: first driver-oracle evidence for the sink tier — all
     # four ANN tiers, the Markov frontier stitch, the funnel's
     # out-of-order re-admission, cohort, decayed counts, IVM, the
-    # CMS/HLL/qsketch trio, and the minhash/span dedup-index rewrites;
-    # the semantic-dedup sink is the one family left out, its cell
-    # geometry being frozen from the data-dependent FIRST batch, which
-    # no corpus-level SQL replay can reproduce — its stream==offline
-    # invariant is pinned in tests/test_streaming.py instead) + 36 of
-    # the 48 r7-stale entries.  With 162 catalog entries the guard's
-    # cutoff lands at r7, so the r9 fillers initially slotted here had
-    # to yield; the twelve at-cutoff entries left waiting (front of the
-    # r12 queue) are user_event_arrays, value_percentiles,
-    # user_activity_windows, embedding_norms, knn_cosine_topk,
-    # view_click_purchase_funnel, daily_cohort_retention,
-    # cms_heavy_hitters, event_type_pair_cardinality_hll,
-    # price_quantile_sketch, incremental_dedup_candidates, and
-    # embedding_near_dup_lsh — each with a fresher sibling exercising
-    # the same operator family (seven of them share their EXACT oracle
-    # text or generator with a driver-fronted fold twin above).  After
-    # this round no entry's newest driver evidence is older than r7,
-    # and only those twelve are that old.
+    # CMS/HLL/qsketch trio, the minhash/span dedup-index rewrites, and
+    # — added late in the round once the in-query id-ordered slicing
+    # made the "data-dependent first batch" a pure SQL predicate — the
+    # semantic-dedup sink, completing driver evidence for EVERY sink
+    # family) + 35 of the 48 r7-stale entries.  With 163 catalog
+    # entries the guard's cutoff lands at r7, so the r9 fillers
+    # initially slotted here had to yield; the thirteen at-cutoff
+    # entries left waiting (front of the r12 queue) are
+    # user_event_arrays, value_percentiles, user_activity_windows,
+    # embedding_norms, knn_cosine_topk, view_click_purchase_funnel,
+    # daily_cohort_retention, cms_heavy_hitters,
+    # event_type_pair_cardinality_hll, price_quantile_sketch,
+    # incremental_dedup_candidates, embedding_near_dup_lsh, and
+    # event_key_skew_cms — each with a fresher sibling exercising the
+    # same operator family (eight of them share their EXACT oracle
+    # text or generator with a driver-fronted fold twin above; the
+    # evicted event_key_skew_cms keeps its exact-profile sibling
+    # event_key_skew in-window and its CMS kernel certified via
+    # cms_sketch_fold).  After this round no entry's newest driver
+    # evidence is older than r7, and only those thirteen are that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
@@ -7908,7 +7998,8 @@ _DRIVER_WINDOW = [
     "qsketch_fold",
     "minhash_index_fold",
     "span_dedup_fold",
-    # r7-stale (all 48):
+    "semantic_dedup_fold",
+    # r7-stale (35 of 48):
     "asof_purchase_click",
     "bloom_pruned_join",
     "bpe_packed_corpus",
@@ -7919,7 +8010,6 @@ _DRIVER_WINDOW = [
     "dedup_cluster_keepers",
     "domain_mixture_sample",
     "event_key_skew",
-    "event_key_skew_cms",
     "event_type_pivot",
     "global_top_parts",
     "gopher_quality_flags",

@@ -51,5 +51,9 @@ def test_fold_twin_wipes_poisoned_state(spark):
 
 
 def test_fold_twin_rerun_deterministic(spark):
-    for name in ("ivm_delta_fold", "bm25_index_fold"):
+    # semantic_dedup_fold matters most here: its cell geometry is trained
+    # from the first micro-batch, so determinism rests on _fold_state_dir
+    # wiping the centroids — a stale model from a previous slicing would
+    # silently change every pair emission.
+    for name in ("ivm_delta_fold", "bm25_index_fold", "semantic_dedup_fold"):
         assert _rows(spark, name) == _rows(spark, name), name
