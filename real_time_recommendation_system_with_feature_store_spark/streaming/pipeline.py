@@ -1625,8 +1625,10 @@ def read_agg_delta_state(
 
 
 def vector_tombstone_stream(index_dir: str, id_col: str):
-    """Takedown path shared by the ANN index family (IVF/LSH/PQ) — the
-    vector-side twin of ``bm25_tombstone_stream`` (a GDPR delete or an
+    """Takedown path shared by the ANN index family (IVF/LSH/PQ) and the
+    semantic-dedup member table (point it at ``members_dir``; fold reads
+    go through ``read_semantic_pairs``/``purge_semantic_tombstones``) —
+    the vector-side twin of ``bm25_tombstone_stream`` (a GDPR delete or an
     embedding refresh cannot be expressed by the append-only dedup-folds;
     reference analog: the mocked item updates,
     src/streaming/kafka_consumer.py:333-350). Each micro-batch writes its
@@ -1714,6 +1716,64 @@ def purge_vector_tombstones(spark: SparkSession, index_dir: str) -> None:
         )
         compact_epoch_state(fold, index_dir)
     _shutil.rmtree(f"{index_dir}/.deletes")
+
+
+def read_semantic_pairs(
+    spark: SparkSession, members_dir: str, pairs_dir: str
+) -> DataFrame:
+    """Fold the semantic-dedup sink's per-epoch pair emissions into the
+    live near-dup pair set, honoring the member table's tombstones
+    (``vector_tombstone_stream`` pointed at ``members_dir`` — the same
+    ``.deletes/`` layout as the ANN family, hidden from the sink's
+    root-level epoch reads): a pair survives only while BOTH endpoints
+    are live, so a takedown retracts every near-dup relation the dead
+    vector anchored — the semantic twin of the ANN searches' candidate
+    filter. The tombstone fold is usually tiny, so the anti-joins
+    broadcast (stats-gated on the un-deduped scan)."""
+    pairs = (
+        spark.read.parquet(pairs_dir)
+        .drop("epoch")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if _hadoop_path_exists(spark, f"{members_dir}/.deletes"):
+        from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
+        raw_dead = spark.read.parquet(f"{members_dir}/.deletes")
+        dead = gated_broadcast(raw_dead.drop("epoch").distinct(), gate_df=raw_dead)
+        pairs = pairs.join(dead, F.col("id_a") == F.col("__iid"), "left_anti")
+        pairs = pairs.join(dead, F.col("id_b") == F.col("__iid"), "left_anti")
+    return pairs.select("id_a", "id_b", "cosine")
+
+
+def purge_semantic_tombstones(
+    spark: SparkSession, members_dir: str, pairs_dir: str
+) -> None:
+    """Make the semantic sink's tombstones physical: compact the member
+    table to its live rows (so future batches stop pairing against dead
+    vectors at all, instead of relying on the read-side filter), compact
+    the pair epochs to the live pair set, then drop ``.deletes/`` — after
+    this a tombstoned id is reusable as a fresh add. The frozen centroid
+    model is untouched (takedowns don't move cell geometry — retraining
+    is the sink's documented drift path). ``compact_epoch_state``'s
+    contract applies verbatim: stream stopped, no readers in flight,
+    locally-mounted paths."""
+    import shutil as _shutil
+
+    if not _hadoop_path_exists(spark, f"{members_dir}/.deletes"):
+        raise ValueError(
+            f"purge_semantic_tombstones: no tombstones under "
+            f"{members_dir}/.deletes — nothing to purge (plain compaction "
+            "is compact_epoch_state)"
+        )
+    live_pairs = read_semantic_pairs(spark, members_dir, pairs_dir)
+    members = _apply_vector_tombstones(
+        spark,
+        members_dir,
+        spark.read.parquet(members_dir).drop("epoch").dropDuplicates(["__iid"]),
+    )
+    compact_epoch_state(live_pairs, pairs_dir)
+    compact_epoch_state(members, members_dir)
+    _shutil.rmtree(f"{members_dir}/.deletes")
 
 
 def lsh_index_stream(

@@ -2253,6 +2253,89 @@ def test_vector_tombstones_all_ann_tiers(spark):
         assert search(tier, full_dir) == search(tier, clean_dir), tier
 
 
+def test_semantic_tombstones_lifecycle(spark):
+    """Takedown for the semantic-dedup sink (the last index family to get
+    one): after tombstoning a member id, read_semantic_pairs returns
+    EXACTLY the pair set of an index that never held the vector (same
+    frozen geometry — the victim sits outside the training batch), the
+    tombstone is replay-idempotent and shadows a re-add, and
+    purge_semantic_tombstones makes the drop physical (members + pairs),
+    clears .deletes, and releases the id so a fresh add restores the
+    full-corpus pair set."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        purge_semantic_tombstones,
+        read_semantic_pairs,
+        semantic_dedup_stream,
+        vector_tombstone_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hi = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    t = hi // 3
+    cuts = [(0, t), (t, 2 * t), (2 * t, hi + 1)]
+
+    def build(base, data):
+        dirs = {k: os.path.join(base, k) for k in ("centroids", "members", "pairs")}
+        shutil.rmtree(base, ignore_errors=True)
+        sink = semantic_dedup_stream(
+            dirs["centroids"], dirs["members"], dirs["pairs"], n_cells=8, threshold=0.3
+        )
+        for i, (lo, up) in enumerate(cuts):
+            sink(data.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up)), i)
+        return sink, dirs
+
+    def pairs_of(dirs):
+        return sorted(
+            map(tuple, read_semantic_pairs(spark, dirs["members"], dirs["pairs"]).collect())
+        )
+
+    full_sink, full = build(os.path.join(TMP, "semtomb_full"), emb)
+    full_pairs = pairs_of(full)
+    # a victim from the LAST batch (outside the geometry-training first
+    # batch) that actually anchors pairs — otherwise the test is vacuous
+    touched = sorted(
+        {x for p in full_pairs for x in (p[0], p[1]) if x >= 2 * t}
+    )
+    assert touched, "no pair endpoint in the last batch — pick another SF"
+    victim = touched[0]
+
+    _, ref = build(
+        os.path.join(TMP, "semtomb_ref"), emb.where(F.col("vec_id") != victim)
+    )
+    ref_pairs = pairs_of(ref)
+    assert ref_pairs and ref_pairs != full_pairs
+    assert all(victim not in (p[0], p[1]) for p in ref_pairs)
+
+    victim_rows = emb.where(F.col("vec_id") == victim)
+    tomb = vector_tombstone_stream(full["members"], "vec_id")
+    tomb(victim_rows, 10)
+    assert pairs_of(full) == ref_pairs
+
+    # replay-idempotent under a new epoch id
+    tomb(victim_rows, 990)
+    assert pairs_of(full) == ref_pairs
+
+    # a re-add of the tombstoned id stays shadowed at read time
+    full_sink(victim_rows, 5)
+    assert pairs_of(full) == ref_pairs
+
+    # purge: physical (members + pairs live-folded), deletes cleared,
+    # id released — a fresh add restores the full-corpus pair set
+    purge_semantic_tombstones(spark, full["members"], full["pairs"])
+    assert not os.path.exists(f"{full['members']}/.deletes")
+    assert pairs_of(full) == ref_pairs
+    members = spark.read.parquet(full["members"])
+    assert members.where(F.col("__iid") == victim).count() == 0
+    full_sink(victim_rows, 6)
+    assert pairs_of(full) == full_pairs
+
+    # no tombstones -> loud failure, same contract as the other purges
+    with pytest.raises(ValueError, match="no tombstones"):
+        purge_semantic_tombstones(spark, full["members"], full["pairs"])
+
+
 def test_pq_codebooks_persist_at_sink_creation(spark):
     """The frozen model lands EAGERLY at sink construction (the IVF
     centroids contract, driver ADVICE r10): load_pq_codebooks works on an
