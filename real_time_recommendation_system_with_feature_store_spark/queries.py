@@ -7950,6 +7950,100 @@ def semantic_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "label_noise_knn",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS qid, b.vec_id AS iid, b.label AS nl,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
+      FROM e a CROSS JOIN e b WHERE a.vec_id != b.vec_id
+    ),
+    r AS (
+      SELECT qid, nl,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS rn
+      FROM s
+    ),
+    top AS (SELECT qid, nl FROM r WHERE rn <= 5),
+    votes AS (SELECT qid, nl, COUNT(*) AS c FROM top GROUP BY qid, nl),
+    win AS (
+      SELECT qid, nl AS voted_label FROM (
+        SELECT qid, nl, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nl) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    ),
+    agree AS (
+      SELECT t.qid, COUNT(*) AS n_agree
+      FROM top t JOIN e ON e.vec_id = t.qid AND t.nl = e.label
+      GROUP BY t.qid
+    )
+    SELECT e.vec_id, e.label, w.voted_label,
+           CAST(COALESCE(a.n_agree, 0) AS BIGINT) AS n_agree,
+           CAST(CASE WHEN w.voted_label != e.label THEN 1 ELSE 0 END AS INTEGER) AS is_suspect
+    FROM e JOIN win w ON w.qid = e.vec_id
+    LEFT JOIN agree a ON a.qid = e.vec_id
+    """,
+    doc="Label-noise detection via kNN vote (Deep k-NN / Confident "
+        "Learning style): each embedding's 5 nearest neighbors vote on "
+        "its label (count desc, label asc tie-break); rows whose own "
+        "label loses are flagged. The neighbor ranking is the proven "
+        "knn_cosine_topk round6 contract, so the full vote replays in "
+        "SQL. Scale: brute kernel here for exactness; method='ivf' "
+        "bounds the search to probed cells (operators/labelqc.py).",
+)
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.labelqc import knn_label_vote
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_label_vote(e, "vec_id", "label", k=5)
+
+
+@query(
+    "label_centroid_margins",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    norm AS (SELECT vec_id, label, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    m AS (
+      SELECT label, list(mval ORDER BY i) AS mv FROM (
+        SELECT n.label, i.i, AVG(n.nv[i.i]) AS mval
+        FROM norm n, range(1, 65) i(i) GROUP BY n.label, i.i
+      ) GROUP BY label
+    ),
+    cents AS (SELECT label AS cl, {_SQL_L2NORM.format(l='mv')} AS cv FROM m),
+    sc AS (
+      SELECT n.vec_id, n.label, c.cl,
+             ROUND(list_dot_product(n.nv, c.cv), 6) AS cos
+      FROM norm n CROSS JOIN cents c
+    ),
+    own AS (SELECT vec_id, label, cos AS own_cos FROM sc WHERE cl = label),
+    best AS (
+      SELECT vec_id, cl AS best_other_label, cos AS best_other_cos FROM (
+        SELECT vec_id, cl, cos,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) AS rn
+        FROM sc WHERE cl != label
+      ) WHERE rn = 1
+    )
+    SELECT o.vec_id, o.label, o.own_cos, b.best_other_label, b.best_other_cos,
+           ROUND(o.own_cos - b.best_other_cos, 6) AS margin,
+           CAST(CASE WHEN ROUND(o.own_cos - b.best_other_cos, 6) < 0
+                THEN 1 ELSE 0 END AS INTEGER) AS is_suspect
+    FROM own o JOIN best b ON b.vec_id = o.vec_id
+    """,
+    doc="Centroid-margin label screen: one unit centroid per label "
+        "(per-dim mean of normalized vectors, renormalized — the Lloyd "
+        "mean step keyed by label), margin = cosine-to-own minus best "
+        "cosine-to-other; negative margin flags likely mislabels. One "
+        "(label, dim) shuffle + one broadcast of the materialized "
+        "centroid table (row-count-gated, not Catalyst-estimate-gated) — "
+        "no pairwise anything (operators/labelqc.py).",
+)
+def label_centroid_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.labelqc import label_centroid_margin
+
+    e = _t(spark, sf_dir, "embeddings")
+    return label_centroid_margin(e, "vec_id", "label")
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -7967,22 +8061,28 @@ _DRIVER_WINDOW = [
     # — added late in the round once the in-query id-ordered slicing
     # made the "data-dependent first batch" a pure SQL predicate — the
     # semantic-dedup sink, completing driver evidence for EVERY sink
-    # family) + 35 of the 48 r7-stale entries.  With 163 catalog
-    # entries the guard's cutoff lands at r7, so the r9 fillers
-    # initially slotted here had to yield; the thirteen at-cutoff
-    # entries left waiting (front of the r12 queue) are
+    # family; plus the late-round label-QC tier, label_noise_knn and
+    # label_centroid_margins) + 33 of the 48 r7-stale entries.  With
+    # 165 catalog entries the guard's cutoff lands at r7, so the r9
+    # fillers initially slotted here had to yield; the fifteen
+    # at-cutoff entries left waiting (front of the r12 queue) are
     # user_event_arrays, value_percentiles, user_activity_windows,
     # embedding_norms, knn_cosine_topk, view_click_purchase_funnel,
     # daily_cohort_retention, cms_heavy_hitters,
     # event_type_pair_cardinality_hll, price_quantile_sketch,
-    # incremental_dedup_candidates, embedding_near_dup_lsh, and
-    # event_key_skew_cms — each with a fresher sibling exercising the
-    # same operator family (eight of them share their EXACT oracle
-    # text or generator with a driver-fronted fold twin above; the
-    # evicted event_key_skew_cms keeps its exact-profile sibling
+    # incremental_dedup_candidates, embedding_near_dup_lsh,
+    # event_key_skew_cms, sliding_window_counts, and global_top_parts
+    # — each with a fresher sibling exercising the same operator
+    # family (eight of them share their EXACT oracle text or
+    # generator with a driver-fronted fold twin above; the evicted
+    # event_key_skew_cms keeps its exact-profile sibling
     # event_key_skew in-window and its CMS kernel certified via
-    # cms_sketch_fold).  After this round no entry's newest driver
-    # evidence is older than r7, and only those thirteen are that old.
+    # cms_sketch_fold; sliding_window_counts' ST3 shape is covered by
+    # tumbling_window_counts @r9 and session_window_stats in-window;
+    # global_top_parts' TakeOrdered O4 shape was plan-asserted at r10
+    # via waiting_multi_supplier_orders and brand_top_parts stays
+    # in-window).  After this round no entry's newest driver evidence
+    # is older than r7, and only those fifteen are that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
@@ -7999,7 +8099,9 @@ _DRIVER_WINDOW = [
     "minhash_index_fold",
     "span_dedup_fold",
     "semantic_dedup_fold",
-    # r7-stale (35 of 48):
+    "label_noise_knn",
+    "label_centroid_margins",
+    # r7-stale (33 of 48):
     "asof_purchase_click",
     "bloom_pruned_join",
     "bpe_packed_corpus",
@@ -8011,7 +8113,6 @@ _DRIVER_WINDOW = [
     "domain_mixture_sample",
     "event_key_skew",
     "event_type_pivot",
-    "global_top_parts",
     "gopher_quality_flags",
     "interpolated_event_values",
     "item_pagerank_topk",
@@ -8028,7 +8129,6 @@ _DRIVER_WINDOW = [
     "region_revenue",
     "rrf_hybrid_recommendations",
     "session_window_stats",
-    "sliding_window_counts",
     "text_quality",
     "time_split_orders",
     "token_budget_packing",
