@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
+from real_time_recommendation_system_with_feature_store_spark.ident import qcol
 
 
 def knn_label_vote(
@@ -52,8 +53,8 @@ def knn_label_vote(
     """
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import brute_force_topk, ivf_topk
 
-    q = df.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__v"))
-    it = df.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__v"))
+    q = df.select(qcol(id_col).alias("__qid"), qcol(vec_col).alias("__v"))
+    it = df.select(qcol(id_col).alias("__nid"), qcol(vec_col).alias("__v"))
     if method == "ivf":
         nn = ivf_topk(
             q, it, "__qid", "__nid", query_vec="__v", item_vec="__v",
@@ -67,9 +68,9 @@ def knn_label_vote(
         raise ValueError(f"knn_label_vote: unknown method {method!r}")
 
     nbr_labels = df.select(
-        F.col(id_col).alias("__nid"), F.col(label_col).alias("__nl")
+        qcol(id_col).alias("__nid"), qcol(label_col).alias("__nl")
     )
-    own = df.select(F.col(id_col).alias("__qid"), F.col(label_col).alias("__ol"))
+    own = df.select(qcol(id_col).alias("__qid"), qcol(label_col).alias("__ol"))
     # |V|·k slim rows from here on; the (qid, own, neighbor-label) counts
     # feed BOTH the vote and the agreement tally in one aggregation pass
     votes = (
@@ -130,9 +131,9 @@ def label_centroid_margin(
     plus one broadcast — no pairwise anything.
     """
     norm = df.select(
-        F.col(id_col).alias("__qid"),
-        F.col(label_col).alias("__l"),
-        l2_normalize(F.col(vec_col)).alias("__nv"),
+        qcol(id_col).alias("__qid"),
+        qcol(label_col).alias("__l"),
+        l2_normalize(qcol(vec_col)).alias("__nv"),
     )
     cents = (
         norm.select("__l", F.posexplode("__nv").alias("__pos", "__x"))

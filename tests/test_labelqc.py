@@ -86,3 +86,21 @@ def test_centroid_margin_rejects_high_cardinality_label(spark):
 def test_unknown_method_fails_loudly(clustered):
     with pytest.raises(ValueError, match="unknown method"):
         knn_label_vote(clustered, "id", "label", vec_col="vec", method="cosine")
+
+
+def test_hostile_identifiers(clustered):
+    """Dotted/spaced column names (flattened-JSON / CSV-header reality at
+    a 100 TB lake) must resolve as single identifiers via ident.qcol."""
+    hostile = (
+        clustered.withColumnRenamed("id", "row.id")
+        .withColumnRenamed("label", "class label")
+        .withColumnRenamed("vec", "emb.vec")
+    )
+    vote = knn_label_vote(hostile, "row.id", "class label", vec_col="emb.vec", k=3)
+    assert vote.columns[:2] == ["row.id", "class label"]
+    by_id = {r["row.id"]: r for r in vote.collect()}
+    assert by_id[99]["is_suspect"] == 1
+
+    marg = label_centroid_margin(hostile, "row.id", "class label", vec_col="emb.vec")
+    by_id = {r["row.id"]: r for r in marg.collect()}
+    assert by_id[99]["is_suspect"] == 1
