@@ -7951,6 +7951,53 @@ def semantic_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_extrema_priority_price",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' OR o_orderkey % 7 != 0
+    GROUP BY 1, 2
+    """,
+    doc="Extrema (MIN/MAX) INCREMENTAL VIEW MAINTENANCE — the aggregates "
+        "the sum/count delta rule can't self-maintain — via "
+        "apply_extrema_delta's dirty-group rule (operators/ivm.py): a "
+        "per-(priority, status) min/max price rollup over the pre-2000 "
+        "orders is refreshed by a changelog of post-2000 inserts plus "
+        "deletes of every orderkey%7 base row; inserts tighten in place, "
+        "and only groups whose delete touched a stored extremum "
+        "re-aggregate from the post-change snapshot through a stats-gated "
+        "semi-join. The oracle IS the full recompute over that snapshot, "
+        "so the driver hash certifies incremental == from-scratch — "
+        "min/max select stored doubles, so parity is bit-exact with no "
+        "rounding contract needed. At 100 TB a day's deletes dirty a "
+        "bounded group set and only those groups' rows re-read.",
+)
+def rollup_extrema_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_extrema_delta
+
+    split = F.lit("2000-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    base = o.where(F.col("o_orderdate") < split)
+    view = base.groupBy(*keys).agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    doomed = base.where(F.col("o_orderkey") % 7 == 0)
+    changelog = (
+        o.where(F.col("o_orderdate") >= split)
+        .select(F.lit("I").alias("op"), *keys, "o_totalprice")
+        .unionByName(doomed.select(F.lit("D").alias("op"), *keys, "o_totalprice"))
+    )
+    base_after = o.where(
+        (F.col("o_orderdate") >= split) | (F.col("o_orderkey") % 7 != 0)
+    )
+    return apply_extrema_delta(
+        view, changelog, base_after, keys, "o_totalprice", null_safe_keys=False
+    )
+
+
+@query(
     "label_noise_knn",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -8062,27 +8109,29 @@ _DRIVER_WINDOW = [
     # made the "data-dependent first batch" a pure SQL predicate — the
     # semantic-dedup sink, completing driver evidence for EVERY sink
     # family; plus the late-round label-QC tier, label_noise_knn and
-    # label_centroid_margins) + 33 of the 48 r7-stale entries.  With
-    # 165 catalog entries the guard's cutoff lands at r7, so the r9
-    # fillers initially slotted here had to yield; the fifteen
+    # label_centroid_margins, and the extrema-IVM entry
+    # rollup_extrema_priority_price) + 32 of the 48 r7-stale entries.
+    # With 166 catalog entries the guard's cutoff lands at r7, so the
+    # r9 fillers initially slotted here had to yield; the sixteen
     # at-cutoff entries left waiting (front of the r12 queue) are
     # user_event_arrays, value_percentiles, user_activity_windows,
     # embedding_norms, knn_cosine_topk, view_click_purchase_funnel,
     # daily_cohort_retention, cms_heavy_hitters,
     # event_type_pair_cardinality_hll, price_quantile_sketch,
     # incremental_dedup_candidates, embedding_near_dup_lsh,
-    # event_key_skew_cms, sliding_window_counts, and global_top_parts
-    # — each with a fresher sibling exercising the same operator
-    # family (eight of them share their EXACT oracle text or
-    # generator with a driver-fronted fold twin above; the evicted
-    # event_key_skew_cms keeps its exact-profile sibling
+    # event_key_skew_cms, sliding_window_counts, global_top_parts,
+    # and brand_top_parts — each with a fresher sibling exercising
+    # the same operator family (eight of them share their EXACT
+    # oracle text or generator with a driver-fronted fold twin above;
+    # the evicted event_key_skew_cms keeps its exact-profile sibling
     # event_key_skew in-window and its CMS kernel certified via
     # cms_sketch_fold; sliding_window_counts' ST3 shape is covered by
     # tumbling_window_counts @r9 and session_window_stats in-window;
     # global_top_parts' TakeOrdered O4 shape was plan-asserted at r10
-    # via waiting_multi_supplier_orders and brand_top_parts stays
-    # in-window).  After this round no entry's newest driver evidence
-    # is older than r7, and only those fifteen are that old.
+    # via waiting_multi_supplier_orders; brand_top_parts' W2
+    # per-group top-k is covered by segment_recommendations @r10).
+    # After this round no entry's newest driver evidence is older
+    # than r7, and only those sixteen are that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
@@ -8101,11 +8150,11 @@ _DRIVER_WINDOW = [
     "semantic_dedup_fold",
     "label_noise_knn",
     "label_centroid_margins",
-    # r7-stale (33 of 48):
+    "rollup_extrema_priority_price",
+    # r7-stale (32 of 48):
     "asof_purchase_click",
     "bloom_pruned_join",
     "bpe_packed_corpus",
-    "brand_top_parts",
     "copurchase_clustering_coeff",
     "coverage_novelty",
     "customers_without_orders",
