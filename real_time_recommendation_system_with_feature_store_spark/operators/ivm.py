@@ -218,7 +218,11 @@ def apply_extrema_delta(
     The dirty-key semi-join side is stats-gated (``gated_broadcast``;
     the key frame derives from a join whose Catalyst estimate is
     garbage, so the gate reads ``gate_df`` — defaulting to the changes
-    key projection, a sanely-estimated bound).
+    key projection, a sanely-estimated bound). The VIEW is consumed
+    twice (the clean-branch merge and the dirty-key extraction both
+    read the view⋈changes frame), so store it as a bucketed table —
+    the ``apply_agg_delta`` layout contract — making both reads
+    shuffle-free scans; for an in-memory view, persist it first.
 
     NULL measures are unsupported (min/max skip NULLs, so a NULL delete
     cannot be located against the stored extrema); NULL group KEYS follow
