@@ -862,3 +862,51 @@ def test_bucketed_view_agg_ivm_has_no_view_side_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS rollup_bkt")
+
+
+def test_bucketed_view_extrema_ivm_has_no_view_side_exchange(spark):
+    """The apply_extrema_delta scale claim, plan-asserted: an extrema view
+    bucketed on its group key (null_safe_keys=False — the same
+    `<=>`-defeats-bucketing trap) merges its changelog reading the view
+    straight from buckets. The view is consumed twice by design (clean
+    merge + dirty-key extraction, the documented double read); BOTH
+    consumers must feed from buckets with no view-side Exchange."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_extrema_delta
+    from real_time_recommendation_system_with_feature_store_spark.sources.bucketing import write_bucketed
+
+    tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    view = o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.sql("DROP TABLE IF EXISTS extrema_bkt")
+        shutil.rmtree(os.path.join(tmp, "extrema_bkt"), ignore_errors=True)
+        write_bucketed(
+            view, "extrema_bkt", "o_orderpriority", buckets=4,
+            path=os.path.join(tmp, "extrema_bkt"),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bview = spark.table("extrema_bkt")
+        chg = o.limit(50).select(
+            F.lit("I").alias("op"), "o_orderpriority", "o_totalprice"
+        )
+        out = apply_extrema_delta(
+            bview, chg, o, ["o_orderpriority"], "o_totalprice",
+            null_safe_keys=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "Bucketed: false" not in plan, plan  # NO consumer falls back
+        assert "FullOuter" in plan, plan
+        # the primary merge: the view branch (between the join node and
+        # its bucketed scan, view = LEFT child so it prints first) has no
+        # Exchange — the sort feeds straight from buckets
+        view_branch = plan.split("SortMergeJoin")[1].split("extrema_bkt")[0]
+        assert "Exchange" not in view_branch, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS extrema_bkt")
