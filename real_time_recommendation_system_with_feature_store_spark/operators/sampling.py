@@ -182,3 +182,52 @@ def weighted_sample(
         .limit(n)
         .drop("__es")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    per_cell: int = 10,
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    salt: str = "cbal",
+) -> DataFrame:
+    """Diversity-preserving corpus subsample over an embedding column:
+    cluster the space into IVF cells (the deterministic ``ivf_topk``
+    build — lowest-id seeds + Lloyd steps) and keep ``per_cell`` rows per
+    cell, chosen by the md5-of-key uniform (seeded, partition-independent,
+    SQL-replayable). Cluster-balanced selection is the pretraining-data
+    answer to head-heavy corpora: a dominant mode cannot crowd rare
+    regions of embedding space out of the sample, unlike a global uniform
+    draw. Returns ``(id_col, cell, rank)``.
+
+    Scale shape: the cell build is the shared frozen-quantizer path
+    (broadcast centroids × one corpus scan); ranking is one window over
+    (cell, hash) — each cell's heap holds ``per_cell`` rows. Nothing is
+    pairwise. Reference analog: the reference samples uniformly at
+    dataloader time (src/data/movielens.py negative sampling); this is
+    the embedding-aware stratification it lacks.
+    """
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import hash_unit
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import l2_normalize
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        _assign_cells,
+        ivf_build_centroids,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
+
+    it = df.select(
+        qcol(id_col).alias("__iid"), l2_normalize(qcol(vec_col)).alias("__iv")
+    )
+    cents = ivf_build_centroids(df, id_col, vec_col, n_cells, refine_iters)
+    assigned = _assign_cells(it, cents)
+    ranked = assigned.select(
+        F.col("__iid").alias(id_col),
+        F.col("__cell").alias("cell"),
+        hash_unit(F.lit(salt), F.col("__iid")).alias("__u"),
+    )
+    return topk_per_key(
+        ranked, ["cell"], [F.col("__u").asc(), qcol(id_col).asc()], per_cell
+    ).drop("__u")

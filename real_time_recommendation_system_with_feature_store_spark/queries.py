@@ -7951,6 +7951,70 @@ def semantic_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cluster_balanced_sample",
+    # the proven IVF build CTEs (ivf_ann_topk / semantic_dedup oracles)
+    # + the md5-uniform rank replay (stratified_event_sample's pattern)
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell, nv AS cv
+      FROM norm QUALIFY cell <= 16
+    ),
+    a1 AS (
+      SELECT vec_id, nv, cell FROM (
+        SELECT n.vec_id, n.nv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cell, list(mval ORDER BY i) AS mv FROM (
+        SELECT a.cell, i.i, AVG(a.nv[i.i]) AS mval
+        FROM a1 a, range(1, 65) i(i) GROUP BY a.cell, i.i
+      ) GROUP BY cell
+    ),
+    cents AS (
+      SELECT c0.cell,
+        CASE WHEN m.mv IS NULL THEN {_SQL_L2NORM.format(l='c0.cv')}
+             ELSE {_SQL_L2NORM.format(l='m.mv')} END AS cv
+      FROM c0 LEFT JOIN m ON c0.cell = m.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell, rank FROM (
+      SELECT vec_id, cell,
+        CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+          ('0x' || substring(md5('cbal' || chr(31) || CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+            / 4294967296.0,
+          vec_id) AS INTEGER) AS rank
+      FROM a2
+    ) WHERE rank <= 12
+    """,
+    doc="Cluster-balanced corpus subsampling: IVF-cell the embedding "
+        "space (deterministic lowest-id seeds + one Lloyd step, the "
+        "shared quantizer build) and keep 12 rows per cell by the "
+        "md5-of-key uniform — diversity-preserving data selection where "
+        "a head-heavy corpus cannot crowd rare embedding-space regions "
+        "out of the sample. Full differential replay: the oracle chains "
+        "the proven IVF build CTEs with the seeded-sampling rank replay "
+        "(operators/sampling.py::cluster_balanced_sample).",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.sampling import (
+        cluster_balanced_sample as _cbs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return _cbs(e, "vec_id", "embedding", per_cell=12, n_cells=16, refine_iters=1)
+
+
+@query(
     "rollup_extrema_priority_price",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
@@ -8109,10 +8173,11 @@ _DRIVER_WINDOW = [
     # made the "data-dependent first batch" a pure SQL predicate — the
     # semantic-dedup sink, completing driver evidence for EVERY sink
     # family; plus the late-round label-QC tier, label_noise_knn and
-    # label_centroid_margins, and the extrema-IVM entry
-    # rollup_extrema_priority_price) + 32 of the 48 r7-stale entries.
-    # With 166 catalog entries the guard's cutoff lands at r7, so the
-    # r9 fillers initially slotted here had to yield; the sixteen
+    # label_centroid_margins, the extrema-IVM entry
+    # rollup_extrema_priority_price, and the diversity-sampling entry
+    # cluster_balanced_sample) + 31 of the 48 r7-stale entries.  With
+    # 167 catalog entries the guard's cutoff lands at r7, so the r9
+    # fillers initially slotted here had to yield; the seventeen
     # at-cutoff entries left waiting (front of the r12 queue) are
     # user_event_arrays, value_percentiles, user_activity_windows,
     # embedding_norms, knn_cosine_topk, view_click_purchase_funnel,
@@ -8120,18 +8185,21 @@ _DRIVER_WINDOW = [
     # event_type_pair_cardinality_hll, price_quantile_sketch,
     # incremental_dedup_candidates, embedding_near_dup_lsh,
     # event_key_skew_cms, sliding_window_counts, global_top_parts,
-    # and brand_top_parts — each with a fresher sibling exercising
-    # the same operator family (eight of them share their EXACT
-    # oracle text or generator with a driver-fronted fold twin above;
-    # the evicted event_key_skew_cms keeps its exact-profile sibling
-    # event_key_skew in-window and its CMS kernel certified via
-    # cms_sketch_fold; sliding_window_counts' ST3 shape is covered by
-    # tumbling_window_counts @r9 and session_window_stats in-window;
-    # global_top_parts' TakeOrdered O4 shape was plan-asserted at r10
-    # via waiting_multi_supplier_orders; brand_top_parts' W2
-    # per-group top-k is covered by segment_recommendations @r10).
-    # After this round no entry's newest driver evidence is older
-    # than r7, and only those sixteen are that old.
+    # brand_top_parts, and customers_without_orders — each with a
+    # fresher sibling exercising the same operator family (eight of
+    # them share their EXACT oracle text or generator with a
+    # driver-fronted fold twin above; the evicted event_key_skew_cms
+    # keeps its exact-profile sibling event_key_skew in-window and its
+    # CMS kernel certified via cms_sketch_fold; sliding_window_counts'
+    # ST3 shape is covered by tumbling_window_counts @r9 and
+    # session_window_stats in-window; global_top_parts' TakeOrdered O4
+    # shape was plan-asserted at r10 via waiting_multi_supplier_orders;
+    # brand_top_parts' W2 per-group top-k is covered by
+    # segment_recommendations @r10; customers_without_orders' P6
+    # anti-join is covered by leave_one_out_events in-window and
+    # negative_samples @r10).  After this round no entry's newest
+    # driver evidence is older than r7, and only those seventeen are
+    # that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
@@ -8151,13 +8219,13 @@ _DRIVER_WINDOW = [
     "label_noise_knn",
     "label_centroid_margins",
     "rollup_extrema_priority_price",
-    # r7-stale (32 of 48):
+    "cluster_balanced_sample",
+    # r7-stale (31 of 48):
     "asof_purchase_click",
     "bloom_pruned_join",
     "bpe_packed_corpus",
     "copurchase_clustering_coeff",
     "coverage_novelty",
-    "customers_without_orders",
     "dedup_cluster_keepers",
     "domain_mixture_sample",
     "event_key_skew",
