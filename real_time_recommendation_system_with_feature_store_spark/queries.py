@@ -8110,6 +8110,102 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_noise_knn_ivf",
+    # the _ivf_oracle build+probe CTEs (queries = ALL vectors) chained
+    # into label_noise_knn's vote tail — driver evidence for the SCALE
+    # path, not just the brute baseline
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell, nv AS cv
+      FROM norm QUALIFY cell <= 16
+    ),
+    a1 AS (
+      SELECT vec_id, nv, cell FROM (
+        SELECT n.vec_id, n.nv, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT cell, list(mval ORDER BY i) AS mv FROM (
+        SELECT a.cell, i.i, AVG(a.nv[i.i]) AS mval
+        FROM a1 a, range(1, 65) i(i) GROUP BY a.cell, i.i
+      ) GROUP BY cell
+    ),
+    cents AS (
+      SELECT c0.cell,
+        CASE WHEN m.mv IS NULL THEN {_SQL_L2NORM.format(l='c0.cv')}
+             ELSE {_SQL_L2NORM.format(l='m.mv')} END AS cv
+      FROM c0 LEFT JOIN m ON c0.cell = m.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT n.vec_id, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY list_dot_product(n.nv, c.cv) DESC, c.cell) AS rn
+        FROM norm n CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    s AS (
+      SELECT p.qid, a2.vec_id AS iid,
+             ROUND(list_cosine_similarity(qe.v, ie.v), 6) AS score
+      FROM p JOIN a2 ON p.cell = a2.cell AND p.qid != a2.vec_id
+      JOIN e qe ON qe.vec_id = p.qid JOIN e ie ON ie.vec_id = a2.vec_id
+    ),
+    top AS (
+      SELECT qid, iid FROM (
+        SELECT qid, iid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, iid) AS rn
+        FROM s
+      ) WHERE rn <= 5
+    ),
+    tl AS (SELECT t.qid, ie.label AS nl FROM top t JOIN e ie ON ie.vec_id = t.iid),
+    votes AS (SELECT qid, nl, COUNT(*) AS c FROM tl GROUP BY qid, nl),
+    win AS (
+      SELECT qid, nl AS voted_label FROM (
+        SELECT qid, nl, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nl) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    ),
+    agree AS (
+      SELECT t.qid, COUNT(*) AS n_agree
+      FROM tl t JOIN e q ON q.vec_id = t.qid AND t.nl = q.label
+      GROUP BY t.qid
+    )
+    SELECT e.vec_id, e.label, w.voted_label,
+           CAST(COALESCE(a.n_agree, 0) AS BIGINT) AS n_agree,
+           CAST(CASE WHEN w.voted_label != e.label THEN 1 ELSE 0 END AS INTEGER) AS is_suspect
+    FROM e JOIN win w ON w.qid = e.vec_id
+    LEFT JOIN agree a ON a.qid = e.vec_id
+    """,
+    doc="Label-noise detection, IVF-bounded (the 100 TB path of "
+        "label_noise_knn): each vector's neighbors come only from its 4 "
+        "probed cells of the frozen 16-cell quantizer, so candidate "
+        "volume is n_probe/n_cells of the corpus instead of all-pairs; "
+        "the vote tail is identical. The oracle replays the full "
+        "deterministic build+probe (the ivf_ann_topk CTEs with queries = "
+        "ALL vectors) into the vote replay — the driver hash certifies "
+        "the scale path end-to-end, not just the brute baseline "
+        "(operators/labelqc.py).",
+)
+def label_noise_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.labelqc import knn_label_vote
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_label_vote(
+        e, "vec_id", "label", k=5, method="ivf", n_cells=16, n_probe=4
+    )
+
+
+@query(
     "label_centroid_margins",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -8174,10 +8270,11 @@ _DRIVER_WINDOW = [
     # semantic-dedup sink, completing driver evidence for EVERY sink
     # family; plus the late-round label-QC tier, label_noise_knn and
     # label_centroid_margins, the extrema-IVM entry
-    # rollup_extrema_priority_price, and the diversity-sampling entry
-    # cluster_balanced_sample) + 31 of the 48 r7-stale entries.  With
-    # 167 catalog entries the guard's cutoff lands at r7, so the r9
-    # fillers initially slotted here had to yield; the seventeen
+    # rollup_extrema_priority_price, the diversity-sampling entry
+    # cluster_balanced_sample, and the scale-path vote entry
+    # label_noise_knn_ivf) + 30 of the 48 r7-stale entries.  With
+    # 168 catalog entries the guard's cutoff lands at r7, so the r9
+    # fillers initially slotted here had to yield; the eighteen
     # at-cutoff entries left waiting (front of the r12 queue) are
     # user_event_arrays, value_percentiles, user_activity_windows,
     # embedding_norms, knn_cosine_topk, view_click_purchase_funnel,
@@ -8185,7 +8282,8 @@ _DRIVER_WINDOW = [
     # event_type_pair_cardinality_hll, price_quantile_sketch,
     # incremental_dedup_candidates, embedding_near_dup_lsh,
     # event_key_skew_cms, sliding_window_counts, global_top_parts,
-    # brand_top_parts, and customers_without_orders — each with a
+    # brand_top_parts, customers_without_orders, and
+    # dedup_cluster_keepers — each with a
     # fresher sibling exercising the same operator family (eight of
     # them share their EXACT oracle text or generator with a
     # driver-fronted fold twin above; the evicted event_key_skew_cms
@@ -8197,9 +8295,10 @@ _DRIVER_WINDOW = [
     # brand_top_parts' W2 per-group top-k is covered by
     # segment_recommendations @r10; customers_without_orders' P6
     # anti-join is covered by leave_one_out_events in-window and
-    # negative_samples @r10).  After this round no entry's newest
-    # driver evidence is older than r7, and only those seventeen are
-    # that old.
+    # negative_samples @r10; dedup_cluster_keepers' component-keeper
+    # shape is covered by dedup_clusters @r10).  After this round no
+    # entry's newest driver evidence is older than r7, and only those
+    # eighteen are that old.
     # New this round (never driver-checked):
     "decayed_counts_fold",
     "bm25_index_fold",
@@ -8220,13 +8319,13 @@ _DRIVER_WINDOW = [
     "label_centroid_margins",
     "rollup_extrema_priority_price",
     "cluster_balanced_sample",
-    # r7-stale (31 of 48):
+    "label_noise_knn_ivf",
+    # r7-stale (30 of 48):
     "asof_purchase_click",
     "bloom_pruned_join",
     "bpe_packed_corpus",
     "copurchase_clustering_coeff",
     "coverage_novelty",
-    "dedup_cluster_keepers",
     "domain_mixture_sample",
     "event_key_skew",
     "event_type_pivot",
