@@ -8255,102 +8255,70 @@ def label_centroid_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
 # and fails once a newer round's artifact lands without a bump+rotation.
-_DRIVER_WINDOW_ROUND = 11
+_DRIVER_WINDOW_ROUND = 12
 
 _DRIVER_WINDOW = [
-    # r11 ROTATION.  Evidence ledger after r10: 50 entries newest-green
-    # @ r10, 50 @ r9, 48 @ r7, zero never-checked.  This window = the 14
-    # NEW never-checked streaming-state fold twins (the r10 verdict's #2
-    # directive: first driver-oracle evidence for the sink tier — all
-    # four ANN tiers, the Markov frontier stitch, the funnel's
-    # out-of-order re-admission, cohort, decayed counts, IVM, the
-    # CMS/HLL/qsketch trio, the minhash/span dedup-index rewrites, and
-    # — added late in the round once the in-query id-ordered slicing
-    # made the "data-dependent first batch" a pure SQL predicate — the
-    # semantic-dedup sink, completing driver evidence for EVERY sink
-    # family; plus the late-round label-QC tier, label_noise_knn and
-    # label_centroid_margins, the extrema-IVM entry
-    # rollup_extrema_priority_price, the diversity-sampling entry
-    # cluster_balanced_sample, and the scale-path vote entry
-    # label_noise_knn_ivf) + 30 of the 48 r7-stale entries.  With
-    # 168 catalog entries the guard's cutoff lands at r7, so the r9
-    # fillers initially slotted here had to yield; the eighteen
-    # at-cutoff entries left waiting (front of the r12 queue) are
-    # user_event_arrays, value_percentiles, user_activity_windows,
-    # embedding_norms, knn_cosine_topk, view_click_purchase_funnel,
-    # daily_cohort_retention, cms_heavy_hitters,
-    # event_type_pair_cardinality_hll, price_quantile_sketch,
-    # incremental_dedup_candidates, embedding_near_dup_lsh,
-    # event_key_skew_cms, sliding_window_counts, global_top_parts,
-    # brand_top_parts, customers_without_orders, and
-    # dedup_cluster_keepers — each with a
-    # fresher sibling exercising the same operator family (eight of
-    # them share their EXACT oracle text or generator with a
-    # driver-fronted fold twin above; the evicted event_key_skew_cms
-    # keeps its exact-profile sibling event_key_skew in-window and its
-    # CMS kernel certified via cms_sketch_fold; sliding_window_counts'
-    # ST3 shape is covered by tumbling_window_counts @r9 and
-    # session_window_stats in-window; global_top_parts' TakeOrdered O4
-    # shape was plan-asserted at r10 via waiting_multi_supplier_orders;
-    # brand_top_parts' W2 per-group top-k is covered by
-    # segment_recommendations @r10; customers_without_orders' P6
-    # anti-join is covered by leave_one_out_events in-window and
-    # negative_samples @r10; dedup_cluster_keepers' component-keeper
-    # shape is covered by dedup_clusters @r10).  After this round no
-    # entry's newest driver evidence is older than r7, and only those
-    # eighteen are that old.
-    # New this round (never driver-checked):
-    "decayed_counts_fold",
-    "bm25_index_fold",
-    "ivm_delta_fold",
-    "ivf_index_fold",
-    "transition_state_fold",
-    "lsh_index_fold",
-    "pq_index_fold",
-    "funnel_state_fold",
-    "cohort_state_fold",
-    "cms_sketch_fold",
-    "hll_sketch_fold",
-    "qsketch_fold",
-    "minhash_index_fold",
-    "span_dedup_fold",
-    "semantic_dedup_fold",
-    "label_noise_knn",
-    "label_centroid_margins",
-    "rollup_extrema_priority_price",
-    "cluster_balanced_sample",
-    "label_noise_knn_ivf",
-    # r7-stale (30 of 48):
-    "asof_purchase_click",
-    "bloom_pruned_join",
-    "bpe_packed_corpus",
-    "copurchase_clustering_coeff",
-    "coverage_novelty",
-    "domain_mixture_sample",
-    "event_key_skew",
-    "event_type_pivot",
-    "gopher_quality_flags",
-    "interpolated_event_values",
-    "item_pagerank_topk",
-    "item_transition_matrix",
-    "leave_one_out_events",
-    "linear_rerank_topk",
-    "nation_top_balance_customers",
-    "order_price_quantiles_by_priority",
-    "pagerank_quality_prior",
-    "perplexity_buckets",
-    "ppr_trending_items",
-    "pricing_summary",
-    "ranking_metrics_multi_k",
-    "region_revenue",
-    "rrf_hybrid_recommendations",
-    "session_window_stats",
-    "text_quality",
-    "time_split_orders",
-    "token_budget_packing",
-    "tree_rerank_topk",
-    "two_stage_recommendations",
-    "user_value_scd2",
+    # r12 ROTATION.  Evidence ledger after r11: 50 entries newest-green
+    # @ r11, 50 @ r10, 50 @ r9, 18 @ r7, zero never-checked.  This
+    # window = the 18 r7-stale entries the r11 ledger queued (the r11
+    # verdict's Next-round #1 directive, verbatim) + the r12 additions
+    # as they land (tombstone/purge fold twins, the index-rebuild twin,
+    # the top-k IVM entry — each slotted here the commit it is
+    # registered, displacing an r9 filler) + r9 fillers at the cutoff.
+    # The guard's cutoff with 168 entries lands at r9: everything < r9
+    # must front, r9 entries fill the rest in any order.
+    # r7-stale (all 18 — nothing older remains after this round):
+    "user_event_arrays",
+    "value_percentiles",
+    "user_activity_windows",
+    "embedding_norms",
+    "knn_cosine_topk",
+    "view_click_purchase_funnel",
+    "daily_cohort_retention",
+    "cms_heavy_hitters",
+    "event_type_pair_cardinality_hll",
+    "price_quantile_sketch",
+    "incremental_dedup_candidates",
+    "embedding_near_dup_lsh",
+    "event_key_skew_cms",
+    "sliding_window_counts",
+    "global_top_parts",
+    "brand_top_parts",
+    "customers_without_orders",
+    "dedup_cluster_keepers",
+    # r9 fillers (at-cutoff; displaced one-for-one by new r12 entries):
+    "acctbal_zscore",
+    "bm25_doc_search",
+    "bracket_part_revenue",
+    "click_and_purchase_users",
+    "collect_event_types",
+    "corpus_export_pipeline",
+    "corpus_filter_funnel",
+    "customer_order_profile",
+    "daily_user_activity_spine",
+    "doc_dedup_exact",
+    "eval_contamination_pruned",
+    "event_type_stats",
+    "event_value_norm",
+    "feature_day_close_pipeline",
+    "hybrid_doc_retrieval",
+    "inter_event_gaps",
+    "item_interaction_counts",
+    "item_trending_scores",
+    "ivf_ann_topk",
+    "kcore_events",
+    "late_ship_priority_counts",
+    "minhash_dedup_candidates",
+    "multimodal_embed_topk",
+    "nation_market_share",
+    "nation_pair_trade_volume",
+    "nations_with_presence",
+    "nfc_normalized_docs",
+    "order_date_features",
+    "orders_profile",
+    "part_name_features",
+    "pq_ann_topk",
+    "promo_revenue_share",
 ]
 
 def _reorder_registry() -> None:
