@@ -80,10 +80,13 @@ def knn_label_vote(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     res = votes.groupBy("__qid", "__ol").agg(
-        F.max(
+        # (count desc, label asc) without negating the label column —
+        # labels may be strings (negation would throw under ANSI mode /
+        # NULL-flip the order under legacy). min over (-count, label)
+        # orders identically for ANY orderable label type.
+        F.min(
             F.struct(
-                F.col("__c").alias("c"),
-                (-F.col("__nl")).alias("negl"),
+                (-F.col("__c")).alias("negc"),
                 F.col("__nl").alias("l"),
             )
         ).alias("__w"),
@@ -91,15 +94,28 @@ def knn_label_vote(
             F.when(F.col("__nl") == F.col("__ol"), F.col("__c")).otherwise(F.lit(0))
         ).alias("n_agree"),
     )
-    return res.select(
-        F.col("__qid").alias(id_col),
-        F.col("__ol").alias(label_col),
+    voted = res.select(
+        F.col("__qid"),
         F.col("__w.l").alias("voted_label"),
         F.col("n_agree").cast("long").alias("n_agree"),
         F.when(F.col("__w.l") != F.col("__ol"), F.lit(1))
         .otherwise(F.lit(0))
         .cast("int")
         .alias("is_suspect"),
+    )
+    # Rows with zero neighbors (singleton corpus; IVF probes hitting only
+    # the row's own cell) still appear in the output: voted_label NULL,
+    # n_agree 0, is_suspect 0 — per-class suspect-rate consumers see the
+    # full population, not a silently contracted one.
+    return (
+        own.join(voted, "__qid", "left")
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__ol").alias(label_col),
+            F.col("voted_label"),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+            F.coalesce(F.col("is_suspect"), F.lit(0)).cast("int").alias("is_suspect"),
+        )
     )
 
 
@@ -165,13 +181,15 @@ def label_centroid_margin(
     )
     res = scored.groupBy("__qid", "__l").agg(
         F.max(F.when(F.col("__cl") == F.col("__l"), F.col("__cos"))).alias("own_cos"),
-        F.max(
+        # (cosine desc, label asc) via min over (-cosine, label) — no
+        # label negation, so string class labels order correctly too.
+        F.min(
             F.when(
                 F.col("__cl") != F.col("__l"),
                 F.struct(
-                    F.col("__cos").alias("c"),
-                    (-F.col("__cl")).alias("negl"),
+                    (-F.col("__cos")).alias("negc"),
                     F.col("__cl").alias("l"),
+                    F.col("__cos").alias("c"),
                 ),
             )
         ).alias("__b"),

@@ -83,6 +83,44 @@ def test_centroid_margin_rejects_high_cardinality_label(spark):
         label_centroid_margin(emb, "vec_id", "vec_id", max_labels=50)
 
 
+def test_string_labels_tiebreak_label_asc(spark):
+    """String class labels (legal: the API never restricts the type) must
+    vote with the documented (count desc, label asc) tie-break — the old
+    unary-negation trick threw under ANSI mode / NULL-flipped the order
+    under legacy (r11 ADVICE)."""
+    # Query point 0 sits equidistant from one "apple" and one "banana"
+    # neighbor: a 1-1 vote, so label asc must pick "apple".
+    rows = [
+        (0, "banana", [1.0, 0.0, 0.0]),
+        (1, "apple", [0.9, 0.1, 0.0]),
+        (2, "banana", [0.9, -0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, label string, vec array<double>")
+    out = knn_label_vote(df, "id", "label", vec_col="vec", k=2).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["voted_label"] == "apple"
+    assert by_id[0]["is_suspect"] == 1
+
+    marg = label_centroid_margin(df, "id", "label", vec_col="vec").collect()
+    assert {r["label"] for r in marg} == {"apple", "banana"}
+    assert all(r["best_other_label"] in ("apple", "banana") for r in marg)
+
+
+def test_singleton_labels_survive_with_null_vote(spark):
+    """A one-row corpus has zero neighbors; the row must still appear
+    (voted_label NULL, n_agree 0, is_suspect 0) instead of silently
+    vanishing from per-class suspect rates (r11 ADVICE)."""
+    df = spark.createDataFrame(
+        [(7, 3, [1.0, 0.0])], "id long, label int, vec array<double>"
+    )
+    out = knn_label_vote(df, "id", "label", vec_col="vec", k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["id"] == 7 and r["label"] == 3
+    assert r["voted_label"] is None
+    assert r["n_agree"] == 0 and r["is_suspect"] == 0
+
+
 def test_unknown_method_fails_loudly(clustered):
     with pytest.raises(ValueError, match="unknown method"):
         knn_label_vote(clustered, "id", "label", vec_col="vec", method="cosine")
