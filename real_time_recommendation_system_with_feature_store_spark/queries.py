@@ -7222,9 +7222,13 @@ def _transition_rank_tail(pairs: DataFrame) -> DataFrame:
 
 
 def _fold_state_dir(name: str, sf_dir: str) -> str:
-    """Fresh per-(entry, SF) local state directory for the fold twins —
-    wiped per call so a previous run's epochs (possibly from different
-    slicing) can never leak into the fold."""
+    """Fresh per-(entry, SF, process) local state directory for the fold
+    twins — wiped per call so a previous run's epochs (possibly from
+    different slicing) can never leak into the fold. The path embeds the
+    PID so two concurrent sessions running the same entry (parallel
+    pytest workers, overlapping bench runs) can never wipe each other's
+    epochs mid-query; within one process the calls are sequential, so
+    per-call wiping stays sufficient."""
     import os
     import shutil
     import tempfile
@@ -7232,6 +7236,7 @@ def _fold_state_dir(name: str, sf_dir: str) -> str:
     d = os.path.join(
         tempfile.gettempdir(),
         "rtrs_fold_state",
+        f"pid{os.getpid()}",
         name,
         os.path.basename(os.path.normpath(sf_dir)) or "sf",
     )

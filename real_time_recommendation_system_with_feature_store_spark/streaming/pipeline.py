@@ -1388,7 +1388,12 @@ def recover_epoch_state(state_dir: str) -> bool:
 
     Returns True when it changed anything, False on a clean directory.
     Same stopped-stream / no-readers / local-path contract as
-    ``compact_epoch_state``."""
+    ``compact_epoch_state``. The run-recovery-FIRST ordering is enforced,
+    not just documented: if any epoch id NEWER than the ready fold's
+    target exists (a sink was restarted over the crashed directory before
+    recovery ran), finishing would delete post-crash epochs — that raises
+    instead of silently destroying data; resolve by folding the newer
+    epochs into a fresh compaction or moving them aside deliberately."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -1397,7 +1402,21 @@ def recover_epoch_state(state_dir: str) -> bool:
     ready_dirs = _glob.glob(f"{state_dir}/.compact.ready.epoch=*")
     if ready_dirs:
         ready = ready_dirs[0]
-        _finish_compaction(state_dir, ready, int(ready.rsplit("=", 1)[1]))
+        target = int(ready.rsplit("=", 1)[1])
+        newer = sorted(
+            int(p.rsplit("=", 1)[1])
+            for p in _glob.glob(f"{state_dir}/epoch=*")
+            if p.rsplit("=", 1)[1].isdigit() and int(p.rsplit("=", 1)[1]) > target
+        )
+        if newer:
+            raise RuntimeError(
+                f"recover_epoch_state: epochs {newer} under {state_dir} are "
+                f"NEWER than the interrupted compaction's target epoch="
+                f"{target} — a sink wrote past the crash before recovery "
+                "ran. Finishing would delete those epochs; fold them into "
+                "a fresh compaction (or move them aside) instead."
+            )
+        _finish_compaction(state_dir, ready, target)
         changed = True
     tmp = f"{state_dir}/.compact.tmp"
     if _os.path.exists(tmp):

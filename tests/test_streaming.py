@@ -1752,6 +1752,47 @@ def test_compact_epoch_state_crash_recovery(spark):
     assert sorted(map(tuple, read_cms_sketch(spark, state_dir).collect())) == want
 
 
+def test_recovery_refuses_to_destroy_post_crash_epochs(spark):
+    """Violating the run-recovery-FIRST ordering (a sink restarted and
+    wrote epoch=2 over a directory holding an interrupted compaction
+    targeting epoch=1) must fail LOUDLY: finishing would silently delete
+    the newer epoch (r11 ADVICE). The guard raises, deletes nothing, and
+    recovery still works once the newer epoch is deliberately resolved."""
+    import pytest
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cms_sketch_stream,
+        read_cms_sketch,
+        recover_epoch_state,
+    )
+
+    state_dir = os.path.join(TMP, "cms_recovery_newer_epoch")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = cms_sketch_stream(state_dir, "k", depth=2, width=16)
+    data = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    sink(data.limit(60), 0)
+    sink(data, 1)
+    # interrupted compaction targeting epoch=1 ...
+    read_cms_sketch(spark, state_dir).write.mode("overwrite").parquet(
+        f"{state_dir}/.compact.ready.epoch=1"
+    )
+    # ... then a restarted sink writes PAST the crash
+    sink(data.limit(10), 2)
+
+    with pytest.raises(RuntimeError, match="NEWER than the interrupted"):
+        recover_epoch_state(state_dir)
+    # nothing was destroyed: every epoch and the ready dir are intact
+    for p in ("epoch=0", "epoch=1", "epoch=2", ".compact.ready.epoch=1"):
+        assert os.path.isdir(f"{state_dir}/{p}"), p
+
+    # deliberate resolution (move the newer epoch aside) unblocks recovery
+    os.rename(f"{state_dir}/epoch=2", os.path.join(TMP, "cms_newer_epoch_aside"))
+    assert recover_epoch_state(state_dir) is True
+    assert os.path.isdir(f"{state_dir}/epoch=1")
+    total = read_cms_sketch(spark, state_dir).agg(F.sum("cell_count")).collect()[0][0]
+    assert total == (60 + 100) * 2
+
+
 def test_compact_recovery_every_crash_prefix(spark):
     """Compaction deletes source epochs in sorted order, so the reachable
     post-materialization crash states are exactly the deletion PREFIXES
