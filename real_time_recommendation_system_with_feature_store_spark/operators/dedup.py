@@ -490,6 +490,29 @@ def simhash_dedup(
     return out
 
 
+def _edge_width_bytes(schema) -> int | None:
+    """Driver-side bytes per collected edge row, derived from the id column
+    TYPES (the old flat 32-byte constant assumed int-ish ids; long string
+    ids — hostile but legal — overshoot it 4-8x). Fixed-width types get
+    their storage size plus Row overhead; any variable-width id type
+    returns None, routing the caller's gate to the Catalyst plan estimate
+    (which prices string columns) instead of an edge-count hint."""
+    from pyspark.sql import types as T
+
+    fixed = {
+        T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4, T.LongType: 8,
+        T.FloatType: 4, T.DoubleType: 8, T.DateType: 4, T.TimestampType: 8,
+        T.TimestampNTZType: 8, T.BooleanType: 1,
+    }
+    total = 16  # per-Row object overhead in the collected list
+    for field in schema.fields:
+        width = fixed.get(type(field.dataType))
+        if width is None:
+            return None
+        total += width + 8  # boxed-value overhead per field
+    return total
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -533,9 +556,10 @@ def connected_components(
     from real_time_recommendation_system_with_feature_store_spark.operators.kcore import _plan_size_bytes
 
     slim = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    per_edge = _edge_width_bytes(slim.schema)
     small = (
-        edge_count_hint * 32 <= small_input_bytes
-        if edge_count_hint is not None
+        edge_count_hint * per_edge <= small_input_bytes
+        if edge_count_hint is not None and per_edge is not None
         else _plan_size_bytes(slim) <= small_input_bytes
     )
     if small:

@@ -2088,15 +2088,29 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     if small_input:
         st = None
     else:
-        st = pair.agg(
-            F.count("*").alias("n_pairs"),
-            F.approx_count_distinct("user_id").alias("n_users"),
-            F.approx_count_distinct("item_id").alias("n_items"),
-            F.approx_count_distinct("segment").alias("n_segs"),
+        # ONE stats job, ONE scan of pair (which it also materializes into
+        # the cache): rollup((user_id), ()) computes the per-user history
+        # counts AND the global distincts in a single Expand+aggregate
+        # pass, so the exact max(__seen_n) — required for the correctness
+        # bound when pruning engages — costs no extra driver round-trip.
+        # A second concurrent consumer of the unpersisted pair inside one
+        # job would serialize on the cache block lock (see the persist
+        # note above), so single-consumer matters here, not just job count.
+        stg = pair.rollup("user_id").agg(
+            F.count("*").alias("c"),
+            F.approx_count_distinct("item_id").alias("d_items"),
+            F.approx_count_distinct("segment").alias("d_segs"),
+            F.grouping("user_id").alias("g"),
+        )
+        st = stg.agg(
+            F.max(F.when(F.col("g") == 0, F.col("c"))).alias("max_seen"),
+            F.count(F.when(F.col("g") == 0, F.lit(1))).alias("n_users"),
+            F.max(F.when(F.col("g") == 1, F.col("c"))).alias("n_pairs"),
+            F.max(F.when(F.col("g") == 1, F.col("d_items"))).alias("n_items"),
+            F.max(F.when(F.col("g") == 1, F.col("d_segs"))).alias("n_segs"),
         ).collect()[0]
-    # gate on cheap approximate stats (one job, which also materializes the
-    # pair cache); the exact max — required for the correctness bound — is
-    # only computed when pruning engages. 4x headroom over the mean covers
+    # Gate: pruning engages only when the per-user candidate bound is well
+    # under the per-segment catalog. 4x headroom over the mean covers
     # heavy-tailed user histories in the estimate.
     if st is not None and (
         (5 + 4 * (st["n_pairs"] / max(st["n_users"], 1))) * 2
@@ -2104,7 +2118,7 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         n_segments = max(st["n_segs"], 1)
         seen_n = pair.groupBy("user_id").agg(F.count("*").alias("__seen_n"))
-        mx = seen_n.agg(F.max("__seen_n").alias("m")).collect()[0]["m"] or 0
+        mx = st["max_seen"] or 0
         seg_top = topk_per_key(
             seg_item, ["segment"], [F.col("ctr").desc(), F.col("item_id")], 5 + mx, rank_col="__srank"
         )

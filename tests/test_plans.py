@@ -54,6 +54,45 @@ def test_flagship_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_flagship_pruned_branch_matches_naive(spark, tmp_path, monkeypatch):
+    """The candidate-pruning large path (one rollup stats job: exact
+    max(__seen_n), n_users, n_pairs + approx item/segment distincts in a
+    single pair scan) must return EXACTLY the naive branch's rows. The
+    synthetic shape engages the gate: catalog (400 items) >> any user's
+    history (~6), the 100 TB regime the pruning exists for."""
+    import json
+
+    import real_time_recommendation_system_with_feature_store_spark.operators.kcore as kcore
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    ev_rows = []
+    eid = 0
+    for u in range(100):
+        for j in range(3):
+            item = (u * 97 + j * 131) % 1000
+            for et in ("view", "click")[: 1 + (u + j) % 2]:
+                ev_rows.append(
+                    (eid, "2024-01-10 00:00:00", u, et, 1.0, json.dumps({"k": item}))
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        ev_rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cust = spark.createDataFrame(
+        [(u, "SEG_A" if u % 2 else "SEG_B") for u in range(100)],
+        "c_custkey long, c_mktsegment string",
+    )
+    d = str(tmp_path / "sf_synth")
+    ev.coalesce(1).write.parquet(f"{d}/events.parquet")
+    cust.coalesce(1).write.parquet(f"{d}/customer.parquet")
+
+    fn = QUERIES["segment_recommendations"].fn
+    naive = sorted(map(tuple, fn(spark, d).collect()))
+    monkeypatch.setattr(kcore, "_plan_size_bytes", lambda df: 100 << 30)
+    pruned = sorted(map(tuple, fn(spark, d).collect()))
+    assert naive and pruned == naive
+
+
 def test_topk_uses_window_group_limit(spark):
     """rank<=k must compile with map-side partial WindowGroupLimit (two-phase
     per-key top-k): shuffle carries at most k rows per key per partition."""
