@@ -2768,7 +2768,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "term", "tfidf", "rank")
 
 
-_BM25_SCORED_CTES = """
+def _bm25_ctes(corpus_where: str = "") -> str:
+    """The BM25 replay CTEs, parameterized over a corpus predicate so the
+    batch entries (full corpus) and the tombstone fold twin (live docs
+    only — restricting ``toks`` removes a dead doc's postings AND its
+    N/Σdl/df footprint in one stroke, exactly the read-side anti-join's
+    semantics) share one source of truth."""
+    return f"""
     toks AS (
       -- list_filter drops the [''] that regexp_split_to_array yields for
       -- empty/whitespace-only docs, so such a doc vanishes from dl (and
@@ -2777,7 +2783,7 @@ _BM25_SCORED_CTES = """
       SELECT doc_id,
         unnest(list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
                x -> lower(x)), x -> x != '')) AS term
-      FROM documents
+      FROM documents {corpus_where}
     ),
     dl AS (
       SELECT doc_id, COUNT(*) AS dl,
@@ -2807,6 +2813,9 @@ _BM25_SCORED_CTES = """
         6) AS score
       FROM dl CROSS JOIN st
     )"""
+
+
+_BM25_SCORED_CTES = _bm25_ctes()
 
 
 def _bm25_scored(
@@ -3324,20 +3333,29 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, "vec_id", n_cells=16, threshold=0.3, refine_iters=1)
 
 
-def _ivf_oracle(q_max: int, n_probe: int, k: int) -> str:
+def _ivf_oracle(
+    q_max: int, n_probe: int, k: int, corpus_where: str = "", item_pred: str = ""
+) -> str:
     """The deterministic IVF replay oracle — seed (lowest-id) -> assign ->
     per-dimension mean -> renormalize -> reassign -> nprobe -> rescore —
     parameterized over the query set / probe width / k so the batch entry
-    (``ivf_ann_topk``) and the streaming-index fold twin
-    (``ivf_index_fold``) share one source of truth (n_cells fixed at 16,
-    dim at 64).
+    (``ivf_ann_topk``) and the streaming-index fold twins
+    (``ivf_index_fold`` and the tombstone/rebuild twins) share one source
+    of truth (n_cells fixed at 16, dim at 64).
+
+    ``corpus_where`` restricts the WHOLE replay (build + stored items +
+    queries) — the rebuild twin's regime, where the quantizer retrains on
+    the live fold. ``item_pred`` (an ``AND …`` fragment on ``a2.vec_id``)
+    restricts only the SEARCHED items — the tombstone twin's regime, where
+    the frozen full-corpus quantizer keeps its geometry and takedowns
+    drop out of the candidate set at read time.
 
     Float caveat: the kernel's numpy pairwise sums and SQL's sequential
     list_sum/AVG can differ at the last ulp, which would only diverge if an
     item sat within ~1e-12 of a cell boundary — not observed at any SF;
     scores go through the round6 contract as everywhere else."""
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings {corpus_where}),
     norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
     c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell, nv AS cv
@@ -3378,7 +3396,7 @@ def _ivf_oracle(q_max: int, n_probe: int, k: int) -> str:
     ),
     s AS (
       SELECT p.qid, a2.vec_id AS iid, ROUND(list_cosine_similarity(qe.v, ie.v), 6) AS score
-      FROM p JOIN a2 ON p.cell = a2.cell AND p.qid != a2.vec_id
+      FROM p JOIN a2 ON p.cell = a2.cell AND p.qid != a2.vec_id {item_pred}
       JOIN e qe ON qe.vec_id = p.qid JOIN e ie ON ie.vec_id = a2.vec_id
     ),
     r AS (
@@ -7344,6 +7362,48 @@ def bm25_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_tombstone_fold",
+    oracle=f"""
+    WITH {_bm25_ctes("WHERE doc_id % 5 <> 0")}
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm25_scored
+    ) WHERE rank <= 25
+    """,
+    doc="BM25 index takedown lifecycle driven in-query: the full corpus "
+        "streams through bm25_index_stream (3 micro-batches by doc_id "
+        "mod 3), then doc_id % 5 = 0 is tombstoned through the REAL "
+        "bm25_tombstone_stream, and the query scores {window, join, "
+        "hash} from the tombstone-applied fold (read_bm25_index's "
+        "anti-joins). The oracle is the batch BM25 over ONLY the "
+        "surviving docs — so the driver hash certifies that a takedown "
+        "removes the doc AND its corpus-statistics footprint (N, Σdl, "
+        "df shift exactly as if the doc were never indexed; reference "
+        "analog: the item updates the reference mocks, "
+        "src/streaming/kafka_consumer.py:333-350). Scale: the tombstone "
+        "set anti-joins via a stats-gated broadcast "
+        "(streaming/pipeline.py:972,1011).",
+)
+def bm25_tombstone_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        bm25_index_stream,
+        bm25_score_from_index,
+        bm25_tombstone_stream,
+    )
+
+    index_dir = _fold_state_dir("bm25_tombstone_fold", sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sink = bm25_index_stream(index_dir, "doc_id", "text")
+    for i in range(3):
+        sink(docs.where(F.col("doc_id") % 3 == i), i)
+    tomb = bm25_tombstone_stream(index_dir, "doc_id")
+    tomb(docs.where(F.col("doc_id") % 5 == 0).select("doc_id"), 0)
+    scored = bm25_score_from_index(spark, index_dir, ["window", "join", "hash"])
+    return global_topn_ranked(scored, [F.col("score").desc(), F.col("doc_id")], 25)
+
+
+@query(
     "ivm_delta_fold",
     oracle="""
     WITH contrib AS (
@@ -7472,6 +7532,78 @@ def ivf_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, index_dir, q, "query_id", query_vec="embedding",
         item_id="item_id", k=6, n_probe=3,
     )
+
+
+def _ivf_tombstoned_search(
+    spark: SparkSession, sf_dir: str, entry: str, purge: bool
+) -> DataFrame:
+    """Shared pipeline for the IVF tombstone/purge twins: full-corpus
+    frozen-quantizer build, 3 mod-sliced index epochs, vec_id % 5 = 0
+    tombstoned through the REAL vector_tombstone_stream, then (optionally)
+    purge_vector_tombstones before probing. Purge is deterministic and
+    semantics-preserving, so BOTH twins share one oracle — the driver
+    certifying each is the fold-before == fold-after-purge proof."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_build_centroids
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        ivf_search_from_index,
+        purge_vector_tombstones,
+        vector_tombstone_stream,
+    )
+
+    index_dir = _fold_state_dir(entry, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(e, "vec_id", "embedding", n_cells=16, refine_iters=1)
+    sink = ivf_index_stream(index_dir, "vec_id", "embedding", cents)
+    for i in range(3):
+        sink(e.where(F.col("vec_id") % 3 == i), i)
+    tomb = vector_tombstone_stream(index_dir, "vec_id")
+    tomb(e.where(F.col("vec_id") % 5 == 0).select("vec_id"), 0)
+    if purge:
+        purge_vector_tombstones(spark, index_dir)
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_search_from_index(
+        spark, index_dir, q, "query_id", query_vec="embedding",
+        item_id="item_id", k=6, n_probe=3,
+    )
+
+
+@query(
+    "ivf_tombstone_fold",
+    oracle=_ivf_oracle(q_max=8, n_probe=3, k=6, item_pred="AND a2.vec_id % 5 <> 0"),
+    doc="ANN index takedown lifecycle driven in-query (GDPR delete / "
+        "embedding refresh): the ivf_index_fold pipeline plus vec_id % 5 "
+        "= 0 tombstoned through the REAL vector_tombstone_stream; the "
+        "probe reads the tombstone-applied fold, so dead vectors drop "
+        "out of every candidate set while the frozen quantizer keeps its "
+        "geometry. The oracle is the full IVF replay with the searched "
+        "items restricted to live ids — tombstoned queries still probe "
+        "(queries are external vectors), tombstoned ITEMS can never be "
+        "returned. Scale: the tombstone anti-join is a stats-gated "
+        "broadcast; the probe still reads only probed __cell partitions "
+        "(streaming/pipeline.py:1646,1695).",
+)
+def ivf_tombstone_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_tombstoned_search(spark, sf_dir, "ivf_tombstone_fold", purge=False)
+
+
+@query(
+    "ivf_purge_fold",
+    oracle=_ivf_oracle(q_max=8, n_probe=3, k=6, item_pred="AND a2.vec_id % 5 <> 0"),
+    doc="Physical purge parity, driver-certified: IDENTICAL pipeline and "
+        "oracle to ivf_tombstone_fold, except purge_vector_tombstones "
+        "runs before the probe — the dead rows are physically dropped "
+        "(cells compacted to one epoch via the crash-safe "
+        "compact_epoch_state protocol, .deletes/ removed, ids released) "
+        "and the search must return the SAME rows it did under the "
+        "read-side anti-join. Both entries green = fold-before == "
+        "fold-after-purge under the driver's hash "
+        "(streaming/pipeline.py:1695).",
+)
+def ivf_purge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_tombstoned_search(spark, sf_dir, "ivf_purge_fold", purge=True)
 
 
 @query(
@@ -7881,15 +8013,15 @@ def span_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semantic_dedup_fold",
-    # The semantic_dedup_embeddings oracle with a TRAIN predicate: the
-    # stream freezes its cell geometry from the first micro-batch, and
-    # because the fold twin slices the corpus by id order in-query, that
-    # first batch is the pure predicate vec_id < MAX(vec_id)//3 — so the
-    # seed/assign/Lloyd-mean CTEs run over the train slice while the final
-    # assignment and intra-cell pairing run over the full corpus.
-    oracle=f"""
+
+def _semantic_fold_oracle(live_pred: str = "") -> str:
+    """The semantic-dedup fold replay — first-slice train (vec_id <
+    MAX//3, the id-ordered first micro-batch), corpus-wide assign, intra-
+    cell pairing at threshold 0.3 — parameterized over a pair-liveness
+    predicate (an ``AND …`` fragment over ``x.vec_id``/``y.vec_id``) so
+    the plain fold twin and the tombstone twin (a pair survives only
+    while BOTH endpoints are live) share one source of truth."""
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
     cut AS (SELECT MAX(vec_id) // 3 AS t FROM embeddings),
@@ -7926,10 +8058,21 @@ def span_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT x.vec_id AS id_a, y.vec_id AS id_b,
            ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
-    FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id {live_pred}
     JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id
     WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
-    """,
+    """
+
+
+@query(
+    "semantic_dedup_fold",
+    # The semantic_dedup_embeddings oracle with a TRAIN predicate: the
+    # stream freezes its cell geometry from the first micro-batch, and
+    # because the fold twin slices the corpus by id order in-query, that
+    # first batch is the pure predicate vec_id < MAX(vec_id)//3 — so the
+    # seed/assign/Lloyd-mean CTEs run over the train slice while the final
+    # assignment and intra-cell pairing run over the full corpus.
+    oracle=_semantic_fold_oracle(),
     doc="Streaming SemDeDup sink driven in-query: embeddings stream in as "
         "3 id-ordered micro-batches through semantic_dedup_stream — the "
         "FIRST batch trains and freezes the IVF cell geometry "
@@ -7967,6 +8110,45 @@ def semantic_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "cosine")
         .dropDuplicates()
     )
+
+
+@query(
+    "semantic_tombstone_fold",
+    oracle=_semantic_fold_oracle("AND x.vec_id % 7 <> 0 AND y.vec_id % 7 <> 0"),
+    doc="Semantic-dedup takedown lifecycle driven in-query: the "
+        "semantic_dedup_fold pipeline plus vec_id % 7 = 0 tombstoned on "
+        "the member table through the REAL vector_tombstone_stream; "
+        "read_semantic_pairs applies PAIR liveness — a near-dup relation "
+        "survives only while BOTH endpoints are live, so a takedown "
+        "retracts every pair the dead vector anchored. The oracle is the "
+        "frozen-geometry pair replay restricted to live-live pairs "
+        "(streaming/pipeline.py:1740). Scale: the tombstone fold anti-"
+        "joins each endpoint via a stats-gated broadcast.",
+)
+def semantic_tombstone_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_semantic_pairs,
+        semantic_dedup_stream,
+        vector_tombstone_stream,
+    )
+
+    base = _fold_state_dir("semantic_tombstone_fold", sf_dir)
+    dirs = {k: _os.path.join(base, k) for k in ("centroids", "members", "pairs")}
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hi = int(e.agg(F.max("vec_id")).collect()[0][0])  # scalar stat, not data
+    t = hi // 3
+    sink = semantic_dedup_stream(
+        dirs["centroids"], dirs["members"], dirs["pairs"],
+        n_cells=16, threshold=0.3, refine_iters=1,
+    )
+    cuts = [(0, t), (t, 2 * t), (2 * t, hi + 1)]
+    for i, (lo, up) in enumerate(cuts):
+        sink(e.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up)), i)
+    tomb = vector_tombstone_stream(dirs["members"], "vec_id")
+    tomb(e.where(F.col("vec_id") % 7 == 0).select("vec_id"), 0)
+    return read_semantic_pairs(spark, dirs["members"], dirs["pairs"])
 
 
 @query(
@@ -8334,10 +8516,11 @@ _DRIVER_WINDOW = [
     "nations_with_presence",
     "nfc_normalized_docs",
     "order_date_features",
-    "orders_profile",
-    "part_name_features",
-    "pq_ann_topk",
-    "promo_revenue_share",
+    # new r12 entries (never driver-checked — must front per the guard):
+    "bm25_tombstone_fold",
+    "ivf_tombstone_fold",
+    "ivf_purge_fold",
+    "semantic_tombstone_fold",
 ]
 
 def _reorder_registry() -> None:
