@@ -554,6 +554,7 @@ def ivf_build_centroids(
     item_vec: str = "embedding",
     n_cells: int = 16,
     refine_iters: int = 1,
+    assume_unit: bool = False,
 ) -> DataFrame:
     """Train the IVF coarse quantizer (the k-means "model"): seed
     ``n_cells`` centroids from the lowest-id items — a TakeOrderedAndProject
@@ -565,13 +566,19 @@ def ivf_build_centroids(
     copy of it is what the streaming index sink
     (streaming/pipeline.py::ivf_index_stream) keeps adding into — the
     faiss train-once / add-incrementally split the reference makes
-    (src/serving/retrieval.py:88-139)."""
+    (src/serving/retrieval.py:88-139).
+
+    ``assume_unit=True`` skips the L2 normalization — for retraining on
+    vectors an index already stores in unit form
+    (``streaming/pipeline.retrain_vector_index``): re-normalizing a unit
+    vector perturbs its last ulp, which would make a rebuilt quantizer
+    differ bit-wise from a fresh build over the raw corpus; skipping it
+    keeps rebuild ≡ fresh-build exact."""
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
-    it = items.select(
-        qcol(item_id).alias("__iid"), l2_normalize(qcol(item_vec)).alias("__iv")
-    )
+    vec = qcol(item_vec) if assume_unit else l2_normalize(qcol(item_vec))
+    it = items.select(qcol(item_id).alias("__iid"), vec.alias("__iv"))
     centroids = global_topn_ranked(
         it, [F.col("__iid").asc()], n_cells, rank_col="__cell"
     ).select(F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv"))

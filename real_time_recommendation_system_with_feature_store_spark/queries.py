@@ -7607,6 +7607,51 @@ def ivf_purge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_rebuild_fold",
+    oracle=_ivf_oracle(
+        q_max=10, n_probe=3, k=6, corpus_where="WHERE vec_id % 5 <> 0"
+    ),
+    doc="Index rebuild (model drift) driven in-query: the ivf_index_fold "
+        "pipeline plus vec_id % 5 = 0 tombstoned, then "
+        "retrain_vector_index — the quantizer RETRAINS on the live fold "
+        "(same deterministic k-means, assume_unit so stored unit vectors "
+        "aren't re-normalized), every stored vector re-assigns to the "
+        "new cells, and the swap rides the crash-safe .retrain.ready "
+        "protocol (recover_vector_index resumes any prefix). The oracle "
+        "is the full IVF replay over ONLY the live corpus — i.e. a fresh "
+        "batch build — so the driver hash certifies rebuilt ≡ "
+        "from-scratch, the reference's periodic index rebuild "
+        "(src/serving/retrieval.py:228-246) as a lineage-free operator "
+        "(streaming/pipeline.py retrain_vector_index).",
+)
+def ivf_rebuild_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_build_centroids
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        ivf_search_from_index,
+        retrain_vector_index,
+        vector_tombstone_stream,
+    )
+
+    index_dir = _fold_state_dir("ivf_rebuild_fold", sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(e, "vec_id", "embedding", n_cells=16, refine_iters=1)
+    sink = ivf_index_stream(index_dir, "vec_id", "embedding", cents)
+    for i in range(3):
+        sink(e.where(F.col("vec_id") % 3 == i), i)
+    tomb = vector_tombstone_stream(index_dir, "vec_id")
+    tomb(e.where(F.col("vec_id") % 5 == 0).select("vec_id"), 0)
+    retrain_vector_index(spark, index_dir, n_cells=16, refine_iters=1)
+    q = e.where((F.col("vec_id") < 10) & (F.col("vec_id") % 5 != 0)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_search_from_index(
+        spark, index_dir, q, "query_id", query_vec="embedding",
+        item_id="item_id", k=6, n_probe=3,
+    )
+
+
+@query(
     "transition_state_fold",
     oracle=_TRANSITION_MATRIX_ORACLE,
     doc="Streaming Markov transition sink driven in-query: events stream "
@@ -8515,12 +8560,12 @@ _DRIVER_WINDOW = [
     "nation_pair_trade_volume",
     "nations_with_presence",
     "nfc_normalized_docs",
-    "order_date_features",
     # new r12 entries (never driver-checked — must front per the guard):
     "bm25_tombstone_fold",
     "ivf_tombstone_fold",
     "ivf_purge_fold",
     "semantic_tombstone_fold",
+    "ivf_rebuild_fold",
 ]
 
 def _reorder_registry() -> None:

@@ -1194,7 +1194,11 @@ def ivf_index_stream(
     from real_time_recommendation_system_with_feature_store_spark.operators.knn import _assign_cells
     from real_time_recommendation_system_with_feature_store_spark.functions.vectors import l2_normalize
 
-    cents = centroids.select("__cell", "__cv")
+    # eager materialization (≤ n_cells rows) BEFORE the overwrite: a sink
+    # restarted on an existing index naturally passes
+    # spark.read.parquet(f"{index_dir}/centroids") back in, and a lazy
+    # frame would then be overwriting its own input files mid-read
+    cents = centroids.select("__cell", "__cv").localCheckpoint(eager=True)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1735,6 +1739,151 @@ def purge_vector_tombstones(spark: SparkSession, index_dir: str) -> None:
         )
         compact_epoch_state(fold, index_dir)
     _shutil.rmtree(f"{index_dir}/.deletes")
+
+
+def retrain_vector_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_cells: int = 16,
+    refine_iters: int = 1,
+) -> int:
+    """Rebuild the IVF index's frozen coarse quantizer on the LIVE fold —
+    the drift path every frozen-model sink documents ("recall degrades if
+    the distribution drifts; centroid refresh is a rebuild") made an
+    operator, the engine's analog of the reference's periodic index
+    rebuild (src/serving/retrieval.py:228-246):
+
+    1. fold the stored vectors (epoch-dedup, tombstones applied);
+    2. retrain the quantizer on that fold with the SAME deterministic
+       k-means as a fresh build (lowest-id seeds + Lloyd steps;
+       ``assume_unit=True`` because stored vectors are already unit —
+       re-normalizing would perturb the last ulp), so
+       **rebuilt ≡ fresh batch build over the live corpus, bit-exact**;
+    3. re-assign every stored vector to its new cell;
+    4. swap atomically via the ``.compact.ready`` discipline: the new
+       centroids AND re-assigned cells fully materialize under
+       ``.retrain.tmp``, one rename marks them ``.retrain.ready.epoch=N``
+       (N = the max folded epoch id, so future sink epochs stay
+       monotone), and only then does ``_finish_retrain`` replace the old
+       state. A crash before the ready-rename leaves a discardable tmp; a
+       crash during the finish leaves the complete new state in the ready
+       dir — ``recover_vector_index`` resumes idempotently from any
+       prefix. Tombstones are folded in at step 1, so ``.deletes/`` is
+       cleared in the finish (ids released, same as a purge).
+
+    Future ``ivf_index_stream`` batches read ``centroids/`` per batch, so
+    adds AFTER the swap assign against the refreshed geometry — run with
+    the stream stopped and no readers in flight (``compact_epoch_state``'s
+    contract, verbatim; same locally-mounted-path scope). Returns the
+    epoch id the rebuilt cells landed under."""
+    import glob as _glob
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        _assign_cells,
+        ivf_build_centroids,
+    )
+
+    tmp = f"{index_dir}/.retrain.tmp"
+    if _glob.glob(f"{index_dir}/.retrain.ready.epoch=*") or _os.path.exists(tmp):
+        raise RuntimeError(
+            f"retrain_vector_index: leftover retrain state under {index_dir} "
+            "from an interrupted run — call recover_vector_index(index_dir) "
+            "first"
+        )
+    epochs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{index_dir}/cells/epoch=*")
+        if p.rsplit("=", 1)[1].isdigit()
+    )
+    if not epochs:
+        raise ValueError(
+            f"retrain_vector_index: no cells/epoch partitions under {index_dir}"
+        )
+    live = _apply_vector_tombstones(
+        spark,
+        index_dir,
+        spark.read.parquet(f"{index_dir}/cells")
+        .drop("epoch")
+        .dropDuplicates(["__iid"])
+        .select("__iid", "__iv"),
+    )
+    cents = ivf_build_centroids(
+        live, "__iid", "__iv", n_cells=n_cells, refine_iters=refine_iters,
+        assume_unit=True,
+    )
+    reassigned = _assign_cells(live, cents)
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+    reassigned.write.mode("overwrite").partitionBy("__cell").parquet(f"{tmp}/cells")
+    ready = f"{index_dir}/.retrain.ready.epoch={epochs[-1]}"
+    _os.rename(tmp, ready)
+    _finish_retrain(index_dir, ready, epochs[-1])
+    return epochs[-1]
+
+
+def _finish_retrain(index_dir: str, ready: str, target: int) -> None:
+    """Move the staged retrain into place. Idempotent by construction —
+    each step keys on what still exists under the ready dir, so recovery
+    can re-enter after a crash at any point."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.exists(f"{ready}/centroids"):
+        _shutil.rmtree(f"{index_dir}/centroids", ignore_errors=True)
+        _os.rename(f"{ready}/centroids", f"{index_dir}/centroids")
+    if _os.path.exists(f"{ready}/cells"):
+        for p in _glob.glob(f"{index_dir}/cells/epoch=*"):
+            if p.rsplit("=", 1)[1].isdigit():
+                _shutil.rmtree(p)
+        _os.rename(f"{ready}/cells", f"{index_dir}/cells/epoch={target}")
+    if _os.path.exists(f"{index_dir}/.deletes"):
+        _shutil.rmtree(f"{index_dir}/.deletes")
+    _shutil.rmtree(ready, ignore_errors=True)
+
+
+def recover_vector_index(index_dir: str) -> bool:
+    """Finish or discard a ``retrain_vector_index`` interrupted by a crash
+    — run BEFORE restarting the sink or probing a possibly-interrupted
+    index. A ``.retrain.ready.epoch=<id>`` dir holds the COMPLETE new
+    state (centroids + re-assigned cells), so finishing is lossless and
+    idempotent from every crash prefix; a bare ``.retrain.tmp`` is a
+    partial materialization with the old state intact — discard it.
+    Same loud-failure ordering contract as ``recover_epoch_state``: cell
+    epochs NEWER than the ready target mean a sink wrote past the crash
+    before recovery ran — raise instead of silently deleting them.
+    Returns True when it changed anything."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    changed = False
+    ready_dirs = _glob.glob(f"{index_dir}/.retrain.ready.epoch=*")
+    if ready_dirs:
+        ready = ready_dirs[0]
+        target = int(ready.rsplit("=", 1)[1])
+        newer = sorted(
+            int(p.rsplit("=", 1)[1])
+            for p in _glob.glob(f"{index_dir}/cells/epoch=*")
+            if p.rsplit("=", 1)[1].isdigit() and int(p.rsplit("=", 1)[1]) > target
+        )
+        if newer:
+            raise RuntimeError(
+                f"recover_vector_index: cell epochs {newer} under {index_dir} "
+                f"are NEWER than the interrupted retrain's target epoch="
+                f"{target} — a sink wrote past the crash before recovery "
+                "ran (their rows are assigned under the OLD geometry and "
+                "the staged rebuild has not folded them). Re-run the "
+                "retrain from scratch after discarding the ready dir, or "
+                "move the newer epochs aside deliberately."
+            )
+        _finish_retrain(index_dir, ready, target)
+        changed = True
+    tmp = f"{index_dir}/.retrain.tmp"
+    if _os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+        changed = True
+    return changed
 
 
 def read_semantic_pairs(

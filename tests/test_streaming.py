@@ -4,6 +4,7 @@ because both run the same windowed_feature_stream() expression."""
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -2482,3 +2483,176 @@ def test_compact_epoch_state_decayed_and_meta_layouts(spark):
     )
     compact_epoch_state(meta_fold, f"{tdir}/meta")
     assert tuple(read_transition_meta(spark, tdir).collect()[0]) == m_before == (1, 1)
+
+
+# ========================================================= index rebuild
+
+def _build_tombstoned_ivf(spark, name, n_cells=4):
+    """Shared fixture builder: 2-epoch IVF index over sf0.001 embeddings
+    with vec_id % 5 == 0 tombstoned. Returns (index_dir, emb, live)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_build_centroids
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        vector_tombstone_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_build_centroids(emb, "vec_id", "embedding", n_cells=n_cells, refine_iters=1)
+    index_dir = os.path.join(TMP, name)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sink = ivf_index_stream(index_dir, "vec_id", "embedding", cents)
+    sink(emb.where(F.col("vec_id") % 2 == 0), 0)
+    sink(emb.where(F.col("vec_id") % 2 == 1), 1)
+    vector_tombstone_stream(index_dir, "vec_id")(
+        emb.where(F.col("vec_id") % 5 == 0).select("vec_id"), 0
+    )
+    live = emb.where(F.col("vec_id") % 5 != 0)
+    return index_dir, emb, live
+
+
+def _ivf_search_sorted(spark, index_dir, queries, k=3, n_probe=2):
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import ivf_search_from_index
+
+    return sorted(
+        map(
+            tuple,
+            ivf_search_from_index(
+                spark, index_dir, queries, "vec_id", "embedding",
+                item_id="nn", k=k, n_probe=n_probe,
+            ).collect(),
+        )
+    )
+
+
+def test_retrain_vector_index_equals_fresh_build(spark):
+    """The rebuild contract, bit-exact: retraining the quantizer on the
+    live (tombstone-applied) fold and re-assigning the stored vectors
+    produces the SAME centroids and SAME search results as a from-scratch
+    batch build + index over the live corpus (same frozen seeds — the
+    assume_unit path keeps stored unit vectors un-re-normalized, so not
+    even a last-ulp drift separates the two)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_build_centroids
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        retrain_vector_index,
+    )
+
+    index_dir, emb, live = _build_tombstoned_ivf(spark, "ivf_retrain_parity")
+    kept = retrain_vector_index(spark, index_dir, n_cells=4, refine_iters=1)
+    assert kept == 1
+    assert not os.path.exists(f"{index_dir}/.deletes")  # ids released
+    assert not glob.glob(f"{index_dir}/.retrain*")
+
+    fresh_dir = os.path.join(TMP, "ivf_retrain_fresh")
+    shutil.rmtree(fresh_dir, ignore_errors=True)
+    fresh_cents = ivf_build_centroids(live, "vec_id", "embedding", n_cells=4, refine_iters=1)
+    ivf_index_stream(fresh_dir, "vec_id", "embedding", fresh_cents)(live, 0)
+
+    queries = emb.where(F.col("vec_id") < 10)
+    got = _ivf_search_sorted(spark, index_dir, queries)
+    want = _ivf_search_sorted(spark, fresh_dir, queries)
+    assert got == want and got
+    # tombstoned ids really are gone from the rebuilt physical state
+    stored = spark.read.parquet(f"{index_dir}/cells")
+    assert stored.where(F.col("__iid") % 5 == 0).count() == 0
+    assert stored.count() == live.count()
+    # the swapped quantizer is bit-identical to the fresh build's
+    a = sorted(map(tuple, spark.read.parquet(f"{index_dir}/centroids").collect()))
+    b = sorted(map(tuple, fresh_cents.collect()))
+    assert a == b
+    # future adds assign against the refreshed geometry and keep folding
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import ivf_index_stream as _s
+    clone = queries.limit(1).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding"
+    )
+    _s(index_dir, "vec_id", "embedding",
+       spark.read.parquet(f"{index_dir}/centroids"))(clone, 2)
+    n = spark.read.parquet(f"{index_dir}/cells").dropDuplicates(["__iid"]).count()
+    assert n == live.count() + 1
+
+
+def test_retrain_crash_recovery_all_prefixes(spark):
+    """Every reachable retrain crash window recovers to the identical
+    rebuilt index: tmp-only (staging crashed — discard, old state
+    intact), full ready dir, ready after the centroids swap, ready after
+    centroids + partial old-epoch deletion. recover_vector_index is
+    idempotent re-entry into _finish_retrain, so each prefix must land on
+    the same physical state and search rows."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        recover_vector_index,
+        retrain_vector_index,
+    )
+
+    # reference: a completed retrain
+    ref_dir, emb, live = _build_tombstoned_ivf(spark, "ivf_retrain_ref")
+    retrain_vector_index(spark, ref_dir, n_cells=4, refine_iters=1)
+    queries = emb.where(F.col("vec_id") < 10)
+    want = _ivf_search_sorted(spark, ref_dir, queries)
+
+    # tmp-only crash: discard, old (tombstone-masked) state still serves
+    d, _, _ = _build_tombstoned_ivf(spark, "ivf_retrain_crash_tmp")
+    pre = _ivf_search_sorted(spark, d, queries)
+    os.makedirs(f"{d}/.retrain.tmp/centroids", exist_ok=True)
+    with pytest.raises(RuntimeError, match="recover_vector_index"):
+        retrain_vector_index(spark, d, n_cells=4, refine_iters=1)
+    assert recover_vector_index(d) is True
+    assert _ivf_search_sorted(spark, d, queries) == pre
+    # and a retrain now completes normally
+    retrain_vector_index(spark, d, n_cells=4, refine_iters=1)
+    assert _ivf_search_sorted(spark, d, queries) == want
+
+    def staged(name):
+        """Build + stage a retrain's ready dir WITHOUT finishing (the
+        crash-right-after-ready-rename state), by copying the completed
+        reference's new state into the ready layout."""
+        d, _, _ = _build_tombstoned_ivf(spark, name)
+        ready = f"{d}/.retrain.ready.epoch=1"
+        shutil.copytree(f"{ref_dir}/centroids", f"{ready}/centroids")
+        shutil.copytree(f"{ref_dir}/cells/epoch=1", f"{ready}/cells")
+        return d, ready
+
+    # full ready dir
+    d, _ = staged("ivf_retrain_crash_ready")
+    assert recover_vector_index(d) is True
+    assert _ivf_search_sorted(spark, d, queries) == want
+    assert not os.path.exists(f"{d}/.deletes")
+
+    # crash after the centroids swap
+    d, ready = staged("ivf_retrain_crash_cents")
+    shutil.rmtree(f"{d}/centroids")
+    os.rename(f"{ready}/centroids", f"{d}/centroids")
+    assert recover_vector_index(d) is True
+    assert _ivf_search_sorted(spark, d, queries) == want
+
+    # crash after centroids + one old epoch deleted
+    d, ready = staged("ivf_retrain_crash_partial")
+    shutil.rmtree(f"{d}/centroids")
+    os.rename(f"{ready}/centroids", f"{d}/centroids")
+    shutil.rmtree(f"{d}/cells/epoch=0")
+    assert recover_vector_index(d) is True
+    assert _ivf_search_sorted(spark, d, queries) == want
+
+    # clean dir: no-op
+    assert recover_vector_index(d) is False
+
+
+def test_retrain_recovery_refuses_newer_epochs(spark):
+    """A sink restarted over a crashed retrain (writing cell epochs past
+    the ready target, assigned under the OLD geometry) must fail loudly —
+    finishing would silently drop those rows."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        ivf_index_stream,
+        recover_vector_index,
+    )
+
+    d, emb, _ = _build_tombstoned_ivf(spark, "ivf_retrain_newer")
+    ready = f"{d}/.retrain.ready.epoch=1"
+    os.makedirs(f"{ready}/centroids", exist_ok=True)
+    # restarted sink writes epoch=2 before recovery runs
+    ivf_index_stream(d, "vec_id", "embedding",
+                     spark.read.parquet(f"{d}/centroids"))(emb.limit(5), 2)
+    with pytest.raises(RuntimeError, match="NEWER than the interrupted"):
+        recover_vector_index(d)
+    assert os.path.isdir(f"{d}/cells/epoch=2")  # nothing destroyed
