@@ -324,3 +324,369 @@ def apply_extrema_delta(
         )
     )
     return clean.unionByName(recomputed)
+
+
+def build_topk_buffer(
+    base: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    measure_col: str,
+    buffer_k: int,
+    h_val_col: str = "hv",
+    h_id_col: str = "hid",
+) -> DataFrame:
+    """Materialize the per-group top-``buffer_k`` BUFFER that
+    ``apply_topk_delta`` maintains — the classic top-k view-maintenance
+    layout (Yi et al., "Efficient Maintenance of Materialized Top-k
+    Views", ICDE 2003): keep k' >= k rows per group so deletes have slack
+    before a base re-scan is forced.
+
+    Rows are ordered by ``(measure DESC, id ASC)`` — the id tie-break
+    makes the order TOTAL, which the delete-locating logic depends on.
+    Each row carries the group's HORIZON ``(h_val, h_id)``: the sort key
+    of the buffer_k-th row when the group was truncated, NULL when the
+    buffer holds the whole group. Invariant consumed downstream: the
+    buffer contains EXACTLY the base rows whose sort key is at or above
+    the horizon (all of them — nothing at-or-above is missing).
+
+    One shuffle: both window passes (rank, then horizon broadcast within
+    the group) partition by the same keys, so Catalyst reuses the
+    exchange."""
+    from pyspark.sql import Window
+
+    kcols = [qcol(k) for k in keys]
+    w = Window.partitionBy(*kcols).orderBy(
+        qcol(measure_col).desc(), qcol(id_col).asc()
+    )
+    ranked = (
+        base.select(*[qcol(k) for k in keys], qcol(id_col), qcol(measure_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= buffer_k)
+    )
+    wg = Window.partitionBy(*kcols)
+    at_k = F.col("__rn") == buffer_k
+    return ranked.select(
+        *keys,
+        id_col,
+        measure_col,
+        F.max(F.when(at_k, qcol(measure_col))).over(wg).alias(h_val_col),
+        F.max(F.when(at_k, qcol(id_col))).over(wg).alias(h_id_col),
+    )
+
+
+def topk_from_buffer(
+    buffer: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    measure_col: str,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Answer the top-k query from a maintained buffer: rank within each
+    group by ``(measure DESC, id ASC)`` and keep ``rank <= k``. Only valid
+    for ``k`` at or below the ``k`` the buffer was maintained with —
+    ``apply_topk_delta``'s refill rule guarantees at least k rows (or the
+    whole group) survive in every buffer, nothing deeper."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[qcol(c) for c in keys]).orderBy(
+        qcol(measure_col).desc(), qcol(id_col).asc()
+    )
+    return (
+        buffer.select(*keys, id_col, measure_col)
+        .withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def apply_topk_delta(
+    view: DataFrame,
+    changes: DataFrame,
+    base_after: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    measure_col: str,
+    k: int,
+    buffer_k: int | None = None,
+    op_col: str = "op",
+    h_val_col: str = "hv",
+    h_id_col: str = "hid",
+    null_safe_keys: bool = True,
+    gate_df: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain a per-group TOP-K view under a D/I changelog — the other
+    non-self-maintainable aggregate class beside extrema (retracting a
+    top row needs the group's next-best, i.e. base access) — via the
+    buffered-horizon rule (Yi et al. ICDE 2003, the production-standard
+    answer; same family as ``apply_extrema_delta``'s dirty-group rule):
+
+    * the view is a ``build_topk_buffer`` frame: top-``buffer_k`` rows
+      per group (k' >= k, default 2k) + the group horizon ``(hv, hid)``
+      — NULL horizon means the buffer IS the whole group;
+    * INSERTS at-or-above the horizon enter the buffer (a trim to k'
+      re-tightens the horizon when the buffer overflows); inserts below
+      it are dropped — they're in ``base_after``, which is all a future
+      refill reads. Zero base access;
+    * DELETES are located against the total order ``(measure DESC, id
+      ASC)``: a delete at-or-above the horizon MUST match a buffer row
+      by id (else the changelog and view disagree — loud in-plan
+      failure); a delete strictly below a non-NULL horizon provably
+      never touches the buffer and is dropped. An update arrives as its
+      D/I pair (same id), possibly in the same batch;
+    * a group goes DIRTY only when deletes shrink its buffer below ``k``
+      while the horizon is non-NULL (rows below the horizon are unknown
+      and may now belong in the top-k): dirty groups refill from
+      ``base_after`` restricted by a stats-gated semi-join — O(base rows
+      of dirty groups), never a full rescan. Deleting an untruncated
+      group's last row kills the group with no base access.
+
+    Changelog consistency failures are loud and in-plan: duplicate
+    (group, id) slots, an insert for an id already in the buffer without
+    its delete, a delete whose measure disagrees with the stored row, a
+    delete below nothing (unknown group / untruncated buffer miss), and
+    unknown ops all raise. Bad slots surface as real always-raising rows
+    unioned into the output, so the failure survives lazy evaluation and
+    AQE empty-relation pruning even when the bad group emits no
+    surviving rows and the refill base is empty.
+
+    Cost: O(|delta|) clean-path work (one collapse aggregation + windows
+    over TOUCHED groups only, all sharing one shuffle) + O(base rows of
+    dirty groups). The VIEW is read twice (untouched pass-through and
+    touched re-rank) — store it bucketed by the group keys, the
+    ``apply_agg_delta`` layout contract, and both reads are shuffle-free
+    scans. Returns the NEW buffer (same schema as ``view``); answer
+    queries with ``topk_from_buffer``.
+
+    Reference tie: the reference re-sorts its full popularity/candidate
+    tables per refresh to keep serving top-k slices (eager pandas
+    ``sort_values().head(k)`` per group, src/evaluation/metrics.py,
+    src/features/simple_feature_store.py); this is that computation's
+    incremental form.
+    """
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
+
+    if buffer_k is None:
+        buffer_k = 2 * k
+    if buffer_k < k:
+        raise ValueError(f"apply_topk_delta: buffer_k={buffer_k} < k={k}")
+    kcols = list(keys)
+    nk = len(kcols)
+    id_t = view.schema[id_col].dataType
+    m_t = view.schema[measure_col].dataType
+    hv_t = view.schema[h_val_col].dataType
+    hid_t = view.schema[h_id_col].dataType
+
+    if gate_df is None:
+        gate_df = changes.select(*[qcol(c) for c in kcols])
+    t_keys = (
+        changes.select(*[qcol(c).alias(f"__tk_{i}") for i, c in enumerate(kcols)])
+        .distinct()
+    )
+    tb = gated_broadcast(t_keys, gate_df=gate_df)
+    vcond = _view_key_eq(kcols, "__tk_", null_safe_keys)
+    untouched = view.join(tb, vcond, "left_anti")
+    touched = view.join(tb, vcond, "left_semi")
+
+    # collapse to one slot per (group, id): buffer row, insert, delete —
+    # order-independent within the batch, so a D/I update pair pairs up
+    # regardless of arrival order.
+    op = qcol(op_col)
+    src = (
+        F.when(op == "I", F.lit("I"))
+        .when(op == "D", F.lit("D"))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("apply_topk_delta: unknown op "), op.cast("string"))
+            ).cast("string")
+        )
+    )
+    vrow = touched.select(
+        *[qcol(c).alias(f"__k_{i}") for i, c in enumerate(kcols)],
+        qcol(id_col).alias("__id"),
+        qcol(measure_col).alias("__m"),
+        qcol(h_val_col).alias("__hv"),
+        qcol(h_id_col).alias("__hid"),
+        F.lit("B").alias("__src"),
+    )
+    crow = changes.select(
+        *[qcol(c).alias(f"__k_{i}") for i, c in enumerate(kcols)],
+        qcol(id_col).alias("__id"),
+        qcol(measure_col).cast(m_t).alias("__m"),
+        F.lit(None).cast(hv_t).alias("__hv"),
+        F.lit(None).cast(hid_t).alias("__hid"),
+        src.alias("__src"),
+    )
+    gcols = [F.col(f"__k_{i}") for i in range(nk)]
+    s = F.col("__src")
+    g = (
+        vrow.unionByName(crow)
+        .groupBy(*gcols, F.col("__id"))
+        .agg(
+            F.count(F.when(s == "B", F.lit(1))).alias("__nb"),
+            F.count(F.when(s == "I", F.lit(1))).alias("__ni"),
+            F.count(F.when(s == "D", F.lit(1))).alias("__nd"),
+            F.max(F.when(s == "B", F.col("__m"))).alias("__bm"),
+            F.max(F.when(s == "I", F.col("__m"))).alias("__im"),
+            F.max(F.when(s == "D", F.col("__m"))).alias("__dm"),
+            F.max("__hv").alias("__shv"),
+            F.max("__hid").alias("__shid"),
+        )
+    )
+    # group-level horizon / bad-slot count / survivor count via windows on
+    # the SAME partition keys the collapse shuffled by — no extra exchange.
+    # Staged selects because a window expression cannot nest inside
+    # another window function's argument.
+    wg = Window.partitionBy(*gcols)
+    g1 = g.select(
+        *gcols,
+        F.col("__id"),
+        "__nb",
+        "__ni",
+        "__nd",
+        "__bm",
+        "__im",
+        "__dm",
+        F.max("__shv").over(wg).alias("__ghv"),
+        F.max("__shid").over(wg).alias("__ghid"),
+    )
+    nb, ni, nd = F.col("__nb"), F.col("__ni"), F.col("__nd")
+    bm, im, dm = F.col("__bm"), F.col("__im"), F.col("__dm")
+    ghv, ghid = F.col("__ghv"), F.col("__ghid")
+
+    # strictly below the horizon in (measure DESC, id ASC) order
+    def _below(m: Column, i: Column) -> Column:
+        return F.coalesce((m < ghv) | ((m == ghv) & (i > ghid)), F.lit(False))
+
+    bad = (
+        (nb > 1)
+        | (ni > 1)
+        | (nd > 1)
+        | ((ni > 0) & (nb > 0) & (nd == 0))  # re-insert of a live buffer id
+        | ((nd > 0) & (nb > 0) & ~(dm.eqNullSafe(bm)))  # delete value mismatch
+        | ((nd > 0) & (nb == 0) & (ni > 0) & ~(dm.eqNullSafe(im)))  # transient pair mismatch
+        | ((nd > 0) & (nb == 0) & (ni == 0) & ~_below(dm, F.col("__id")))  # orphan delete
+        | ((ni > 0) & im.isNull())  # NULL measures are unorderable
+    )
+    ins_kept = (ni > 0) & ((nb > 0) == (nd > 0)) & ~_below(im, F.col("__id"))
+    emit_m = F.when(ins_kept, im).when((nb > 0) & (nd == 0) & (ni == 0), bm)
+    g1b = g1.select(
+        *gcols,
+        F.col("__id"),
+        ghv,
+        ghid,
+        emit_m.alias("__em"),
+        bad.alias("__bad"),
+    )
+    g2 = g1b.select(
+        *gcols,
+        F.col("__id"),
+        ghv,
+        ghid,
+        F.col("__em"),
+        F.sum(F.when(F.col("__bad"), F.lit(1)).otherwise(F.lit(0)))
+        .over(wg)
+        .alias("__gbad"),
+        F.sum(F.when(F.col("__em").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+        .over(wg)
+        .alias("__cnt"),
+    )
+    dirty = (F.col("__gbad") > 0) | (
+        F.col("__ghv").isNotNull() & (F.col("__cnt") < k)
+    )
+    # clean survivors: re-rank within the group (emitted rows sort first),
+    # trim to buffer_k, tighten the horizon only when a trim occurred
+    wr = Window.partitionBy(*gcols).orderBy(
+        F.col("__em").isNull().asc(), F.col("__em").desc(), F.col("__id").asc()
+    )
+    ranked = g2.where(~dirty).withColumn("__rn", F.row_number().over(wr))
+    overflow = F.col("__cnt") > buffer_k
+    at_k = (F.col("__rn") == buffer_k) & F.col("__em").isNotNull()
+    new_hv = F.when(
+        overflow, F.max(F.when(at_k, F.col("__em"))).over(wg)
+    ).otherwise(F.col("__ghv"))
+    new_hid = F.when(
+        overflow, F.max(F.when(at_k, F.col("__id"))).over(wg)
+    ).otherwise(F.col("__ghid"))
+    clean = ranked.where(
+        F.col("__em").isNotNull() & (F.col("__rn") <= buffer_k)
+    ).select(
+        *[F.col(f"__k_{i}").alias(c) for i, c in enumerate(kcols)],
+        F.col("__id").alias(id_col),
+        F.col("__em").alias(measure_col),
+        new_hv.alias(h_val_col),
+        new_hid.alias(h_id_col),
+    )
+    # dirty groups refill from base_after
+    dirty_keys = (
+        g2.where(dirty)
+        .select(*[F.col(f"__k_{i}").alias(f"__rk_{i}") for i in range(nk)])
+        .distinct()
+    )
+    refill_base = base_after.join(
+        gated_broadcast(dirty_keys, gate_df=gate_df),
+        _view_key_eq_named(
+            [qcol(c) for c in kcols], "__rk_", null_safe_keys
+        ),
+        "left_semi",
+    )
+    rebuilt = build_topk_buffer(
+        refill_base, kcols, id_col, measure_col, buffer_k, h_val_col, h_id_col
+    ).select(
+        *kcols,
+        F.col(id_col).cast(id_t).alias(id_col),
+        F.col(measure_col).cast(m_t).alias(measure_col),
+        F.col(h_val_col).cast(hv_t).alias(h_val_col),
+        F.col(h_id_col).cast(hid_t).alias(h_id_col),
+    )
+    # loud failure that survives laziness AND empty-relation pruning: bad
+    # slots become REAL rows unioned into the output whose projection
+    # always raises — a guard woven into the dirty-key/refill frames can
+    # be optimized away entirely when the refill base is empty (AQE
+    # propagates empty relations through the semi-join), but genuinely
+    # non-empty union branches cannot.
+    # the assert's condition must be DATA-dependent (true on good rows),
+    # not a guarded lit(False): the optimizer may push a consumer's
+    # predicate through this projection and evaluate it on rows the
+    # gbad-filter would have excluded
+    err_first = F.coalesce(
+        F.assert_true(
+            F.col("__gbad") == 0,
+            F.lit(
+                "apply_topk_delta: changelog and view disagree — duplicate "
+                "slot, re-insert of a live id, delete value mismatch, "
+                "orphan delete at-or-above the horizon (or of an unknown/"
+                "untruncated group), NULL measure, or unknown op"
+            ),
+        ).cast(view.schema[kcols[0]].dataType),
+        F.col("__k_0"),
+    )
+    error_rows = g2.where(F.col("__gbad") > 0).select(
+        err_first.alias(kcols[0]),
+        *[F.col(f"__k_{i}").alias(c) for i, c in enumerate(kcols) if i > 0],
+        F.lit(None).cast(id_t).alias(id_col),
+        F.lit(None).cast(m_t).alias(measure_col),
+        F.lit(None).cast(hv_t).alias(h_val_col),
+        F.lit(None).cast(hid_t).alias(h_id_col),
+    )
+    return (
+        untouched.unionByName(clean)
+        .unionByName(rebuilt)
+        .unionByName(error_rows)
+    )
+
+
+def _view_key_eq(kcols: Sequence[str], right_prefix: str, null_safe: bool) -> Column:
+    return _view_key_eq_named([qcol(c) for c in kcols], right_prefix, null_safe)
+
+
+def _view_key_eq_named(
+    left_cols: Sequence[Column], right_prefix: str, null_safe: bool
+) -> Column:
+    cond = None
+    for i, lc in enumerate(left_cols):
+        rc = F.col(f"{right_prefix}{i}")
+        eq = lc.eqNullSafe(rc) if null_safe else (lc == rc)
+        cond = eq if cond is None else (cond & eq)
+    return cond

@@ -8308,6 +8308,111 @@ def rollup_extrema_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "rollup_topk_priority_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority, o_orderstatus
+        ORDER BY o_totalprice DESC, o_orderkey) AS brn
+      FROM base
+    ),
+    doomed AS (
+      SELECT o_orderkey FROM ranked
+      WHERE brn <= CASE WHEN o_orderstatus = 'F' THEN 4 ELSE 1 END
+         OR (brn >= 6 AND o_orderkey % 13 = 0)
+    ),
+    after AS (
+      SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
+      FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed)
+    )
+    SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority, o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM after
+    ) WHERE rn <= 3
+    """,
+    doc="TOP-K INCREMENTAL VIEW MAINTENANCE — the other aggregate class "
+        "the sum/count delta rule can't self-maintain — via "
+        "apply_topk_delta's buffered-horizon rule (operators/ivm.py; Yi "
+        "et al. ICDE 2003): a per-(priority, status) top-3-orders-by-"
+        "price view, maintained as a top-5 buffer, is refreshed by a "
+        "changelog that deletes the top-4 rows of every 'F' group "
+        "(buffer shrinks below k -> DIRTY refill from the post-change "
+        "snapshot through a stats-gated semi-join), deletes the top-1 of "
+        "every other group plus a sprinkling of below-horizon rows "
+        "(clean in-buffer shrink; below-horizon deletes provably drop), "
+        "and inserts the post-2000 non-'F' orders (in-place tighten; "
+        "below-horizon inserts drop). The oracle IS the full top-3 "
+        "recompute over that snapshot, so the driver hash certifies "
+        "incremental == from-scratch on stored doubles, bit-exact. At "
+        "100 TB a day's deletes dirty a bounded group set and only those "
+        "groups' base rows re-read; everything else is one collapse agg "
+        "+ windows over touched groups sharing a single shuffle.",
+)
+def rollup_topk_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        build_topk_buffer,
+        topk_from_buffer,
+    )
+
+    split = F.lit("2000-01-01").cast("timestamp")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderdate") < split).select(
+        *keys, "o_orderkey", "o_totalprice"
+    )
+    view = build_topk_buffer(base, keys, "o_orderkey", "o_totalprice", buffer_k=5)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = base.withColumn("__brn", F.row_number().over(w))
+    doom_depth = F.when(F.col("o_orderstatus") == "F", F.lit(4)).otherwise(F.lit(1))
+    doomed = ranked.where(
+        (F.col("__brn") <= doom_depth)
+        | ((F.col("__brn") >= 6) & (F.col("o_orderkey") % 13 == 0))
+    ).drop("__brn")
+    inserts = o.where(
+        (F.col("o_orderdate") >= split) & (F.col("o_orderstatus") != "F")
+    ).select(*keys, "o_orderkey", "o_totalprice")
+    changelog = inserts.select(F.lit("I").alias("op"), "*").unionByName(
+        doomed.select(F.lit("D").alias("op"), "*")
+    )
+    base_after = inserts.unionByName(
+        base.join(
+            doomed.select(F.col("o_orderkey").alias("__dk")),
+            F.col("o_orderkey") == F.col("__dk"),
+            "left_anti",
+        )
+    )
+    buf = apply_topk_delta(
+        view,
+        changelog,
+        base_after,
+        keys,
+        "o_orderkey",
+        "o_totalprice",
+        k=3,
+        buffer_k=5,
+        null_safe_keys=False,
+    )
+    return topk_from_buffer(buf, keys, "o_orderkey", "o_totalprice", 3)
+
+
+@query(
     "label_noise_knn",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -8559,13 +8664,15 @@ _DRIVER_WINDOW = [
     "nation_market_share",
     "nation_pair_trade_volume",
     "nations_with_presence",
-    "nfc_normalized_docs",
-    # new r12 entries (never driver-checked — must front per the guard):
+    # new r12 entries (never driver-checked — must front per the guard);
+    # each displaced one r9 filler ("nfc_normalized_docs" rotated out for
+    # rollup_topk_priority_orders):
     "bm25_tombstone_fold",
     "ivf_tombstone_fold",
     "ivf_purge_fold",
     "semantic_tombstone_fold",
     "ivf_rebuild_fold",
+    "rollup_topk_priority_orders",
 ]
 
 def _reorder_registry() -> None:

@@ -244,3 +244,189 @@ def test_extrema_bad_changelog_rows_raise(spark):
     )
     with pytest.raises(Exception, match="unknown op|NULL measure"):
         apply_extrema_delta(view, chg2, after, ["g"], "m").collect()
+
+
+# ---------------------------------------------------------------------------
+# top-k maintenance (build_topk_buffer / apply_topk_delta / topk_from_buffer)
+# ---------------------------------------------------------------------------
+
+from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (  # noqa: E402
+    apply_topk_delta,
+    build_topk_buffer,
+    topk_from_buffer,
+)
+
+_ROW = "g string, id long, m double"
+_CHG = "op string, g string, id long, m double"
+
+
+def _tk_view(spark, rows, buffer_k=4):
+    return build_topk_buffer(
+        spark.createDataFrame(rows, _ROW), ["g"], "id", "m", buffer_k
+    )
+
+
+def _tk_rows(df):
+    return {(r["g"], r["rn"]): (r["id"], r["m"]) for r in df.collect()}
+
+
+def test_topk_build_horizon_semantics(spark):
+    rows = [("a", i, float(10 - i)) for i in range(6)] + [("b", 9, 1.0)]
+    buf = _tk_view(spark, rows, buffer_k=4)
+    got = {(r["g"], r["id"]): (r["m"], r["hv"], r["hid"]) for r in buf.collect()}
+    # a truncated at its 4th row (m=7.0, id=3); b untruncated -> NULL horizon
+    assert got[("a", 0)] == (10.0, 7.0, 3)
+    assert got[("a", 3)] == (7.0, 7.0, 3)
+    assert ("a", 4) not in got and ("a", 5) not in got
+    assert got[("b", 9)] == (1.0, None, None)
+
+
+def test_topk_delta_full_semantics_with_poisoned_base(spark):
+    """Clean insert, below-horizon insert/delete drops, in-buffer delete
+    with slack, update-as-D/I-pair, dirty refill, untruncated group death,
+    and group birth — with every CLEAN group's rows withheld from
+    base_after, so any base access off the dirty path loses rows."""
+    base = (
+        [("a", i, float(10 - i)) for i in range(10)]  # truncated, stays clean
+        + [("b", 100, 5.0), ("b", 101, 4.0)]          # whole group -> death
+        + [("c", 200 + i, float(9 - i)) for i in range(6)]  # -> dirty
+    )
+    view = _tk_view(spark, base, buffer_k=4)
+    chg = spark.createDataFrame(
+        [
+            ("I", "a", 50, 11.0),   # clean tighten
+            ("D", "a", 0, 10.0),    # in-buffer delete, slack left
+            ("D", "a", 9, 1.0),     # below horizon -> dropped
+            ("I", "a", 51, 0.5),    # below horizon -> dropped
+            ("D", "a", 2, 8.0), ("I", "a", 2, 8.5),  # update via D/I pair
+            ("D", "b", 100, 5.0), ("D", "b", 101, 4.0),  # group death
+            ("D", "c", 200, 9.0), ("D", "c", 201, 8.0), ("D", "c", 202, 7.0),
+            ("I", "d", 300, 2.0),   # group birth
+        ],
+        _CHG,
+    )
+    # base_after: ONLY dirty group c (post-change) + newborn d's insert —
+    # a, b withheld (poison): the clean path must never read it
+    after = spark.createDataFrame(
+        [("c", 203, 6.0), ("c", 204, 5.0), ("c", 205, 4.0), ("d", 300, 2.0)],
+        _ROW,
+    )
+    new = apply_topk_delta(view, chg, after, ["g"], "id", "m", k=2, buffer_k=4)
+    got = _tk_rows(topk_from_buffer(new, ["g"], "id", "m", 2))
+    assert got == {
+        ("a", 1): (50, 11.0),
+        ("a", 2): (1, 9.0),
+        ("c", 1): (203, 6.0),
+        ("c", 2): (204, 5.0),
+        ("d", 1): (300, 2.0),
+    }
+    # the updated row's new value took effect inside the buffer
+    upd = {r["id"]: r["m"] for r in new.where("g = 'a'").collect()}
+    assert upd[2] == 8.5
+
+
+def test_topk_overflow_trims_and_tightens_horizon(spark):
+    base = [("a", i, float(10 - i)) for i in range(6)]  # hv=7.0@3
+    view = _tk_view(spark, base, buffer_k=4)
+    chg = spark.createDataFrame(
+        [("I", "a", 50, 20.0), ("I", "a", 51, 19.0), ("I", "a", 52, 18.0)],
+        _CHG,
+    )
+    after = spark.createDataFrame([], _ROW)  # poison: nothing may read it
+    new = apply_topk_delta(view, chg, after, ["g"], "id", "m", k=2, buffer_k=4)
+    rows = new.orderBy(F.desc("m")).collect()
+    assert [r["id"] for r in rows] == [50, 51, 52, 0]
+    assert all((r["hv"], r["hid"]) == (10.0, 0) for r in rows)
+
+
+def test_topk_matches_full_recompute_random(spark):
+    import random
+
+    rng = random.Random(17)
+    groups = [f"g{i}" for i in range(10)]
+    base = [
+        (rng.choice(groups), i, float(rng.randint(-50, 50)))
+        for i in range(400)
+    ]
+    view = _tk_view(spark, base, buffer_k=6)
+    remaining = list(base)
+    chg = []
+    for _ in range(150):
+        row = remaining.pop(rng.randrange(len(remaining)))
+        chg.append(("D",) + row)
+    inserts = [
+        (rng.choice(groups + ["new1"]), 1000 + j, float(rng.randint(-80, 80)))
+        for j in range(80)
+    ]
+    chg += [("I",) + r for r in inserts]
+    after = remaining + inserts
+    new = apply_topk_delta(
+        view,
+        spark.createDataFrame(chg, _CHG),
+        spark.createDataFrame(after, _ROW),
+        ["g"],
+        "id",
+        "m",
+        k=3,
+        buffer_k=6,
+    )
+    got = _tk_rows(topk_from_buffer(new, ["g"], "id", "m", 3))
+    exp = _tk_rows(
+        topk_from_buffer(
+            build_topk_buffer(
+                spark.createDataFrame(after, _ROW), ["g"], "id", "m", 6
+            ),
+            ["g"],
+            "id",
+            "m",
+            3,
+        )
+    )
+    assert got == exp
+
+
+@pytest.mark.parametrize(
+    "chg_rows, pattern",
+    [
+        ([("D", "zzz", 1, 1.0)], "disagree"),            # unknown group
+        ([("D", "a", 77, 9.5)], "disagree"),             # at-or-above horizon, no match
+        ([("I", "a", 0, 3.0)], "disagree"),              # re-insert live id
+        ([("D", "a", 0, 9.9)], "disagree"),              # delete value mismatch
+        ([("D", "b", 900, 1.0)], "disagree"),            # untruncated group miss
+        ([("I", "a", 60, None)], "disagree"),            # NULL measure
+        ([("U", "a", 61, 1.0)], "unknown op"),
+    ],
+)
+def test_topk_bad_changelog_raises(spark, chg_rows, pattern):
+    base = [("a", i, float(10 - i)) for i in range(6)] + [("b", 100, 5.0)]
+    view = _tk_view(spark, base, buffer_k=4)
+    after = spark.createDataFrame(base, _ROW)
+    chg = spark.createDataFrame(chg_rows, _CHG)
+    with pytest.raises(Exception, match=pattern):
+        apply_topk_delta(
+            view, chg, after, ["g"], "id", "m", k=2, buffer_k=4
+        ).collect()
+
+
+def test_topk_bad_slot_in_emitting_and_silent_groups_raises(spark):
+    """The assert must fire even when the bad group emits NO surviving
+    rows (all-delete batch) — bad groups route through the dirty-key
+    projection, where the guard always evaluates."""
+    base = [("a", 0, 5.0), ("a", 1, 4.0)]
+    view = _tk_view(spark, base, buffer_k=4)
+    after = spark.createDataFrame([], _ROW)
+    chg = spark.createDataFrame(
+        [("D", "a", 0, 5.0), ("D", "a", 1, 4.0), ("D", "a", 9, 3.0)], _CHG
+    )
+    with pytest.raises(Exception, match="disagree"):
+        apply_topk_delta(
+            view, chg, after, ["g"], "id", "m", k=1, buffer_k=4
+        ).collect()
+
+
+def test_topk_buffer_k_below_k_rejected(spark):
+    view = _tk_view(spark, [("a", 0, 1.0)], buffer_k=2)
+    chg = spark.createDataFrame([], _CHG)
+    after = spark.createDataFrame([], _ROW)
+    with pytest.raises(ValueError, match="buffer_k"):
+        apply_topk_delta(view, chg, after, ["g"], "id", "m", k=3, buffer_k=2)
