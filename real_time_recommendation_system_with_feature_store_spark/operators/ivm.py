@@ -444,17 +444,21 @@ def apply_topk_delta(
     (group, id) slots, an insert for an id already in the buffer without
     its delete, a delete whose measure disagrees with the stored row, a
     delete below nothing (unknown group / untruncated buffer miss), and
-    unknown ops all raise. Bad slots surface as real always-raising rows
-    unioned into the output, so the failure survives lazy evaluation and
-    AQE empty-relation pruning even when the bad group emits no
-    surviving rows and the refill base is empty.
+    unknown ops all raise. Bad slots surface as real rows of the clean
+    branch with an always-raising first column, so the failure survives
+    lazy evaluation and AQE empty-relation pruning even when the bad
+    group emits no surviving rows and the refill base is empty.
 
     Cost: O(|delta|) clean-path work (one collapse aggregation + windows
-    over TOUCHED groups only, all sharing one shuffle) + O(base rows of
-    dirty groups). The VIEW is read twice (untouched pass-through and
-    touched re-rank) — store it bucketed by the group keys, the
-    ``apply_agg_delta`` layout contract, and both reads are shuffle-free
-    scans. Returns the NEW buffer (same schema as ``view``); answer
+    over TOUCHED groups only, sharing one partitioning) + O(base rows of
+    dirty groups). Spark plans are trees, so the touched-collapse
+    subtree executes twice (clean emit + dirty-key extraction — the same
+    documented double-consumption as ``apply_extrema_delta``) and the
+    view is scanned three times, each a scan-side pass with the
+    touched-key filter broadcast (stats-gated) — at scale, store the
+    view as a table (bucketing optional; no view-side shuffle exists to
+    save) and the repeated subtree stays bounded by the day's touched
+    groups. Returns the NEW buffer (same schema as ``view``); answer
     queries with ``topk_from_buffer``.
 
     Reference tie: the reference re-sorts its full popularity/candidate
@@ -596,11 +600,17 @@ def apply_topk_delta(
         F.col("__ghv").isNotNull() & (F.col("__cnt") < k)
     )
     # clean survivors: re-rank within the group (emitted rows sort first),
-    # trim to buffer_k, tighten the horizon only when a trim occurred
+    # trim to buffer_k, tighten the horizon only when a trim occurred.
+    # Bad-slot groups keep ALL their slot rows in this branch with an
+    # always-raising first column — a loud failure that survives lazy
+    # evaluation and AQE empty-relation pruning (a guard woven into the
+    # refill frame alone is optimized away when the refill base is empty,
+    # and an assert behind a filter escapes via predicate pushdown, so
+    # the assert condition is data-dependent: true on good rows).
     wr = Window.partitionBy(*gcols).orderBy(
         F.col("__em").isNull().asc(), F.col("__em").desc(), F.col("__id").asc()
     )
-    ranked = g2.where(~dirty).withColumn("__rn", F.row_number().over(wr))
+    ranked = g2.withColumn("__rn", F.row_number().over(wr))
     overflow = F.col("__cnt") > buffer_k
     at_k = (F.col("__rn") == buffer_k) & F.col("__em").isNotNull()
     new_hv = F.when(
@@ -609,16 +619,31 @@ def apply_topk_delta(
     new_hid = F.when(
         overflow, F.max(F.when(at_k, F.col("__id"))).over(wg)
     ).otherwise(F.col("__ghid"))
-    clean = ranked.where(
-        F.col("__em").isNotNull() & (F.col("__rn") <= buffer_k)
-    ).select(
-        *[F.col(f"__k_{i}").alias(c) for i, c in enumerate(kcols)],
+    keep_clean = (
+        ~dirty & F.col("__em").isNotNull() & (F.col("__rn") <= buffer_k)
+    )
+    guard_first = F.coalesce(
+        F.assert_true(
+            F.col("__gbad") == 0,
+            F.lit(
+                "apply_topk_delta: changelog and view disagree — duplicate "
+                "slot, re-insert of a live id, delete value mismatch, "
+                "orphan delete at-or-above the horizon (or of an unknown/"
+                "untruncated group), NULL measure, or unknown op"
+            ),
+        ).cast(view.schema[kcols[0]].dataType),
+        F.col("__k_0"),
+    )
+    clean = ranked.where(keep_clean | (F.col("__gbad") > 0)).select(
+        guard_first.alias(kcols[0]),
+        *[F.col(f"__k_{i}").alias(c) for i, c in enumerate(kcols) if i > 0],
         F.col("__id").alias(id_col),
         F.col("__em").alias(measure_col),
         new_hv.alias(h_val_col),
         new_hid.alias(h_id_col),
     )
-    # dirty groups refill from base_after
+    # dirty groups refill from base_after (bad groups raise before any
+    # refill row can matter)
     dirty_keys = (
         g2.where(dirty)
         .select(*[F.col(f"__k_{i}").alias(f"__rk_{i}") for i in range(nk)])
@@ -640,41 +665,7 @@ def apply_topk_delta(
         F.col(h_val_col).cast(hv_t).alias(h_val_col),
         F.col(h_id_col).cast(hid_t).alias(h_id_col),
     )
-    # loud failure that survives laziness AND empty-relation pruning: bad
-    # slots become REAL rows unioned into the output whose projection
-    # always raises — a guard woven into the dirty-key/refill frames can
-    # be optimized away entirely when the refill base is empty (AQE
-    # propagates empty relations through the semi-join), but genuinely
-    # non-empty union branches cannot.
-    # the assert's condition must be DATA-dependent (true on good rows),
-    # not a guarded lit(False): the optimizer may push a consumer's
-    # predicate through this projection and evaluate it on rows the
-    # gbad-filter would have excluded
-    err_first = F.coalesce(
-        F.assert_true(
-            F.col("__gbad") == 0,
-            F.lit(
-                "apply_topk_delta: changelog and view disagree — duplicate "
-                "slot, re-insert of a live id, delete value mismatch, "
-                "orphan delete at-or-above the horizon (or of an unknown/"
-                "untruncated group), NULL measure, or unknown op"
-            ),
-        ).cast(view.schema[kcols[0]].dataType),
-        F.col("__k_0"),
-    )
-    error_rows = g2.where(F.col("__gbad") > 0).select(
-        err_first.alias(kcols[0]),
-        *[F.col(f"__k_{i}").alias(c) for i, c in enumerate(kcols) if i > 0],
-        F.lit(None).cast(id_t).alias(id_col),
-        F.lit(None).cast(m_t).alias(measure_col),
-        F.lit(None).cast(hv_t).alias(h_val_col),
-        F.lit(None).cast(hid_t).alias(h_id_col),
-    )
-    return (
-        untouched.unionByName(clean)
-        .unionByName(rebuilt)
-        .unionByName(error_rows)
-    )
+    return untouched.unionByName(clean).unionByName(rebuilt)
 
 
 def _view_key_eq(kcols: Sequence[str], right_prefix: str, null_safe: bool) -> Column:

@@ -3429,7 +3429,9 @@ _SQL_PQ_SQDIST = (
 )
 
 
-def _pq_oracle(q_max: int, k: int, rerank: int | None) -> str:
+def _pq_oracle(
+    q_max: int, k: int, rerank: int | None, corpus_where: str = ""
+) -> str:
     """Full differential replay of the PQ pipeline: the codebook build is
     deterministic (lowest-id training rows seed each subspace's k-means,
     one Lloyd step, lowest-code tiebreak), so the oracle replays
@@ -3440,7 +3442,9 @@ def _pq_oracle(q_max: int, k: int, rerank: int | None) -> str:
     semantics — the code index stores no vectors to re-rank with). ADC
     terms sum in subspace order on both sides (list_sum over
     list(... ORDER BY m) == the expression's left fold); all scores pass
-    the round6 contract."""
+    the round6 contract. ``corpus_where`` restricts every CTE (train,
+    encode, queries) to the live rows — the rebuild twin's
+    retrained-on-the-live-fold codebooks fall out of the same text."""
     if rerank is None:
         tail = f"""
     r AS (
@@ -3470,7 +3474,7 @@ def _pq_oracle(q_max: int, k: int, rerank: int | None) -> str:
     """
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e {corpus_where}),
     train AS (
       SELECT vec_id, nv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM norm QUALIFY rn <= 4096
     ),
@@ -7765,6 +7769,59 @@ def pq_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pq_rebuild_fold",
+    # the pq_index_fold replay with every CTE restricted to the live
+    # corpus: retrained codebooks train on the lowest-id LIVE rows, so
+    # the same oracle text certifies the rebuilt index
+    oracle=_pq_oracle(
+        q_max=10, k=5, rerank=None, corpus_where="WHERE vec_id % 5 <> 0"
+    ),
+    doc="PQ index drift-rebuild driven in-query: the pq_index_fold "
+        "pipeline (frozen codebooks, 3 micro-batches of codes) plus "
+        "vec_id % 5 = 0 tombstoned, then retrain_pq_index refolds the "
+        "live ids, RETRAINS the codebooks on their vectors (the code "
+        "index stores no vectors, so the authoritative embedding source "
+        "feeds the rebuild), re-encodes, and atomically swaps via the "
+        ".retrain.ready protocol; live queries probe the rebuilt index. "
+        "The oracle replays the full train->encode->ADC pipeline over "
+        "the vec_id % 5 <> 0 corpus only, so the driver hash certifies "
+        "rebuilt == fresh-batch-build-on-the-live-corpus — the same "
+        "parity the reference's periodic faiss rebuild promises "
+        "(src/serving/retrieval.py:228-246). Scale: rebuild cost is one "
+        "pass over the live codes + the vector source restricted by a "
+        "semi-join (streaming/pipeline.py).",
+)
+def pq_rebuild_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import pq_train_codebooks
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        pq_index_stream,
+        pq_search_from_index,
+        retrain_pq_index,
+        vector_tombstone_stream,
+    )
+
+    index_dir = _fold_state_dir("pq_rebuild_fold", sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, "vec_id", "embedding", 64, n_sub=8, n_codes=16)
+    sink = pq_index_stream(index_dir, "vec_id", "embedding", 64, books, n_sub=8)
+    for i in range(3):
+        sink(e.where(F.col("vec_id") % 3 == i), i)
+    vector_tombstone_stream(index_dir, "vec_id")(
+        e.where(F.col("vec_id") % 5 == 0).select("vec_id"), 0
+    )
+    retrain_pq_index(
+        spark, index_dir, e, "vec_id", "embedding", 64, n_sub=8, n_codes=16
+    )
+    q = e.where((F.col("vec_id") < 10) & (F.col("vec_id") % 5 != 0)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_search_from_index(
+        spark, index_dir, q, "query_id", "embedding", 64,
+        item_id="item_id", k=5, n_sub=8, n_codes=16,
+    )
+
+
+@query(
     "funnel_state_fold",
     oracle=_FUNNEL_ORACLE,
     doc="Streaming funnel sink driven in-query: events stream in as 3 "
@@ -8059,18 +8116,25 @@ def span_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _semantic_fold_oracle(live_pred: str = "") -> str:
-    """The semantic-dedup fold replay — first-slice train (vec_id <
-    MAX//3, the id-ordered first micro-batch), corpus-wide assign, intra-
-    cell pairing at threshold 0.3 — parameterized over a pair-liveness
-    predicate (an ``AND …`` fragment over ``x.vec_id``/``y.vec_id``) so
-    the plain fold twin and the tombstone twin (a pair survives only
-    while BOTH endpoints are live) share one source of truth."""
+def _semantic_fold_oracle(
+    live_pred: str = "",
+    corpus_where: str = "",
+    train_pred: str = "n.vec_id < cut.t",
+) -> str:
+    """The semantic-dedup fold replay — train-slice seed+Lloyd build,
+    corpus-wide assign, intra-cell pairing at threshold 0.3 —
+    parameterized over a pair-liveness predicate (an ``AND …`` fragment
+    over ``x.vec_id``/``y.vec_id``), a corpus ``WHERE`` (restricts every
+    CTE to the live rows — the rebuild twin's retrained-on-the-live-fold
+    geometry), and the train predicate (default: the id-ordered first
+    micro-batch ``vec_id < MAX//3``; the rebuild twin passes ``TRUE`` —
+    retraining sees the whole live fold) so the plain, tombstone, and
+    rebuild twins share one source of truth."""
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e),
+    norm AS (SELECT vec_id, {_SQL_L2NORM.format(l='v')} AS nv FROM e {corpus_where}),
     cut AS (SELECT MAX(vec_id) // 3 AS t FROM embeddings),
-    train AS (SELECT n.vec_id, n.nv FROM norm n, cut WHERE n.vec_id < cut.t),
+    train AS (SELECT n.vec_id, n.nv FROM norm n, cut WHERE {train_pred}),
     c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) AS cell, nv AS cv
       FROM train QUALIFY cell <= 16
@@ -8193,6 +8257,61 @@ def semantic_tombstone_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink(e.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up)), i)
     tomb = vector_tombstone_stream(dirs["members"], "vec_id")
     tomb(e.where(F.col("vec_id") % 7 == 0).select("vec_id"), 0)
+    return read_semantic_pairs(spark, dirs["members"], dirs["pairs"])
+
+
+@query(
+    "semantic_rebuild_fold",
+    # the semantic fold replay with corpus restricted to the live rows
+    # AND the train slice widened to the whole live fold — retraining
+    # sees every live member, not just the first micro-batch
+    oracle=_semantic_fold_oracle(
+        corpus_where="WHERE vec_id % 7 <> 0", train_pred="TRUE"
+    ),
+    doc="SemDeDup drift-rebuild driven in-query: the semantic_dedup_fold "
+        "pipeline plus vec_id % 7 = 0 tombstoned, then "
+        "retrain_semantic_index RETRAINS the frozen cell geometry on the "
+        "live member fold (stored normalized vectors feed the build "
+        "un-re-normalized — bit-exact vs a fresh build), re-assigns "
+        "every member, recomputes the intra-cell pair set wholesale "
+        "(pairs are geometry-dependent — a retrain invalidates the old "
+        "pair epochs by construction), and atomically swaps all three "
+        "layouts via the .retrain.ready protocol. The oracle replays "
+        "seed+Lloyd+assign+pair over the live corpus with the train "
+        "slice = the WHOLE live fold, so the driver hash certifies "
+        "rebuilt == fresh-one-batch-build-on-the-live-corpus. Scale: "
+        "pairing stays IVF-cell-bounded under the new geometry "
+        "(streaming/pipeline.py).",
+)
+def semantic_rebuild_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_semantic_pairs,
+        retrain_semantic_index,
+        semantic_dedup_stream,
+        vector_tombstone_stream,
+    )
+
+    base = _fold_state_dir("semantic_rebuild_fold", sf_dir)
+    dirs = {k: _os.path.join(base, k) for k in ("centroids", "members", "pairs")}
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hi = int(e.agg(F.max("vec_id")).collect()[0][0])  # scalar stat, not data
+    t = hi // 3
+    sink = semantic_dedup_stream(
+        dirs["centroids"], dirs["members"], dirs["pairs"],
+        n_cells=16, threshold=0.3, refine_iters=1,
+    )
+    cuts = [(0, t), (t, 2 * t), (2 * t, hi + 1)]
+    for i, (lo, up) in enumerate(cuts):
+        sink(e.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up)), i)
+    vector_tombstone_stream(dirs["members"], "vec_id")(
+        e.where(F.col("vec_id") % 7 == 0).select("vec_id"), 0
+    )
+    retrain_semantic_index(
+        spark, dirs["centroids"], dirs["members"], dirs["pairs"],
+        n_cells=16, threshold=0.3, refine_iters=1,
+    )
     return read_semantic_pairs(spark, dirs["members"], dirs["pairs"])
 
 
@@ -8662,17 +8781,18 @@ _DRIVER_WINDOW = [
     "minhash_dedup_candidates",
     "multimodal_embed_topk",
     "nation_market_share",
-    "nation_pair_trade_volume",
-    "nations_with_presence",
     # new r12 entries (never driver-checked — must front per the guard);
-    # each displaced one r9 filler ("nfc_normalized_docs" rotated out for
-    # rollup_topk_priority_orders):
+    # each displaced one r9 filler (nfc_normalized_docs -> rollup_topk_
+    # priority_orders, nation_pair_trade_volume -> pq_rebuild_fold,
+    # nations_with_presence -> semantic_rebuild_fold):
     "bm25_tombstone_fold",
     "ivf_tombstone_fold",
     "ivf_purge_fold",
     "semantic_tombstone_fold",
     "ivf_rebuild_fold",
     "rollup_topk_priority_orders",
+    "pq_rebuild_fold",
+    "semantic_rebuild_fold",
 ]
 
 def _reorder_registry() -> None:

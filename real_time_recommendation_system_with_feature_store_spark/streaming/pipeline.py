@@ -1821,38 +1821,50 @@ def retrain_vector_index(
     return epochs[-1]
 
 
-def _finish_retrain(index_dir: str, ready: str, target: int) -> None:
+def _finish_retrain(
+    index_dir: str,
+    ready: str,
+    target: int,
+    model_dir: str = "centroids",
+    rows_dir: str = "cells",
+) -> None:
     """Move the staged retrain into place. Idempotent by construction —
     each step keys on what still exists under the ready dir, so recovery
-    can re-enter after a crash at any point."""
+    can re-enter after a crash at any point. ``model_dir``/``rows_dir``
+    name the frozen-model and epoch-rooted row layouts (IVF:
+    centroids/cells, PQ: codebooks/codes)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
-    if _os.path.exists(f"{ready}/centroids"):
-        _shutil.rmtree(f"{index_dir}/centroids", ignore_errors=True)
-        _os.rename(f"{ready}/centroids", f"{index_dir}/centroids")
-    if _os.path.exists(f"{ready}/cells"):
-        for p in _glob.glob(f"{index_dir}/cells/epoch=*"):
+    if _os.path.exists(f"{ready}/{model_dir}"):
+        _shutil.rmtree(f"{index_dir}/{model_dir}", ignore_errors=True)
+        _os.rename(f"{ready}/{model_dir}", f"{index_dir}/{model_dir}")
+    if _os.path.exists(f"{ready}/{rows_dir}"):
+        for p in _glob.glob(f"{index_dir}/{rows_dir}/epoch=*"):
             if p.rsplit("=", 1)[1].isdigit():
                 _shutil.rmtree(p)
-        _os.rename(f"{ready}/cells", f"{index_dir}/cells/epoch={target}")
+        _os.rename(f"{ready}/{rows_dir}", f"{index_dir}/{rows_dir}/epoch={target}")
     if _os.path.exists(f"{index_dir}/.deletes"):
         _shutil.rmtree(f"{index_dir}/.deletes")
     _shutil.rmtree(ready, ignore_errors=True)
 
 
-def recover_vector_index(index_dir: str) -> bool:
+def recover_vector_index(
+    index_dir: str, model_dir: str = "centroids", rows_dir: str = "cells"
+) -> bool:
     """Finish or discard a ``retrain_vector_index`` interrupted by a crash
     — run BEFORE restarting the sink or probing a possibly-interrupted
     index. A ``.retrain.ready.epoch=<id>`` dir holds the COMPLETE new
-    state (centroids + re-assigned cells), so finishing is lossless and
+    state (frozen model + re-encoded rows), so finishing is lossless and
     idempotent from every crash prefix; a bare ``.retrain.tmp`` is a
     partial materialization with the old state intact — discard it.
-    Same loud-failure ordering contract as ``recover_epoch_state``: cell
+    Same loud-failure ordering contract as ``recover_epoch_state``: row
     epochs NEWER than the ready target mean a sink wrote past the crash
     before recovery ran — raise instead of silently deleting them.
-    Returns True when it changed anything."""
+    ``model_dir``/``rows_dir`` follow ``_finish_retrain`` (IVF defaults;
+    ``recover_pq_index`` passes the PQ layout). Returns True when it
+    changed anything."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -1864,26 +1876,133 @@ def recover_vector_index(index_dir: str) -> bool:
         target = int(ready.rsplit("=", 1)[1])
         newer = sorted(
             int(p.rsplit("=", 1)[1])
-            for p in _glob.glob(f"{index_dir}/cells/epoch=*")
+            for p in _glob.glob(f"{index_dir}/{rows_dir}/epoch=*")
             if p.rsplit("=", 1)[1].isdigit() and int(p.rsplit("=", 1)[1]) > target
         )
         if newer:
             raise RuntimeError(
-                f"recover_vector_index: cell epochs {newer} under {index_dir} "
-                f"are NEWER than the interrupted retrain's target epoch="
-                f"{target} — a sink wrote past the crash before recovery "
-                "ran (their rows are assigned under the OLD geometry and "
-                "the staged rebuild has not folded them). Re-run the "
-                "retrain from scratch after discarding the ready dir, or "
-                "move the newer epochs aside deliberately."
+                f"recover_vector_index: {rows_dir} epochs {newer} under "
+                f"{index_dir} are NEWER than the interrupted retrain's "
+                f"target epoch={target} — a sink wrote past the crash "
+                "before recovery ran (their rows are encoded under the OLD "
+                "model and the staged rebuild has not folded them). Re-run "
+                "the retrain from scratch after discarding the ready dir, "
+                "or move the newer epochs aside deliberately."
             )
-        _finish_retrain(index_dir, ready, target)
+        _finish_retrain(index_dir, ready, target, model_dir, rows_dir)
         changed = True
     tmp = f"{index_dir}/.retrain.tmp"
     if _os.path.exists(tmp):
         _shutil.rmtree(tmp)
         changed = True
     return changed
+
+
+def retrain_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    train_rows: int = 4096,
+) -> int:
+    """Rebuild the PQ index's frozen codebooks on the LIVE corpus — the
+    PQ leg of the drift path (``retrain_vector_index`` is the IVF leg;
+    reference analog: faiss retrains/re-adds on its periodic rebuild,
+    src/serving/retrieval.py:228-246). The code index deliberately stores
+    NO vectors (8 ints per item is the whole point), so the rebuild takes
+    the authoritative vector source as input: ``vectors`` must cover
+    every live indexed id — a live id with no vector cannot be re-encoded
+    and fails loudly rather than silently shrinking the index.
+
+    Steps mirror the IVF retrain exactly: fold the live ids (epoch-dedup,
+    tombstones applied), retrain codebooks on their vectors with the SAME
+    deterministic construction as a fresh build
+    (``pq_train_codebooks``: train_rows lowest-id items, no rand() — so
+    **rebuilt ≡ fresh batch build over the live corpus, bit-exact**),
+    re-encode every live vector, and swap atomically via the
+    ``.retrain.tmp`` → ``.retrain.ready.epoch=N`` protocol
+    (``recover_pq_index`` resumes idempotently from any crash prefix).
+    Tombstones fold in at step 1, so ``.deletes/`` clears in the finish.
+
+    Run with the stream stopped and no readers in flight
+    (``compact_epoch_state``'s contract; locally-mounted paths). Returns
+    the epoch id the rebuilt codes landed under."""
+    import glob as _glob
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        _pq_encode,
+        pq_train_codebooks,
+    )
+
+    tmp = f"{index_dir}/.retrain.tmp"
+    if _glob.glob(f"{index_dir}/.retrain.ready.epoch=*") or _os.path.exists(tmp):
+        raise RuntimeError(
+            f"retrain_pq_index: leftover retrain state under {index_dir} "
+            "from an interrupted run — call recover_pq_index(index_dir) "
+            "first"
+        )
+    epochs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{index_dir}/codes/epoch=*")
+        if p.rsplit("=", 1)[1].isdigit()
+    )
+    if not epochs:
+        raise ValueError(
+            f"retrain_pq_index: no codes/epoch partitions under {index_dir}"
+        )
+    live_ids = _apply_vector_tombstones(
+        spark,
+        index_dir,
+        spark.read.parquet(f"{index_dir}/codes")
+        .drop("epoch")
+        .dropDuplicates(["__iid"])
+        .select("__iid"),
+    )
+    src = vectors.select(
+        qcol(id_col).alias("__iid"), qcol(vec_col).alias("__vec")
+    ).dropDuplicates(["__iid"])
+    # loud failure before any state is staged: a live indexed id missing
+    # from the vector source would silently vanish from the rebuilt index
+    n_missing = live_ids.join(src.select("__iid"), "__iid", "left_anti").count()
+    if n_missing:
+        raise ValueError(
+            f"retrain_pq_index: {n_missing} live indexed id(s) have no row "
+            f"in the supplied vector source — the code index stores no "
+            "vectors, so every live id must be re-suppliable to re-encode"
+        )
+    live = src.join(live_ids, "__iid", "left_semi")
+    books = pq_train_codebooks(
+        live, "__iid", "__vec", dim, n_sub, n_codes, refine_iters, train_rows
+    )
+    encoded = _pq_encode(live, "__iid", "__vec", books, dim, n_sub)
+    rows = [
+        (m, c, [float(x) for x in cw[c]])
+        for m, cw in enumerate(books)
+        for c in range(len(cw))
+    ]
+    spark.createDataFrame(
+        rows, "m int, code int, codeword array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp}/codebooks")
+    encoded.write.mode("overwrite").parquet(f"{tmp}/codes")
+    ready = f"{index_dir}/.retrain.ready.epoch={epochs[-1]}"
+    _os.rename(tmp, ready)
+    _finish_retrain(index_dir, ready, epochs[-1], "codebooks", "codes")
+    return epochs[-1]
+
+
+def recover_pq_index(index_dir: str) -> bool:
+    """``recover_vector_index`` for the PQ layout (codebooks/codes) —
+    finish a crashed ``retrain_pq_index`` or discard its partial tmp;
+    same loud-failure contract when a sink wrote code epochs past the
+    crash target."""
+    return recover_vector_index(index_dir, "codebooks", "codes")
 
 
 def read_semantic_pairs(
@@ -1942,6 +2061,189 @@ def purge_semantic_tombstones(
     compact_epoch_state(live_pairs, pairs_dir)
     compact_epoch_state(members, members_dir)
     _shutil.rmtree(f"{members_dir}/.deletes")
+
+
+def retrain_semantic_index(
+    spark: SparkSession,
+    centroids_dir: str,
+    members_dir: str,
+    pairs_dir: str,
+    n_cells: int = 16,
+    threshold: float = 0.8,
+    refine_iters: int = 1,
+) -> int:
+    """Rebuild the semantic-dedup sink's frozen cell geometry on the LIVE
+    member fold — the SemDeDup leg of the drift path (IVF:
+    ``retrain_vector_index``, PQ: ``retrain_pq_index``; the sink's own
+    docstring calls retrain + re-sketch its incremental-index trade).
+    Stored member vectors are the sink's OWN normalized output, so they
+    feed the build un-re-normalized — re-normalizing a unit vector
+    perturbs the last ulp — which makes **rebuilt ≡ a fresh one-batch
+    sink build over the raw live corpus, bit-exact** (same deterministic
+    lowest-id seeds + Lloyd steps, same pair expression).
+
+    Steps: fold the live members (epoch-dedup, tombstones applied),
+    retrain centroids, re-assign every member, recompute the intra-cell
+    near-dup pair set wholesale under the new geometry (pairs are
+    geometry-dependent — cells decide who gets compared, so a retrain
+    invalidates the old pair epochs by construction), then swap the THREE
+    layouts atomically via the ``.retrain.tmp`` →
+    ``.retrain.ready.epoch=N`` protocol rooted under ``members_dir``
+    (``recover_semantic_index`` resumes idempotently from any crash
+    prefix). Member tombstones fold in at step 1, so ``.deletes/``
+    clears in the finish. Pass the SAME n_cells/threshold/refine_iters
+    as the sink or you are rebuilding a different index.
+
+    Run with the stream stopped and no readers in flight
+    (``compact_epoch_state``'s contract; locally-mounted paths). Returns
+    the epoch id the rebuilt members/pairs landed under."""
+    import glob as _glob
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import (
+        _assign_cells,
+        _lloyd_refine,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
+
+    tmp = f"{members_dir}/.retrain.tmp"
+    if _glob.glob(f"{members_dir}/.retrain.ready.epoch=*") or _os.path.exists(tmp):
+        raise RuntimeError(
+            f"retrain_semantic_index: leftover retrain state under "
+            f"{members_dir} from an interrupted run — call "
+            "recover_semantic_index(centroids_dir, members_dir, pairs_dir) "
+            "first"
+        )
+    epochs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{members_dir}/epoch=*")
+        if p.rsplit("=", 1)[1].isdigit()
+    )
+    if not epochs:
+        raise ValueError(
+            f"retrain_semantic_index: no member epoch partitions under "
+            f"{members_dir}"
+        )
+    live = _apply_vector_tombstones(
+        spark,
+        members_dir,
+        spark.read.parquet(members_dir)
+        .drop("epoch")
+        .dropDuplicates(["__iid"])
+        .select("__iid", "__iv"),
+    )
+    cents = global_topn_ranked(
+        live, [F.col("__iid").asc()], n_cells, rank_col="__cell"
+    ).select(
+        F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv")
+    )
+    cents = _lloyd_refine(live, cents, refine_iters)
+    assigned = _assign_cells(live, cents)
+    new = assigned.select(
+        "__cell", F.col("__iid").alias("id_b"), F.col("__iv").alias("__vb")
+    )
+    olds = assigned.select(
+        "__cell", F.col("__iid").alias("id_a"), F.col("__iv").alias("__va")
+    )
+    pairs = (
+        olds.join(new, "__cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+    assigned.select("__cell", "__iid", "__iv").write.mode("overwrite").parquet(
+        f"{tmp}/members"
+    )
+    pairs.write.mode("overwrite").parquet(f"{tmp}/pairs")
+    ready = f"{members_dir}/.retrain.ready.epoch={epochs[-1]}"
+    _os.rename(tmp, ready)
+    _finish_retrain_semantic(
+        centroids_dir, members_dir, pairs_dir, ready, epochs[-1]
+    )
+    return epochs[-1]
+
+
+def _finish_retrain_semantic(
+    centroids_dir: str,
+    members_dir: str,
+    pairs_dir: str,
+    ready: str,
+    target: int,
+) -> None:
+    """Move a staged semantic retrain into place across its three
+    layouts. Idempotent by construction — each step keys on what still
+    exists under the ready dir, so recovery can re-enter after a crash at
+    any point (same discipline as ``_finish_retrain``)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.exists(f"{ready}/centroids"):
+        _shutil.rmtree(centroids_dir, ignore_errors=True)
+        _os.rename(f"{ready}/centroids", centroids_dir)
+    for name, root in (("members", members_dir), ("pairs", pairs_dir)):
+        if _os.path.exists(f"{ready}/{name}"):
+            for p in _glob.glob(f"{root}/epoch=*"):
+                if p.rsplit("=", 1)[1].isdigit():
+                    _shutil.rmtree(p)
+            _os.rename(f"{ready}/{name}", f"{root}/epoch={target}")
+    if _os.path.exists(f"{members_dir}/.deletes"):
+        _shutil.rmtree(f"{members_dir}/.deletes")
+    _shutil.rmtree(ready, ignore_errors=True)
+
+
+def recover_semantic_index(
+    centroids_dir: str, members_dir: str, pairs_dir: str
+) -> bool:
+    """Finish or discard a ``retrain_semantic_index`` interrupted by a
+    crash — run BEFORE restarting the sink or folding a
+    possibly-interrupted index. Same contract as ``recover_vector_index``:
+    a ready dir holds the COMPLETE new state (centroids + members +
+    pairs) and finishes losslessly from any crash prefix; a bare tmp
+    discards; member OR pair epochs newer than the ready target fail
+    loudly (a restarted sink wrote rows under the OLD geometry the staged
+    rebuild never folded). Returns True when it changed anything."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    changed = False
+    ready_dirs = _glob.glob(f"{members_dir}/.retrain.ready.epoch=*")
+    if ready_dirs:
+        ready = ready_dirs[0]
+        target = int(ready.rsplit("=", 1)[1])
+        newer = sorted(
+            int(p.rsplit("=", 1)[1])
+            for root in (members_dir, pairs_dir)
+            for p in _glob.glob(f"{root}/epoch=*")
+            if p.rsplit("=", 1)[1].isdigit() and int(p.rsplit("=", 1)[1]) > target
+        )
+        if newer:
+            raise RuntimeError(
+                f"recover_semantic_index: member/pair epochs {newer} are "
+                f"NEWER than the interrupted retrain's target epoch="
+                f"{target} — a sink wrote past the crash before recovery "
+                "ran (their rows pair under the OLD geometry and the "
+                "staged rebuild has not folded them). Re-run the retrain "
+                "from scratch after discarding the ready dir, or move the "
+                "newer epochs aside deliberately."
+            )
+        _finish_retrain_semantic(
+            centroids_dir, members_dir, pairs_dir, ready, target
+        )
+        changed = True
+    tmp = f"{members_dir}/.retrain.tmp"
+    if _os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+        changed = True
+    return changed
 
 
 def lsh_index_stream(

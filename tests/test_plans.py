@@ -949,3 +949,46 @@ def test_bucketed_view_extrema_ivm_has_no_view_side_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS extrema_bkt")
+
+
+def test_topk_ivm_plan_shape(spark):
+    """The apply_topk_delta scale claims, plan-asserted: every join is a
+    stats-gated broadcast (touched-key anti/semi, refill semi — NO
+    sort-merge join, no cartesian), the delta-bounded collapse subtree
+    executes exactly TWICE (clean emit + dirty-key extraction, the same
+    documented double consumption as apply_extrema_delta — a regression
+    to three was the error-branch shape this pin forbids), and the view
+    is scanned three times with no view-side shuffle anywhere."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        build_topk_buffer,
+    )
+
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    vdir = os.path.join(tmp, "topk_plan_view")
+    shutil.rmtree(vdir, ignore_errors=True)
+    build_topk_buffer(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"], "o_orderkey", "o_totalprice", 5,
+    ).write.parquet(vdir)
+    view = spark.read.parquet(vdir)
+    chg = o.limit(40).select(
+        F.lit("D").alias("op"), "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    out = apply_topk_delta(
+        view, chg, o, ["o_orderpriority"], "o_orderkey", "o_totalprice",
+        k=3, buffer_k=5, null_safe_keys=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("LeftAnti") == 1, plan      # untouched pass-through
+    assert plan.count("LeftSemi") == 3, plan      # touched x2 + refill
+    # the collapse shuffles ((keys,id) then (keys)) appear exactly twice
+    assert plan.count("hashpartitioning(__k_0") == 4, plan
+    assert plan.count("topk_plan_view") == 3, plan

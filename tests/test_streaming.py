@@ -2656,3 +2656,339 @@ def test_retrain_recovery_refuses_newer_epochs(spark):
     with pytest.raises(RuntimeError, match="NEWER than the interrupted"):
         recover_vector_index(d)
     assert os.path.isdir(f"{d}/cells/epoch=2")  # nothing destroyed
+
+
+def _build_tombstoned_pq(spark, name):
+    """Shared fixture builder: 2-epoch PQ code index over sf0.001
+    embeddings with vec_id % 5 == 0 tombstoned. Returns
+    (index_dir, emb, live, dim)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import pq_train_codebooks
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        pq_index_stream,
+        vector_tombstone_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    books = pq_train_codebooks(emb, "vec_id", "embedding", dim, n_sub=4, n_codes=8)
+    index_dir = os.path.join(TMP, name)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    sink = pq_index_stream(index_dir, "vec_id", "embedding", dim, books, n_sub=4)
+    sink(emb.where(F.col("vec_id") % 2 == 0), 0)
+    sink(emb.where(F.col("vec_id") % 2 == 1), 1)
+    vector_tombstone_stream(index_dir, "vec_id")(
+        emb.where(F.col("vec_id") % 5 == 0).select("vec_id"), 0
+    )
+    return index_dir, emb, emb.where(F.col("vec_id") % 5 != 0), dim
+
+
+def _pq_search_sorted(spark, index_dir, queries, dim, k=3):
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import pq_search_from_index
+
+    return sorted(
+        map(
+            tuple,
+            pq_search_from_index(
+                spark, index_dir, queries, "vec_id", "embedding", dim,
+                item_id="nn", k=k, n_sub=4, n_codes=8,
+            ).collect(),
+        )
+    )
+
+
+def test_retrain_pq_index_equals_fresh_build(spark):
+    """The PQ rebuild contract, bit-exact: retraining codebooks on the
+    live corpus (the caller-supplied vector source restricted to live
+    indexed ids) and re-encoding produces the SAME codebooks and SAME ADC
+    search rows as a from-scratch sink build over the live corpus — the
+    deterministic lowest-id training split makes the two identical."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import pq_train_codebooks
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        pq_index_stream,
+        retrain_pq_index,
+    )
+
+    index_dir, emb, live, dim = _build_tombstoned_pq(spark, "pq_retrain_parity")
+    kept = retrain_pq_index(
+        spark, index_dir, emb, "vec_id", "embedding", dim, n_sub=4, n_codes=8
+    )
+    assert kept == 1
+    assert not os.path.exists(f"{index_dir}/.deletes")
+    assert not glob.glob(f"{index_dir}/.retrain*")
+
+    fresh_dir = os.path.join(TMP, "pq_retrain_fresh")
+    shutil.rmtree(fresh_dir, ignore_errors=True)
+    fresh_books = pq_train_codebooks(
+        live, "vec_id", "embedding", dim, n_sub=4, n_codes=8
+    )
+    pq_index_stream(fresh_dir, "vec_id", "embedding", dim, fresh_books, n_sub=4)(
+        live, 0
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    got = _pq_search_sorted(spark, index_dir, queries, dim)
+    want = _pq_search_sorted(spark, fresh_dir, queries, dim)
+    assert got == want and got
+    stored = spark.read.parquet(f"{index_dir}/codes")
+    assert stored.where(F.col("__iid") % 5 == 0).count() == 0
+    assert stored.count() == live.count()
+    a = sorted(map(lambda r: (r["m"], r["code"], tuple(r["codeword"])),
+                   spark.read.parquet(f"{index_dir}/codebooks").collect()))
+    b = sorted(map(lambda r: (r["m"], r["code"], tuple(r["codeword"])),
+                   spark.read.parquet(f"{fresh_dir}/codebooks").collect()))
+    assert a == b
+
+
+def test_retrain_pq_missing_live_vector_fails_before_staging(spark):
+    """A live indexed id absent from the supplied vector source must fail
+    loudly BEFORE any state is staged — the code index stores no vectors,
+    so finishing would silently shrink the index."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import retrain_pq_index
+
+    index_dir, emb, _, dim = _build_tombstoned_pq(spark, "pq_retrain_missing")
+    partial = emb.where(F.col("vec_id") % 7 != 0)  # drops live ids too
+    with pytest.raises(ValueError, match="no row"):
+        retrain_pq_index(
+            spark, index_dir, partial, "vec_id", "embedding", dim,
+            n_sub=4, n_codes=8,
+        )
+    assert not glob.glob(f"{index_dir}/.retrain*")  # nothing staged
+    assert os.path.exists(f"{index_dir}/.deletes")  # old state untouched
+
+
+def test_retrain_pq_crash_recovery_prefixes(spark):
+    """The shared two-phase protocol under the PQ layout names: tmp-only
+    crashes discard (old state intact), a full ready dir finishes to the
+    reference state, and re-entry after the codebooks swap lands on the
+    same physical state and search rows."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        recover_pq_index,
+        retrain_pq_index,
+    )
+
+    ref_dir, emb, _, dim = _build_tombstoned_pq(spark, "pq_retrain_ref")
+    retrain_pq_index(spark, ref_dir, emb, "vec_id", "embedding", dim,
+                     n_sub=4, n_codes=8)
+    queries = emb.where(F.col("vec_id") < 10)
+    want = _pq_search_sorted(spark, ref_dir, queries, dim)
+
+    # tmp-only crash
+    d, _, _, _ = _build_tombstoned_pq(spark, "pq_retrain_crash_tmp")
+    pre = _pq_search_sorted(spark, d, queries, dim)
+    os.makedirs(f"{d}/.retrain.tmp/codebooks", exist_ok=True)
+    with pytest.raises(RuntimeError, match="recover_pq_index"):
+        retrain_pq_index(spark, d, emb, "vec_id", "embedding", dim,
+                         n_sub=4, n_codes=8)
+    assert recover_pq_index(d) is True
+    assert _pq_search_sorted(spark, d, queries, dim) == pre
+    retrain_pq_index(spark, d, emb, "vec_id", "embedding", dim,
+                     n_sub=4, n_codes=8)
+    assert _pq_search_sorted(spark, d, queries, dim) == want
+
+    def staged(name):
+        d, _, _, _ = _build_tombstoned_pq(spark, name)
+        ready = f"{d}/.retrain.ready.epoch=1"
+        shutil.copytree(f"{ref_dir}/codebooks", f"{ready}/codebooks")
+        shutil.copytree(f"{ref_dir}/codes/epoch=1", f"{ready}/codes")
+        return d, ready
+
+    d, _ = staged("pq_retrain_crash_ready")
+    assert recover_pq_index(d) is True
+    assert _pq_search_sorted(spark, d, queries, dim) == want
+    assert not os.path.exists(f"{d}/.deletes")
+
+    d, ready = staged("pq_retrain_crash_books")
+    shutil.rmtree(f"{d}/codebooks")
+    os.rename(f"{ready}/codebooks", f"{d}/codebooks")
+    shutil.rmtree(f"{d}/codes/epoch=0")
+    assert recover_pq_index(d) is True
+    assert _pq_search_sorted(spark, d, queries, dim) == want
+    assert recover_pq_index(d) is False
+
+
+def test_retrain_pq_recovery_refuses_newer_epochs(spark):
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        load_pq_codebooks,
+        pq_index_stream,
+        recover_pq_index,
+    )
+
+    d, emb, _, dim = _build_tombstoned_pq(spark, "pq_retrain_newer")
+    ready = f"{d}/.retrain.ready.epoch=1"
+    os.makedirs(f"{ready}/codebooks", exist_ok=True)
+    books = load_pq_codebooks(spark, d)
+    pq_index_stream(d, "vec_id", "embedding", dim, books, n_sub=4)(emb.limit(5), 2)
+    with pytest.raises(RuntimeError, match="NEWER than the interrupted"):
+        recover_pq_index(d)
+    assert os.path.isdir(f"{d}/codes/epoch=2")
+
+
+def _build_tombstoned_semantic(spark, base_name):
+    """3-batch semantic index over sf0.001 embeddings with a
+    pair-anchoring victim tombstoned. Returns (dirs, emb, live, victim)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_semantic_pairs,
+        semantic_dedup_stream,
+        vector_tombstone_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hi = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    t = hi // 3
+    base = os.path.join(TMP, base_name)
+    dirs = {k: os.path.join(base, k) for k in ("centroids", "members", "pairs")}
+    shutil.rmtree(base, ignore_errors=True)
+    sink = semantic_dedup_stream(
+        dirs["centroids"], dirs["members"], dirs["pairs"], n_cells=8, threshold=0.3
+    )
+    for i, (lo, up) in enumerate([(0, t), (t, 2 * t), (2 * t, hi + 1)]):
+        sink(emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up)), i)
+    pairs = sorted(
+        map(tuple, read_semantic_pairs(spark, dirs["members"], dirs["pairs"]).collect())
+    )
+    victim = sorted({x for p in pairs for x in (p[0], p[1])})[0]
+    vector_tombstone_stream(dirs["members"], "vec_id")(
+        emb.where(F.col("vec_id") == victim).select("vec_id"), 10
+    )
+    return dirs, emb, emb.where(F.col("vec_id") != victim), victim
+
+
+def _sem_state(spark, dirs):
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import read_semantic_pairs
+
+    cents = sorted(
+        map(lambda r: (r["__cell"], tuple(r["__cv"])),
+            spark.read.parquet(dirs["centroids"]).collect())
+    )
+    members = sorted(
+        map(lambda r: (r["__cell"], r["__iid"], tuple(r["__iv"])),
+            spark.read.parquet(dirs["members"]).drop("epoch").collect())
+    )
+    pairs = sorted(
+        map(tuple, read_semantic_pairs(spark, dirs["members"], dirs["pairs"]).collect())
+    )
+    return cents, members, pairs
+
+
+def test_retrain_semantic_index_equals_fresh_build(spark):
+    """The SemDeDup rebuild contract, bit-exact: retraining the cell
+    geometry on the live member fold and recomputing assignments + pairs
+    equals a fresh ONE-batch sink build over the raw live corpus —
+    centroids, members, and pair set all identical (stored members are
+    the sink's own normalized output and feed the rebuild
+    un-re-normalized, so not even a last-ulp drift separates the two)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        retrain_semantic_index,
+        semantic_dedup_stream,
+    )
+
+    dirs, emb, live, victim = _build_tombstoned_semantic(spark, "sem_retrain")
+    old_cents = sorted(
+        map(lambda r: (r["__cell"], tuple(r["__cv"])),
+            spark.read.parquet(dirs["centroids"]).collect())
+    )
+    kept = retrain_semantic_index(
+        spark, dirs["centroids"], dirs["members"], dirs["pairs"],
+        n_cells=8, threshold=0.3,
+    )
+    assert kept == 2
+    assert not os.path.exists(f"{dirs['members']}/.deletes")
+    assert not glob.glob(f"{dirs['members']}/.retrain*")
+
+    fresh_base = os.path.join(TMP, "sem_retrain_fresh")
+    fresh = {k: os.path.join(fresh_base, k) for k in ("centroids", "members", "pairs")}
+    shutil.rmtree(fresh_base, ignore_errors=True)
+    fresh_sink = semantic_dedup_stream(
+        fresh["centroids"], fresh["members"], fresh["pairs"], n_cells=8, threshold=0.3
+    )
+    fresh_sink(live, 0)
+    got, want = _sem_state(spark, dirs), _sem_state(spark, fresh)
+    assert got == want
+    # drift actually moved the geometry (trained on batch 1 before, the
+    # whole live corpus now), and the victim is physically gone
+    assert got[0] != old_cents
+    assert all(victim != m[1] for m in got[1])
+
+    # the sink picks the refreshed geometry up on its next batch: re-add
+    # the (released) victim and compare against the fresh index + the
+    # same second batch
+    victim_rows = emb.where(F.col("vec_id") == victim)
+    semantic_dedup_stream(
+        dirs["centroids"], dirs["members"], dirs["pairs"], n_cells=8, threshold=0.3
+    )(victim_rows, 3)
+    fresh_sink(victim_rows, 1)
+    assert _sem_state(spark, dirs)[2] == _sem_state(spark, fresh)[2]
+
+
+def test_retrain_semantic_crash_recovery_prefixes(spark):
+    """Every reachable semantic-retrain crash window recovers to the same
+    three-layout state: tmp-only discards (old state intact), a full
+    ready dir finishes, re-entry after the centroids swap and after a
+    partial member-epoch deletion both land on the reference state."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        recover_semantic_index,
+        retrain_semantic_index,
+    )
+
+    ref, _, _, _ = _build_tombstoned_semantic(spark, "sem_retrain_ref")
+    retrain_semantic_index(
+        spark, ref["centroids"], ref["members"], ref["pairs"],
+        n_cells=8, threshold=0.3,
+    )
+    want = _sem_state(spark, ref)
+
+    d, _, _, _ = _build_tombstoned_semantic(spark, "sem_retrain_tmp")
+    pre = _sem_state(spark, d)[2]
+    os.makedirs(f"{d['members']}/.retrain.tmp/centroids", exist_ok=True)
+    with pytest.raises(RuntimeError, match="recover_semantic_index"):
+        retrain_semantic_index(
+            spark, d["centroids"], d["members"], d["pairs"],
+            n_cells=8, threshold=0.3,
+        )
+    assert recover_semantic_index(d["centroids"], d["members"], d["pairs"]) is True
+    assert _sem_state(spark, d)[2] == pre
+    retrain_semantic_index(
+        spark, d["centroids"], d["members"], d["pairs"], n_cells=8, threshold=0.3
+    )
+    assert _sem_state(spark, d) == want
+
+    def staged(name):
+        d, _, _, _ = _build_tombstoned_semantic(spark, name)
+        ready = f"{d['members']}/.retrain.ready.epoch=2"
+        shutil.copytree(ref["centroids"], f"{ready}/centroids")
+        shutil.copytree(f"{ref['members']}/epoch=2", f"{ready}/members")
+        shutil.copytree(f"{ref['pairs']}/epoch=2", f"{ready}/pairs")
+        return d, ready
+
+    d, _ = staged("sem_retrain_ready")
+    assert recover_semantic_index(d["centroids"], d["members"], d["pairs"]) is True
+    assert _sem_state(spark, d) == want
+    assert not os.path.exists(f"{d['members']}/.deletes")
+
+    d, ready = staged("sem_retrain_partial")
+    shutil.rmtree(d["centroids"])
+    os.rename(f"{ready}/centroids", d["centroids"])
+    shutil.rmtree(f"{d['members']}/epoch=0")
+    assert recover_semantic_index(d["centroids"], d["members"], d["pairs"]) is True
+    assert _sem_state(spark, d) == want
+    assert recover_semantic_index(d["centroids"], d["members"], d["pairs"]) is False
+
+
+def test_retrain_semantic_recovery_refuses_newer_epochs(spark):
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        recover_semantic_index,
+        semantic_dedup_stream,
+    )
+
+    d, emb, _, _ = _build_tombstoned_semantic(spark, "sem_retrain_newer")
+    ready = f"{d['members']}/.retrain.ready.epoch=2"
+    os.makedirs(f"{ready}/centroids", exist_ok=True)
+    semantic_dedup_stream(
+        d["centroids"], d["members"], d["pairs"], n_cells=8, threshold=0.3
+    )(emb.limit(5), 7)
+    with pytest.raises(RuntimeError, match="NEWER than the interrupted"):
+        recover_semantic_index(d["centroids"], d["members"], d["pairs"])
+    assert os.path.isdir(f"{d['members']}/epoch=7")
