@@ -182,6 +182,34 @@ def _key_eq(n_keys: int, left: str, right: str, null_safe: bool) -> Column:
     return cond
 
 
+def collapse_extrema_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    measure_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a D/I changelog into the per-group extrema-contribution
+    frame ``apply_extrema_delta`` consumes: (keys…, imn, imx, dmn, dmx,
+    nbad). Every column is MERGEABLE — min/min, max/max, sum — so partial
+    collapses fold across micro-batches exactly like ``agg_delta``'s
+    sums: the streaming sink (``extrema_delta_stream``) writes one of
+    these per epoch and the read-side fold equals the collapse of the
+    concatenated changelog, bit-for-bit."""
+    op = qcol(op_col)
+    m = qcol(measure_col)
+    # when() always evaluates its CONDITION, so count bad rows
+    # unconditionally — a lazily-branched raise would never fire for rows
+    # no branch selects (see apply_extrema_delta)
+    is_bad_row = ~(((op == "I") | (op == "D")) & m.isNotNull())
+    return changes.groupBy(*[qcol(k) for k in keys]).agg(
+        F.min(F.when(op == "I", m)).alias("imn"),
+        F.max(F.when(op == "I", m)).alias("imx"),
+        F.min(F.when(op == "D", m)).alias("dmn"),
+        F.max(F.when(op == "D", m)).alias("dmx"),
+        F.sum(F.when(is_bad_row, F.lit(1)).otherwise(F.lit(0))).alias("nbad"),
+    )
+
+
 def apply_extrema_delta(
     view: DataFrame,
     changes: DataFrame,
@@ -193,6 +221,7 @@ def apply_extrema_delta(
     max_col: str = "mx",
     null_safe_keys: bool = True,
     gate_df: DataFrame | None = None,
+    collapsed: bool = False,
 ) -> DataFrame:
     """Maintain a per-group (MIN, MAX) rollup under a D/I changelog — the
     aggregates the module docstring's scope boundary calls out as NOT
@@ -227,23 +256,25 @@ def apply_extrema_delta(
     NULL measures are unsupported (min/max skip NULLs, so a NULL delete
     cannot be located against the stored extrema); NULL group KEYS follow
     the ``null_safe_keys`` contract of ``apply_agg_delta`` verbatim.
+
+    ``collapsed=True`` accepts ``changes`` already in
+    ``collapse_extrema_changes``' (keys…, imn, imx, dmn, dmx, nbad) form
+    — the streaming path (``read_extrema_delta_state``'s epoch fold); in
+    that case the default ``gate_df`` is the collapsed frame itself (one
+    row per touched group, scan-derived, sanely estimated).
     """
     kcols = list(keys)
     m = qcol(measure_col)
-    op = qcol(op_col)
-    # A lazily-branched raise_error would never fire for rows NO branch
-    # selects (an unknown op matches neither conditional agg), so count
-    # the bad rows unconditionally — when() always evaluates its
-    # CONDITION — and assert the count downstream on BOTH branches.
-    is_bad_row = ~(((op == "I") | (op == "D")) & m.isNotNull())
-    chg = changes.groupBy(
-        *[qcol(k).alias(f"__ck_{i}") for i, k in enumerate(kcols)]
-    ).agg(
-        F.min(F.when(op == "I", m)).alias("__imn"),
-        F.max(F.when(op == "I", m)).alias("__imx"),
-        F.min(F.when(op == "D", m)).alias("__dmn"),
-        F.max(F.when(op == "D", m)).alias("__dmx"),
-        F.sum(F.when(is_bad_row, F.lit(1)).otherwise(F.lit(0))).alias("__nbad"),
+    chg0 = changes if collapsed else collapse_extrema_changes(
+        changes, kcols, measure_col, op_col
+    )
+    chg = chg0.select(
+        *[qcol(k).alias(f"__ck_{i}") for i, k in enumerate(kcols)],
+        F.col("imn").alias("__imn"),
+        F.col("imx").alias("__imx"),
+        F.col("dmn").alias("__dmn"),
+        F.col("dmx").alias("__dmx"),
+        F.col("nbad").alias("__nbad"),
     )
     v = view.select(
         *[qcol(k).alias(f"__vk_{i}") for i, k in enumerate(kcols)],
@@ -302,7 +333,7 @@ def apply_extrema_delta(
         *[F.col(f"__vk_{i}").alias(f"__rk_{i}") for i in range(1, len(kcols))],
     )
     if gate_df is None:
-        gate_df = changes.select(*[qcol(k) for k in kcols])
+        gate_df = chg0.select(*[qcol(k) for k in kcols])
     from real_time_recommendation_system_with_feature_store_spark.plans.inspect import gated_broadcast
 
     b = base_after.select(

@@ -8427,8 +8427,68 @@ def rollup_extrema_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "rollup_topk_priority_orders",
+    "extrema_state_fold",
     oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' OR o_orderkey % 7 != 0
+    GROUP BY 1, 2
+    """,
+    doc="Streaming extrema-IVM sink driven in-query: the "
+        "rollup_extrema_priority_price changelog streams in as 3 "
+        "micro-batches sliced by o_orderkey mod 3 (an update's D/I "
+        "halves may straddle epochs — min/max/sum all commute, so the "
+        "read_extrema_delta_state fold equals the one-batch collapse "
+        "bit-for-bit) through extrema_delta_stream's per-epoch "
+        "(imn, imx, dmn, dmx, nbad) contributions; "
+        "apply_extrema_delta(collapsed=True) then refreshes the MIN/MAX "
+        "view via the dirty-group rule. The oracle IS the full recompute "
+        "over the post-change snapshot, so the driver hash certifies "
+        "stream-folded incremental == from-scratch. Scale: per-epoch "
+        "state is bounded by the groups the epoch touched; only "
+        "delete-touched extrema re-read base "
+        "(streaming/pipeline.py::extrema_delta_stream).",
+)
+def extrema_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_extrema_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        extrema_delta_stream,
+        read_extrema_delta_state,
+    )
+
+    state_dir = _fold_state_dir("extrema_state_fold", sf_dir)
+    split = F.lit("2000-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    base = o.where(F.col("o_orderdate") < split)
+    view = base.groupBy(*keys).agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    doomed = base.where(F.col("o_orderkey") % 7 == 0)
+    changelog = (
+        o.where(F.col("o_orderdate") >= split)
+        .select(F.lit("I").alias("op"), *keys, "o_orderkey", "o_totalprice")
+        .unionByName(
+            doomed.select(
+                F.lit("D").alias("op"), *keys, "o_orderkey", "o_totalprice"
+            )
+        )
+    )
+    sink = extrema_delta_stream(state_dir, keys, "o_totalprice")
+    for i in range(3):
+        sink(changelog.where(F.col("o_orderkey") % 3 == i), i)
+    base_after = o.where(
+        (F.col("o_orderdate") >= split) | (F.col("o_orderkey") % 7 != 0)
+    )
+    folded = read_extrema_delta_state(spark, state_dir, keys)
+    return apply_extrema_delta(
+        view, folded, base_after, keys, "o_totalprice",
+        null_safe_keys=False, collapsed=True,
+    )
+
+
+_TOPK_ROLLUP_ORACLE = """
     WITH base AS (
       SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
       FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
@@ -8460,33 +8520,19 @@ def rollup_extrema_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame
                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
       FROM after
     ) WHERE rn <= 3
-    """,
-    doc="TOP-K INCREMENTAL VIEW MAINTENANCE — the other aggregate class "
-        "the sum/count delta rule can't self-maintain — via "
-        "apply_topk_delta's buffered-horizon rule (operators/ivm.py; Yi "
-        "et al. ICDE 2003): a per-(priority, status) top-3-orders-by-"
-        "price view, maintained as a top-5 buffer, is refreshed by a "
-        "changelog that deletes the top-4 rows of every 'F' group "
-        "(buffer shrinks below k -> DIRTY refill from the post-change "
-        "snapshot through a stats-gated semi-join), deletes the top-1 of "
-        "every other group plus a sprinkling of below-horizon rows "
-        "(clean in-buffer shrink; below-horizon deletes provably drop), "
-        "and inserts the post-2000 non-'F' orders (in-place tighten; "
-        "below-horizon inserts drop). The oracle IS the full top-3 "
-        "recompute over that snapshot, so the driver hash certifies "
-        "incremental == from-scratch on stored doubles, bit-exact. At "
-        "100 TB a day's deletes dirty a bounded group set and only those "
-        "groups' base rows re-read; everything else is one collapse agg "
-        "+ windows over touched groups sharing a single shuffle.",
-)
-def rollup_topk_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _topk_rollup_inputs(spark: SparkSession, sf_dir: str):
+    """The shared view/changelog/base_after construction of the top-k IVM
+    pair (batch entry + stream fold twin): per-(priority, status) top-5
+    buffer over pre-2000 orders; deletes of every 'F' group's top-4
+    (forced dirty — post-2000 inserts are non-'F', so nothing rescues),
+    every other group's top-1 (forced clean) plus below-horizon
+    orderkey%13 rows (provable drops); inserts = post-2000 non-'F'."""
     from pyspark.sql import Window
 
-    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
-        apply_topk_delta,
-        build_topk_buffer,
-        topk_from_buffer,
-    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import build_topk_buffer
 
     split = F.lit("2000-01-01").cast("timestamp")
     keys = ["o_orderpriority", "o_orderstatus"]
@@ -8517,9 +8563,90 @@ def rollup_topk_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     )
+    return keys, view, changelog, base_after
+
+
+@query(
+    "rollup_topk_priority_orders",
+    oracle=_TOPK_ROLLUP_ORACLE,
+    doc="TOP-K INCREMENTAL VIEW MAINTENANCE — the other aggregate class "
+        "the sum/count delta rule can't self-maintain — via "
+        "apply_topk_delta's buffered-horizon rule (operators/ivm.py; Yi "
+        "et al. ICDE 2003): a per-(priority, status) top-3-orders-by-"
+        "price view, maintained as a top-5 buffer, is refreshed by a "
+        "changelog that deletes the top-4 rows of every 'F' group "
+        "(buffer shrinks below k -> DIRTY refill from the post-change "
+        "snapshot through a stats-gated semi-join), deletes the top-1 of "
+        "every other group plus a sprinkling of below-horizon rows "
+        "(clean in-buffer shrink; below-horizon deletes provably drop), "
+        "and inserts the post-2000 non-'F' orders (in-place tighten; "
+        "below-horizon inserts drop). The oracle IS the full top-3 "
+        "recompute over that snapshot, so the driver hash certifies "
+        "incremental == from-scratch on stored doubles, bit-exact. At "
+        "100 TB a day's deletes dirty a bounded group set and only those "
+        "groups' base rows re-read; everything else is one collapse agg "
+        "+ windows over touched groups sharing a single shuffle.",
+)
+def rollup_topk_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        topk_from_buffer,
+    )
+
+    keys, view, changelog, base_after = _topk_rollup_inputs(spark, sf_dir)
     buf = apply_topk_delta(
         view,
         changelog,
+        base_after,
+        keys,
+        "o_orderkey",
+        "o_totalprice",
+        k=3,
+        buffer_k=5,
+        null_safe_keys=False,
+    )
+    return topk_from_buffer(buf, keys, "o_orderkey", "o_totalprice", 3)
+
+
+@query(
+    "topk_state_fold",
+    oracle=_TOPK_ROLLUP_ORACLE,
+    doc="Streaming top-k-IVM sink driven in-query: the "
+        "rollup_topk_priority_orders changelog streams in as 3 "
+        "micro-batches sliced by o_orderkey mod 3 through "
+        "topk_delta_stream's per-(group, id) slot epochs; "
+        "read_topk_delta_state composes the slots SEQUENTIALLY by epoch "
+        "(last insert wins, the first delete carries the view's "
+        "then-value, balanced churn cancels — top-k deltas are not "
+        "order-free the way sums/extrema are) into the net changelog, "
+        "and apply_topk_delta refreshes the buffered-horizon view. The "
+        "oracle IS the full top-3 recompute over the post-change "
+        "snapshot, so the driver hash certifies stream-composed "
+        "incremental == from-scratch. Scale: per-epoch state is bounded "
+        "by the ids the epoch touched "
+        "(streaming/pipeline.py::topk_delta_stream).",
+)
+def topk_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        topk_from_buffer,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_topk_delta_state,
+        topk_delta_stream,
+    )
+
+    state_dir = _fold_state_dir("topk_state_fold", sf_dir)
+    keys, view, changelog, base_after = _topk_rollup_inputs(spark, sf_dir)
+    sink = topk_delta_stream(state_dir, keys, "o_orderkey", "o_totalprice")
+    for i in range(3):
+        sink(changelog.where(F.col("o_orderkey") % 3 == i), i)
+    net = read_topk_delta_state(
+        spark, state_dir, keys, "o_orderkey", "o_totalprice"
+    )
+    buf = apply_topk_delta(
+        view,
+        net,
         base_after,
         keys,
         "o_orderkey",
@@ -8779,12 +8906,11 @@ _DRIVER_WINDOW = [
     "kcore_events",
     "late_ship_priority_counts",
     "minhash_dedup_candidates",
-    "multimodal_embed_topk",
-    "nation_market_share",
     # new r12 entries (never driver-checked — must front per the guard);
     # each displaced one r9 filler (nfc_normalized_docs -> rollup_topk_
     # priority_orders, nation_pair_trade_volume -> pq_rebuild_fold,
-    # nations_with_presence -> semantic_rebuild_fold):
+    # nations_with_presence -> semantic_rebuild_fold, nation_market_share
+    # -> extrema_state_fold, multimodal_embed_topk -> topk_state_fold):
     "bm25_tombstone_fold",
     "ivf_tombstone_fold",
     "ivf_purge_fold",
@@ -8793,6 +8919,8 @@ _DRIVER_WINDOW = [
     "rollup_topk_priority_orders",
     "pq_rebuild_fold",
     "semantic_rebuild_fold",
+    "extrema_state_fold",
+    "topk_state_fold",
 ]
 
 def _reorder_registry() -> None:

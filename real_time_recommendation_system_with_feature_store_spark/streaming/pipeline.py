@@ -1647,6 +1647,195 @@ def read_agg_delta_state(
     )
 
 
+def extrema_delta_stream(
+    state_dir: str,
+    keys: list[str],
+    measure_col: str,
+    op_col: str = "op",
+):
+    """ST9 × IVM, extrema tier: streaming maintenance of the MIN/MAX
+    delta state from a CDC changelog stream — the ``agg_delta_stream``
+    sibling for the aggregate class the sum rule can't self-maintain
+    (``operators/ivm.apply_extrema_delta``'s dirty-group rule). Each
+    micro-batch collapses to the per-group (imn, imx, dmn, dmx, nbad)
+    contribution frame (``collapse_extrema_changes``) under ``epoch=N``;
+    every column is mergeable (min/min, max/max, sum), so
+    ``read_extrema_delta_state``'s fold equals the collapse of the
+    concatenated changelog bit-for-bit, and ``apply_extrema_delta(...,
+    collapsed=True)`` refreshes the view against the post-change
+    snapshot with only delete-touched groups re-reading base.
+
+    Replay contract: sum-fold family — a replayed epoch id overwrites its
+    own partition; min/max/+ commute, so an update's D and I halves may
+    land in different epochs. Per-epoch state is bounded by the groups
+    the epoch touched; the raw changelog is never rescanned."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_extrema_changes
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        collapse_extrema_changes(
+            batch_df, keys, measure_col, op_col=op_col
+        ).write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_extrema_delta_state(
+    spark: SparkSession, state_dir: str, keys: list[str]
+) -> DataFrame:
+    """Fold an epoch-partitioned extrema-delta directory into ONE
+    per-group contribution frame — feed it to
+    ``apply_extrema_delta(collapsed=True)`` against the materialized
+    view. Exactly ``collapse_extrema_changes`` of the concatenated
+    changelog (every column mergeable)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    return (
+        spark.read.parquet(state_dir)
+        .drop("epoch")
+        .groupBy(*[qcol(k) for k in keys])
+        .agg(
+            F.min("imn").alias("imn"),
+            F.max("imx").alias("imx"),
+            F.min("dmn").alias("dmn"),
+            F.max("dmx").alias("dmx"),
+            F.sum("nbad").alias("nbad"),
+        )
+    )
+
+
+def topk_delta_stream(
+    state_dir: str,
+    keys: list[str],
+    id_col: str,
+    measure_col: str,
+    op_col: str = "op",
+):
+    """ST9 × IVM, top-k tier: streaming capture of a CDC changelog for
+    ``operators/ivm.apply_topk_delta``'s buffered-horizon maintenance —
+    the third IVM sink (sums: ``agg_delta_stream``, extrema:
+    ``extrema_delta_stream``). Top-k deltas are NOT order-free the way
+    sums and extrema are (a delete must pair with the stored row by id,
+    and an id may churn I→D→I across epochs), so each micro-batch
+    collapses to per-(group, id) SLOTS — (ni, nd, im, dm, nbad) under
+    ``epoch=N`` — and ``read_topk_delta_state`` composes the slots
+    SEQUENTIALLY by epoch into the net changelog the batch operator
+    consumes: last insert wins, the first delete carries the view's
+    then-value, balanced churn cancels. Per-epoch state is bounded by the
+    ids the epoch touched; the raw changelog is never rescanned.
+
+    Replay contract: a replayed epoch id overwrites its own partition
+    (slot collapse is a pure function of the batch). Within one epoch the
+    batch rules apply (at most one I and one D per id — violations
+    surface as composed unknown-op rows that fail loudly at apply time)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        op = qcol(op_col)
+        m = qcol(measure_col)
+        is_bad_row = ~(((op == "I") | (op == "D")) & m.isNotNull())
+        slots = batch_df.groupBy(
+            *[qcol(k) for k in keys], qcol(id_col)
+        ).agg(
+            F.count(F.when(op == "I", F.lit(1))).alias("ni"),
+            F.count(F.when(op == "D", F.lit(1))).alias("nd"),
+            F.max(F.when(op == "I", m)).alias("im"),
+            F.max(F.when(op == "D", m)).alias("dm"),
+            F.sum(F.when(is_bad_row, F.lit(1)).otherwise(F.lit(0))).alias("nbad"),
+        )
+        slots.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_topk_delta_state(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    id_col: str,
+    measure_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Compose an epoch-partitioned top-k slot directory into the NET
+    changelog rows ``apply_topk_delta`` consumes. Composition is the
+    sequential CDC semantics per (group, id), ordered by epoch:
+
+    * one more insert than delete → net ``I`` with the LAST insert's
+      value (intermediate churn cancels);
+    * one more delete than insert → net ``D`` with the FIRST delete's
+      value — the value the VIEW held when the sequence started, which
+      is what the apply-side mismatch guard checks against;
+    * balanced counts → an update pair ``D(first)`` + ``I(last)`` when
+      the sequence started with a delete (or is pairs throughout), or
+      NOTHING when it started with an insert (transient id: add then
+      remove);
+    * anything unaccountable — per-epoch duplicate I/D for one id,
+      count imbalance > 1, unknown ops, NULL measures — composes to an
+      ``X`` row whose unknown op fails loudly inside
+      ``apply_topk_delta`` (counts and pair structure are validated;
+      full alternation is trusted, the same grace ``agg_delta``'s
+      commutative fold extends).
+
+    Like every fold here it is one scan + one aggregation, bounded by
+    the touched ids."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    slots = spark.read.parquet(state_dir)
+    ep = F.col("epoch").cast("long")
+    fold = slots.groupBy(*[qcol(k) for k in keys], qcol(id_col)).agg(
+        F.sum("ni").alias("__si"),
+        F.sum("nd").alias("__sd"),
+        F.max(F.greatest(F.col("ni"), F.col("nd"))).alias("__mxdup"),
+        F.sum("nbad").alias("__snbad"),
+        F.max(F.when(F.col("ni") > 0, F.struct(ep.alias("e"), F.col("im").alias("v"))))
+        .getField("v")
+        .alias("__last_i"),
+        F.min(F.when(F.col("nd") > 0, F.struct(ep.alias("e"), F.col("dm").alias("v"))))
+        .getField("v")
+        .alias("__first_d"),
+        F.min(F.when((F.col("ni") > 0) & (F.col("nd") == 0), ep)).alias("__fpi"),
+        F.min(F.when((F.col("nd") > 0) & (F.col("ni") == 0), ep)).alias("__fpd"),
+    )
+    si, sd = F.col("__si"), F.col("__sd")
+    bad = (
+        (F.col("__snbad") > 0)
+        | (F.col("__mxdup") > 1)
+        | (F.abs(si - sd) > 1)
+    )
+    eq = (si == sd) & (si > 0)
+    transient = eq & F.col("__fpi").isNotNull() & (
+        F.col("__fpd").isNull() | (F.col("__fpi") < F.col("__fpd"))
+    )
+    mt = slots.schema["im"].dataType
+    d_row = F.struct(
+        F.lit("D").alias("o"), F.col("__first_d").cast(mt).alias("v")
+    )
+    i_row = F.struct(
+        F.lit("I").alias("o"), F.col("__last_i").cast(mt).alias("v")
+    )
+    x_row = F.struct(F.lit("X").alias("o"), F.lit(None).cast(mt).alias("v"))
+    events = (
+        F.when(bad, F.array(x_row))
+        .when(si - sd == 1, F.array(i_row))
+        .when(sd - si == 1, F.array(d_row))
+        .when(transient, F.slice(F.array(d_row), 1, 0))
+        .when(eq, F.array(d_row, i_row))
+        .otherwise(F.array(x_row))
+    )
+    return (
+        fold.select(
+            *[qcol(k) for k in keys],
+            qcol(id_col),
+            F.explode(events).alias("__e"),
+        )
+        .select(
+            F.col("__e.o").alias(op_col),
+            *[qcol(k) for k in keys],
+            qcol(id_col),
+            F.col("__e.v").alias(measure_col),
+        )
+    )
+
+
 def vector_tombstone_stream(index_dir: str, id_col: str):
     """Takedown path shared by the ANN index family (IVF/LSH/PQ) and the
     semantic-dedup member table (point it at ``members_dir``; fold reads

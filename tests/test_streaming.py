@@ -2992,3 +2992,184 @@ def test_retrain_semantic_recovery_refuses_newer_epochs(spark):
     with pytest.raises(RuntimeError, match="NEWER than the interrupted"):
         recover_semantic_index(d["centroids"], d["members"], d["pairs"])
     assert os.path.isdir(f"{d['members']}/epoch=7")
+
+
+def test_extrema_delta_stream_matches_recompute(spark):
+    """Streaming MIN/MAX maintenance: folding the per-epoch extrema
+    deltas (every column mergeable — min/min, max/max, sum) and applying
+    via the dirty-group rule equals a from-scratch recompute over the
+    post-change snapshot — with an update's D/I halves split across
+    epochs AND an insert-then-delete of a would-be extremum across
+    epochs (the interleave a per-epoch sequential apply would handle
+    differently but the fold must also get right: the folded delete
+    touches the folded insert-extremum, dirtying the group)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_extrema_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        extrema_delta_stream,
+        read_extrema_delta_state,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 2.0), ("c", 9.0), ("c", 3.0)],
+        "g string, m double",
+    )
+    view = base.groupBy("g").agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    state_dir = os.path.join(TMP, "extrema_delta_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = extrema_delta_stream(state_dir, ["g"], "m")
+    chg = "op string, g string, m double"
+    # epoch 0: insert a transient max into a; delete half of c's update
+    sink(spark.createDataFrame([("I", "a", 50.0), ("D", "c", 9.0)], chg), 0)
+    # epoch 1: delete the transient max; insert the update's other half;
+    # b dies
+    sink(
+        spark.createDataFrame(
+            [("D", "a", 50.0), ("I", "c", 4.0), ("D", "b", 2.0)], chg
+        ),
+        1,
+    )
+    final = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("c", 3.0), ("c", 4.0)], "g string, m double"
+    )
+    folded = read_extrema_delta_state(spark, state_dir, ["g"])
+    out = apply_extrema_delta(view, folded, final, ["g"], "m", collapsed=True)
+    got = {r["g"]: (r["mn"], r["mx"]) for r in out.collect()}
+    exp = {
+        r["g"]: (r["mn"], r["mx"])
+        for r in final.groupBy("g")
+        .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .collect()
+    }
+    assert got == exp and "b" not in got
+
+    # epoch replay overwrites its own partition: unchanged
+    sink(
+        spark.createDataFrame(
+            [("D", "a", 50.0), ("I", "c", 4.0), ("D", "b", 2.0)], chg
+        ),
+        1,
+    )
+    again = apply_extrema_delta(
+        view, read_extrema_delta_state(spark, state_dir, ["g"]),
+        final, ["g"], "m", collapsed=True,
+    )
+    assert {r["g"]: (r["mn"], r["mx"]) for r in again.collect()} == exp
+
+    # bad rows fold across epochs and still raise at apply time
+    sink(spark.createDataFrame([("U", "a", 1.0)], chg), 2)
+    with pytest.raises(Exception, match="unknown op|NULL measure"):
+        apply_extrema_delta(
+            view, read_extrema_delta_state(spark, state_dir, ["g"]),
+            final, ["g"], "m", collapsed=True,
+        ).collect()
+
+
+def test_topk_delta_stream_matches_recompute(spark):
+    """Streaming top-k IVM: composing the per-epoch slots sequentially
+    and applying via the buffered-horizon rule equals a from-scratch
+    top-k recompute — with an update's D/I halves split across epochs
+    (net update re-adding with the LAST insert's value), a transient id
+    added then removed across epochs (net nothing), and
+    delete-insert-delete churn (net D carrying the FIRST delete's value
+    — the one the view held, which the apply-side mismatch guard checks
+    against)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        build_topk_buffer,
+        topk_from_buffer,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_topk_delta_state,
+        topk_delta_stream,
+    )
+
+    rows = "g string, id long, m double"
+    chg = "op string, g string, id long, m double"
+    base = [("a", i, float(10 - i)) for i in range(6)] + [
+        ("b", 100, 5.0), ("b", 101, 4.0)
+    ]
+    bdf = spark.createDataFrame(base, rows)
+    view = build_topk_buffer(bdf, ["g"], "id", "m", 4)
+    state_dir = os.path.join(TMP, "topk_delta_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    sink = topk_delta_stream(state_dir, ["g"], "id", "m")
+    # e0: delete half of id=1's update; insert transient id=50;
+    #     delete b's 101 (will be re-added with a new value in e2);
+    #     start D/I/D churn on id=2 (view value 8.0)
+    sink(spark.createDataFrame(
+        [("D", "a", 1, 9.0), ("I", "a", 50, 7.5), ("D", "b", 101, 4.0),
+         ("D", "a", 2, 8.0)], chg), 0)
+    # e1: the update's insert half; remove the transient; churn middle
+    sink(spark.createDataFrame(
+        [("I", "a", 1, 9.5), ("D", "a", 50, 7.5), ("I", "a", 2, 8.8)], chg), 1)
+    # e2: re-add 101 (net update across e0+e2); plain delete of a-0;
+    #     churn end — net D must carry the FIRST delete's 8.0 (the view's
+    #     value), not 8.8, or the apply-side mismatch guard fires
+    sink(spark.createDataFrame(
+        [("I", "b", 101, 6.0), ("D", "a", 0, 10.0), ("D", "a", 2, 8.8)], chg), 2)
+
+    final = [("a", 1, 9.5)] + [("a", i, float(10 - i)) for i in range(3, 6)] + [
+        ("b", 100, 5.0), ("b", 101, 6.0)
+    ]
+    fdf = spark.createDataFrame(final, rows)
+    net = read_topk_delta_state(spark, state_dir, ["g"], "id", "m")
+    out = apply_topk_delta(view, net, fdf, ["g"], "id", "m", k=2, buffer_k=4)
+    got = {(r["g"], r["rn"]): (r["id"], r["m"])
+           for r in topk_from_buffer(out, ["g"], "id", "m", 2).collect()}
+    exp = {(r["g"], r["rn"]): (r["id"], r["m"])
+           for r in topk_from_buffer(
+               build_topk_buffer(fdf, ["g"], "id", "m", 4), ["g"], "id", "m", 2
+           ).collect()}
+    assert got == exp
+    # the transient id never reached the buffer
+    assert out.where("id = 50").count() == 0
+
+    # epoch replay overwrites its own partition: unchanged
+    sink(spark.createDataFrame(
+        [("I", "b", 101, 6.0), ("D", "a", 0, 10.0), ("D", "a", 2, 8.8)], chg), 2)
+    again = apply_topk_delta(
+        view, read_topk_delta_state(spark, state_dir, ["g"], "id", "m"),
+        fdf, ["g"], "id", "m", k=2, buffer_k=4,
+    )
+    assert {(r["g"], r["rn"]): (r["id"], r["m"])
+            for r in topk_from_buffer(again, ["g"], "id", "m", 2).collect()} == exp
+
+
+def test_topk_delta_stream_bad_composition_raises(spark):
+    """Unaccountable slot sequences compose to unknown-op rows that fail
+    loudly at apply time: duplicate I within one epoch, count imbalance
+    > 1 across epochs, and unknown-op rows folded through nbad."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        build_topk_buffer,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_topk_delta_state,
+        topk_delta_stream,
+    )
+
+    rows = "g string, id long, m double"
+    chg = "op string, g string, id long, m double"
+    view = build_topk_buffer(
+        spark.createDataFrame([("a", 0, 5.0), ("a", 1, 4.0)], rows),
+        ["g"], "id", "m", 4,
+    )
+    after = spark.createDataFrame([("a", 0, 5.0), ("a", 1, 4.0)], rows)
+
+    cases = [
+        [([("I", "a", 9, 1.0), ("I", "a", 9, 2.0)], 0)],          # dup in-epoch
+        [([("D", "a", 0, 5.0)], 0), ([("D", "a", 0, 5.0)], 1),
+         ([("D", "a", 0, 5.0)], 2)],                              # imbalance 3
+        [([("U", "a", 0, 5.0)], 0)],                              # unknown op
+    ]
+    for i, batches in enumerate(cases):
+        state_dir = os.path.join(TMP, f"topk_delta_bad{i}")
+        shutil.rmtree(state_dir, ignore_errors=True)
+        sink = topk_delta_stream(state_dir, ["g"], "id", "m")
+        for data, ep in batches:
+            sink(spark.createDataFrame(data, chg), ep)
+        net = read_topk_delta_state(spark, state_dir, ["g"], "id", "m")
+        with pytest.raises(Exception, match="unknown op"):
+            apply_topk_delta(
+                view, net, after, ["g"], "id", "m", k=2, buffer_k=4
+            ).collect()
