@@ -397,9 +397,9 @@ def build_topk_buffer(
     wg = Window.partitionBy(*kcols)
     at_k = F.col("__rn") == buffer_k
     return ranked.select(
-        *keys,
-        id_col,
-        measure_col,
+        *[qcol(k) for k in keys],
+        qcol(id_col),
+        qcol(measure_col),
         F.max(F.when(at_k, qcol(measure_col))).over(wg).alias(h_val_col),
         F.max(F.when(at_k, qcol(id_col))).over(wg).alias(h_id_col),
     )
@@ -424,9 +424,9 @@ def topk_from_buffer(
         qcol(measure_col).desc(), qcol(id_col).asc()
     )
     return (
-        buffer.select(*keys, id_col, measure_col)
+        buffer.select(*[qcol(c) for c in keys], qcol(id_col), qcol(measure_col))
         .withColumn(rank_col, F.row_number().over(w))
-        .where(F.col(rank_col) <= k)
+        .where(qcol(rank_col) <= k)
     )
 
 
@@ -690,11 +690,11 @@ def apply_topk_delta(
     rebuilt = build_topk_buffer(
         refill_base, kcols, id_col, measure_col, buffer_k, h_val_col, h_id_col
     ).select(
-        *kcols,
-        F.col(id_col).cast(id_t).alias(id_col),
-        F.col(measure_col).cast(m_t).alias(measure_col),
-        F.col(h_val_col).cast(hv_t).alias(h_val_col),
-        F.col(h_id_col).cast(hid_t).alias(h_id_col),
+        *[qcol(c) for c in kcols],
+        qcol(id_col).cast(id_t).alias(id_col),
+        qcol(measure_col).cast(m_t).alias(measure_col),
+        qcol(h_val_col).cast(hv_t).alias(h_val_col),
+        qcol(h_id_col).cast(hid_t).alias(h_id_col),
     )
     return untouched.unionByName(clean).unionByName(rebuilt)
 

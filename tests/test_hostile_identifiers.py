@@ -481,3 +481,78 @@ def test_tombstone_streams_hostile(spark, name, tmp_path):
         dim=4, item_id="nn", k=3,
     )
     assert all(r["nn"] != 0 for r in out.collect())
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_topk_ivm_hostile(spark, name):
+    """build_topk_buffer / apply_topk_delta / topk_from_buffer with the
+    hostile name playing every role: group key, id, and measure."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        build_topk_buffer,
+        topk_from_buffer,
+    )
+
+    esc = name.replace("`", "``")
+    base = spark.createDataFrame(
+        [("g1", 0, 5.0), ("g1", 1, 4.0), ("g1", 2, 3.0), ("g2", 9, 1.0)],
+        ["k", "i", "m"],
+    )
+    for df, key, idc, mc in [
+        (base.withColumnRenamed("k", name), name, "i", "m"),
+        (base.withColumnRenamed("i", name), "k", name, "m"),
+        (base.withColumnRenamed("m", name), "k", "i", name),
+    ]:
+        view = build_topk_buffer(df, [key], idc, mc, 2)
+        chg = spark.createDataFrame(
+            [("I", "g1", 7, 9.0), ("D", "g2", 9, 1.0)], ["op", "k", "i", "m"]
+        )
+        chg = (
+            chg.withColumnRenamed("k", key)
+            .withColumnRenamed("i", idc)
+            .withColumnRenamed("m", mc)
+        )
+        out = apply_topk_delta(view, chg, df, [key], idc, mc, k=1, buffer_k=2)
+        top = topk_from_buffer(out, [key], idc, mc, 1)
+        got = {
+            (r[key], r["rn"]): (r[idc], r[mc]) for r in top.collect()
+        }
+        assert got == {("g1", 1): (7, 9.0)}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_extrema_stream_fold_hostile(spark, name):
+    """collapse_extrema_changes / the stream fold read with hostile key
+    and measure names."""
+    import os
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_extrema_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        extrema_delta_stream,
+        read_extrema_delta_state,
+    )
+
+    base = spark.createDataFrame([("a", 1.0), ("a", 5.0)], ["k", "m"])
+    for df, key, mc in [
+        (base.withColumnRenamed("k", name), name, "m"),
+        (base.withColumnRenamed("m", name), "k", name),
+    ]:
+        view = df.groupBy(qcol(key)).agg(
+            F.min(qcol(mc)).alias("mn"), F.max(qcol(mc)).alias("mx")
+        )
+        tmp = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp", "extrema_hostile",
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        sink = extrema_delta_stream(tmp, [key], mc)
+        chg = spark.createDataFrame([("I", "a", 9.0)], ["op", "k", "m"])
+        chg = chg.withColumnRenamed("k", key).withColumnRenamed("m", mc)
+        sink(chg, 0)
+        folded = read_extrema_delta_state(spark, tmp, [key])
+        out = apply_extrema_delta(
+            view, folded, df, [key], mc, collapsed=True
+        )
+        got = {r[key]: (r["mn"], r["mx"]) for r in out.collect()}
+        assert got == {"a": (1.0, 9.0)}
