@@ -194,7 +194,20 @@ def collapse_extrema_changes(
     collapses fold across micro-batches exactly like ``agg_delta``'s
     sums: the streaming sink (``extrema_delta_stream``) writes one of
     these per epoch and the read-side fold equals the collapse of the
-    concatenated changelog, bit-for-bit."""
+    concatenated changelog, bit-for-bit.
+
+    The five contribution names are RESERVED: a key column named one of
+    them would collide with the aggregate aliases and poison every
+    downstream reference with AMBIGUOUS_REFERENCE — fail loudly up front
+    instead (rename the key upstream)."""
+    reserved = {"imn", "imx", "dmn", "dmx", "nbad"}
+    clash = sorted(reserved & set(keys))
+    if clash:
+        raise ValueError(
+            f"collapse_extrema_changes: key column(s) {clash} collide with "
+            f"the reserved contribution names {sorted(reserved)} — rename "
+            "the key upstream"
+        )
     op = qcol(op_col)
     m = qcol(measure_col)
     # when() always evaluates its CONDITION, so count bad rows
@@ -463,7 +476,11 @@ def apply_topk_delta(
       by id (else the changelog and view disagree — loud in-plan
       failure); a delete strictly below a non-NULL horizon provably
       never touches the buffer and is dropped. An update arrives as its
-      D/I pair (same id), possibly in the same batch;
+      D/I pair (same id), possibly in the same batch — including an
+      update of a row currently BELOW the horizon (the delete half
+      provably never touched the buffer and drops; the insert half
+      processes normally, admitting the row when its new value clears
+      the horizon);
     * a group goes DIRTY only when deletes shrink its buffer below ``k``
       while the horizon is non-NULL (rows below the horizon are unknown
       and may now belong in the top-k): dirty groups refill from
@@ -594,17 +611,27 @@ def apply_topk_delta(
     def _below(m: Column, i: Column) -> Column:
         return F.coalesce((m < ghv) | ((m == ghv) & (i > ghid)), F.lit(False))
 
+    below_d = _below(dm, F.col("__id"))
     bad = (
         (nb > 1)
         | (ni > 1)
         | (nd > 1)
         | ((ni > 0) & (nb > 0) & (nd == 0))  # re-insert of a live buffer id
         | ((nd > 0) & (nb > 0) & ~(dm.eqNullSafe(bm)))  # delete value mismatch
-        | ((nd > 0) & (nb == 0) & (ni > 0) & ~(dm.eqNullSafe(im)))  # transient pair mismatch
-        | ((nd > 0) & (nb == 0) & (ni == 0) & ~_below(dm, F.col("__id")))  # orphan delete
+        # an unbuffered D/I pair with differing values is legal ONLY as an
+        # update of a below-horizon row (the delete provably never touched
+        # the buffer; the insert processes normally) — at-or-above the
+        # horizon the delete must have matched a buffer row, so a value
+        # mismatch there is a genuine disagreement
+        | ((nd > 0) & (nb == 0) & (ni > 0) & ~(dm.eqNullSafe(im)) & ~below_d)
+        | ((nd > 0) & (nb == 0) & (ni == 0) & ~below_d)  # orphan delete
         | ((ni > 0) & im.isNull())  # NULL measures are unorderable
     )
-    ins_kept = (ni > 0) & ((nb > 0) == (nd > 0)) & ~_below(im, F.col("__id"))
+    ins_kept = (
+        (ni > 0)
+        & (((nb > 0) == (nd > 0)) | ((nb == 0) & (nd > 0) & below_d))
+        & ~_below(im, F.col("__id"))
+    )
     emit_m = F.when(ins_kept, im).when((nb > 0) & (nd == 0) & (ni == 0), bm)
     g1b = g1.select(
         *gcols,

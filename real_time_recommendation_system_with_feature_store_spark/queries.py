@@ -2111,10 +2111,12 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
     # Gate: pruning engages only when the per-user candidate bound is well
     # under the per-segment catalog. 4x headroom over the mean covers
-    # heavy-tailed user histories in the estimate.
-    if st is not None and (
+    # heavy-tailed user histories in the estimate. An EMPTY pair frame
+    # yields a zero-row rollup — max() aggregates come back None — and
+    # means there is nothing to prune: fall through to the plain path.
+    if st is not None and st["n_pairs"] is not None and (
         (5 + 4 * (st["n_pairs"] / max(st["n_users"], 1))) * 2
-        <= st["n_items"] / max(st["n_segs"], 1)
+        <= (st["n_items"] or 0) / max(st["n_segs"] or 1, 1)
     ):
         n_segments = max(st["n_segs"], 1)
         seen_n = pair.groupBy("user_id").agg(F.count("*").alias("__seen_n"))
@@ -7264,14 +7266,28 @@ def _fold_state_dir(name: str, sf_dir: str) -> str:
     PID so two concurrent sessions running the same entry (parallel
     pytest workers, overlapping bench runs) can never wipe each other's
     epochs mid-query; within one process the calls are sequential, so
-    per-call wiping stays sufficient."""
+    per-call wiping stays sufficient. Sibling pid dirs whose process is
+    gone are reaped best-effort on each call, so repeated CI/bench runs
+    don't grow tempdir without bound."""
     import os
     import shutil
     import tempfile
 
+    root = os.path.join(tempfile.gettempdir(), "rtrs_fold_state")
+    try:
+        for sib in os.listdir(root):
+            pid = sib.removeprefix("pid")
+            if (
+                sib.startswith("pid")
+                and pid.isdigit()
+                and int(pid) != os.getpid()
+                and not os.path.exists(f"/proc/{pid}")
+            ):
+                shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
+    except OSError:  # root missing / proc-less platform: skip the reap
+        pass
     d = os.path.join(
-        tempfile.gettempdir(),
-        "rtrs_fold_state",
+        root,
         f"pid{os.getpid()}",
         name,
         os.path.basename(os.path.normpath(sf_dir)) or "sf",

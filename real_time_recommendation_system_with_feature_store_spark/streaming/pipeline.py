@@ -1726,8 +1726,19 @@ def topk_delta_stream(
     Replay contract: a replayed epoch id overwrites its own partition
     (slot collapse is a pure function of the batch). Within one epoch the
     batch rules apply (at most one I and one D per id — violations
-    surface as composed unknown-op rows that fail loudly at apply time)."""
+    surface as composed unknown-op rows that fail loudly at apply time).
+    The five slot names (ni, nd, im, dm, nbad) are RESERVED — a key/id
+    column named one of them would collide with the slot aliases, so the
+    sink fails loudly up front (rename upstream)."""
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    reserved = {"ni", "nd", "im", "dm", "nbad"}
+    clash = sorted(reserved & set([*keys, id_col]))
+    if clash:
+        raise ValueError(
+            f"topk_delta_stream: column(s) {clash} collide with the "
+            f"reserved slot names {sorted(reserved)} — rename upstream"
+        )
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         op = qcol(op_col)
@@ -1765,9 +1776,12 @@ def read_topk_delta_state(
       value — the value the VIEW held when the sequence started, which
       is what the apply-side mismatch guard checks against;
     * balanced counts → an update pair ``D(first)`` + ``I(last)`` when
-      the sequence started with a delete (or is pairs throughout), or
-      NOTHING when it started with an insert (transient id: add then
-      remove);
+      the sequence started with a pure delete, NOTHING when it started
+      with a pure insert (transient id: add then remove); a balanced
+      chain of intra-epoch pairs resolves by VALUE consistency — linked
+      pairs (each delete retracts the previous insert) emit the update
+      pair, self-cancelling pairs net nothing, anything else is
+      unaccountable;
     * anything unaccountable — per-epoch duplicate I/D for one id,
       count imbalance > 1, unknown ops, NULL measures — composes to an
       ``X`` row whose unknown op fails loudly inside
@@ -1794,6 +1808,18 @@ def read_topk_delta_state(
         .alias("__first_d"),
         F.min(F.when((F.col("ni") > 0) & (F.col("nd") == 0), ep)).alias("__fpi"),
         F.min(F.when((F.col("nd") > 0) & (F.col("ni") == 0), ep)).alias("__fpd"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    (F.col("ni") > 0) & (F.col("nd") > 0),
+                    F.struct(
+                        ep.alias("e"),
+                        F.col("dm").alias("d"),
+                        F.col("im").alias("i"),
+                    ),
+                )
+            )
+        ).alias("__prs"),
     )
     si, sd = F.col("__si"), F.col("__sd")
     bad = (
@@ -1805,7 +1831,29 @@ def read_topk_delta_state(
     transient = eq & F.col("__fpi").isNotNull() & (
         F.col("__fpd").isNull() | (F.col("__fpi") < F.col("__fpd"))
     )
+    update_pure = eq & F.col("__fpd").isNotNull() & (
+        F.col("__fpi").isNull() | (F.col("__fpd") < F.col("__fpi"))
+    )
+    # balanced chains made ENTIRELY of intra-epoch pairs are ambiguous
+    # without view membership (update chain vs add-then-remove churn), but
+    # the VALUES disambiguate: a chain whose consecutive epochs link
+    # (next delete retracts the previous insert's value) is only
+    # consistent as an update chain -> emit the D(first)/I(last) pair and
+    # let the apply side resolve against the buffer; a chain of
+    # self-cancelling pairs (each epoch deletes what it inserted) is only
+    # consistent as transient churn -> net nothing; anything else has no
+    # consistent reading -> X.
+    all_pairs = eq & F.col("__fpi").isNull() & F.col("__fpd").isNull()
     mt = slots.schema["im"].dataType
+    linked = F.aggregate(
+        F.col("__prs"),
+        F.struct(F.lit(True).alias("ok"), F.lit(None).cast(mt).alias("prev")),
+        lambda a, x: F.struct(
+            (a["ok"] & (a["prev"].isNull() | (x["d"] == a["prev"]))).alias("ok"),
+            x["i"].alias("prev"),
+        ),
+    )["ok"]
+    self_eq = F.forall(F.col("__prs"), lambda x: x["d"] == x["i"])
     d_row = F.struct(
         F.lit("D").alias("o"), F.col("__first_d").cast(mt).alias("v")
     )
@@ -1818,7 +1866,9 @@ def read_topk_delta_state(
         .when(si - sd == 1, F.array(i_row))
         .when(sd - si == 1, F.array(d_row))
         .when(transient, F.slice(F.array(d_row), 1, 0))
-        .when(eq, F.array(d_row, i_row))
+        .when(update_pure, F.array(d_row, i_row))
+        .when(all_pairs & linked, F.array(d_row, i_row))
+        .when(all_pairs & self_eq, F.slice(F.array(d_row), 1, 0))
         .otherwise(F.array(x_row))
     )
     return (
@@ -2000,7 +2050,8 @@ def retrain_vector_index(
     cents = ivf_build_centroids(
         live, "__iid", "__iv", n_cells=n_cells, refine_iters=refine_iters,
         assume_unit=True,
-    )
+    ).localCheckpoint(eager=True)  # n_cells rows; the Lloyd subtree would
+    # otherwise re-execute for the centroids write AND the re-assign pass
     reassigned = _assign_cells(live, cents)
     cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
     reassigned.write.mode("overwrite").partitionBy("__cell").parquet(f"{tmp}/cells")
@@ -2327,30 +2378,38 @@ def retrain_semantic_index(
     ).select(
         F.col("__cell").cast("int").alias("__cell"), F.col("__iv").alias("__cv")
     )
-    cents = _lloyd_refine(live, cents, refine_iters)
-    assigned = _assign_cells(live, cents)
-    new = assigned.select(
-        "__cell", F.col("__iid").alias("id_b"), F.col("__iv").alias("__vb")
-    )
-    olds = assigned.select(
-        "__cell", F.col("__iid").alias("id_a"), F.col("__iv").alias("__va")
-    )
-    pairs = (
-        olds.join(new, "__cell")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+    # n_cells rows; without the eager cut the seed+Lloyd subtree would
+    # re-execute for the centroids write AND every assigned consumer
+    cents = _lloyd_refine(live, cents, refine_iters).localCheckpoint(eager=True)
+    # assigned feeds three actions (members write + both sides of the
+    # pair self-join) — persist it once instead of re-scanning and
+    # re-assigning the live fold per consumer
+    assigned = _assign_cells(live, cents).persist()
+    try:
+        new = assigned.select(
+            "__cell", F.col("__iid").alias("id_b"), F.col("__iv").alias("__vb")
         )
-        .where(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
-    assigned.select("__cell", "__iid", "__iv").write.mode("overwrite").parquet(
-        f"{tmp}/members"
-    )
-    pairs.write.mode("overwrite").parquet(f"{tmp}/pairs")
+        olds = assigned.select(
+            "__cell", F.col("__iid").alias("id_a"), F.col("__iv").alias("__va")
+        )
+        pairs = (
+            olds.join(new, "__cell")
+            .where(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+        assigned.select("__cell", "__iid", "__iv").write.mode("overwrite").parquet(
+            f"{tmp}/members"
+        )
+        pairs.write.mode("overwrite").parquet(f"{tmp}/pairs")
+    finally:
+        assigned.unpersist()
     ready = f"{members_dir}/.retrain.ready.epoch={epochs[-1]}"
     _os.rename(tmp, ready)
     _finish_retrain_semantic(

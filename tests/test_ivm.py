@@ -430,3 +430,36 @@ def test_topk_buffer_k_below_k_rejected(spark):
     after = spark.createDataFrame([], _ROW)
     with pytest.raises(ValueError, match="buffer_k"):
         apply_topk_delta(view, chg, after, ["g"], "id", "m", k=3, buffer_k=2)
+
+
+def test_topk_below_horizon_update_pair_admitted(spark):
+    """A consistent CDC update (D/I pair, same id) of a row currently
+    BELOW the horizon must not raise: the delete half provably never
+    touched the buffer and drops, the insert half processes normally —
+    admitting the row when its new value clears the horizon (r12 review
+    finding: this raised a false 'changelog and view disagree')."""
+    base = [("a", i, float(10 - i)) for i in range(6)]  # hv=7.0@3
+    view = _tk_view(spark, base, buffer_k=4)
+    chg = spark.createDataFrame(
+        [("D", "a", 5, 5.0), ("I", "a", 5, 12.0),   # below-horizon -> top
+         ("D", "a", 4, 6.0), ("I", "a", 4, 5.5)],   # below-horizon -> still below
+        _CHG,
+    )
+    after = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, 9.0), ("a", 2, 8.0), ("a", 3, 7.0),
+         ("a", 4, 5.5), ("a", 5, 12.0)],
+        _ROW,
+    )
+    new = apply_topk_delta(view, chg, after, ["g"], "id", "m", k=2, buffer_k=4)
+    got = _tk_rows(topk_from_buffer(new, ["g"], "id", "m", 2))
+    assert got == {("a", 1): (5, 12.0), ("a", 2): (0, 10.0)}
+    # the still-below update contributed nothing to the buffer
+    assert new.where("id = 4").count() == 0
+
+
+def test_extrema_collapse_reserved_name_collision_raises(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_extrema_changes
+
+    df = spark.createDataFrame([("I", "x", 1.0)], "op string, imn string, m double")
+    with pytest.raises(ValueError, match="reserved"):
+        collapse_extrema_changes(df, ["imn"], "m")

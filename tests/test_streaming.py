@@ -3173,3 +3173,75 @@ def test_topk_delta_stream_bad_composition_raises(spark):
             apply_topk_delta(
                 view, net, after, ["g"], "id", "m", k=2, buffer_k=4
             ).collect()
+
+
+def test_topk_delta_stream_all_pair_chains(spark):
+    """Balanced chains made entirely of intra-epoch pairs resolve by
+    value consistency (r12 review finding: self-cancelling churn across
+    epochs was mis-composed into a mismatched update pair): linked pairs
+    compose to an update chain, self-cancelling pairs net nothing, and a
+    chain that is neither fails loudly."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        build_topk_buffer,
+        topk_from_buffer,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_topk_delta_state,
+        topk_delta_stream,
+    )
+
+    rows = "g string, id long, m double"
+    chg = "op string, g string, id long, m double"
+    base = [("a", 0, 5.0), ("a", 1, 4.0)]
+    view = build_topk_buffer(spark.createDataFrame(base, rows), ["g"], "id", "m", 4)
+
+    # self-cancelling churn on a NEW id (the review's exact case): each
+    # epoch adds then removes id 9 -> net nothing
+    d1 = os.path.join(TMP, "topk_pairs_selfeq")
+    shutil.rmtree(d1, ignore_errors=True)
+    sink = topk_delta_stream(d1, ["g"], "id", "m")
+    sink(spark.createDataFrame([("I", "a", 9, 5.0), ("D", "a", 9, 5.0)], chg), 0)
+    sink(spark.createDataFrame([("I", "a", 9, 7.0), ("D", "a", 9, 7.0)], chg), 1)
+    net = read_topk_delta_state(spark, d1, ["g"], "id", "m")
+    assert net.count() == 0
+    after = spark.createDataFrame(base, rows)
+    out = apply_topk_delta(view, net, after, ["g"], "id", "m", k=2, buffer_k=4)
+    got = {(r["g"], r["rn"]): (r["id"], r["m"])
+           for r in topk_from_buffer(out, ["g"], "id", "m", 2).collect()}
+    assert got == {("a", 1): (0, 5.0), ("a", 2): (1, 4.0)}
+
+    # linked update chain on an EXISTING id: e0 updates 0: 5.0->6.0,
+    # e1 updates 6.0->8.0 -> net D(5.0)/I(8.0)
+    d2 = os.path.join(TMP, "topk_pairs_linked")
+    shutil.rmtree(d2, ignore_errors=True)
+    sink = topk_delta_stream(d2, ["g"], "id", "m")
+    sink(spark.createDataFrame([("D", "a", 0, 5.0), ("I", "a", 0, 6.0)], chg), 0)
+    sink(spark.createDataFrame([("D", "a", 0, 6.0), ("I", "a", 0, 8.0)], chg), 1)
+    net2 = read_topk_delta_state(spark, d2, ["g"], "id", "m")
+    after2 = spark.createDataFrame([("a", 0, 8.0), ("a", 1, 4.0)], rows)
+    out2 = apply_topk_delta(view, net2, after2, ["g"], "id", "m", k=2, buffer_k=4)
+    got2 = {(r["g"], r["rn"]): (r["id"], r["m"])
+            for r in topk_from_buffer(out2, ["g"], "id", "m", 2).collect()}
+    assert got2 == {("a", 1): (0, 8.0), ("a", 2): (1, 4.0)}
+
+    # neither linked nor self-cancelling: no consistent reading -> X
+    d3 = os.path.join(TMP, "topk_pairs_bad")
+    shutil.rmtree(d3, ignore_errors=True)
+    sink = topk_delta_stream(d3, ["g"], "id", "m")
+    sink(spark.createDataFrame([("D", "a", 0, 5.0), ("I", "a", 0, 6.0)], chg), 0)
+    sink(spark.createDataFrame([("D", "a", 0, 9.9), ("I", "a", 0, 8.0)], chg), 1)
+    net3 = read_topk_delta_state(spark, d3, ["g"], "id", "m")
+    with pytest.raises(Exception, match="unknown op"):
+        apply_topk_delta(
+            view, net3, after2, ["g"], "id", "m", k=2, buffer_k=4
+        ).collect()
+
+
+def test_topk_delta_stream_reserved_name_collision_raises(spark):
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import topk_delta_stream
+
+    with pytest.raises(ValueError, match="reserved"):
+        topk_delta_stream("/tmp/x", ["ni"], "id", "m")
+    with pytest.raises(ValueError, match="reserved"):
+        topk_delta_stream("/tmp/x", ["g"], "dm", "m")
