@@ -8874,11 +8874,12 @@ _DRIVER_WINDOW = [
     # r12 ROTATION.  Evidence ledger after r11: 50 entries newest-green
     # @ r11, 50 @ r10, 50 @ r9, 18 @ r7, zero never-checked.  This
     # window = the 18 r7-stale entries the r11 ledger queued (the r11
-    # verdict's Next-round #1 directive, verbatim) + the r12 additions
-    # as they land (tombstone/purge fold twins, the index-rebuild twin,
-    # the top-k IVM entry — each slotted here the commit it is
-    # registered, displacing an r9 filler) + r9 fillers at the cutoff.
-    # The guard's cutoff with 168 entries lands at r9: everything < r9
+    # verdict's Next-round #1 directive, verbatim) + the 10 r12
+    # additions (all landed: 4 tombstone/purge twins, 3 drift-rebuild
+    # twins, the batch top-k IVM entry, and the extrema/top-k IVM
+    # stream-sink twins — each slotted the commit it was registered,
+    # displacing an r9 filler) + 22 r9 fillers at the cutoff.
+    # The guard's cutoff with 178 entries lands at r9: everything < r9
     # must front, r9 entries fill the rest in any order.
     # r7-stale (all 18 — nothing older remains after this round):
     "user_event_arrays",
