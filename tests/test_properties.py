@@ -859,3 +859,146 @@ def test_agg_ivm_matches_recompute(spark, base, data):
         exp[g] = (n + 1, s + m)  # exact integer tenths
     exp = {g: (n, s / 10.0) for g, (n, s) in exp.items() if n > 0}
     assert got == exp
+
+
+# --- top-k IVM: random consistent CDC histories == full recompute --------
+
+# a history: per step, (group, id, new_value_or_None). None = delete if
+# present; a value = insert if absent / update (D/I pair) if present.
+_topk_steps = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # group
+        st.integers(min_value=0, max_value=14),       # id
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    ),
+    min_size=0,
+    max_size=30,
+)
+_topk_base = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _topk_history(base, steps, n_epochs=3):
+    """Turn random steps into a CONSISTENT changelog (insert only when
+    absent, delete/update only when present; at most one event chain per
+    id per epoch by assigning each step to an epoch round-robin and
+    dropping steps that would double-touch an id in its epoch)."""
+    state = {(g, i): float(v) for g, i, v in base}
+    epochs = [[] for _ in range(n_epochs)]
+    touched = [set() for _ in range(n_epochs)]
+    for n, (g, i, v) in enumerate(steps):
+        e = n % n_epochs
+        if (g, i) in touched[e]:
+            continue
+        touched[e].add((g, i))
+        if v is None:
+            if (g, i) in state:  # delete
+                epochs[e].append(("D", g, i, state.pop((g, i))))
+        elif (g, i) in state:    # update -> D/I pair in one epoch
+            epochs[e].append(("D", g, i, state[(g, i)]))
+            epochs[e].append(("I", g, i, float(v)))
+            state[(g, i)] = float(v)
+        else:                    # insert
+            epochs[e].append(("I", g, i, float(v)))
+            state[(g, i)] = float(v)
+    return epochs, state
+
+
+@given(base=_topk_base, steps=_topk_steps, k=st.integers(min_value=1, max_value=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_topk_ivm_random_history_matches_recompute(spark, base, steps, k):
+    """apply_topk_delta over a random consistent multi-epoch CDC history —
+    applied BOTH sequentially per epoch and via the stream sink's
+    composed fold — equals the from-scratch top-k of the final state."""
+    import os
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        build_topk_buffer,
+        topk_from_buffer,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_topk_delta_state,
+        topk_delta_stream,
+    )
+
+    buffer_k = k + 2
+    schema_r = "g int, id int, m double"
+    schema_c = "op string, g int, id int, m double"
+    epochs, final = _topk_history(base, steps)
+    base_rows = [(g, i, float(v)) for g, i, v in base]
+    final_rows = [(g, i, v) for (g, i), v in final.items()]
+    bdf = spark.createDataFrame(base_rows, schema_r) if base_rows else \
+        spark.createDataFrame([], schema_r)
+    fdf = spark.createDataFrame(final_rows, schema_r) if final_rows else \
+        spark.createDataFrame([], schema_r)
+    exp = {
+        (r["g"], r["rn"]): (r["id"], r["m"])
+        for r in topk_from_buffer(
+            build_topk_buffer(fdf, ["g"], "id", "m", buffer_k),
+            ["g"], "id", "m", k,
+        ).collect()
+    }
+
+    # sequential per-epoch application (each epoch respects the batch
+    # contract: at most one I and one D per id)
+    view = build_topk_buffer(bdf, ["g"], "id", "m", buffer_k)
+    running = dict((k2, v) for k2, v in
+                   {(g, i): float(v) for g, i, v in base}.items())
+    for ev in epochs:
+        for op, g, i, v in ev:
+            if op == "I":
+                running[(g, i)] = v
+            else:
+                running.pop((g, i), None)
+        mid_rows = [(g, i, v) for (g, i), v in running.items()]
+        mid = spark.createDataFrame(mid_rows, schema_r) if mid_rows else \
+            spark.createDataFrame([], schema_r)
+        ch = spark.createDataFrame(
+            [(op, g, i, v) for op, g, i, v in ev], schema_c
+        ) if ev else spark.createDataFrame([], schema_c)
+        view = apply_topk_delta(
+            view, ch, mid, ["g"], "id", "m", k=k, buffer_k=buffer_k
+        )
+        # materialize between epochs: a real pipeline stores the buffer
+        view = spark.createDataFrame(view.collect(), view.schema)
+    got_seq = {
+        (r["g"], r["rn"]): (r["id"], r["m"])
+        for r in topk_from_buffer(view, ["g"], "id", "m", k).collect()
+    }
+    assert got_seq == exp
+
+    # stream-composed application (all epochs folded through the sink)
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "topk_prop_state",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    sink = topk_delta_stream(tmp, ["g"], "id", "m")
+    wrote = False
+    for e, ev in enumerate(epochs):
+        if ev:
+            sink(spark.createDataFrame(ev, schema_c), e)
+            wrote = True
+    if wrote:
+        net = read_topk_delta_state(spark, tmp, ["g"], "id", "m")
+        view0 = build_topk_buffer(bdf, ["g"], "id", "m", buffer_k)
+        out = apply_topk_delta(
+            view0, net, fdf, ["g"], "id", "m", k=k, buffer_k=buffer_k
+        )
+        got_stream = {
+            (r["g"], r["rn"]): (r["id"], r["m"])
+            for r in topk_from_buffer(out, ["g"], "id", "m", k).collect()
+        }
+        assert got_stream == exp
