@@ -251,8 +251,12 @@ def apply_extrema_delta(
       restricted by a semi-join on the dirty keys. Deleting a group's
       LAST row necessarily touches both extrema, so group death falls out
       of the recompute returning no rows: no count column needed.
-    * A delete for a group the view never contained fails loudly in-plan
-      (the ``apply_agg_delta`` guard contract).
+    * A group BORN inside the changelog whose own inserts are partially
+      retracted (view-absent, deletes AND inserts) re-aggregates from
+      ``base_after`` like any dirty group — the collapsed min/max cannot
+      settle it in place. A delete for a view-absent group with NO
+      inserts to account for it fails loudly in-plan (the
+      ``apply_agg_delta`` guard contract).
 
     Cost: O(|delta|) for the clean path + O(base rows of dirty groups)
     for the recompute — at 100 TB a day's deletes touch the extrema of
@@ -299,15 +303,27 @@ def apply_extrema_delta(
         chg, _key_eq(len(kcols), "__vk_", "__ck_", null_safe_keys), "full_outer"
     )
     has_del = F.col("__dmn").isNotNull()
+    # a view-absent group with deletes AND inserts is a group BORN inside
+    # the changelog whose own inserts are (partially) retracted — a
+    # consistent history the collapsed min/max cannot settle in place, so
+    # it re-aggregates from the post-change snapshot like any other dirty
+    # group (deletes with NO inserts to account for them remain a loud
+    # changelog/view disagreement)
     dirty = F.coalesce(
-        F.col("__vp")
-        & has_del
-        & ((F.col("__dmn") <= F.col("__vmn")) | (F.col("__dmx") >= F.col("__vmx"))),
+        (
+            F.col("__vp")
+            & has_del
+            & (
+                (F.col("__dmn") <= F.col("__vmn"))
+                | (F.col("__dmx") >= F.col("__vmx"))
+            )
+        )
+        | (F.col("__vp").isNull() & has_del & F.col("__imn").isNotNull()),
         F.lit(False),
     )
     # clean path: in-place least/greatest merge (F.least/greatest skip
     # NULLs, so insert-only new groups and no-insert old groups both work)
-    bad = (has_del & F.col("__vp").isNull()) | (
+    bad = (has_del & F.col("__vp").isNull() & F.col("__imn").isNull()) | (
         F.coalesce(F.col("__nbad"), F.lit(0)) > 0
     )
     new_mn = F.coalesce(
@@ -339,11 +355,14 @@ def apply_extrema_delta(
                 "changelog of a recomputed group"
             ),
         ).cast(view.schema[kcols[0]].dataType),
-        F.col("__vk_0"),
+        F.coalesce(F.col("__vk_0"), F.col("__ck_0")),
     )
     dirty_keys = merged.where(dirty).select(
         dirty_guard.alias("__rk_0"),
-        *[F.col(f"__vk_{i}").alias(f"__rk_{i}") for i in range(1, len(kcols))],
+        *[
+            F.coalesce(F.col(f"__vk_{i}"), F.col(f"__ck_{i}")).alias(f"__rk_{i}")
+            for i in range(1, len(kcols))
+        ],
     )
     if gate_df is None:
         gate_df = chg0.select(*[qcol(k) for k in kcols])

@@ -1002,3 +1002,69 @@ def test_topk_ivm_random_history_matches_recompute(spark, base, steps, k):
             for r in topk_from_buffer(out, ["g"], "id", "m", k).collect()
         }
         assert got_stream == exp
+
+
+@given(base=_topk_base, steps=_topk_steps)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_extrema_ivm_random_history_matches_recompute(spark, base, steps):
+    """apply_extrema_delta over the same random consistent CDC histories
+    — one-shot over the concatenated changelog AND through the stream
+    sink's mergeable epoch fold — equals the from-scratch MIN/MAX of the
+    final state."""
+    import os
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_extrema_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        extrema_delta_stream,
+        read_extrema_delta_state,
+    )
+
+    schema_r = "g int, id int, m double"
+    schema_c = "op string, g int, id int, m double"
+    epochs, final = _topk_history(base, steps)
+    base_rows = [(g, i, float(v)) for g, i, v in base]
+    final_rows = [(g, i, v) for (g, i), v in final.items()]
+    bdf = spark.createDataFrame(base_rows, schema_r) if base_rows else \
+        spark.createDataFrame([], schema_r)
+    fdf = spark.createDataFrame(final_rows, schema_r) if final_rows else \
+        spark.createDataFrame([], schema_r)
+    view = bdf.groupBy("g").agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    exp = {
+        r["g"]: (r["mn"], r["mx"])
+        for r in fdf.groupBy("g")
+        .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .collect()
+    }
+
+    flat = [ev for es in epochs for ev in es]
+    ch = spark.createDataFrame(flat, schema_c) if flat else \
+        spark.createDataFrame([], schema_c)
+    got = {
+        r["g"]: (r["mn"], r["mx"])
+        for r in apply_extrema_delta(view, ch.drop("id"), fdf, ["g"], "m").collect()
+    }
+    assert got == exp
+
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "extrema_prop_state",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    sink = extrema_delta_stream(tmp, ["g"], "m")
+    wrote = False
+    for e, ev in enumerate(epochs):
+        if ev:
+            sink(spark.createDataFrame(ev, schema_c).drop("id"), e)
+            wrote = True
+    if wrote:
+        folded = read_extrema_delta_state(spark, tmp, ["g"])
+        got2 = {
+            r["g"]: (r["mn"], r["mx"])
+            for r in apply_extrema_delta(
+                view, folded, fdf, ["g"], "m", collapsed=True
+            ).collect()
+        }
+        assert got2 == exp
