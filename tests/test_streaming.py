@@ -1787,7 +1787,9 @@ def test_recovery_refuses_to_destroy_post_crash_epochs(spark):
         assert os.path.isdir(f"{state_dir}/{p}"), p
 
     # deliberate resolution (move the newer epoch aside) unblocks recovery
-    os.rename(f"{state_dir}/epoch=2", os.path.join(TMP, "cms_newer_epoch_aside"))
+    aside = os.path.join(TMP, "cms_newer_epoch_aside")
+    shutil.rmtree(aside, ignore_errors=True)  # leftover from a prior run
+    os.rename(f"{state_dir}/epoch=2", aside)
     assert recover_epoch_state(state_dir) is True
     assert os.path.isdir(f"{state_dir}/epoch=1")
     total = read_cms_sketch(spark, state_dir).agg(F.sum("cell_count")).collect()[0][0]
