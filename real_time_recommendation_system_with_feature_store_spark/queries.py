@@ -7297,9 +7297,7 @@ def _fold_state_dir(name: str, sf_dir: str) -> str:
     return d
 
 
-@query(
-    "decayed_counts_fold",
-    oracle="""
+_DECAYED_FOLD_ORACLE = """
     WITH w AS (
       SELECT user_id AS key,
         POW(2.0, (epoch(date_trunc('day', ts))
@@ -7308,7 +7306,12 @@ def _fold_state_dir(name: str, sf_dir: str) -> str:
     )
     SELECT key, ROUND(SUM(w) * POW(2.0, -30.0), 6) AS decayed_count
     FROM w GROUP BY key
-    """,
+    """
+
+
+@query(
+    "decayed_counts_fold",
+    oracle=_DECAYED_FOLD_ORACLE,
     doc="Streaming decayed-count sink driven in-query: events sliced into "
         "3 micro-batches by user_id mod 3 through decayed_count_stream's "
         "exponential-numeraire fold, read back with read_decayed_counts at "
@@ -7343,6 +7346,115 @@ def decayed_counts_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_life="1 days", anchor="2024-01-01 00:00:00",
     )
     return out.select("key", F.round(F.col("decayed_count"), 6).alias("decayed_count"))
+
+
+@query(
+    "decayed_rebase_fold",
+    # anchor choice is internal numeraire bookkeeping: the decayed count
+    # at the same as-of instant is anchor-invariant, and with
+    # day-truncated timestamps + a whole-day anchor move every weight and
+    # the rescale factor are exact powers of two — so the SAME oracle as
+    # decayed_counts_fold certifies the rebased state bit-for-bit
+    oracle=_DECAYED_FOLD_ORACLE,
+    doc="Decayed-count anchor re-base driven in-query — the documented "
+        "~1023-half-life numeraire-overflow escape hatch "
+        "(rebase_decayed_counts) under the driver's hash gate: two "
+        "micro-batches land under the 2024-01-01 anchor, the state is "
+        "re-based to a 2024-01-17 anchor (16 half-lives -> the rescale "
+        "is exactly 2^-16; the rewrite runs through the crash-safe "
+        "compact_epoch_state), a THIRD batch lands through a sink "
+        "constructed with the NEW anchor, and read_decayed_counts folds "
+        "old-rebased + new epochs under that anchor. The oracle is the "
+        "one-shot decayed sum — anchor-invariant and bit-exact by the "
+        "power-of-two construction — so the driver hash certifies "
+        "rebase == never-rebased. Scale: the re-base is one O(keys) "
+        "fold + scalar multiply + compaction, never the raw stream "
+        "(streaming/pipeline.py::rebase_decayed_counts).",
+)
+def decayed_rebase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        decayed_count_stream,
+        read_decayed_counts,
+        rebase_decayed_counts,
+    )
+
+    state_dir = _fold_state_dir("decayed_rebase_fold", sf_dir)
+    a0, a1 = "2024-01-01 00:00:00", "2024-01-17 00:00:00"
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    )
+    old_sink = decayed_count_stream(
+        state_dir, "user_id", "day_ts", half_life="1 days", anchor=a0
+    )
+    for i in range(2):
+        old_sink(ev.where(F.col("user_id") % 3 == i), i)
+    rebase_decayed_counts(spark, state_dir, a0, a1, half_life="1 days")
+    new_sink = decayed_count_stream(
+        state_dir, "user_id", "day_ts", half_life="1 days", anchor=a1
+    )
+    new_sink(ev.where(F.col("user_id") % 3 == 2), 2)
+    out = read_decayed_counts(
+        spark, state_dir, at_ts="2024-01-31 00:00:00",
+        half_life="1 days", anchor=a1,
+    )
+    return out.select("key", F.round(F.col("decayed_count"), 6).alias("decayed_count"))
+
+
+@query(
+    "compact_recovery_fold",
+    # the cms_sketch_fold oracle verbatim: a correctly recovered
+    # compaction is INVISIBLE to the fold, so the batch sketch replay
+    # certifies the whole crash-recovery protocol by hash
+    oracle=_CMS_HH_ORACLE,
+    doc="Crash-recovery of an interrupted compaction driven in-query: "
+        "three CMS epochs land via cms_sketch_stream, the compaction's "
+        "fold is FULLY staged and renamed to .compact.ready.epoch=2 — "
+        "exactly the state a crash between the ready-rename and the "
+        "epoch deletions leaves — and recover_epoch_state finishes it "
+        "(epochs deleted, ready dir renamed into place) before a FOURTH "
+        "batch lands and the top-20 exact heavy hitters probe the folded "
+        "sketch. The oracle is the batch md5-portable sketch replay "
+        "(cms_heavy_hitters' shape), so the driver hash certifies that "
+        "recovery is lossless and invisible to every downstream fold. "
+        "Scale: recovery is O(1) directory ops over an O(depth*width) "
+        "staged fold (streaming/pipeline.py::recover_epoch_state).",
+)
+def compact_recovery_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import cms_estimate
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cms_sketch_stream,
+        read_cms_sketch,
+        recover_epoch_state,
+    )
+
+    state_dir = _fold_state_dir("compact_recovery_fold", sf_dir)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("item_id", _item(F.col("props")))
+        .where(F.col("item_id").isNotNull())
+        .select("item_id", F.col("item_id").cast("string").alias("item_key"), "event_id")
+    )
+    sink = cms_sketch_stream(state_dir, "item_key", depth=4, width=64)
+    for i in range(3):
+        sink(ev.where(F.col("event_id") % 4 == i), i)
+    # stage the compaction fold COMPLETELY, then "crash" before the
+    # finish: the ready dir (target id in the name) is exactly what
+    # compact_epoch_state leaves when the crash hits after its rename
+    read_cms_sketch(spark, state_dir).write.mode("overwrite").parquet(
+        f"{state_dir}/.compact.tmp"
+    )
+    _os.rename(f"{state_dir}/.compact.tmp", f"{state_dir}/.compact.ready.epoch=2")
+    assert recover_epoch_state(state_dir) is True
+    sink(ev.where(F.col("event_id") % 4 == 3), 3)
+    sketch = read_cms_sketch(spark, state_dir)
+    exact = ev.groupBy("item_id").agg(F.count("*").alias("exact_count"))
+    top = global_topn(exact, [F.col("exact_count").desc(), F.col("item_id").asc()], 20)
+    return cms_estimate(
+        top, sketch, F.col("item_id").cast("string"), depth=4, width=64
+    ).select("item_id", "exact_count", "est_count")
 
 
 @query(
@@ -8874,13 +8986,15 @@ _DRIVER_WINDOW = [
     # r12 ROTATION.  Evidence ledger after r11: 50 entries newest-green
     # @ r11, 50 @ r10, 50 @ r9, 18 @ r7, zero never-checked.  This
     # window = the 18 r7-stale entries the r11 ledger queued (the r11
-    # verdict's Next-round #1 directive, verbatim) + the 10 r12
+    # verdict's Next-round #1 directive, verbatim) + the 12 r12
     # additions (all landed: 4 tombstone/purge twins, 3 drift-rebuild
-    # twins, the batch top-k IVM entry, and the extrema/top-k IVM
-    # stream-sink twins — each slotted the commit it was registered,
-    # displacing an r9 filler) + 22 r9 fillers at the cutoff.
-    # The guard's cutoff with 178 entries lands at r9: everything < r9
-    # must front, r9 entries fill the rest in any order.
+    # twins, the batch top-k IVM entry, the extrema/top-k IVM
+    # stream-sink twins, the decayed anchor-rebase twin, and the
+    # compaction crash-recovery twin — each slotted the commit it was
+    # registered, displacing an r9 filler) + 20 r9 fillers at the
+    # cutoff.  The guard's cutoff with 180 entries lands at r9:
+    # everything < r9 must front, r9 entries fill the rest in any
+    # order.
     # r7-stale (all 18 — nothing older remains after this round):
     "user_event_arrays",
     "value_percentiles",
@@ -8921,13 +9035,13 @@ _DRIVER_WINDOW = [
     "item_trending_scores",
     "ivf_ann_topk",
     "kcore_events",
-    "late_ship_priority_counts",
-    "minhash_dedup_candidates",
     # new r12 entries (never driver-checked — must front per the guard);
     # each displaced one r9 filler (nfc_normalized_docs -> rollup_topk_
     # priority_orders, nation_pair_trade_volume -> pq_rebuild_fold,
     # nations_with_presence -> semantic_rebuild_fold, nation_market_share
-    # -> extrema_state_fold, multimodal_embed_topk -> topk_state_fold):
+    # -> extrema_state_fold, multimodal_embed_topk -> topk_state_fold,
+    # late_ship_priority_counts -> decayed_rebase_fold,
+    # minhash_dedup_candidates -> compact_recovery_fold):
     "bm25_tombstone_fold",
     "ivf_tombstone_fold",
     "ivf_purge_fold",
@@ -8938,6 +9052,8 @@ _DRIVER_WINDOW = [
     "semantic_rebuild_fold",
     "extrema_state_fold",
     "topk_state_fold",
+    "decayed_rebase_fold",
+    "compact_recovery_fold",
 ]
 
 def _reorder_registry() -> None:
