@@ -889,13 +889,16 @@ _topk_base = st.lists(
 def _topk_history(base, steps, n_epochs=3):
     """Turn random steps into a CONSISTENT changelog (insert only when
     absent, delete/update only when present; at most one event chain per
-    id per epoch by assigning each step to an epoch round-robin and
-    dropping steps that would double-touch an id in its epoch)."""
+    id per epoch by dropping steps that would double-touch an id in its
+    epoch). Epoch assignment must be MONOTONE in step order — contiguous
+    chunks, not round-robin — or a later step's event lands in an
+    earlier epoch and the changelog loses causality (an early hypothesis
+    run falsified exactly that: a delete composed before its insert)."""
     state = {(g, i): float(v) for g, i, v in base}
     epochs = [[] for _ in range(n_epochs)]
     touched = [set() for _ in range(n_epochs)]
     for n, (g, i, v) in enumerate(steps):
-        e = n % n_epochs
+        e = (n * n_epochs) // max(len(steps), 1)
         if (g, i) in touched[e]:
             continue
         touched[e].add((g, i))
