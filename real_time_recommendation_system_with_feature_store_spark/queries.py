@@ -7273,6 +7273,19 @@ def _fold_state_dir(name: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    def _alive(pid: int) -> bool:
+        # signal-0 probe, not /proc (which silently reports every pid
+        # dead on proc-less platforms — reaping a LIVE sibling would
+        # reintroduce the concurrent-wipe race the pid scoping prevents);
+        # anything other than a definite not-found counts as alive
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except OSError:
+            return True
+
     root = os.path.join(tempfile.gettempdir(), "rtrs_fold_state")
     try:
         for sib in os.listdir(root):
@@ -7281,10 +7294,10 @@ def _fold_state_dir(name: str, sf_dir: str) -> str:
                 sib.startswith("pid")
                 and pid.isdigit()
                 and int(pid) != os.getpid()
-                and not os.path.exists(f"/proc/{pid}")
+                and not _alive(int(pid))
             ):
                 shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
-    except OSError:  # root missing / proc-less platform: skip the reap
+    except OSError:  # root missing: nothing to reap
         pass
     d = os.path.join(
         root,
@@ -7447,7 +7460,12 @@ def compact_recovery_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{state_dir}/.compact.tmp"
     )
     _os.rename(f"{state_dir}/.compact.tmp", f"{state_dir}/.compact.ready.epoch=2")
-    assert recover_epoch_state(state_dir) is True
+    # NOT an assert statement: python -O would strip it and silently stop
+    # exercising the recovery path this entry exists to certify
+    if recover_epoch_state(state_dir) is not True:
+        raise RuntimeError(
+            "compact_recovery_fold: staged recovery unexpectedly a no-op"
+        )
     sink(ev.where(F.col("event_id") % 4 == 3), 3)
     sketch = read_cms_sketch(spark, state_dir)
     exact = ev.groupBy("item_id").agg(F.count("*").alias("exact_count"))

@@ -1790,7 +1790,14 @@ def read_topk_delta_state(
       commutative fold extends).
 
     Like every fold here it is one scan + one aggregation, bounded by
-    the touched ids."""
+    the touched ids — with one honest caveat: the pair-chain validation
+    collects one (epoch, d, i) struct per PAIR epoch per id, so an id
+    updated via D/I pairs in many epochs carries per-id state
+    proportional to those epochs (concentrated on exactly the hottest
+    ids). The bound is epochs-since-last-maintenance: apply the net
+    changelog to the view and truncate the state directory at
+    maintenance points (the view IS the compaction of this state), and
+    the chain length resets."""
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
 
     slots = spark.read.parquet(state_dir)
