@@ -758,3 +758,253 @@ def _view_key_eq_named(
         eq = lc.eqNullSafe(rc) if null_safe else (lc == rc)
         cond = eq if cond is None else (cond & eq)
     return cond
+
+
+def build_distinct_support(
+    base: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    support_col: str = "supp",
+) -> DataFrame:
+    """Materialize the (group, value) SUPPORT-COUNT side table that
+    ``apply_distinct_delta`` maintains — the classic auxiliary view that
+    makes COUNT(DISTINCT value) maintainable under deletes (a distinct
+    count alone cannot retract: deleting one occurrence of a value only
+    decrements the distinct count when it was the LAST occurrence, which
+    requires knowing the per-value multiplicity).
+
+    One row per (group, value) with ``supp`` = how many base rows carry
+    that value — strictly positive by construction. NULL values are
+    excluded: COUNT(DISTINCT x) ignores NULLs in Spark, DuckDB, and the
+    standard, so the support table never tracks them (the changelog side
+    drops them symmetrically in ``collapse_distinct_changes``).
+
+    Size shape: |support| = Σ per-group distinct values — bounded by the
+    base but typically orders of magnitude smaller (it IS the thing the
+    distinct count measures); one groupBy shuffle on (keys, value)."""
+    _check_distinct_names(keys, value_col, support_col)
+    return (
+        base.where(qcol(value_col).isNotNull())
+        .groupBy(*[qcol(k) for k in keys], qcol(value_col))
+        .agg(F.count(F.lit(1)).alias(support_col))
+    )
+
+
+def distinct_from_support(
+    support: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str = "nd",
+) -> DataFrame:
+    """Answer COUNT(DISTINCT value) per group from a support table — every
+    support row is one live (group, value) pair, so the distinct count is
+    a plain row count. Used to bootstrap the view and by tests to
+    cross-check view/support consistency; the incremental path never
+    calls this (it adjusts the view by births - deaths instead)."""
+    return support.groupBy(*[qcol(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias(distinct_col)
+    )
+
+
+def collapse_distinct_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a D/I changelog into per-(group, value) support deltas
+    ``(keys…, value, dsupp)`` for ``apply_distinct_delta``: +1 per
+    insert, -1 per delete, summed. ``dsupp`` is a plain integer sum, so
+    partial collapses MERGE across micro-batches exactly like
+    ``agg_delta``'s sums (+ and - commute; an update's D/I halves may
+    straddle epochs) — the streaming sink (``distinct_delta_stream``)
+    writes one of these per epoch and the read-side fold equals the
+    one-batch collapse bit-for-bit.
+
+    NULL values are dropped BEFORE collapsing — COUNT(DISTINCT x)
+    ignores NULLs, so an insert or delete of a NULL value is a no-op on
+    the view by definition (symmetric with ``build_distinct_support``).
+    Unknown ops fail loudly in-plan (the ``agg_delta`` sign contract).
+    ``dsupp`` is a RESERVED name: a key or value column named that would
+    collide with the delta alias — fail up front."""
+    _check_distinct_names(keys, value_col, "dsupp")
+    op = qcol(op_col)
+    sign = (
+        F.when(op == "I", F.lit(1))
+        .when(op == "D", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("collapse_distinct_changes: unknown op "),
+                    op.cast("string"),
+                )
+            ).cast("int")
+        )
+    )
+    return (
+        changes.where(qcol(value_col).isNotNull())
+        .groupBy(*[qcol(k) for k in keys], qcol(value_col))
+        .agg(F.sum(sign).alias("dsupp"))
+    )
+
+
+def _check_distinct_names(
+    keys: Sequence[str], value_col: str, *reserved: str
+) -> None:
+    clash = sorted(set(reserved) & ({value_col} | set(keys)))
+    if clash:
+        raise ValueError(
+            f"distinct IVM: column(s) {clash} collide with reserved "
+            f"names {sorted(set(reserved))} — rename upstream"
+        )
+
+
+def apply_distinct_delta(
+    view: DataFrame,
+    support: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    op_col: str = "op",
+    distinct_col: str = "nd",
+    support_col: str = "supp",
+    null_safe_keys: bool = True,
+    collapsed: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain a per-group COUNT(DISTINCT value) rollup under a D/I
+    changelog — the aggregate the module docstring's scope boundary
+    leaves between sums (self-maintainable) and extrema (dirty-group):
+    distinct counts need no base access at all, but they DO need the
+    (group, value) support-count side table (``build_distinct_support``)
+    — a sketch register (HLL) cannot retract, and the distinct count
+    alone cannot tell "deleted one of three occurrences" from "deleted
+    the last one".
+
+    The delta rule (support-counting, the textbook one):
+
+    * collapse the changelog to per-(group, value) ``dsupp`` sums;
+    * full-outer merge onto the support table: ``supp_new = supp_old +
+      dsupp``. A value is BORN when it had no support row (or never
+      existed) and ``supp_new > 0``; it DIES when ``supp_old > 0`` and
+      ``supp_new = 0``. Negative ``supp_new`` means the changelog
+      retracts occurrences the base never had — loud in-plan failure
+      (the ``apply_agg_delta`` guard contract);
+    * the view adjusts by ``births - deaths`` per group: groups whose
+      distinct count reaches zero disappear, new groups appear; a
+      view/support mismatch (count would go negative) fails loudly.
+
+    Returns ``(new_view, new_support)`` — BOTH materializations advance
+    together; persisting one without the other corrupts the next step.
+
+    Cost shape: O(|delta|) — one (keys, value) shuffle to collapse, one
+    merge touching only changed (group, value) pairs, one (keys)
+    aggregation of those pairs, one view merge touching only changed
+    groups. The base is NEVER read. Store the support table bucketed by
+    (keys…, value) and the view bucketed by (keys…) — then neither merge
+    shuffles its materialized side (the ``apply_agg_delta`` layout
+    contract; same ``null_safe_keys`` trap: the null-safe default pairs
+    NULL group keys but compiles to composite join keys that DEFEAT
+    bucketing — pass False when keys are non-null by contract).
+
+    ``collapsed=True`` accepts ``changes`` already in
+    ``collapse_distinct_changes``' (keys…, value, dsupp) form — the
+    streaming path (``read_distinct_delta_state``'s epoch fold).
+
+    Reference tie: the reference's ``n_unique`` rolling features
+    (src/features/feature_engineering.py:206-207,257 — unique items per
+    user, unique sessions) recompute from scratch per refresh; this is
+    that computation's incremental form under CDC.
+    """
+    _check_distinct_names(keys, value_col, "dsupp", support_col, distinct_col)
+    kcols = list(keys)
+    chg = changes if collapsed else collapse_distinct_changes(
+        changes, kcols, value_col, op_col
+    )
+    c = chg.select(
+        *[qcol(k).alias(f"__ck_{i}") for i, k in enumerate(kcols)],
+        qcol(value_col).alias("__cv"),
+        F.col("dsupp").cast("long").alias("__dsupp"),
+    )
+    s = support.select(
+        *[qcol(k).alias(f"__sk_{i}") for i, k in enumerate(kcols)],
+        qcol(value_col).alias("__sv"),
+        qcol(support_col).cast("long").alias("__supp"),
+    )
+    # (keys, value) is the join key of the support merge; the value column
+    # is non-null on both sides by construction, so only the group keys
+    # follow the null_safe contract
+    cond = _key_eq(len(kcols), "__sk_", "__ck_", null_safe_keys) & (
+        F.col("__sv").eqNullSafe(F.col("__cv"))
+        if null_safe_keys
+        else (F.col("__sv") == F.col("__cv"))
+    )
+    merged = s.join(c, cond, "full_outer")
+    supp_new_raw = F.coalesce(F.col("__supp"), F.lit(0)) + F.coalesce(
+        F.col("__dsupp"), F.lit(0)
+    )
+    supp_new = F.coalesce(
+        F.assert_true(
+            supp_new_raw >= 0,
+            F.lit(
+                "apply_distinct_delta: support went negative — the "
+                "changelog retracts occurrences the base never contained"
+            ),
+        ).cast("long"),
+        supp_new_raw,
+    )
+    merged = merged.select(
+        *[
+            F.coalesce(F.col(f"__sk_{i}"), F.col(f"__ck_{i}")).alias(f"__k_{i}")
+            for i in range(len(kcols))
+        ],
+        F.coalesce(F.col("__sv"), F.col("__cv")).alias("__v"),
+        F.col("__supp").isNotNull().alias("__had"),
+        supp_new.alias("__supp_new"),
+    )
+    new_support = merged.where(F.col("__supp_new") > 0).select(
+        *[F.col(f"__k_{i}").alias(k) for i, k in enumerate(kcols)],
+        F.col("__v").alias(value_col),
+        F.col("__supp_new").alias(support_col),
+    )
+    # births - deaths per group, over TOUCHED pairs only.  Support rows
+    # the delta never touched appear in `merged` too (full-outer) but are
+    # neither births nor deaths (had & supp_new>0) — the filter drops
+    # them before the group aggregation.
+    birth = (~F.col("__had")) & (F.col("__supp_new") > 0)
+    death = F.col("__had") & (F.col("__supp_new") == 0)
+    dnd = (
+        merged.where(birth | death)
+        .groupBy(*[F.col(f"__k_{i}") for i in range(len(kcols))])
+        .agg(
+            F.sum(
+                F.when(birth, F.lit(1)).when(death, F.lit(-1)).otherwise(F.lit(0))
+            ).alias("__dnd")
+        )
+        .where(F.col("__dnd") != 0)
+    )
+    v = view.select(
+        *[qcol(k).alias(f"__vk_{i}") for i, k in enumerate(kcols)],
+        qcol(distinct_col).cast("long").alias("__vnd"),
+    )
+    vcond = _key_eq(len(kcols), "__vk_", "__k_", null_safe_keys)
+    vm = v.join(dnd, vcond, "full_outer")
+    nd_raw = F.coalesce(F.col("__vnd"), F.lit(0)) + F.coalesce(
+        F.col("__dnd"), F.lit(0)
+    )
+    nd_new = F.coalesce(
+        F.assert_true(
+            nd_raw >= 0,
+            F.lit(
+                "apply_distinct_delta: distinct count went negative — the "
+                "view and the support table disagree (advance them together)"
+            ),
+        ).cast("long"),
+        nd_raw,
+    )
+    new_view = vm.select(
+        *[
+            F.coalesce(F.col(f"__vk_{i}"), F.col(f"__k_{i}")).alias(k)
+            for i, k in enumerate(kcols)
+        ],
+        nd_new.alias(distinct_col),
+    ).where(qcol(distinct_col) > 0)
+    return new_view, new_support

@@ -8634,6 +8634,112 @@ def extrema_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DISTINCT_ROLLUP_ORACLE = """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS nd
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' OR o_orderkey % 7 != 0
+    GROUP BY 1, 2
+    """
+
+
+def _distinct_rollup_inputs(spark: SparkSession, sf_dir: str):
+    """Shared construction of the distinct-count IVM pair (batch entry +
+    stream fold twin): per-(priority, status) COUNT(DISTINCT custkey)
+    over pre-2000 orders, maintained under post-2000 inserts plus deletes
+    of every orderkey%7 base row — deletes retract single occurrences of
+    multi-order customers (support decrements, distinct count holds) AND
+    last occurrences (support dies, distinct count drops), exercising
+    both delta-rule branches."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        build_distinct_support,
+        distinct_from_support,
+    )
+
+    split = F.lit("2000-01-01").cast("timestamp")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderdate") < split)
+    support = build_distinct_support(base, keys, "o_custkey")
+    view = distinct_from_support(support, keys)
+    doomed = base.where(F.col("o_orderkey") % 7 == 0)
+    changelog = (
+        o.where(F.col("o_orderdate") >= split)
+        .select(F.lit("I").alias("op"), *keys, "o_orderkey", "o_custkey")
+        .unionByName(
+            doomed.select(F.lit("D").alias("op"), *keys, "o_orderkey", "o_custkey")
+        )
+    )
+    return keys, view, support, changelog
+
+
+@query(
+    "rollup_distinct_custkeys",
+    oracle=_DISTINCT_ROLLUP_ORACLE,
+    doc="COUNT(DISTINCT) INCREMENTAL VIEW MAINTENANCE — the aggregate "
+        "class between sums (self-maintainable) and extrema (needs base "
+        "re-scans): distinct counts need NO base access but DO need the "
+        "(group, value) support-count side table, because an HLL "
+        "register can't retract and the count alone can't tell 'deleted "
+        "one of three occurrences' from 'deleted the last one'. "
+        "apply_distinct_delta (operators/ivm.py) merges per-(group, "
+        "value) support deltas onto the side table, counts value births "
+        "minus deaths per group, and adjusts the view — O(|delta|), the "
+        "base is never read; negative support or count fails loudly "
+        "in-plan. The oracle IS the full COUNT(DISTINCT) recompute over "
+        "the post-change snapshot, so the driver hash certifies "
+        "incremental == from-scratch. Reference tie: the n_unique "
+        "rolling features the reference recomputes per refresh "
+        "(src/features/feature_engineering.py:206-207,257).",
+)
+def rollup_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+
+    keys, view, support, changelog = _distinct_rollup_inputs(spark, sf_dir)
+    new_view, _ = apply_distinct_delta(
+        view, support, changelog, keys, "o_custkey", null_safe_keys=False
+    )
+    return new_view
+
+
+@query(
+    "distinct_state_fold",
+    oracle=_DISTINCT_ROLLUP_ORACLE,
+    doc="Streaming distinct-count-IVM sink driven in-query: the "
+        "rollup_distinct_custkeys changelog streams in as 3 "
+        "micro-batches sliced by o_orderkey mod 3 (an update's D/I "
+        "halves may straddle epochs — support deltas are plain integer "
+        "sums, so read_distinct_delta_state's fold equals the one-batch "
+        "collapse bit-for-bit) through distinct_delta_stream's "
+        "per-epoch (group, value, dsupp) contributions; "
+        "apply_distinct_delta(collapsed=True) then advances the view + "
+        "support pair with zero base access. The oracle IS the full "
+        "COUNT(DISTINCT) recompute over the post-change snapshot, so "
+        "the driver hash certifies stream-folded incremental == "
+        "from-scratch. Scale: per-epoch state is bounded by the "
+        "(group, value) pairs the epoch touched "
+        "(streaming/pipeline.py::distinct_delta_stream).",
+)
+def distinct_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        distinct_delta_stream,
+        read_distinct_delta_state,
+    )
+
+    state_dir = _fold_state_dir("distinct_state_fold", sf_dir)
+    keys, view, support, changelog = _distinct_rollup_inputs(spark, sf_dir)
+    sink = distinct_delta_stream(state_dir, keys, "o_custkey")
+    for i in range(3):
+        sink(changelog.where(F.col("o_orderkey") % 3 == i), i)
+    folded = read_distinct_delta_state(spark, state_dir, keys, "o_custkey")
+    new_view, _ = apply_distinct_delta(
+        view, support, folded, keys, "o_custkey",
+        null_safe_keys=False, collapsed=True,
+    )
+    return new_view
+
+
 _TOPK_ROLLUP_ORACLE = """
     WITH base AS (
       SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice

@@ -1703,6 +1703,58 @@ def read_extrema_delta_state(
     )
 
 
+def distinct_delta_stream(
+    state_dir: str,
+    keys: list[str],
+    value_col: str,
+    op_col: str = "op",
+):
+    """ST9 × IVM, distinct-count tier: streaming maintenance of the
+    (group, value) support-delta state from a CDC changelog stream — the
+    fourth IVM sink (sums: ``agg_delta_stream``, extrema:
+    ``extrema_delta_stream``, top-k: ``topk_delta_stream``), for the
+    aggregate class that needs a support-count side table
+    (``operators/ivm.apply_distinct_delta``; an HLL register cannot
+    retract a delete). Each micro-batch collapses its D/I rows into
+    per-(group, value) ``dsupp`` sums (``collapse_distinct_changes``)
+    under ``epoch=N``; ``read_distinct_delta_state``'s fold equals the
+    one-batch collapse bit-for-bit (plain integer sums), and
+    ``apply_distinct_delta(..., collapsed=True)`` advances the view and
+    support table with zero base access.
+
+    Replay contract: sum-fold family — a replayed epoch id overwrites
+    its own partition; + and - commute, so an update's D and I halves
+    may land in different epochs. Per-epoch state is bounded by the
+    (group, value) pairs the epoch touched; the raw changelog is never
+    rescanned."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_distinct_changes
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        collapse_distinct_changes(
+            batch_df, keys, value_col, op_col=op_col
+        ).write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_distinct_delta_state(
+    spark: SparkSession, state_dir: str, keys: list[str], value_col: str
+) -> DataFrame:
+    """Fold an epoch-partitioned distinct-delta directory into ONE
+    per-(group, value) ``dsupp`` contribution frame — feed it to
+    ``apply_distinct_delta(collapsed=True)`` against the materialized
+    view + support pair. Exactly ``collapse_distinct_changes`` of the
+    concatenated changelog (integer sums merge)."""
+    from real_time_recommendation_system_with_feature_store_spark.ident import qcol
+
+    return (
+        spark.read.parquet(state_dir)
+        .drop("epoch")
+        .groupBy(*[qcol(k) for k in keys], qcol(value_col))
+        .agg(F.sum("dsupp").alias("dsupp"))
+    )
+
+
 def topk_delta_stream(
     state_dir: str,
     keys: list[str],

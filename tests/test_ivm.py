@@ -463,3 +463,173 @@ def test_extrema_collapse_reserved_name_collision_raises(spark):
     df = spark.createDataFrame([("I", "x", 1.0)], "op string, imn string, m double")
     with pytest.raises(ValueError, match="reserved"):
         collapse_extrema_changes(df, ["imn"], "m")
+
+
+# --- distinct-count IVM (support-count side table) ------------------------
+
+
+def _dsup(spark, rows):
+    """rows: (g, v) base multiset -> (view, support) pair."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        build_distinct_support,
+        distinct_from_support,
+    )
+
+    base = spark.createDataFrame(rows, "g string, v string")
+    support = build_distinct_support(base, ["g"], "v")
+    return distinct_from_support(support, ["g"]), support
+
+
+def _dchg(spark, rows):
+    return spark.createDataFrame(rows, "op string, g string, v string")
+
+
+def test_distinct_matches_full_recompute(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+
+    # a: x twice + y once; b: z; c: w (dies); d is born
+    view, support = _dsup(
+        spark, [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"), ("c", "w")]
+    )
+    chg = _dchg(
+        spark,
+        [
+            ("D", "a", "x"),  # one of two occurrences: support 2->1, nd holds
+            ("D", "a", "y"),  # last occurrence: value death, nd drops
+            ("I", "b", "z"),  # existing value: support 1->2, nd holds
+            ("I", "b", "q"),  # value birth, nd grows
+            ("D", "c", "w"),  # group death
+            ("I", "d", "k"),  # group birth
+        ],
+    )
+    nv, ns = apply_distinct_delta(view, support, chg, ["g"], "v")
+    got = {r["g"]: r["nd"] for r in nv.collect()}
+    assert got == {"a": 1, "b": 2, "d": 1}
+    gs = {(r["g"], r["v"]): r["supp"] for r in ns.collect()}
+    assert gs == {
+        ("a", "x"): 1,
+        ("b", "z"): 2,
+        ("b", "q"): 1,
+        ("d", "k"): 1,
+    }
+
+
+def test_distinct_chained_batches_equal_one_shot(spark):
+    """Advancing (view, support) through two sequential batches equals the
+    one-batch application of the concatenated changelog — the chaining
+    contract a nightly pipeline relies on."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+
+    view, support = _dsup(spark, [("a", "x"), ("a", "y"), ("b", "z")])
+    b1 = [("D", "a", "x"), ("I", "a", "z")]
+    b2 = [("D", "a", "z"), ("I", "b", "z"), ("I", "c", "c1")]
+    v1, s1 = apply_distinct_delta(view, support, _dchg(spark, b1), ["g"], "v")
+    # materialize between batches, as a real pipeline stores both tables
+    v1 = spark.createDataFrame(v1.collect(), v1.schema)
+    s1 = spark.createDataFrame(s1.collect(), s1.schema)
+    v2, s2 = apply_distinct_delta(v1, s1, _dchg(spark, b2), ["g"], "v")
+    vo, so = apply_distinct_delta(
+        view, support, _dchg(spark, b1 + b2), ["g"], "v"
+    )
+    assert sorted(map(tuple, v2.collect())) == sorted(map(tuple, vo.collect()))
+    assert sorted(map(tuple, s2.collect())) == sorted(map(tuple, so.collect()))
+
+
+def test_distinct_null_values_are_noops(spark):
+    """COUNT(DISTINCT v) ignores NULLs, so NULL-value changelog rows must
+    not move the view or the support table."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+
+    view, support = _dsup(spark, [("a", "x")])
+    chg = _dchg(spark, [("I", "a", None), ("D", "a", None), ("I", "b", None)])
+    nv, ns = apply_distinct_delta(view, support, chg, ["g"], "v")
+    assert {r["g"]: r["nd"] for r in nv.collect()} == {"a": 1}
+    assert {(r["g"], r["v"]): r["supp"] for r in ns.collect()} == {("a", "x"): 1}
+
+
+def test_distinct_negative_support_guard(spark):
+    """Deleting an occurrence the base never contained = changelog/support
+    disagreement — loud in-plan failure, not a silent negative."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+
+    view, support = _dsup(spark, [("a", "x")])
+    chg = _dchg(spark, [("D", "a", "nope")])
+    nv, ns = apply_distinct_delta(view, support, chg, ["g"], "v")
+    with pytest.raises(Exception, match="support went negative"):
+        ns.collect()
+
+
+def test_distinct_view_support_mismatch_guard(spark):
+    """A view that disagrees with the support table (group missing from
+    the view whose values then die) must fail loudly on the view merge."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+
+    _, support = _dsup(spark, [("a", "x")])
+    empty_view = spark.createDataFrame([], "g string, nd long")
+    chg = _dchg(spark, [("D", "a", "x")])
+    nv, _ = apply_distinct_delta(empty_view, support, chg, ["g"], "v")
+    with pytest.raises(Exception, match="distinct count went negative"):
+        nv.collect()
+
+
+def test_distinct_unknown_op_raises(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+
+    view, support = _dsup(spark, [("a", "x")])
+    chg = _dchg(spark, [("U", "a", "x")])
+    nv, ns = apply_distinct_delta(view, support, chg, ["g"], "v")
+    with pytest.raises(Exception, match="unknown op"):
+        ns.collect()
+
+
+def test_distinct_reserved_name_collision_raises(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_distinct_changes
+
+    chg = spark.createDataFrame([("I", "a", "x")], "op string, dsupp string, v string")
+    with pytest.raises(ValueError, match="reserved"):
+        collapse_distinct_changes(chg, ["dsupp"], "v")
+
+
+def test_distinct_null_group_key_pairs_null_safe(spark):
+    """NULL group keys (a groupBy emits them) must pair under the
+    null-safe default instead of fanning out as unmatched rows."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+
+    view, support = _dsup(spark, [(None, "x"), (None, "y")])
+    chg = _dchg(spark, [("D", None, "y"), ("I", None, "z")])
+    nv, ns = apply_distinct_delta(view, support, chg, ["g"], "v")
+    got = {r["g"]: r["nd"] for r in nv.collect()}
+    assert got == {None: 2}
+    assert {(r["g"], r["v"]): r["supp"] for r in ns.collect()} == {
+        (None, "x"): 1,
+        (None, "z"): 1,
+    }
+
+
+def test_distinct_stream_fold_equals_one_batch(spark, tmp_path):
+    """distinct_delta_stream's per-epoch collapses fold (integer sums) to
+    exactly the one-batch collapse, including a D/I update pair split
+    across epochs."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_distinct_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        distinct_delta_stream,
+        read_distinct_delta_state,
+    )
+
+    view, support = _dsup(spark, [("a", "x"), ("a", "y"), ("b", "z")])
+    sink = distinct_delta_stream(str(tmp_path / "st"), ["g"], "v")
+    # update a: y -> w with the D and I halves in DIFFERENT epochs
+    sink(_dchg(spark, [("D", "a", "y"), ("I", "b", "z")]), 0)
+    sink(_dchg(spark, [("I", "a", "w"), ("D", "b", "z")]), 1)
+    folded = read_distinct_delta_state(spark, str(tmp_path / "st"), ["g"], "v")
+    nv, ns = apply_distinct_delta(
+        view, support, folded, ["g"], "v", collapsed=True
+    )
+    one = _dchg(
+        spark,
+        [("D", "a", "y"), ("I", "b", "z"), ("I", "a", "w"), ("D", "b", "z")],
+    )
+    nv2, ns2 = apply_distinct_delta(view, support, one, ["g"], "v")
+    assert sorted(map(tuple, nv.collect())) == sorted(map(tuple, nv2.collect()))
+    assert sorted(map(tuple, ns.collect())) == sorted(map(tuple, ns2.collect()))
+    assert {r["g"]: r["nd"] for r in nv.collect()} == {"a": 2, "b": 1}
