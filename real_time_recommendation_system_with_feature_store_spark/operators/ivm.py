@@ -1008,3 +1008,212 @@ def apply_distinct_delta(
         nd_new.alias(distinct_col),
     ).where(qcol(distinct_col) > 0)
     return new_view, new_support
+
+
+def join_view_delta(
+    a_before: DataFrame,
+    delta_a: DataFrame | None,
+    b_after: DataFrame,
+    delta_b: DataFrame | None,
+    on: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the changelog of a materialized EQUI-JOIN view from the
+    changelogs of its inputs — the classic delta-join rule. With signed
+    multisets (I = +1, D = -1):
+
+        (A + dA) ⋈ (B + dB) = A⋈B  +  dA ⋈ (B + dB)  +  A ⋈ dB
+
+    so the view's delta is ``dA ⋈ B_after  ∪  A_before ⋈ dB`` — the
+    asymmetric form that avoids the separate dA⋈dB cross-term by joining
+    each delta against the OTHER side's opposite snapshot (one pre-, one
+    post-change; the standard trick in DBSP/differential dataflow). Each
+    output row carries the op of the delta row that produced it: a base
+    row joined against a delta contributes the delta's sign, because the
+    base side's multiplicities are all +1.
+
+    Inputs: ``delta_a``/``delta_b`` are D/I changelogs carrying
+    ``op_col`` plus their side's full columns; either may be None (a
+    one-sided refresh). ``a_before`` is A's PRE-change snapshot,
+    ``b_after`` B's POST-change one (both maintained anyway via
+    ``merge_changelog``); join keys must be same-named on both sides
+    (rename upstream), non-key columns must be disjoint — enforced.
+
+    Feed the result to ``apply_join_delta`` against the materialized
+    view. Scale shape: each term is an equi-join of a SMALL delta
+    against one snapshot — the snapshot side reads bucketed-by-join-key
+    with zero Exchange (list-form ``on`` compiles to plain ``=`` keys,
+    which bucket layouts satisfy; plan-asserted in tests/test_plans.py),
+    so a day's refresh shuffles only the day's changes, never the base.
+
+    Reference tie: the multi-frame feature joins the reference re-runs
+    from scratch per refresh (src/features/feature_engineering.py:57-64,
+    151-155); this is that join's incremental form under CDC.
+    """
+    on = list(on)
+    if delta_a is None and delta_b is None:
+        raise ValueError("join_view_delta: both deltas are None — nothing to do")
+    a_cols = set(a_before.columns)
+    b_cols = set(b_after.columns)
+    overlap = sorted((a_cols & b_cols) - set(on))
+    if overlap:
+        raise ValueError(
+            f"join_view_delta: non-key column(s) {overlap} exist on both "
+            "sides — a join view needs disjoint value columns (rename "
+            "upstream)"
+        )
+    if op_col in a_cols or op_col in b_cols:
+        raise ValueError(
+            f"join_view_delta: op column {op_col!r} collides with a "
+            "snapshot column — rename one"
+        )
+    for side, d, snap_cols in (("delta_a", delta_a, a_cols), ("delta_b", delta_b, b_cols)):
+        if d is not None and set(d.columns) != snap_cols | {op_col}:
+            raise ValueError(
+                f"join_view_delta: {side} columns {sorted(d.columns)} must "
+                f"be exactly its snapshot's columns plus {op_col!r}"
+            )
+    parts = []
+    if delta_a is not None:
+        parts.append(delta_a.join(b_after, on, "inner"))
+    if delta_b is not None:
+        parts.append(a_before.join(delta_b, on, "inner"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def apply_join_delta(
+    view: DataFrame,
+    delta_v: DataFrame,
+    id_cols: Sequence[str],
+    op_col: str = "op",
+    null_safe_keys: bool = True,
+) -> DataFrame:
+    """Apply a join-view changelog (``join_view_delta``'s output, or any
+    D/I stream of full view rows) to the materialized view, keyed by
+    ``id_cols`` — the composite row identity (e.g. both sides' primary
+    keys; for a dim join where the fact key alone identifies the row,
+    just the fact key). Returns the new view; equals a from-scratch
+    re-join row-for-row (golden + oracle tested).
+
+    Composition semantics are Z-multiset, NOT latest-wins: a batch may
+    legitimately produce SEVERAL delta rows per id (an A-side delete of
+    a row whose B-side partner was updated in the same batch yields two
+    Ds and an I for one id), so rows first collapse by (id, full values)
+    into net multiplicities; nets must be ±1, at most one net-insert and
+    one net-delete per id, and then per id:
+
+    * net-delete only  -> the stored row drops (its values must MATCH
+      the stored ones — a disagreeing delete is a loud in-plan failure);
+    * net-delete + net-insert -> the stored row is replaced (update);
+    * net-insert only  -> the row appears (an insert for an id the view
+      already contains fails loudly — an update must ship its delete
+      half);
+    * a delete for an id the view does not contain fails loudly.
+
+    All guards raise IN-PLAN from the filter column itself, so they
+    survive projection/filter reordering and fire even for rows that
+    would otherwise be filtered away.
+
+    Scale shape: one (id, values) collapse + one id collapse — both
+    shuffle only the delta — then ONE full-outer join against the view;
+    store the view bucketed by ``id_cols`` with ``null_safe_keys=False``
+    (ids are non-null by contract in any real view) and the view side
+    joins with ZERO Exchange, the ``merge_changelog`` layout contract.
+    """
+    ids = list(id_cols)
+    val_cols = [c for c in view.columns if c not in ids]
+    reserved = [
+        c
+        for df in (view, delta_v)
+        for c in df.columns
+        if c.startswith(("__jk_", "__jv_")) or c in ("__net", "__npos", "__nneg", "__pos", "__neg", "__nbad", "__had", "__o")
+    ]
+    if reserved:
+        raise ValueError(
+            f"apply_join_delta: input columns collide with reserved internal "
+            f"names: {sorted(set(reserved))}"
+        )
+    missing = [c for c in ids + val_cols + [op_col] if c not in delta_v.columns]
+    if missing:
+        raise ValueError(
+            f"apply_join_delta: delta is missing column(s) {sorted(set(missing))}"
+        )
+    op = qcol(op_col)
+    sign = (
+        F.when(op == "I", F.lit(1))
+        .when(op == "D", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("apply_join_delta: unknown op "), op.cast("string"))
+            ).cast("int")
+        )
+    )
+    nets = (
+        delta_v.groupBy(*[qcol(c) for c in ids + val_cols])
+        .agg(F.sum(sign).alias("__net"))
+        .where(F.col("__net") != 0)
+    )
+    vstruct = F.struct(*[qcol(c) for c in val_cols])
+    is_pos = F.col("__net") == 1
+    is_neg = F.col("__net") == -1
+    per_id = nets.groupBy(*[qcol(c).alias(f"__jk_{i}") for i, c in enumerate(ids)]).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("__npos"),
+        F.sum(F.when(is_neg, 1).otherwise(0)).alias("__nneg"),
+        F.max(F.when(is_pos, vstruct)).alias("__pos"),
+        F.max(F.when(is_neg, vstruct)).alias("__neg"),
+        F.sum(F.when(is_pos | is_neg, 0).otherwise(1)).alias("__nbad"),
+    )
+    v = view.select(
+        *[qcol(c).alias(f"__jv_{i}") for i, c in enumerate(ids)],
+        vstruct.alias("__had"),
+    )
+    cond = None
+    for i in range(len(ids)):
+        if null_safe_keys:
+            eq = F.col(f"__jv_{i}").eqNullSafe(F.col(f"__jk_{i}"))
+        else:
+            eq = F.col(f"__jv_{i}") == F.col(f"__jk_{i}")
+        cond = eq if cond is None else (cond & eq)
+    joined = v.join(per_id, cond, "full_outer")
+    had = F.col("__had").isNotNull()
+    npos = F.coalesce(F.col("__npos"), F.lit(0))
+    nneg = F.coalesce(F.col("__nneg"), F.lit(0))
+    nbad = F.coalesce(F.col("__nbad"), F.lit(0))
+    slot_bad = (nbad > 0) | (npos > 1) | (nneg > 1)
+    del_mismatch = had & (nneg == 1) & ~F.col("__neg").eqNullSafe(F.col("__had"))
+    dup_insert = had & (nneg == 0) & (npos == 1)
+    absent_delete = ~had & (nneg == 1)
+    msg = (
+        F.when(slot_bad, F.lit(
+            "apply_join_delta: duplicate delta slots — a (id, row) net "
+            "beyond +-1 or multiple distinct net inserts/deletes per id"))
+        .when(del_mismatch, F.lit(
+            "apply_join_delta: delete disagrees with the stored row — the "
+            "changelog and the view have diverged"))
+        .when(dup_insert, F.lit(
+            "apply_join_delta: insert for an id the view already contains "
+            "— an update must ship its delete half"))
+        .when(absent_delete, F.lit(
+            "apply_join_delta: delete for an id the view does not contain"))
+        .otherwise(F.lit("unreachable"))
+    )
+    ok = ~(slot_bad | del_mismatch | dup_insert | absent_delete)
+    out = (
+        F.when((npos == 1) & ((nneg == 1) == had), F.col("__pos"))
+        .when(had & (npos == 0) & (nneg == 0), F.col("__had"))
+    )
+    keep = F.coalesce(F.assert_true(ok, msg).cast("boolean"), out.isNotNull())
+    return (
+        joined.where(keep)
+        .select(
+            *[
+                F.coalesce(F.col(f"__jv_{i}"), F.col(f"__jk_{i}")).alias(c)
+                for i, c in enumerate(ids)
+            ],
+            out.alias("__o"),
+        )
+        .select(*[qcol(c) for c in ids], "__o.*")
+    )

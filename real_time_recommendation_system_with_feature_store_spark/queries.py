@@ -8740,6 +8740,85 @@ def distinct_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_view
 
 
+@query(
+    "join_view_order_customer",
+    oracle="""
+    WITH b_after AS (
+      SELECT c_custkey AS o_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal
+      FROM customer WHERE c_custkey % 11 != 0
+    ),
+    a_after AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01' OR o_orderkey % 7 != 0
+    )
+    SELECT a.o_orderkey, a.o_custkey, a.o_totalprice,
+           b.c_mktsegment, b.c_acctbal
+    FROM a_after a JOIN b_after b ON a.o_custkey = b.o_custkey
+    """,
+    doc="JOIN-VIEW INCREMENTAL MAINTENANCE — a materialized orders ⋈ "
+        "customer equi-join refreshed under changelogs on BOTH inputs "
+        "via the delta-join rule (operators/ivm.py::join_view_delta: "
+        "dV = dA ⋈ B_after ∪ A_before ⋈ dB, the asymmetric form that "
+        "absorbs the dA⋈dB cross-term): post-2000 order inserts + "
+        "orderkey%7 deletes on the fact side, custkey%11 deletes + "
+        "custkey%5 mktsegment updates (D/I pairs) on the dim side — "
+        "including the composed cases where one batch touches the same "
+        "view row from both sides. apply_join_delta collapses the delta "
+        "to Z-multiset nets per (id, row) and advances the view keyed "
+        "by o_orderkey with loud in-plan guards on every "
+        "changelog/view disagreement. The oracle IS the from-scratch "
+        "re-join of the post-change snapshots, so the driver hash "
+        "certifies incremental == full re-join. Scale: each delta term "
+        "joins a day's changes against ONE bucketed snapshot "
+        "(zero base-side Exchange, plan-asserted); the view never "
+        "re-joins its full inputs. Reference tie: the multi-frame "
+        "feature joins re-run per refresh "
+        "(src/features/feature_engineering.py:57-64,151-155).",
+)
+def join_view_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_join_delta,
+        join_view_delta,
+    )
+
+    split = F.lit("2000-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    a_before = o.where(F.col("o_orderdate") < split).select(*a_cols)
+    b_before = c.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_acctbal"
+    )
+    view = a_before.join(b_before, ["o_custkey"], "inner")
+    ins_a = o.where(F.col("o_orderdate") >= split).select(*a_cols)
+    del_a = a_before.where(F.col("o_orderkey") % 7 == 0)
+    delta_a = ins_a.select(F.lit("I").alias("op"), "*").unionByName(
+        del_a.select(F.lit("D").alias("op"), "*")
+    )
+    del_b = b_before.where(F.col("o_custkey") % 11 == 0)
+    upd_old = b_before.where(
+        (F.col("o_custkey") % 11 != 0) & (F.col("o_custkey") % 5 == 0)
+    )
+    upd_new = upd_old.withColumn("c_mktsegment", F.lit("MOVED"))
+    delta_b = (
+        del_b.select(F.lit("D").alias("op"), "*")
+        .unionByName(upd_old.select(F.lit("D").alias("op"), "*"))
+        .unionByName(upd_new.select(F.lit("I").alias("op"), "*"))
+    )
+    b_after = b_before.where(F.col("o_custkey") % 11 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    dv = join_view_delta(a_before, delta_a, b_after, delta_b, ["o_custkey"])
+    return apply_join_delta(view, dv, ["o_orderkey"], null_safe_keys=False)
+
+
 _TOPK_ROLLUP_ORACLE = """
     WITH base AS (
       SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice

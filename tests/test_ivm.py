@@ -633,3 +633,173 @@ def test_distinct_stream_fold_equals_one_batch(spark, tmp_path):
     assert sorted(map(tuple, nv.collect())) == sorted(map(tuple, nv2.collect()))
     assert sorted(map(tuple, ns.collect())) == sorted(map(tuple, ns2.collect()))
     assert {r["g"]: r["nd"] for r in nv.collect()} == {"a": 2, "b": 1}
+
+
+# --- join-view IVM (delta-join rule) ---------------------------------------
+
+
+def _jv_frames(spark):
+    """Tiny A (fact: id, key, val) / B (dim: key, attr) with a view."""
+    a = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0), (4, 30, 4.0)],
+        "aid int, k int, av double",
+    )
+    b = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "k int, battr string"
+    )
+    return a, b, a.join(b, ["k"], "inner")
+
+
+def test_join_view_matches_full_rejoin(spark):
+    """Both-side deltas in one batch, including the composed cases: an
+    A-delete whose B partner updates in the same batch, an A-insert
+    joining an updated B row, and a B-delete orphaning surviving A rows."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_join_delta,
+        join_view_delta,
+    )
+
+    a, b, view = _jv_frames(spark)
+    # A: delete aid=1 (its dim k=10 also updates this batch), insert aid=5
+    # on k=20 (whose dim row updates too)
+    delta_a = spark.createDataFrame(
+        [("D", 1, 10, 1.0), ("I", 5, 20, 5.0)],
+        "op string, aid int, k int, av double",
+    )
+    # B: update k=10 x->X and k=20 y->Y (D/I pairs), delete k=30
+    delta_b = spark.createDataFrame(
+        [
+            ("D", 10, "x"), ("I", 10, "X"),
+            ("D", 20, "y"), ("I", 20, "Y"),
+            ("D", 30, "z"),
+        ],
+        "op string, k int, battr string",
+    )
+    a_after = spark.createDataFrame(
+        [(2, 10, 2.0), (3, 20, 3.0), (4, 30, 4.0), (5, 20, 5.0)],
+        "aid int, k int, av double",
+    )
+    b_after = spark.createDataFrame([(10, "X"), (20, "Y")], "k int, battr string")
+    dv = join_view_delta(a, delta_a, b_after, delta_b, ["k"])
+    got = apply_join_delta(view, dv, ["aid"])
+    want = a_after.join(b_after, ["k"], "inner")
+    assert sorted(
+        tuple(r[c] for c in sorted(got.columns)) for r in got.collect()
+    ) == sorted(tuple(r[c] for c in sorted(want.columns)) for r in want.collect())
+
+
+def test_join_view_one_sided_delta(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_join_delta,
+        join_view_delta,
+    )
+
+    a, b, view = _jv_frames(spark)
+    delta_a = spark.createDataFrame(
+        [("D", 4, 30, 4.0), ("I", 6, 30, 6.0)],
+        "op string, aid int, k int, av double",
+    )
+    dv = join_view_delta(a, delta_a, b, None, ["k"])
+    got = apply_join_delta(view, dv, ["aid"])
+    ids = sorted(r["aid"] for r in got.collect())
+    assert ids == [1, 2, 3, 6]
+
+
+def test_join_view_both_none_rejected(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import join_view_delta
+
+    a, b, _ = _jv_frames(spark)
+    with pytest.raises(ValueError, match="both deltas are None"):
+        join_view_delta(a, None, b, None, ["k"])
+
+
+def test_join_view_overlapping_value_columns_rejected(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import join_view_delta
+
+    a = spark.createDataFrame([(1, 10, "v")], "aid int, k int, dup string")
+    b = spark.createDataFrame([(10, "w")], "k int, dup string")
+    d = spark.createDataFrame([("I", 1, 10, "v")], "op string, aid int, k int, dup string")
+    with pytest.raises(ValueError, match="both sides"):
+        join_view_delta(a, d, b, None, ["k"])
+
+
+def test_join_view_guard_delete_mismatch(spark):
+    """A delete whose values disagree with the stored row = changelog and
+    view diverged — loud in-plan failure."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+
+    _, _, view = _jv_frames(spark)
+    dv = spark.createDataFrame(
+        [("D", 1, 10, 999.0, "x")],
+        "op string, aid int, k int, av double, battr string",
+    )
+    with pytest.raises(Exception, match="delete disagrees"):
+        apply_join_delta(view, dv, ["aid"]).collect()
+
+
+def test_join_view_guard_dup_insert(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+
+    _, _, view = _jv_frames(spark)
+    dv = spark.createDataFrame(
+        [("I", 1, 10, 7.0, "x")],
+        "op string, aid int, k int, av double, battr string",
+    )
+    with pytest.raises(Exception, match="already contains"):
+        apply_join_delta(view, dv, ["aid"]).collect()
+
+
+def test_join_view_guard_absent_delete(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+
+    _, _, view = _jv_frames(spark)
+    dv = spark.createDataFrame(
+        [("D", 99, 10, 1.0, "x")],
+        "op string, aid int, k int, av double, battr string",
+    )
+    with pytest.raises(Exception, match="does not contain"):
+        apply_join_delta(view, dv, ["aid"]).collect()
+
+
+def test_join_view_guard_duplicate_slots(spark):
+    """Two distinct net-inserts for one id — ambiguous final row — must
+    raise rather than pick one."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+
+    _, _, view = _jv_frames(spark)
+    dv = spark.createDataFrame(
+        [
+            ("D", 1, 10, 1.0, "x"),
+            ("I", 1, 10, 5.0, "x"),
+            ("I", 1, 10, 6.0, "x"),
+        ],
+        "op string, aid int, k int, av double, battr string",
+    )
+    with pytest.raises(Exception, match="duplicate delta slots"):
+        apply_join_delta(view, dv, ["aid"]).collect()
+
+
+def test_join_view_exact_di_pair_nets_to_noop(spark):
+    """An update whose D and I halves carry IDENTICAL values nets to zero
+    at the (id, row) collapse — the view row survives untouched."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+
+    _, _, view = _jv_frames(spark)
+    dv = spark.createDataFrame(
+        [("D", 1, 10, 1.0, "x"), ("I", 1, 10, 1.0, "x")],
+        "op string, aid int, k int, av double, battr string",
+    )
+    got = apply_join_delta(view, dv, ["aid"])
+    assert sorted(r["aid"] for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_join_view_unknown_op_raises(spark):
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+
+    _, _, view = _jv_frames(spark)
+    dv = spark.createDataFrame(
+        [("U", 1, 10, 1.0, "x")],
+        "op string, aid int, k int, av double, battr string",
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        apply_join_delta(view, dv, ["aid"]).collect()

@@ -992,3 +992,46 @@ def test_topk_ivm_plan_shape(spark):
     # the collapse shuffles ((keys,id) then (keys)) appear exactly twice
     assert plan.count("hashpartitioning(__k_0") == 4, plan
     assert plan.count("topk_plan_view") == 3, plan
+
+
+def test_bucketed_snapshot_join_view_delta_has_no_snapshot_side_exchange(spark):
+    """The join-view IVM scale claim, plan-asserted: deriving dV = dA ⋈
+    B_after with B_after stored bucketed on the join key reads the
+    snapshot straight from buckets — exactly ONE Exchange in the plan
+    (the small delta side), `Bucketed: true` on the snapshot scan. At
+    100 TB a day's view refresh therefore shuffles only the day's
+    changes; the snapshot is never re-partitioned. (join_view_delta uses
+    list-form `on`, which compiles to plain `=` keys — the flavor bucket
+    layouts satisfy.)"""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import join_view_delta
+    from real_time_recommendation_system_with_feature_store_spark.sources.bucketing import write_bucketed
+
+    tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_name", "c_acctbal"
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.sql("DROP TABLE IF EXISTS jv_snap_bkt")
+        shutil.rmtree(os.path.join(tmp, "jv_snap_bkt"), ignore_errors=True)
+        write_bucketed(
+            c, "jv_snap_bkt", "k", buckets=8, path=os.path.join(tmp, "jv_snap_bkt")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        b_after = spark.table("jv_snap_bkt")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", F.col("o_custkey").alias("k"), "o_totalprice"
+        )
+        delta_a = o.where(F.col("o_orderkey") % 97 == 0).select(
+            F.lit("I").alias("op"), "*"
+        )
+        dv = join_view_delta(o, delta_a, b_after, None, ["k"])
+        plan = dv._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange ") == 1, plan  # delta side only
+        assert "Bucketed: true" in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS jv_snap_bkt")
