@@ -1071,3 +1071,179 @@ def test_extrema_ivm_random_history_matches_recompute(spark, base, steps):
             ).collect()
         }
         assert got2 == exp
+
+
+@given(base=_topk_base, steps=_topk_steps)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_distinct_ivm_random_history_matches_recompute(spark, base, steps):
+    """apply_distinct_delta over the same random consistent CDC histories
+    — chained per epoch AND via the stream sink's folded support deltas —
+    equals the from-scratch COUNT(DISTINCT value) of the final state (row
+    identity i carries value v; deleting a row retracts one occurrence of
+    its value, so the per-group value multiset is exactly the live rows')."""
+    import os
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_distinct_delta,
+        build_distinct_support,
+        distinct_from_support,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        distinct_delta_stream,
+        read_distinct_delta_state,
+    )
+
+    schema_r = "g int, id int, m double"
+    schema_c = "op string, g int, id int, m double"
+    epochs, final = _topk_history(base, steps)
+    base_rows = [(g, i, float(v)) for g, i, v in base]
+    bdf = spark.createDataFrame(base_rows, schema_r) if base_rows else \
+        spark.createDataFrame([], schema_r)
+    support = build_distinct_support(bdf, ["g"], "m")
+    view = distinct_from_support(support, ["g"])
+    exp = {}
+    for (g, _i), v in final.items():
+        exp.setdefault(g, set()).add(v)
+    exp = {g: len(vs) for g, vs in exp.items()}
+
+    # chained per-epoch application
+    cv, cs = view, support
+    for ev in epochs:
+        if not ev:
+            continue
+        ch = spark.createDataFrame(ev, schema_c).drop("id")
+        cv, cs = apply_distinct_delta(cv, cs, ch, ["g"], "m")
+        cv = spark.createDataFrame(cv.collect(), cv.schema)
+        cs = spark.createDataFrame(cs.collect(), cs.schema)
+    assert {r["g"]: r["nd"] for r in cv.collect()} == exp
+    # the support table stays consistent with the view
+    assert {
+        r["g"]: r["nd"] for r in distinct_from_support(cs, ["g"]).collect()
+    } == exp
+
+    # stream-composed application (all epochs folded through the sink)
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "distinct_prop_state",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    sink = distinct_delta_stream(tmp, ["g"], "m")
+    wrote = False
+    for e, ev in enumerate(epochs):
+        if ev:
+            sink(spark.createDataFrame(ev, schema_c).drop("id"), e)
+            wrote = True
+    if wrote:
+        folded = read_distinct_delta_state(spark, tmp, ["g"], "m")
+        sv, _ = apply_distinct_delta(
+            view, support, folded, ["g"], "m", collapsed=True
+        )
+        assert {r["g"]: r["nd"] for r in sv.collect()} == exp
+
+
+@given(base=_topk_base, steps=_topk_steps)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_joint_ivm_random_history_all_views_agree_per_epoch(spark, base, steps):
+    """ONE random causally-consistent CDC history drives ALL FOUR delta
+    rules simultaneously — sum/count (apply_agg_delta), extrema
+    (apply_extrema_delta), top-k (apply_topk_delta), and distinct-count
+    (apply_distinct_delta) — and every view is cross-checked against a
+    full recompute AFTER EACH EPOCH, not just at the end. This catches
+    changelog-semantics divergence BETWEEN the rules (e.g. one rule
+    reading an update's D/I pair latest-wins while another reads it as a
+    multiset) that the per-operator tests can't see."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        agg_delta,
+        apply_agg_delta,
+        apply_distinct_delta,
+        apply_extrema_delta,
+        apply_topk_delta,
+        build_distinct_support,
+        build_topk_buffer,
+        distinct_from_support,
+        topk_from_buffer,
+    )
+
+    k, buffer_k = 2, 4
+    schema_r = "g int, id int, m double"
+    schema_c = "op string, g int, id int, m double"
+    epochs, _final = _topk_history(base, steps)
+    if not any(epochs):
+        return
+    running = {(g, i): float(v) for g, i, v in base}
+    bdf = spark.createDataFrame(
+        [(g, i, v) for (g, i), v in running.items()], schema_r
+    ) if running else spark.createDataFrame([], schema_r)
+
+    agg_view = bdf.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("m").cast("decimal(28,10)")).alias("total"),
+    )
+    ext_view = bdf.groupBy("g").agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    topk_view = build_topk_buffer(bdf, ["g"], "id", "m", buffer_k)
+    support = build_distinct_support(bdf, ["g"], "m")
+    dist_view = distinct_from_support(support, ["g"])
+
+    for ev in epochs:
+        if not ev:
+            continue
+        for op, g, i, v in ev:
+            if op == "I":
+                running[(g, i)] = v
+            else:
+                running.pop((g, i), None)
+        mid_rows = [(g, i, v) for (g, i), v in running.items()]
+        mid = spark.createDataFrame(mid_rows, schema_r) if mid_rows else \
+            spark.createDataFrame([], schema_r)
+        ch = spark.createDataFrame(ev, schema_c)
+
+        agg_view = apply_agg_delta(
+            agg_view, agg_delta(ch, ["g"], F.col("m")), ["g"]
+        )
+        ext_view = apply_extrema_delta(ext_view, ch.drop("id"), mid, ["g"], "m")
+        topk_view = apply_topk_delta(
+            topk_view, ch, mid, ["g"], "id", "m", k=k, buffer_k=buffer_k
+        )
+        dist_view, support = apply_distinct_delta(
+            dist_view, support, ch.drop("id"), ["g"], "m"
+        )
+        # materialize all five tables, as a real pipeline stores them
+        agg_view = spark.createDataFrame(agg_view.collect(), agg_view.schema)
+        ext_view = spark.createDataFrame(ext_view.collect(), ext_view.schema)
+        topk_view = spark.createDataFrame(topk_view.collect(), topk_view.schema)
+        dist_view = spark.createDataFrame(dist_view.collect(), dist_view.schema)
+        support = spark.createDataFrame(support.collect(), support.schema)
+
+        # --- full recompute of every view from the mid-epoch state
+        exp_agg, exp_ext, exp_dist_sets = {}, {}, {}
+        for (g, _i), v in running.items():
+            n, s = exp_agg.get(g, (0, 0.0))
+            exp_agg[g] = (n + 1, s + v)
+            mn, mx = exp_ext.get(g, (v, v))
+            exp_ext[g] = (min(mn, v), max(mx, v))
+            exp_dist_sets.setdefault(g, set()).add(v)
+        got_agg = {r["g"]: (r["n"], float(r["total"])) for r in agg_view.collect()}
+        # measures are integral floats, so sums compare exactly
+        assert got_agg == {g: (n, float(s)) for g, (n, s) in exp_agg.items()}
+        got_ext = {r["g"]: (r["mn"], r["mx"]) for r in ext_view.collect()}
+        assert got_ext == exp_ext
+        got_dist = {r["g"]: r["nd"] for r in dist_view.collect()}
+        assert got_dist == {g: len(vs) for g, vs in exp_dist_sets.items()}
+        got_topk = {
+            (r["g"], r["rn"]): (r["id"], r["m"])
+            for r in topk_from_buffer(topk_view, ["g"], "id", "m", k).collect()
+        }
+        exp_topk = {}
+        for g in exp_agg:
+            rows = sorted(
+                ((i, v) for (gg, i), v in running.items() if gg == g),
+                key=lambda t: (-t[1], t[0]),
+            )[:k]
+            for rn, (i, v) in enumerate(rows, start=1):
+                exp_topk[(g, rn)] = (i, v)
+        assert got_topk == exp_topk
