@@ -7288,15 +7288,28 @@ def _fold_state_dir(name: str, sf_dir: str) -> str:
 
     root = os.path.join(tempfile.gettempdir(), "rtrs_fold_state")
     try:
+        import time
+
+        now = time.time()
         for sib in os.listdir(root):
             pid = sib.removeprefix("pid")
-            if (
-                sib.startswith("pid")
-                and pid.isdigit()
-                and int(pid) != os.getpid()
-                and not _alive(int(pid))
-            ):
-                shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
+            if not (sib.startswith("pid") and pid.isdigit()
+                    and int(pid) != os.getpid() and not _alive(int(pid))):
+                continue
+            # PID-recycle guard: between the liveness probe above and the
+            # rmtree, the dead sibling's pid could be recycled by a NEW
+            # session of this suite whose freshly created dir we'd then
+            # delete mid-query. Only reap dirs old enough that they can't
+            # belong to a just-started session (1h — far above any single
+            # entry's runtime), and re-probe liveness immediately before
+            # the rmtree to shrink the window further.
+            path = os.path.join(root, sib)
+            try:
+                stale = now - os.stat(path).st_mtime > 3600
+            except OSError:
+                continue
+            if stale and not _alive(int(pid)):
+                shutil.rmtree(path, ignore_errors=True)
     except OSError:  # root missing: nothing to reap
         pass
     d = os.path.join(
@@ -9183,80 +9196,71 @@ def label_centroid_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
 # and fails once a newer round's artifact lands without a bump+rotation.
-_DRIVER_WINDOW_ROUND = 12
+_DRIVER_WINDOW_ROUND = 13
 
 _DRIVER_WINDOW = [
-    # r12 ROTATION.  Evidence ledger after r11: 50 entries newest-green
-    # @ r11, 50 @ r10, 50 @ r9, 18 @ r7, zero never-checked.  This
-    # window = the 18 r7-stale entries the r11 ledger queued (the r11
-    # verdict's Next-round #1 directive, verbatim) + the 12 r12
-    # additions (all landed: 4 tombstone/purge twins, 3 drift-rebuild
-    # twins, the batch top-k IVM entry, the extrema/top-k IVM
-    # stream-sink twins, the decayed anchor-rebase twin, and the
-    # compaction crash-recovery twin — each slotted the commit it was
-    # registered, displacing an r9 filler) + 20 r9 fillers at the
-    # cutoff.  The guard's cutoff with 180 entries lands at r9:
-    # everything < r9 must front, r9 entries fill the rest in any
-    # order.
-    # r7-stale (all 18 — nothing older remains after this round):
-    "user_event_arrays",
-    "value_percentiles",
-    "user_activity_windows",
-    "embedding_norms",
-    "knn_cosine_topk",
-    "view_click_purchase_funnel",
-    "daily_cohort_retention",
-    "cms_heavy_hitters",
-    "event_type_pair_cardinality_hll",
-    "price_quantile_sketch",
-    "incremental_dedup_candidates",
-    "embedding_near_dup_lsh",
-    "event_key_skew_cms",
-    "sliding_window_counts",
-    "global_top_parts",
-    "brand_top_parts",
-    "customers_without_orders",
-    "dedup_cluster_keepers",
-    # r9 fillers (at-cutoff; displaced one-for-one by new r12 entries):
-    "acctbal_zscore",
-    "bm25_doc_search",
-    "bracket_part_revenue",
-    "click_and_purchase_users",
-    "collect_event_types",
-    "corpus_export_pipeline",
-    "corpus_filter_funnel",
-    "customer_order_profile",
-    "daily_user_activity_spine",
-    "doc_dedup_exact",
-    "eval_contamination_pruned",
-    "event_type_stats",
-    "event_value_norm",
-    "feature_day_close_pipeline",
-    "hybrid_doc_retrieval",
-    "inter_event_gaps",
-    "item_interaction_counts",
-    "item_trending_scores",
-    "ivf_ann_topk",
-    "kcore_events",
-    # new r12 entries (never driver-checked — must front per the guard);
-    # each displaced one r9 filler (nfc_normalized_docs -> rollup_topk_
-    # priority_orders, nation_pair_trade_volume -> pq_rebuild_fold,
-    # nations_with_presence -> semantic_rebuild_fold, nation_market_share
-    # -> extrema_state_fold, multimodal_embed_topk -> topk_state_fold,
-    # late_ship_priority_counts -> decayed_rebase_fold,
-    # minhash_dedup_candidates -> compact_recovery_fold):
-    "bm25_tombstone_fold",
-    "ivf_tombstone_fold",
-    "ivf_purge_fold",
-    "semantic_tombstone_fold",
-    "ivf_rebuild_fold",
-    "rollup_topk_priority_orders",
-    "pq_rebuild_fold",
-    "semantic_rebuild_fold",
-    "extrema_state_fold",
-    "topk_state_fold",
-    "decayed_rebase_fold",
-    "compact_recovery_fold",
+    # r13 ROTATION.  Evidence ledger after r12: 50 entries newest-green
+    # @ r12, 50 @ r11, 50 @ r10, 30 @ r9, plus the 3 new r13 entries
+    # (never driver-checked).  This window = ALL 30 r9-stale entries
+    # (the r12 verdict's Next-round #1 list, verbatim) + the 3 r13
+    # additions (the distinct-count IVM pair and the join-view IVM
+    # entry) + 17 r10 fillers at the cutoff.  The guard's cutoff with
+    # 183 entries lands at r10: everything < r10 must front, r10
+    # entries fill the rest in any order.
+    # new r13 entries (never driver-checked — must front per the guard):
+    "rollup_distinct_custkeys",
+    "distinct_state_fold",
+    "join_view_order_customer",
+    # r9-stale (all 30 — nothing older remains after this round):
+    "late_ship_priority_counts",
+    "minhash_dedup_candidates",
+    "multimodal_embed_topk",
+    "nation_market_share",
+    "nation_pair_trade_volume",
+    "nations_with_presence",
+    "nfc_normalized_docs",
+    "order_date_features",
+    "orders_profile",
+    "part_name_features",
+    "pq_ann_topk",
+    "promo_revenue_share",
+    "props_variant_stats",
+    "region_nation_revenue",
+    "returned_revenue_customers",
+    "revenue_rollup",
+    "rich_inactive_customers",
+    "salted_event_counts",
+    "segment_codes",
+    "semantic_dedup_embeddings",
+    "sessionize_events",
+    "small_qty_brand_revenue",
+    "status_priority_cube",
+    "supplier_running_totals",
+    "top_building_orders",
+    "top_revenue_suppliers",
+    "tumbling_window_counts",
+    "view_click_attribution",
+    "view_click_shared_pairs_hll",
+    "waiting_suppliers",
+    # r10 fillers (at-cutoff; each NEW r13 entry registered later this
+    # round displaces one, from the end):
+    "als_item_embeddings",
+    "bpe_merge_table",
+    "bpe_tokenized_docs",
+    "brand_supplier_diversity",
+    "changelog_merge_snapshot",
+    "charlm_doc_scores",
+    "customer_order_histogram",
+    "customers_with_orders",
+    "dedup_clusters",
+    "doc_signatures",
+    "doc_token_chunks",
+    "dsir_resampled_docs",
+    "dsir_target_selection",
+    "embedding_near_dup",
+    "eval_contamination_pairs",
+    "excess_shipment_suppliers",
+    "jaccard_similar_pairs",
 ]
 
 def _reorder_registry() -> None:

@@ -1920,14 +1920,33 @@ def read_topk_delta_state(
         F.lit("I").alias("o"), F.col("__last_i").cast(mt).alias("v")
     )
     x_row = F.struct(F.lit("X").alias("o"), F.lit(None).cast(mt).alias("v"))
+    # single-cycle transient (exactly one pure-I epoch then one pure-D
+    # epoch) must delete the value it inserted — a mismatch like I(w)@e1
+    # D(x!=w)@e2 has no consistent reading and composes to X instead of
+    # silently netting nothing. Longer pure alternations (I..D..I..D
+    # across 3+ epochs) carry only first-delete/last-insert values here,
+    # so their interior links stay trusted — the same grace the
+    # docstring's "full alternation is trusted" clause records.
+    transient_mismatch = (
+        transient
+        & (si == 1)
+        & ~F.col("__first_d").eqNullSafe(F.col("__last_i"))
+    )
+    # self_eq is checked BEFORE linked: a chain whose pairs all carry
+    # d == i satisfies both (it is value-constant, so "each delete
+    # retracts the previous insert" holds vacuously), and the
+    # self-cancelling reading is the stronger one — net nothing, rather
+    # than emitting a D/I pair and relying on the apply side to drop
+    # both halves of a no-op update.
     events = (
         F.when(bad, F.array(x_row))
         .when(si - sd == 1, F.array(i_row))
         .when(sd - si == 1, F.array(d_row))
+        .when(transient_mismatch, F.array(x_row))
         .when(transient, F.slice(F.array(d_row), 1, 0))
         .when(update_pure, F.array(d_row, i_row))
-        .when(all_pairs & linked, F.array(d_row, i_row))
         .when(all_pairs & self_eq, F.slice(F.array(d_row), 1, 0))
+        .when(all_pairs & linked, F.array(d_row, i_row))
         .otherwise(F.array(x_row))
     )
     return (
@@ -2266,7 +2285,25 @@ def retrain_pq_index(
     )
     src = vectors.select(
         qcol(id_col).alias("__iid"), qcol(vec_col).alias("__vec")
-    ).dropDuplicates(["__iid"])
+    )
+    # loud failure before any state is staged: duplicate ids carrying
+    # DIFFERENT vectors would make the dedup below pick an arbitrary row
+    # and the rebuilt index nondeterministic — breaking the "rebuilt ==
+    # fresh batch build, bit-exact" guarantee the sibling rebuild paths
+    # enforce. Identical duplicates are fine (dedup is then exact).
+    n_conflicts = (
+        src.groupBy("__iid")
+        .agg(F.count_distinct(F.col("__vec")).alias("__nv"))
+        .where(F.col("__nv") > 1)
+        .count()
+    )
+    if n_conflicts:
+        raise ValueError(
+            f"retrain_pq_index: {n_conflicts} id(s) in the vector source "
+            "carry conflicting vectors — the source must be id-unique "
+            "(or duplicate rows must agree) for a deterministic rebuild"
+        )
+    src = src.dropDuplicates(["__iid"])
     # loud failure before any state is staged: a live indexed id missing
     # from the vector source would silently vanish from the rebuilt index
     n_missing = live_ids.join(src.select("__iid"), "__iid", "left_anti").count()

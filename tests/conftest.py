@@ -15,6 +15,13 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "e2e: full-pipeline MovieLens reproduction (slower)"
     )
+    config.addinivalue_line(
+        "markers",
+        "foldtwin: catalog entries / lifecycle tests that synchronously "
+        "drive real streaming-sink epoch writes (2-15 s each; the bulk of "
+        "suite wall-clock). Fast commit lane: -m 'not foldtwin'; the full "
+        "suite (pre-push / nightly) runs everything.",
+    )
 
 
 @pytest.fixture(scope="session")

@@ -11,7 +11,11 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
+
+# every test here drives real sink epoch writes — see conftest marker doc
+pytestmark = pytest.mark.foldtwin
 
 SF = "/root/testdata/sf0.001"
 

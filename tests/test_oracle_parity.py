@@ -95,7 +95,18 @@ ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
 ROWS_ONLY_QUERIES = sorted(n for n, s in QUERIES.items() if not s.oracle)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def _mark_foldtwin(name: str):
+    """Fold-twin entries (`*_fold`) synchronously execute real streaming
+    sink epoch writes and dominate suite wall-clock (2-15 s each); the
+    `foldtwin` marker gives commits a fast lane (`-m "not foldtwin"`,
+    ~one-third the runtime) while the full suite still runs them —
+    nothing is deleted or skipped by default."""
+    if name.endswith("_fold"):
+        return pytest.param(name, marks=pytest.mark.foldtwin)
+    return name
+
+
+@pytest.mark.parametrize("name", [_mark_foldtwin(n) for n in ORACLE_QUERIES])
 def test_oracle_parity(spark, ddb, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, ORACLE_SF_DIR)

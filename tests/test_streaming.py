@@ -3247,3 +3247,83 @@ def test_topk_delta_stream_reserved_name_collision_raises(spark):
         topk_delta_stream("/tmp/x", ["ni"], "id", "m")
     with pytest.raises(ValueError, match="reserved"):
         topk_delta_stream("/tmp/x", ["g"], "dm", "m")
+
+
+def test_topk_delta_stream_transient_value_validation(spark):
+    """r12 ADVICE: a single-cycle transient (pure I epoch then pure D
+    epoch) must delete the value it inserted — I(w) then D(x != w) has no
+    consistent reading and composes to X (loud at apply), while the
+    matching pair still nets nothing and an all-equal self-cancelling
+    PAIR chain resolves through the self_eq branch (checked before
+    linked) to nothing as well."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_topk_delta,
+        build_topk_buffer,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        read_topk_delta_state,
+        topk_delta_stream,
+    )
+
+    rows = "g string, id long, m double"
+    chg = "op string, g string, id long, m double"
+    base = [("a", 0, 5.0), ("a", 1, 4.0)]
+    view = build_topk_buffer(spark.createDataFrame(base, rows), ["g"], "id", "m", 4)
+    after = spark.createDataFrame(base, rows)
+
+    # inconsistent transient: I(7.0)@e0 then D(9.0)@e1 -> X -> loud
+    d1 = os.path.join(TMP, "topk_transient_bad")
+    shutil.rmtree(d1, ignore_errors=True)
+    sink = topk_delta_stream(d1, ["g"], "id", "m")
+    sink(spark.createDataFrame([("I", "a", 9, 7.0)], chg), 0)
+    sink(spark.createDataFrame([("D", "a", 9, 9.0)], chg), 1)
+    net = read_topk_delta_state(spark, d1, ["g"], "id", "m")
+    with pytest.raises(Exception, match="unknown op"):
+        apply_topk_delta(view, net, after, ["g"], "id", "m", k=2, buffer_k=4).collect()
+
+    # consistent transient still nets nothing
+    d2 = os.path.join(TMP, "topk_transient_ok")
+    shutil.rmtree(d2, ignore_errors=True)
+    sink = topk_delta_stream(d2, ["g"], "id", "m")
+    sink(spark.createDataFrame([("I", "a", 9, 7.0)], chg), 0)
+    sink(spark.createDataFrame([("D", "a", 9, 7.0)], chg), 1)
+    assert read_topk_delta_state(spark, d2, ["g"], "id", "m").count() == 0
+
+    # all-equal pair chain on an EXISTING id: (D 5.0, I 5.0) twice is both
+    # linked and self-cancelling; the self_eq reading wins -> net nothing
+    d3 = os.path.join(TMP, "topk_pairs_alleq")
+    shutil.rmtree(d3, ignore_errors=True)
+    sink = topk_delta_stream(d3, ["g"], "id", "m")
+    sink(spark.createDataFrame([("D", "a", 0, 5.0), ("I", "a", 0, 5.0)], chg), 0)
+    sink(spark.createDataFrame([("D", "a", 0, 5.0), ("I", "a", 0, 5.0)], chg), 1)
+    assert read_topk_delta_state(spark, d3, ["g"], "id", "m").count() == 0
+
+
+def test_retrain_pq_index_conflicting_duplicate_vectors_raise(spark):
+    """r12 ADVICE: duplicate ids carrying DIFFERENT vectors in the retrain
+    source would make the rebuild nondeterministic — loud failure before
+    any state is staged; identical duplicates stay acceptable."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import retrain_pq_index
+
+    index_dir, emb, live, dim = _build_tombstoned_pq(spark, "pq_retrain_conflict")
+    some_live_id = live.select("vec_id").first()[0]
+    conflict = emb.unionByName(
+        emb.where(F.col("vec_id") == some_live_id).withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x + F.lit(1.0))
+        )
+    )
+    with pytest.raises(ValueError, match="conflicting vectors"):
+        retrain_pq_index(
+            spark, index_dir, conflict, "vec_id", "embedding", dim,
+            n_sub=4, n_codes=8,
+        )
+    assert not glob.glob(f"{index_dir}/.retrain*")  # nothing staged
+    # identical duplicate rows do not trip the guard; the rebuilt codes
+    # land under one compacted epoch covering exactly the live ids
+    same = emb.unionByName(emb.limit(2))
+    epoch = retrain_pq_index(
+        spark, index_dir, same, "vec_id", "embedding", dim, n_sub=4, n_codes=8
+    )
+    assert epoch == 1
+    stored = spark.read.parquet(f"{index_dir}/codes")
+    assert stored.count() == live.count()
