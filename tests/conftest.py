@@ -17,6 +17,12 @@ def pytest_configure(config):
     )
     config.addinivalue_line(
         "markers",
+        "slow: scale-growth measurements over ×8-replicated sf0.1 inputs "
+        "(tests/test_scale_paths.py) — minutes each; the 100 TB growth "
+        "claims' local proxy.",
+    )
+    config.addinivalue_line(
+        "markers",
         "foldtwin: catalog entries / lifecycle tests that synchronously "
         "drive real streaming-sink epoch writes (2-15 s each; the bulk of "
         "suite wall-clock). Fast commit lane: -m 'not foldtwin'; the full "

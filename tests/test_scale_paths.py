@@ -603,3 +603,164 @@ def test_zorder_three_dims_tightens_all(spark, tmp_path):
     # must beat it decisively on BOTH other dimensions
     assert z["event_id"] < 0.7 * s["event_id"], (z, s)
     assert z["value"] < 0.7 * s["value"], (z, s)
+
+
+# --- scale-growth harness (r12 VERDICT "Next round" #5) --------------------
+#
+# Plan shape proves "no cartesian"; only MEASUREMENT proves the candidate
+# sets don't explode. These tests union sf0.1 inputs ×{1,4,8} with a
+# deterministic id remap and per-replica word tagging (replicas are
+# internally identical but share no shingles across replicas — "more data
+# of the same distribution, constant duplicate density") and assert the
+# banded/bucketed claims: candidate counts grow EXACTLY linearly, wall
+# time near-linearly (generous exponent bound — wall noise on a shared
+# host is real; the hard signal is the candidate counts). Marked slow:
+# run with `-m slow` or deselect with `-m "not slow"`.
+
+import pytest as _pytest
+
+SCALE_SF_DIR = "/root/testdata/sf0.1"
+_SCALES = (1, 4, 8)
+
+
+def _replicate_docs(spark, m: int):
+    """documents ×m: doc_id' = doc_id + i*10M; every WORD gets a replica
+    tag for i>0, so replicas share no shingles (no cross-replica pairs)
+    while each replica keeps the original internal duplicate structure."""
+    d = spark.read.parquet(f"{SCALE_SF_DIR}/documents.parquet").select("doc_id", "text")
+    parts = [d]
+    for i in range(1, m):
+        tag = F.lit(f"~{i}")
+        parts.append(
+            d.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.transform(F.split(F.col("text"), " "), lambda w: F.concat(w, tag)),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _fit_exponent(xs, ts):
+    """Least-squares slope of log(t) vs log(x)."""
+    import math
+
+    lx = [math.log(x) for x in xs]
+    lt = [math.log(max(t, 1e-9)) for t in ts]
+    mx = sum(lx) / len(lx)
+    mt = sum(lt) / len(lt)
+    num = sum((a - mx) * (b - mt) for a, b in zip(lx, lt))
+    den = sum((a - mx) ** 2 for a in lx)
+    return num / den
+
+
+@_pytest.mark.slow
+def test_minhash_lsh_candidate_growth_is_linear(spark):
+    """minhash_lsh_dedup at 1/4/8× sf0.1: verified pairs must be EXACTLY
+    m× the 1× count (replicas are internally identical, disjoint across),
+    and wall time must stay near-linear — a bucket blowup would show up
+    superlinearly in both."""
+    import time
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import minhash_lsh_dedup
+
+    counts, times = [], []
+    _ = minhash_lsh_dedup(_replicate_docs(spark, 1), "text", "doc_id").count()  # warm
+    for m in _SCALES:
+        df = _replicate_docs(spark, m)
+        t0 = time.perf_counter()
+        n = minhash_lsh_dedup(df, "text", "doc_id").count()
+        times.append(time.perf_counter() - t0)
+        counts.append(n)
+    assert counts[0] > 0
+    for m, n in zip(_SCALES, counts):
+        assert n == m * counts[0], (
+            f"candidate pairs not linear: {counts} at scales {_SCALES}"
+        )
+    exp = _fit_exponent(_SCALES, times)
+    assert exp < 1.45, f"wall-time exponent {exp:.2f} (times {times})"
+    print(f"\nminhash_lsh_dedup growth: counts={counts} times="
+          f"{[round(t, 2) for t in times]} exponent={exp:.2f}")
+
+
+@_pytest.mark.slow
+def test_ivf_topk_growth_is_near_linear(spark):
+    """ivf_topk with a FIXED query set over 1/4/8× items (ids remapped,
+    vectors replicated — cells get denser, probe volume stays
+    |items|·n_probe/n_cells): results stay k per query and wall time
+    near-linear in the item count."""
+    import time
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import ivf_topk
+
+    e = spark.read.parquet(f"{SCALE_SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = e.where(F.col("vec_id") < 50).select(F.col("vec_id").alias("qid"), "embedding")
+    base = e.select(F.col("vec_id").alias("iid"), "embedding")
+    _ = ivf_topk(q, base, "qid", "iid", k=5, n_cells=32, n_probe=4).count()  # warm
+    times = []
+    for m in _SCALES:
+        parts = [base]
+        for i in range(1, m):
+            parts.append(base.select(
+                (F.col("iid") + F.lit(i * 10_000_000)).alias("iid"), "embedding"
+            ))
+        items = parts[0]
+        for p in parts[1:]:
+            items = items.unionByName(p)
+        t0 = time.perf_counter()
+        out = ivf_topk(q, items, "qid", "iid", k=5, n_cells=32, n_probe=4)
+        n = out.count()
+        times.append(time.perf_counter() - t0)
+        assert n == 50 * 5
+    exp = _fit_exponent(_SCALES, times)
+    assert exp < 1.45, f"wall-time exponent {exp:.2f} (times {times})"
+    print(f"\nivf_topk growth: times={[round(t, 2) for t in times]} "
+          f"exponent={exp:.2f}")
+
+
+@_pytest.mark.slow
+def test_cross_corpus_overlap_growth_is_near_linear(spark):
+    """cross_corpus_overlap (decontamination) with the stop-shingle cut:
+    a FIXED 200-doc eval side probed against 1/4/8× train corpora. Eval
+    shingles collide only with replica-0 train docs (tags differ
+    elsewhere), so the collision pair set is CONSTANT while train volume
+    grows — wall time must stay near-linear (the train side never
+    shuffles; the cut bounds boilerplate skew)."""
+    import time
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.dedup import cross_corpus_overlap
+
+    eval_df = (
+        spark.read.parquet(f"{SCALE_SF_DIR}/documents.parquet")
+        .select(F.col("doc_id").alias("eval_id"), "text")
+        .where(F.col("eval_id") % 25 == 0)
+    )
+    _ = cross_corpus_overlap(
+        _replicate_docs(spark, 1), eval_df.withColumnRenamed("eval_id", "doc_id"),
+        "text", "doc_id", max_shingle_df=500,
+    ).count()  # warm
+    counts, times = [], []
+    for m in _SCALES:
+        train = _replicate_docs(spark, m)
+        t0 = time.perf_counter()
+        n = cross_corpus_overlap(
+            train, eval_df.withColumnRenamed("eval_id", "doc_id"),
+            "text", "doc_id", max_shingle_df=500,
+        ).count()
+        times.append(time.perf_counter() - t0)
+        counts.append(n)
+    assert counts[0] > 0
+    assert counts == [counts[0]] * len(_SCALES), (
+        f"collision pairs must be constant (eval is fixed): {counts}"
+    )
+    exp = _fit_exponent(_SCALES, times)
+    assert exp < 1.45, f"wall-time exponent {exp:.2f} (times {times})"
+    print(f"\ncross_corpus_overlap growth: pairs={counts} "
+          f"times={[round(t, 2) for t in times]} exponent={exp:.2f}")
