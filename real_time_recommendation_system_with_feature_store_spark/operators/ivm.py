@@ -1084,12 +1084,47 @@ def join_view_delta(
     return out
 
 
+def collapse_join_changes(
+    delta_v: DataFrame,
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a join-view D/I changelog into per-ROW Z-multiset nets:
+    every column except ``op_col`` becomes the grouping key and ``__net``
+    is the signed multiplicity sum (+1 per insert, -1 per delete; zero
+    nets drop). Nets are plain integer sums, so partial collapses MERGE
+    across micro-batches exactly like the other IVM folds — the
+    streaming sink (``join_delta_stream``) writes one of these per epoch
+    and the read-side fold equals the one-batch collapse bit-for-bit.
+    Unknown ops fail loudly in-plan."""
+    if "__net" in delta_v.columns:
+        raise ValueError(
+            "collapse_join_changes: input column '__net' is reserved"
+        )
+    cols = [c for c in delta_v.columns if c != op_col]
+    op = qcol(op_col)
+    sign = (
+        F.when(op == "I", F.lit(1))
+        .when(op == "D", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("collapse_join_changes: unknown op "), op.cast("string"))
+            ).cast("int")
+        )
+    )
+    return (
+        delta_v.groupBy(*[qcol(c) for c in cols])
+        .agg(F.sum(sign).alias("__net"))
+        .where(F.col("__net") != 0)
+    )
+
+
 def apply_join_delta(
     view: DataFrame,
     delta_v: DataFrame,
     id_cols: Sequence[str],
     op_col: str = "op",
     null_safe_keys: bool = True,
+    collapsed: bool = False,
 ) -> DataFrame:
     """Apply a join-view changelog (``join_view_delta``'s output, or any
     D/I stream of full view rows) to the materialized view, keyed by
@@ -1122,40 +1157,40 @@ def apply_join_delta(
     store the view bucketed by ``id_cols`` with ``null_safe_keys=False``
     (ids are non-null by contract in any real view) and the view side
     joins with ZERO Exchange, the ``merge_changelog`` layout contract.
+
+    ``collapsed=True`` accepts ``delta_v`` already in
+    ``collapse_join_changes``' (row columns…, __net) form — the streaming
+    path (``read_join_delta_state``'s epoch fold).
     """
     ids = list(id_cols)
     val_cols = [c for c in view.columns if c not in ids]
+    internal = ("__npos", "__nneg", "__pos", "__neg", "__nbad", "__had", "__o")
     reserved = [
         c
-        for df in (view, delta_v)
+        for df, allow_net in ((view, False), (delta_v, collapsed))
         for c in df.columns
-        if c.startswith(("__jk_", "__jv_")) or c in ("__net", "__npos", "__nneg", "__pos", "__neg", "__nbad", "__had", "__o")
+        if c.startswith(("__jk_", "__jv_"))
+        or c in internal
+        or (c == "__net" and not allow_net)
     ]
     if reserved:
         raise ValueError(
             f"apply_join_delta: input columns collide with reserved internal "
             f"names: {sorted(set(reserved))}"
         )
-    missing = [c for c in ids + val_cols + [op_col] if c not in delta_v.columns]
+    need = ids + val_cols + (["__net"] if collapsed else [op_col])
+    missing = [c for c in need if c not in delta_v.columns]
     if missing:
         raise ValueError(
             f"apply_join_delta: delta is missing column(s) {sorted(set(missing))}"
         )
-    op = qcol(op_col)
-    sign = (
-        F.when(op == "I", F.lit(1))
-        .when(op == "D", F.lit(-1))
-        .otherwise(
-            F.raise_error(
-                F.concat(F.lit("apply_join_delta: unknown op "), op.cast("string"))
-            ).cast("int")
-        )
-    )
-    nets = (
-        delta_v.groupBy(*[qcol(c) for c in ids + val_cols])
-        .agg(F.sum(sign).alias("__net"))
-        .where(F.col("__net") != 0)
-    )
+    if collapsed:
+        # already per-(id, row) Z-multiset nets (collapse_join_changes /
+        # read_join_delta_state's fold); zero rows may reappear when epochs
+        # cancel each other out
+        nets = delta_v.where(F.col("__net") != 0)
+    else:
+        nets = collapse_join_changes(delta_v, op_col)
     vstruct = F.struct(*[qcol(c) for c in val_cols])
     is_pos = F.col("__net") == 1
     is_neg = F.col("__net") == -1

@@ -8753,9 +8753,7 @@ def distinct_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_view
 
 
-@query(
-    "join_view_order_customer",
-    oracle="""
+_JOIN_VIEW_ORACLE = """
     WITH b_after AS (
       SELECT c_custkey AS o_custkey,
              CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
@@ -8771,7 +8769,12 @@ def distinct_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.o_orderkey, a.o_custkey, a.o_totalprice,
            b.c_mktsegment, b.c_acctbal
     FROM a_after a JOIN b_after b ON a.o_custkey = b.o_custkey
-    """,
+    """
+
+
+@query(
+    "join_view_order_customer",
+    oracle=_JOIN_VIEW_ORACLE,
     doc="JOIN-VIEW INCREMENTAL MAINTENANCE — a materialized orders ⋈ "
         "customer equi-join refreshed under changelogs on BOTH inputs "
         "via the delta-join rule (operators/ivm.py::join_view_delta: "
@@ -8793,10 +8796,18 @@ def distinct_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(src/features/feature_engineering.py:57-64,151-155).",
 )
 def join_view_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
-        apply_join_delta,
-        join_view_delta,
-    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+
+    view, dv = _join_view_inputs(spark, sf_dir)
+    return apply_join_delta(view, dv, ["o_orderkey"], null_safe_keys=False)
+
+
+def _join_view_inputs(spark: SparkSession, sf_dir: str):
+    """Shared construction of the join-view IVM pair (batch entry +
+    stream fold twin): materialized pre-2000 orders ⋈ customer view plus
+    its derived changelog under two-sided deltas (fact inserts/deletes,
+    dim deletes and D/I mktsegment updates)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import join_view_delta
 
     split = F.lit("2000-01-01").cast("timestamp")
     o = _t(spark, sf_dir, "orders")
@@ -8829,7 +8840,41 @@ def join_view_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     dv = join_view_delta(a_before, delta_a, b_after, delta_b, ["o_custkey"])
-    return apply_join_delta(view, dv, ["o_orderkey"], null_safe_keys=False)
+    return view, dv
+
+
+@query(
+    "join_view_state_fold",
+    oracle=_JOIN_VIEW_ORACLE,
+    doc="Streaming join-view-IVM sink driven in-query: the "
+        "join_view_order_customer changelog streams in as 3 micro-batches "
+        "sliced by o_orderkey mod 3 (an update's D/I halves may straddle "
+        "epochs — per-row Z-multiset nets are plain integer sums, so "
+        "read_join_delta_state's fold equals the one-batch collapse "
+        "bit-for-bit) through join_delta_stream's per-epoch net frames; "
+        "apply_join_delta(collapsed=True) then advances the materialized "
+        "orders ⋈ customer view. The oracle IS the from-scratch re-join "
+        "of the post-change snapshots, so the driver hash certifies "
+        "stream-folded incremental == full re-join. Scale: per-epoch "
+        "state is bounded by the view rows the epoch touched "
+        "(streaming/pipeline.py::join_delta_stream).",
+)
+def join_view_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        join_delta_stream,
+        read_join_delta_state,
+    )
+
+    state_dir = _fold_state_dir("join_view_state_fold", sf_dir)
+    view, dv = _join_view_inputs(spark, sf_dir)
+    sink = join_delta_stream(state_dir)
+    for i in range(3):
+        sink(dv.where(F.col("o_orderkey") % 3 == i), i)
+    folded = read_join_delta_state(spark, state_dir)
+    return apply_join_delta(
+        view, folded, ["o_orderkey"], null_safe_keys=False, collapsed=True
+    )
 
 
 _TOPK_ROLLUP_ORACLE = """
@@ -9211,6 +9256,7 @@ _DRIVER_WINDOW = [
     "rollup_distinct_custkeys",
     "distinct_state_fold",
     "join_view_order_customer",
+    "join_view_state_fold",
     # r9-stale (all 30 — nothing older remains after this round):
     "late_ship_priority_counts",
     "minhash_dedup_candidates",
@@ -9260,7 +9306,6 @@ _DRIVER_WINDOW = [
     "embedding_near_dup",
     "eval_contamination_pairs",
     "excess_shipment_suppliers",
-    "jaccard_similar_pairs",
 ]
 
 def _reorder_registry() -> None:

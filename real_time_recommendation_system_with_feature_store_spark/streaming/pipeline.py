@@ -1755,6 +1755,47 @@ def read_distinct_delta_state(
     )
 
 
+def join_delta_stream(state_dir: str, op_col: str = "op"):
+    """ST9 × IVM, join-view tier: streaming capture of a join-view
+    changelog (``operators/ivm.join_view_delta``'s output — D/I rows
+    carrying the view's full columns) for ``apply_join_delta`` — the
+    fifth IVM sink, completing the family (sums, extrema, top-k,
+    distinct, join). Each micro-batch collapses to per-ROW Z-multiset
+    nets (``collapse_join_changes``: every column except the op is the
+    key, ``__net`` the signed multiplicity) under ``epoch=N``; nets are
+    plain integer sums, so ``read_join_delta_state``'s fold equals the
+    one-batch collapse bit-for-bit — including an update whose D and I
+    halves straddle epochs — and ``apply_join_delta(collapsed=True)``
+    advances the view.
+
+    Replay contract: sum-fold family — a replayed epoch id overwrites
+    its own partition. Per-epoch state is bounded by the rows the epoch
+    touched; the raw changelog is never rescanned."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_join_changes
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        collapse_join_changes(batch_df, op_col=op_col).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/epoch={epoch_id}")
+
+    return _process
+
+
+def read_join_delta_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold an epoch-partitioned join-delta directory into ONE per-row
+    ``__net`` frame — feed it to ``apply_join_delta(collapsed=True)``
+    against the materialized view. Exactly ``collapse_join_changes`` of
+    the concatenated changelog (integer nets merge; cross-epoch
+    cancellations drop at the fold)."""
+    df = spark.read.parquet(state_dir).drop("epoch")
+    cols = [c for c in df.columns if c != "__net"]
+    return (
+        df.groupBy(*cols)
+        .agg(F.sum("__net").alias("__net"))
+        .where(F.col("__net") != 0)
+    )
+
+
 def topk_delta_stream(
     state_dir: str,
     keys: list[str],

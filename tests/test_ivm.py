@@ -803,3 +803,35 @@ def test_join_view_unknown_op_raises(spark):
     )
     with pytest.raises(Exception, match="unknown op"):
         apply_join_delta(view, dv, ["aid"]).collect()
+
+
+def test_join_view_stream_fold_equals_one_batch(spark, tmp_path):
+    """join_delta_stream's per-epoch net collapses fold (integer sums) to
+    exactly the one-batch application, including an update whose D and I
+    halves land in DIFFERENT epochs and a cross-epoch transient that
+    cancels at the fold."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        join_delta_stream,
+        read_join_delta_state,
+    )
+
+    _, _, view = _jv_frames(spark)
+    sch = "op string, aid int, k int, av double, battr string"
+    e0 = spark.createDataFrame(
+        [("D", 1, 10, 1.0, "x"), ("I", 5, 20, 5.0, "y")], sch
+    )
+    e1 = spark.createDataFrame(
+        [("I", 1, 10, 9.0, "x"), ("D", 5, 20, 5.0, "y"), ("D", 2, 10, 2.0, "x")],
+        sch,
+    )
+    sink = join_delta_stream(str(tmp_path / "st"))
+    sink(e0, 0)
+    sink(e1, 1)
+    folded = read_join_delta_state(spark, str(tmp_path / "st"))
+    got = apply_join_delta(view, folded, ["aid"], collapsed=True)
+    want = apply_join_delta(view, e0.unionByName(e1), ["aid"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    ids = sorted(r["aid"] for r in got.collect())
+    # 1 updated (av 9.0), 2 deleted, 5 transient (inserted then deleted)
+    assert ids == [1, 3, 4]

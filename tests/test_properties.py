@@ -1247,3 +1247,154 @@ def test_joint_ivm_random_history_all_views_agree_per_epoch(spark, base, steps):
             for rn, (i, v) in enumerate(rows, start=1):
                 exp_topk[(g, rn)] = (i, v)
         assert got_topk == exp_topk
+
+
+_jv_a_base = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),     # aid
+        st.integers(min_value=0, max_value=4),      # join key
+        st.integers(min_value=-20, max_value=20),   # value
+    ),
+    min_size=0, max_size=14, unique_by=lambda r: r[0],
+)
+_jv_b_base = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),      # join key
+        st.integers(min_value=0, max_value=9),      # attr
+    ),
+    min_size=0, max_size=5, unique_by=lambda r: r[0],
+)
+_jv_a_steps = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=4),
+        st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),
+    ),
+    min_size=0, max_size=16,
+)
+_jv_b_steps = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+    ),
+    min_size=0, max_size=8,
+)
+
+
+@given(a_base=_jv_a_base, b_base=_jv_b_base, a_steps=_jv_a_steps, b_steps=_jv_b_steps)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_join_view_ivm_random_history_matches_rejoin(
+    spark, a_base, b_base, a_steps, b_steps
+):
+    """join_view_delta + apply_join_delta over random consistent
+    TWO-SIDED CDC histories — applied per epoch AND via the stream
+    sink's one-shot composed fold — equals the from-scratch re-join
+    after every epoch. A-side updates may MOVE a row to a different
+    join key (D old row / I new row), so view rows migrate between B
+    partners mid-history."""
+    import os
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_join_delta,
+        join_view_delta,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        join_delta_stream,
+        read_join_delta_state,
+    )
+
+    n_epochs = 3
+    sa = "aid int, k int, av double"
+    sb = "k int, battr string"
+    a_state = {aid: (k, float(v)) for aid, k, v in a_base}
+    b_state = {k: f"b{attr}" for k, attr in b_base}
+
+    def adf(state):
+        rows = [(aid, k, v) for aid, (k, v) in state.items()]
+        return spark.createDataFrame(rows, sa) if rows else \
+            spark.createDataFrame([], sa)
+
+    def bdf(state):
+        rows = list(state.items())
+        return spark.createDataFrame(rows, sb) if rows else \
+            spark.createDataFrame([], sb)
+
+    def rejoin(astate, bstate):
+        return {
+            (aid, k, v, bstate[k])
+            for aid, (k, v) in astate.items()
+            if k in bstate
+        }
+
+    view = adf(a_state).join(bdf(b_state), ["k"], "inner")
+    view0 = view
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "jv_prop_state",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    sink = join_delta_stream(tmp)
+    wrote = False
+
+    for e in range(n_epochs):
+        # monotone chunking, one touch per entity per epoch
+        a_ev, b_ev = [], []
+        touched_a, touched_b = set(), set()
+        a_chunk = [s for i, s in enumerate(a_steps)
+                   if (i * n_epochs) // max(len(a_steps), 1) == e]
+        b_chunk = [s for i, s in enumerate(b_steps)
+                   if (i * n_epochs) // max(len(b_steps), 1) == e]
+        a_before = adf(a_state)
+        for aid, k, v in a_chunk:
+            if aid in touched_a:
+                continue
+            touched_a.add(aid)
+            if v is None:
+                if aid in a_state:
+                    ok, ov = a_state.pop(aid)
+                    a_ev.append(("D", aid, ok, ov))
+            elif aid in a_state:
+                ok, ov = a_state[aid]
+                a_ev.append(("D", aid, ok, ov))
+                a_ev.append(("I", aid, k, float(v)))
+                a_state[aid] = (k, float(v))
+            else:
+                a_ev.append(("I", aid, k, float(v)))
+                a_state[aid] = (k, float(v))
+        for k, attr in b_chunk:
+            if k in touched_b:
+                continue
+            touched_b.add(k)
+            if attr is None:
+                if k in b_state:
+                    b_ev.append(("D", k, b_state.pop(k)))
+            elif k in b_state:
+                b_ev.append(("D", k, b_state[k]))
+                b_ev.append(("I", k, f"b{attr}"))
+                b_state[k] = f"b{attr}"
+            else:
+                b_ev.append(("I", k, f"b{attr}"))
+                b_state[k] = f"b{attr}"
+        if not a_ev and not b_ev:
+            continue
+        da = spark.createDataFrame(a_ev, f"op string, {sa}") if a_ev else \
+            spark.createDataFrame([], f"op string, {sa}")
+        db = spark.createDataFrame(b_ev, f"op string, {sb}") if b_ev else \
+            spark.createDataFrame([], f"op string, {sb}")
+        dv = join_view_delta(a_before, da, bdf(b_state), db, ["k"])
+        dv = spark.createDataFrame(dv.collect(), dv.schema)
+        sink(dv, e)
+        wrote = True
+        view = apply_join_delta(view, dv, ["aid"])
+        view = spark.createDataFrame(view.collect(), view.schema)
+        got = {(r["aid"], r["k"], r["av"], r["battr"]) for r in view.collect()}
+        assert got == rejoin(a_state, b_state)
+
+    if wrote:
+        folded = read_join_delta_state(spark, tmp)
+        out = apply_join_delta(view0, folded, ["aid"], collapsed=True)
+        got = {(r["aid"], r["k"], r["av"], r["battr"]) for r in out.collect()}
+        assert got == rejoin(a_state, b_state)
