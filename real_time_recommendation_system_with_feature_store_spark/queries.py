@@ -8647,6 +8647,109 @@ def extrema_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rollup_avg_var_priority",
+    oracle="""
+    WITH contrib AS (
+      SELECT o_orderpriority, 1 AS sgn, o_totalprice AS m
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+      UNION ALL
+      SELECT o_orderpriority, 1, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      UNION ALL
+      SELECT o_orderpriority, -1, o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderpriority, 1, o_totalprice * 1.1
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 13 = 0
+    ),
+    agg AS (
+      SELECT o_orderpriority,
+        CAST(SUM(sgn) AS BIGINT) AS n,
+        SUM(CASE WHEN sgn = 1 THEN CAST(m AS DECIMAL(28,10))
+                 ELSE CAST(-m AS DECIMAL(28,10)) END) AS s,
+        SUM(CASE WHEN sgn = 1 THEN CAST(m * m AS DECIMAL(28,10))
+                 ELSE CAST(-(m * m) AS DECIMAL(28,10)) END) AS ss
+      FROM contrib
+      GROUP BY 1
+      HAVING SUM(sgn) > 0
+    )
+    SELECT o_orderpriority, n,
+      CAST(s AS DOUBLE) / n AS avg_price,
+      ROUND(CAST(ss AS DOUBLE) / n
+        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 2) AS var_price
+    FROM agg
+    """,
+    doc="DERIVED-AGGREGATE IVM: mean and population variance maintained "
+        "incrementally from the self-maintainable (count, sum, "
+        "sum-of-squares) triple — agg_delta's extra_measures carries "
+        "x*x through the SAME delta pass (one shuffle for all three "
+        "moments), apply_agg_delta merges all of them onto the view, "
+        "and avg/var derive at read time as pure double arithmetic "
+        "(avg = s/n, var = ss/n - (s/n)^2 — the identical expression "
+        "graph on both engines, so the driver hash certifies the "
+        "incremental moments bit-for-bit). The changelog reuses the "
+        "rollup_ivm_priority_revenue shape: late-window inserts plus "
+        "%13 price corrections as D/I pairs; retractions cancel in "
+        "exact DECIMAL so a fully-retracted group's moments return to "
+        "exact zero. Reference tie: the mean/std features the reference "
+        "recomputes from scratch per refresh "
+        "(src/features/feature_engineering.py:195-204).",
+)
+def rollup_avg_var_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import agg_delta, apply_agg_delta
+
+    split = F.lit("2000-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderdate") < split)
+    m = F.col("o_totalprice")
+    view = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(m.cast("decimal(28,10)")).alias("total"),
+        F.sum((m * m).cast("decimal(28,10)")).alias("ss"),
+    )
+    corrections = base.where(F.col("o_orderkey") % 13 == 0)
+    changelog = (
+        o.where(F.col("o_orderdate") >= split)
+        .select(F.lit("I").alias("op"), "o_orderpriority", "o_totalprice")
+        .unionByName(
+            corrections.select(
+                F.lit("D").alias("op"), "o_orderpriority", "o_totalprice"
+            )
+        )
+        .unionByName(
+            corrections.select(
+                F.lit("I").alias("op"),
+                "o_orderpriority",
+                (m * F.lit(1.1)).alias("o_totalprice"),
+            )
+        )
+    )
+    delta = agg_delta(
+        changelog, ["o_orderpriority"], m, extra_measures={"ss": m * m}
+    )
+    out = apply_agg_delta(
+        view, delta, ["o_orderpriority"],
+        null_safe_keys=False, extra_sum_cols=["ss"],
+    )
+    s_d = F.col("total").cast("double")
+    ss_d = F.col("ss").cast("double")
+    n = F.col("n")
+    return out.select(
+        "o_orderpriority",
+        "n",
+        (s_d / n).alias("avg_price"),
+        # var rounds to cents^2: the decimal moment sums are exact on both
+        # engines, but DuckDB's int128-scaled decimal->double conversion
+        # can differ from Java BigDecimal's by 1 ulp on the ~1e16 ss sums,
+        # and the subtraction amplifies that to ~1e-5 absolute - everything
+        # below cents is conversion noise, not signal
+        F.round(ss_d / n - (s_d / n) * (s_d / n), 2).alias("var_price"),
+    )
+
+
 _DISTINCT_ROLLUP_ORACLE = """
     SELECT o_orderpriority, o_orderstatus,
            COUNT(DISTINCT o_custkey) AS nd
@@ -9257,6 +9360,7 @@ _DRIVER_WINDOW = [
     "distinct_state_fold",
     "join_view_order_customer",
     "join_view_state_fold",
+    "rollup_avg_var_priority",
     # r9-stale (all 30 — nothing older remains after this round):
     "late_ship_priority_counts",
     "minhash_dedup_candidates",
@@ -9305,7 +9409,6 @@ _DRIVER_WINDOW = [
     "dsir_target_selection",
     "embedding_near_dup",
     "eval_contamination_pairs",
-    "excess_shipment_suppliers",
 ]
 
 def _reorder_registry() -> None:
