@@ -9348,13 +9348,15 @@ _DRIVER_WINDOW_ROUND = 13
 
 _DRIVER_WINDOW = [
     # r13 ROTATION.  Evidence ledger after r12: 50 entries newest-green
-    # @ r12, 50 @ r11, 50 @ r10, 30 @ r9, plus the 3 new r13 entries
+    # @ r12, 50 @ r11, 50 @ r10, 30 @ r9, plus the 5 new r13 entries
     # (never driver-checked).  This window = ALL 30 r9-stale entries
-    # (the r12 verdict's Next-round #1 list, verbatim) + the 3 r13
-    # additions (the distinct-count IVM pair and the join-view IVM
-    # entry) + 17 r10 fillers at the cutoff.  The guard's cutoff with
-    # 183 entries lands at r10: everything < r10 must front, r10
-    # entries fill the rest in any order.
+    # (the r12 verdict's Next-round #1 list, verbatim) + the 5 r13
+    # additions (the distinct-count IVM pair, the join-view IVM pair,
+    # and the derived-moment avg/var entry — each slotted the commit it
+    # was registered, displacing an r10 filler from the end) + 15 r10
+    # fillers at the cutoff.  The guard's cutoff with 185 entries lands
+    # at r10: everything < r10 must front, r10 entries fill the rest in
+    # any order.
     # new r13 entries (never driver-checked — must front per the guard):
     "rollup_distinct_custkeys",
     "distinct_state_fold",

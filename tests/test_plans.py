@@ -1035,3 +1035,52 @@ def test_bucketed_snapshot_join_view_delta_has_no_snapshot_side_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS jv_snap_bkt")
+
+
+def test_bucketed_support_distinct_ivm_has_no_support_side_exchange(spark):
+    """The apply_distinct_delta scale claim, plan-asserted: a support table
+    bucketed on (group key, value) with null_safe_keys=False merges its
+    collapsed delta reading the support side straight from buckets — only
+    the delta shuffles. (The view merge downstream follows the same
+    apply_agg_delta contract already pinned; this pins the NEW merge.)"""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_distinct_delta,
+        build_distinct_support,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.sources.bucketing import write_bucketed
+
+    tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    support = build_distinct_support(o, ["o_orderpriority"], "o_custkey")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.sql("DROP TABLE IF EXISTS dsupp_bkt")
+        shutil.rmtree(os.path.join(tmp, "dsupp_bkt"), ignore_errors=True)
+        write_bucketed(
+            support, "dsupp_bkt", ["o_orderpriority", "o_custkey"], buckets=4,
+            path=os.path.join(tmp, "dsupp_bkt"),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bsupport = spark.table("dsupp_bkt")
+        view = bsupport.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("nd")
+        )
+        chg = o.limit(50).select(
+            F.lit("I").alias("op"), "o_orderpriority", "o_custkey"
+        )
+        _, ns = apply_distinct_delta(
+            view, bsupport, chg, ["o_orderpriority"], "o_custkey",
+            null_safe_keys=False,
+        )
+        plan = ns._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "FullOuter" in plan, plan
+        # support = LEFT child of the merge join: its branch (between the
+        # join node and the bucketed scan) must carry no Exchange
+        support_branch = plan.split("SortMergeJoin")[1].split("dsupp_bkt")[0]
+        assert "Exchange" not in support_branch, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS dsupp_bkt")
