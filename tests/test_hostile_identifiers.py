@@ -556,3 +556,63 @@ def test_extrema_stream_fold_hostile(spark, name):
         )
         got = {r[key]: (r["mn"], r["mx"]) for r in out.collect()}
         assert got == {"a": (1.0, 9.0)}
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_distinct_ivm_hostile(spark, name):
+    """The distinct-count IVM triple with the hostile name in BOTH roles:
+    group key and counted value."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_distinct_delta,
+        build_distinct_support,
+        distinct_from_support,
+    )
+
+    esc = name.replace("`", "``")
+    base = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z")],
+        f"`{esc}` string, v string",
+    )
+    for keys, val, mk in [
+        ([name], "v", lambda op, g, v: (op, g, v)),
+        (["g"], name, lambda op, g, v: (op, g, v)),
+    ]:
+        df = base if keys == [name] else base.withColumnRenamed(name, "g")
+        if val == name:
+            df = df.withColumnRenamed("v", name)
+        support = build_distinct_support(df, keys, val)
+        view = distinct_from_support(support, keys)
+        chg = spark.createDataFrame(
+            [mk("D", "g1", "y"), mk("I", "g2", "w")],
+            f"op string, `{esc if keys == [name] else 'g'}` string, "
+            f"`{esc if val == name else 'v'}` string",
+        )
+        nv, ns = apply_distinct_delta(view, support, chg, keys, val)
+        got = {r[keys[0]]: r["nd"] for r in nv.collect()}
+        assert got == {"g1": 1, "g2": 2}
+        assert ns.count() == 3  # (g1,x supp=2), (g2,z), (g2,w) - (g1,y) died
+
+
+@pytest.mark.parametrize("name", HOSTILE)
+def test_join_view_ivm_hostile(spark, name):
+    """The join-view IVM with the hostile name as join key, row id, and
+    value column simultaneously on the A side."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_join_delta,
+        join_view_delta,
+    )
+
+    esc = name.replace("`", "``")
+    a = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0)], f"`{esc}` int, k int, av double"
+    )
+    b = spark.createDataFrame([(10, "x"), (20, "y")], "k int, battr string")
+    view = a.join(b, ["k"], "inner")
+    delta_a = spark.createDataFrame(
+        [("D", 2, 20, 2.0), ("I", 3, 10, 3.0)],
+        f"op string, `{esc}` int, k int, av double",
+    )
+    dv = join_view_delta(a, delta_a, b, None, ["k"])
+    out = apply_join_delta(view, dv, [name])
+    got = sorted((r[name], r["k"], r["av"], r["battr"]) for r in out.collect())
+    assert got == [(1, 10, 1.0, "x"), (3, 10, 3.0, "x")]
