@@ -818,7 +818,10 @@ def collapse_distinct_changes(
     ``agg_delta``'s sums (+ and - commute; an update's D/I halves may
     straddle epochs) — the streaming sink (``distinct_delta_stream``)
     writes one of these per epoch and the read-side fold equals the
-    one-batch collapse bit-for-bit.
+    one-batch collapse bit-for-bit. Zero nets drop (an I/D pair of the
+    same (group, value) in one batch is a no-op on the view by
+    definition — same convention as ``collapse_join_changes``), keeping
+    per-epoch state slim.
 
     NULL values are dropped BEFORE collapsing — COUNT(DISTINCT x)
     ignores NULLs, so an insert or delete of a NULL value is a no-op on
@@ -844,6 +847,7 @@ def collapse_distinct_changes(
         changes.where(qcol(value_col).isNotNull())
         .groupBy(*[qcol(k) for k in keys], qcol(value_col))
         .agg(F.sum(sign).alias("dsupp"))
+        .where(F.col("dsupp") != 0)
     )
 
 

@@ -1752,6 +1752,7 @@ def read_distinct_delta_state(
         .drop("epoch")
         .groupBy(*[qcol(k) for k in keys], qcol(value_col))
         .agg(F.sum("dsupp").alias("dsupp"))
+        .where(F.col("dsupp") != 0)
     )
 
 

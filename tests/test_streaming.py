@@ -3327,3 +3327,111 @@ def test_retrain_pq_index_conflicting_duplicate_vectors_raise(spark):
     assert epoch == 1
     stored = spark.read.parquet(f"{index_dir}/codes")
     assert stored.count() == live.count()
+
+
+def test_distinct_and_join_delta_streams_under_real_runtime(spark):
+    """The two r13 IVM sinks driven by the ACTUAL Structured Streaming
+    engine (readStream → foreachBatch, availableNow), not just synchronous
+    batch calls: the folded state must equal the one-batch collapse, an
+    epoch replay must be idempotent, and compact_epoch_state must rewrite
+    either sink's history as one epoch with identical folds."""
+    import os as _os
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_distinct_delta,
+        build_distinct_support,
+        distinct_from_support,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        compact_epoch_state,
+        distinct_delta_stream,
+        join_delta_stream,
+        read_distinct_delta_state,
+        read_join_delta_state,
+    )
+
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp")
+    stage = _os.path.join(tmp, "ivm13_stage")
+    ddir = _os.path.join(tmp, "ivm13_distinct")
+    jdir = _os.path.join(tmp, "ivm13_join")
+    for p in (stage, ddir, jdir):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # a changelog that doubles as both sinks' input: (op, g, v) rows; the
+    # join sink treats (g, v) as the full view row keyed by g
+    chg = spark.createDataFrame(
+        [
+            ("I", 1, "x"), ("I", 2, "y"),          # file 1
+            ("D", 1, "x"), ("I", 1, "z"),          # file 2: update g=1
+            ("I", 3, "w"), ("D", 2, "y"),          # file 3: birth + death
+        ],
+        "op string, g int, v string",
+    )
+    for lo, hi in [(0, 2), (2, 4), (4, 6)]:
+        spark.createDataFrame(
+            chg.collect()[lo:hi], chg.schema
+        ).coalesce(1).write.mode("append").parquet(stage)
+
+    stream = spark.readStream.schema(chg.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage)
+    dsink = distinct_delta_stream(ddir, ["g"], "v")
+    jsink = join_delta_stream(jdir)
+
+    def both(batch_df, epoch_id):
+        dsink(batch_df, epoch_id)
+        jsink(batch_df, epoch_id)
+
+    q = stream.writeStream.foreachBatch(both).trigger(availableNow=True).start()
+    try:
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+    finally:
+        q.stop()
+
+    # distinct fold == one-batch collapse, applied from an empty base
+    empty = spark.createDataFrame([], "g int, v string")
+    support0 = build_distinct_support(empty, ["g"], "v")
+    view0 = distinct_from_support(support0, ["g"])
+    folded = read_distinct_delta_state(spark, ddir, ["g"], "v")
+    nv, ns = apply_distinct_delta(
+        view0, support0, folded, ["g"], "v", collapsed=True
+    )
+    assert {r["g"]: r["nd"] for r in nv.collect()} == {1: 1, 3: 1}
+    # join fold: net rows are exactly the post-change state
+    jnet = read_join_delta_state(spark, jdir)
+    assert {(r["g"], r["v"], r["__net"]) for r in jnet.collect()} == {
+        (1, "z", 1), (3, "w", 1),
+    }
+
+    # at-least-once: replaying the LAST epoch leaves both folds unchanged
+    # (materialize the pre-replay fold first: the replay OVERWRITES the
+    # epoch partition, so lazy frames over the old files must not survive,
+    # and the listing cache needs a refresh)
+    pre_fold = sorted(map(tuple, folded.collect()))
+    last = chg.collect()[4:6]
+    both(spark.createDataFrame(last, chg.schema), 2)
+    spark.catalog.refreshByPath(ddir)
+    spark.catalog.refreshByPath(jdir)
+    assert {(r["g"], r["v"], r["__net"]) for r in read_join_delta_state(spark, jdir).collect()} == {
+        (1, "z", 1), (3, "w", 1),
+    }
+    assert sorted(map(tuple, read_distinct_delta_state(spark, ddir, ["g"], "v").collect())) == pre_fold
+
+    # compaction: rewrite each history as ONE epoch holding its fold;
+    # the post-compaction fold is identical and future epochs append
+    dfold = read_distinct_delta_state(spark, ddir, ["g"], "v")
+    dfold = spark.createDataFrame(dfold.collect(), dfold.schema)
+    compact_epoch_state(dfold, ddir)
+    spark.catalog.refreshByPath(ddir)
+    assert sorted(map(tuple, read_distinct_delta_state(spark, ddir, ["g"], "v").collect())) == \
+        sorted(map(tuple, dfold.collect()))
+    jfold = read_join_delta_state(spark, jdir)
+    jfold = spark.createDataFrame(jfold.collect(), jfold.schema)
+    compact_epoch_state(jfold, jdir)
+    spark.catalog.refreshByPath(jdir)
+    assert sorted(map(tuple, read_join_delta_state(spark, jdir).collect())) == \
+        sorted(map(tuple, jfold.collect()))
+    dsink(spark.createDataFrame([("I", 9, "q")], chg.schema), 9)
+    spark.catalog.refreshByPath(ddir)
+    assert {r["g"] for r in read_distinct_delta_state(spark, ddir, ["g"], "v").collect()} == {1, 3, 9}
