@@ -8980,6 +8980,145 @@ def join_view_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "warehouse_day_close_pipeline",
+    oracle="""
+    WITH a_after AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01' OR o_orderkey % 7 != 0
+    ),
+    b_after AS (
+      SELECT c_custkey AS o_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 11 != 0
+    ),
+    jv AS (
+      SELECT a.o_orderpriority, b.c_mktsegment
+      FROM a_after a JOIN b_after b ON a.o_custkey = b.o_custkey
+    ),
+    agg AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2)
+               AS total_revenue
+      FROM a_after GROUP BY 1
+    ),
+    dist AS (
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS nd_custkeys
+      FROM a_after GROUP BY 1
+    ),
+    jagg AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_joined,
+             COUNT(DISTINCT c_mktsegment) AS nd_segments
+      FROM jv GROUP BY 1
+    )
+    SELECT agg.o_orderpriority, agg.n, agg.total_revenue,
+           dist.nd_custkeys, jagg.n_joined, jagg.nd_segments
+    FROM agg
+    JOIN dist ON dist.o_orderpriority = agg.o_orderpriority
+    JOIN jagg ON jagg.o_orderpriority = agg.o_orderpriority
+    """,
+    doc="WAREHOUSE DAY-CLOSE as ONE incremental DAG — the IVM family "
+        "composed the way a nightly pipeline actually runs it: the same "
+        "day's changelogs (late-window order inserts + orderkey%7 "
+        "deletes on the fact side; custkey%11 deletes + custkey%5 "
+        "mktsegment D/I updates on the dim side) advance THREE "
+        "materialized views without touching the base — the sum/count "
+        "rollup (apply_agg_delta), the distinct-customer rollup "
+        "(apply_distinct_delta via its support table), and the orders ⋈ "
+        "customer join view (join_view_delta + apply_join_delta) — and "
+        "the day-close report joins the three refreshed views per "
+        "priority, deriving segment stats from the maintained join "
+        "view. The oracle recomputes everything from the post-change "
+        "snapshots, so ONE driver hash certifies the whole composed "
+        "refresh. The sibling feature_day_close_pipeline covers the "
+        "row-level merge/SCD2/as-of side; this covers the aggregate/"
+        "join-view side. At 100 TB each apply shuffles only the day's "
+        "changes; the report reads three view-sized tables.",
+)
+def warehouse_day_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        agg_delta,
+        apply_agg_delta,
+        apply_distinct_delta,
+        apply_join_delta,
+        build_distinct_support,
+        distinct_from_support,
+        join_view_delta,
+    )
+
+    split = F.lit("2000-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    keys = ["o_orderpriority"]
+    a_cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    a_before = o.where(F.col("o_orderdate") < split).select(*a_cols)
+    b_before = c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+
+    # the day's changelogs (shared by all three views)
+    ins_a = o.where(F.col("o_orderdate") >= split).select(*a_cols)
+    del_a = a_before.where(F.col("o_orderkey") % 7 == 0)
+    delta_a = ins_a.select(F.lit("I").alias("op"), "*").unionByName(
+        del_a.select(F.lit("D").alias("op"), "*")
+    )
+    del_b = b_before.where(F.col("o_custkey") % 11 == 0)
+    upd_old = b_before.where(
+        (F.col("o_custkey") % 11 != 0) & (F.col("o_custkey") % 5 == 0)
+    )
+    upd_new = upd_old.withColumn("c_mktsegment", F.lit("MOVED"))
+    delta_b = (
+        del_b.select(F.lit("D").alias("op"), "*")
+        .unionByName(upd_old.select(F.lit("D").alias("op"), "*"))
+        .unionByName(upd_new.select(F.lit("I").alias("op"), "*"))
+    )
+    b_after = b_before.where(F.col("o_custkey") % 11 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+
+    # view 1: sum/count rollup
+    agg_view = a_before.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("total"),
+    )
+    agg_new = apply_agg_delta(
+        agg_view,
+        agg_delta(
+            delta_a.select("op", *keys, "o_totalprice"), keys,
+            F.col("o_totalprice"),
+        ),
+        keys,
+        null_safe_keys=False,
+    )
+    # view 2: distinct customers per priority (support-count table)
+    support = build_distinct_support(a_before, keys, "o_custkey")
+    dist_view = distinct_from_support(support, keys, distinct_col="nd_custkeys")
+    dist_new, _ = apply_distinct_delta(
+        dist_view, support, delta_a.select("op", *keys, "o_custkey"),
+        keys, "o_custkey", distinct_col="nd_custkeys", null_safe_keys=False,
+    )
+    # view 3: orders ⋈ customer join view under BOTH changelogs
+    jview = a_before.join(b_before, ["o_custkey"], "inner")
+    dv = join_view_delta(a_before, delta_a, b_after, delta_b, ["o_custkey"])
+    jv_new = apply_join_delta(jview, dv, ["o_orderkey"], null_safe_keys=False)
+
+    jagg = jv_new.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.countDistinct("c_mktsegment").alias("nd_segments"),
+    )
+    return (
+        agg_new.select(
+            *keys, "n",
+            F.round(F.col("total").cast("double"), 2).alias("total_revenue"),
+        )
+        .join(dist_new, keys)
+        .join(jagg, keys)
+    )
+
+
 _TOPK_ROLLUP_ORACLE = """
     WITH base AS (
       SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
@@ -9348,13 +9487,14 @@ _DRIVER_WINDOW_ROUND = 13
 
 _DRIVER_WINDOW = [
     # r13 ROTATION.  Evidence ledger after r12: 50 entries newest-green
-    # @ r12, 50 @ r11, 50 @ r10, 30 @ r9, plus the 5 new r13 entries
+    # @ r12, 50 @ r11, 50 @ r10, 30 @ r9, plus the 6 new r13 entries
     # (never driver-checked).  This window = ALL 30 r9-stale entries
-    # (the r12 verdict's Next-round #1 list, verbatim) + the 5 r13
+    # (the r12 verdict's Next-round #1 list, verbatim) + the 6 r13
     # additions (the distinct-count IVM pair, the join-view IVM pair,
-    # and the derived-moment avg/var entry — each slotted the commit it
-    # was registered, displacing an r10 filler from the end) + 15 r10
-    # fillers at the cutoff.  The guard's cutoff with 185 entries lands
+    # the derived-moment avg/var entry, and the composed warehouse
+    # day-close pipeline — each slotted the commit it
+    # was registered, displacing an r10 filler from the end) + 14 r10
+    # fillers at the cutoff.  The guard's cutoff with 186 entries lands
     # at r10: everything < r10 must front, r10 entries fill the rest in
     # any order.
     # new r13 entries (never driver-checked — must front per the guard):
@@ -9363,6 +9503,7 @@ _DRIVER_WINDOW = [
     "join_view_order_customer",
     "join_view_state_fold",
     "rollup_avg_var_priority",
+    "warehouse_day_close_pipeline",
     # r9-stale (all 30 — nothing older remains after this round):
     "late_ship_priority_counts",
     "minhash_dedup_candidates",
@@ -9410,7 +9551,6 @@ _DRIVER_WINDOW = [
     "dsir_resampled_docs",
     "dsir_target_selection",
     "embedding_near_dup",
-    "eval_contamination_pairs",
 ]
 
 def _reorder_registry() -> None:
