@@ -835,3 +835,21 @@ def test_join_view_stream_fold_equals_one_batch(spark, tmp_path):
     ids = sorted(r["aid"] for r in got.collect())
     # 1 updated (av 9.0), 2 deleted, 5 transient (inserted then deleted)
     assert ids == [1, 3, 4]
+
+
+def test_join_view_key_only_membership_view(spark):
+    """A join view whose id columns ARE all its columns (a maintained
+    key-pair membership set — no value columns, empty struct payload)
+    still applies deletes/inserts correctly."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import apply_join_delta
+
+    view = spark.createDataFrame([(1, 10), (2, 20)], "aid int, bid int")
+    dv = spark.createDataFrame(
+        [("D", 1, 10), ("I", 3, 30)], "op string, aid int, bid int"
+    )
+    out = apply_join_delta(view, dv, ["aid", "bid"])
+    assert sorted(map(tuple, out.collect())) == [(2, 20), (3, 30)]
+    # and the absent-delete guard still fires with no value columns
+    bad = spark.createDataFrame([("D", 9, 90)], "op string, aid int, bid int")
+    with pytest.raises(Exception, match="does not contain"):
+        apply_join_delta(view, bad, ["aid", "bid"]).collect()
