@@ -913,6 +913,13 @@ def apply_distinct_delta(
     ``collapse_distinct_changes``' (keys…, value, dsupp) form — the
     streaming path (``read_distinct_delta_state``'s epoch fold).
 
+    Spark plans are trees, so the support-merge subtree is consumed
+    TWICE — once emitting ``new_support``, once extracting the view's
+    births/deaths — the same documented double-consumption as
+    ``apply_extrema_delta``; both reads are bounded by the delta's
+    touched pairs plus the support scan, which the bucketed layout
+    makes a shuffle-free scan on each pass.
+
     Reference tie: the reference's ``n_unique`` rolling features
     (src/features/feature_engineering.py:206-207,257 — unique items per
     user, unique sessions) recompute from scratch per refresh; this is
