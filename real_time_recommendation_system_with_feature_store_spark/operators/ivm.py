@@ -826,7 +826,10 @@ def collapse_distinct_changes(
     NULL values are dropped BEFORE collapsing — COUNT(DISTINCT x)
     ignores NULLs, so an insert or delete of a NULL value is a no-op on
     the view by definition (symmetric with ``build_distinct_support``).
-    Unknown ops fail loudly in-plan (the ``agg_delta`` sign contract).
+    Unknown ops fail loudly in-plan (the ``agg_delta`` sign contract) —
+    INCLUDING on NULL-value rows: the op is validated inside the filter
+    itself, so a corrupt ('U', g, NULL) row raises instead of riding out
+    silently with the NULL drop.
     ``dsupp`` is a RESERVED name: a key or value column named that would
     collide with the delta alias — fail up front."""
     _check_distinct_names(keys, value_col, "dsupp")
@@ -843,8 +846,18 @@ def collapse_distinct_changes(
             ).cast("int")
         )
     )
+    keep = F.coalesce(
+        F.assert_true(
+            (op == "I") | (op == "D"),
+            F.concat(
+                F.lit("collapse_distinct_changes: unknown op "),
+                op.cast("string"),
+            ),
+        ).cast("boolean"),
+        qcol(value_col).isNotNull(),
+    )
     return (
-        changes.where(qcol(value_col).isNotNull())
+        changes.where(keep)
         .groupBy(*[qcol(k) for k in keys], qcol(value_col))
         .agg(F.sum(sign).alias("dsupp"))
         .where(F.col("dsupp") != 0)

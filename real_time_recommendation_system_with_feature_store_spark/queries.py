@@ -8677,7 +8677,7 @@ def extrema_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING SUM(sgn) > 0
     )
     SELECT o_orderpriority, n,
-      CAST(s AS DOUBLE) / n AS avg_price,
+      ROUND(CAST(s AS DOUBLE) / n, 6) AS avg_price,
       ROUND(CAST(ss AS DOUBLE) / n
         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 2) AS var_price
     FROM agg
@@ -8740,7 +8740,11 @@ def rollup_avg_var_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderpriority",
         "n",
-        (s_d / n).alias("avg_price"),
+        # avg rounds to 6dp like every other decimal-sum-derived mean
+        # in this catalog: s is a decimal whose scaled integer exceeds
+        # 2^53, so the decimal->double conversion itself may differ by
+        # 1 ulp between engines on boundary sums
+        F.round(s_d / n, 6).alias("avg_price"),
         # var rounds to cents^2: the decimal moment sums are exact on both
         # engines, but DuckDB's int128-scaled decimal->double conversion
         # can differ from Java BigDecimal's by 1 ulp on the ~1e16 ss sums,
@@ -8905,22 +8909,23 @@ def join_view_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_join_delta(view, dv, ["o_orderkey"], null_safe_keys=False)
 
 
-def _join_view_inputs(spark: SparkSession, sf_dir: str):
-    """Shared construction of the join-view IVM pair (batch entry +
-    stream fold twin): materialized pre-2000 orders ⋈ customer view plus
-    its derived changelog under two-sided deltas (fact inserts/deletes,
-    dim deletes and D/I mktsegment updates)."""
-    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import join_view_delta
-
+def _two_sided_order_customer_deltas(
+    spark: SparkSession, sf_dir: str, a_cols: list[str], b_attr_cols: list[str]
+):
+    """The SHARED two-sided day-of-changes construction every join-view /
+    day-close IVM entry derives from (one definition, so the %7 fact
+    deletes, %11 dim deletes, and %5 MOVED updates can never
+    desynchronize between the entries): pre-2000 orders as A with
+    ``a_cols``, customer as B keyed by the renamed ``o_custkey`` with
+    ``b_attr_cols``; returns (a_before, delta_a, b_before, delta_b,
+    b_after)."""
     split = F.lit("2000-01-01").cast("timestamp")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    a_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     a_before = o.where(F.col("o_orderdate") < split).select(*a_cols)
     b_before = c.select(
-        F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_acctbal"
+        F.col("c_custkey").alias("o_custkey"), *b_attr_cols
     )
-    view = a_before.join(b_before, ["o_custkey"], "inner")
     ins_a = o.where(F.col("o_orderdate") >= split).select(*a_cols)
     del_a = a_before.where(F.col("o_orderkey") % 7 == 0)
     delta_a = ins_a.select(F.lit("I").alias("op"), "*").unionByName(
@@ -8942,6 +8947,24 @@ def _join_view_inputs(spark: SparkSession, sf_dir: str):
             F.col("c_mktsegment")
         ),
     )
+    return a_before, delta_a, b_before, delta_b, b_after
+
+
+def _join_view_inputs(spark: SparkSession, sf_dir: str):
+    """Shared construction of the join-view IVM pair (batch entry +
+    stream fold twin): materialized pre-2000 orders ⋈ customer view plus
+    its derived changelog under two-sided deltas (fact inserts/deletes,
+    dim deletes and D/I mktsegment updates)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import join_view_delta
+
+    a_before, delta_a, b_before, delta_b, b_after = (
+        _two_sided_order_customer_deltas(
+            spark, sf_dir,
+            ["o_orderkey", "o_custkey", "o_totalprice"],
+            ["c_mktsegment", "c_acctbal"],
+        )
+    )
+    view = a_before.join(b_before, ["o_custkey"], "inner")
     dv = join_view_delta(a_before, delta_a, b_after, delta_b, ["o_custkey"])
     return view, dv
 
@@ -9048,35 +9071,15 @@ def warehouse_day_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_view_delta,
     )
 
-    split = F.lit("2000-01-01").cast("timestamp")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
     keys = ["o_orderpriority"]
-    a_cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
-    a_before = o.where(F.col("o_orderdate") < split).select(*a_cols)
-    b_before = c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
-
-    # the day's changelogs (shared by all three views)
-    ins_a = o.where(F.col("o_orderdate") >= split).select(*a_cols)
-    del_a = a_before.where(F.col("o_orderkey") % 7 == 0)
-    delta_a = ins_a.select(F.lit("I").alias("op"), "*").unionByName(
-        del_a.select(F.lit("D").alias("op"), "*")
-    )
-    del_b = b_before.where(F.col("o_custkey") % 11 == 0)
-    upd_old = b_before.where(
-        (F.col("o_custkey") % 11 != 0) & (F.col("o_custkey") % 5 == 0)
-    )
-    upd_new = upd_old.withColumn("c_mktsegment", F.lit("MOVED"))
-    delta_b = (
-        del_b.select(F.lit("D").alias("op"), "*")
-        .unionByName(upd_old.select(F.lit("D").alias("op"), "*"))
-        .unionByName(upd_new.select(F.lit("I").alias("op"), "*"))
-    )
-    b_after = b_before.where(F.col("o_custkey") % 11 != 0).withColumn(
-        "c_mktsegment",
-        F.when(F.col("o_custkey") % 5 == 0, F.lit("MOVED")).otherwise(
-            F.col("c_mktsegment")
-        ),
+    # the day's changelogs (ONE shared construction with the join-view
+    # entries — the %7/%11/%5 semantics cannot desynchronize)
+    a_before, delta_a, b_before, delta_b, b_after = (
+        _two_sided_order_customer_deltas(
+            spark, sf_dir,
+            ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"],
+            ["c_mktsegment"],
+        )
     )
 
     # view 1: sum/count rollup

@@ -2325,31 +2325,36 @@ def retrain_pq_index(
         .dropDuplicates(["__iid"])
         .select("__iid"),
     )
-    src = vectors.select(
-        qcol(id_col).alias("__iid"), qcol(vec_col).alias("__vec")
+    # ONE aggregation pass dedups the source AND detects duplicate ids
+    # carrying DIFFERENT vectors (which would make the rebuild
+    # nondeterministic — breaking the "rebuilt == fresh batch build,
+    # bit-exact" guarantee the sibling rebuild paths enforce; identical
+    # duplicates are fine, first() is then exact). Persisted so the
+    # conflict count, the missing-id check, and the re-encode all reuse
+    # the same shuffle instead of re-scanning the vector source.
+    src_agg = (
+        vectors.select(qcol(id_col).alias("__iid"), qcol(vec_col).alias("__vec"))
+        .groupBy("__iid")
+        .agg(
+            F.count_distinct(F.col("__vec")).alias("__nv"),
+            F.first("__vec").alias("__vec"),
+        )
+        .persist()
     )
-    # loud failure before any state is staged: duplicate ids carrying
-    # DIFFERENT vectors would make the dedup below pick an arbitrary row
-    # and the rebuilt index nondeterministic — breaking the "rebuilt ==
-    # fresh batch build, bit-exact" guarantee the sibling rebuild paths
-    # enforce. Identical duplicates are fine (dedup is then exact).
-    n_conflicts = (
-        src.groupBy("__iid")
-        .agg(F.count_distinct(F.col("__vec")).alias("__nv"))
-        .where(F.col("__nv") > 1)
-        .count()
-    )
+    n_conflicts = src_agg.where(F.col("__nv") > 1).count()
     if n_conflicts:
+        src_agg.unpersist()
         raise ValueError(
             f"retrain_pq_index: {n_conflicts} id(s) in the vector source "
             "carry conflicting vectors — the source must be id-unique "
             "(or duplicate rows must agree) for a deterministic rebuild"
         )
-    src = src.dropDuplicates(["__iid"])
+    src = src_agg.select("__iid", "__vec")
     # loud failure before any state is staged: a live indexed id missing
     # from the vector source would silently vanish from the rebuilt index
     n_missing = live_ids.join(src.select("__iid"), "__iid", "left_anti").count()
     if n_missing:
+        src_agg.unpersist()
         raise ValueError(
             f"retrain_pq_index: {n_missing} live indexed id(s) have no row "
             f"in the supplied vector source — the code index stores no "
@@ -2369,6 +2374,7 @@ def retrain_pq_index(
         rows, "m int, code int, codeword array<double>"
     ).write.mode("overwrite").parquet(f"{tmp}/codebooks")
     encoded.write.mode("overwrite").parquet(f"{tmp}/codes")
+    src_agg.unpersist()
     ready = f"{index_dir}/.retrain.ready.epoch={epochs[-1]}"
     _os.rename(tmp, ready)
     _finish_retrain(index_dir, ready, epochs[-1], "codebooks", "codes")

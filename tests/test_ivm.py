@@ -853,3 +853,13 @@ def test_join_view_key_only_membership_view(spark):
     bad = spark.createDataFrame([("D", 9, 90)], "op string, aid int, bid int")
     with pytest.raises(Exception, match="does not contain"):
         apply_join_delta(view, bad, ["aid", "bid"]).collect()
+
+
+def test_distinct_unknown_op_on_null_value_still_raises(spark):
+    """r13 review finding: the NULL-value drop must not swallow a corrupt
+    op — the op validates inside the filter itself."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_distinct_changes
+
+    chg = _dchg(spark, [("U", "a", None)])
+    with pytest.raises(Exception, match="unknown op"):
+        collapse_distinct_changes(chg, ["g"], "v").collect()

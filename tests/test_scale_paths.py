@@ -678,9 +678,20 @@ def test_minhash_lsh_candidate_growth_is_linear(spark):
         times.append(time.perf_counter() - t0)
         counts.append(n)
     assert counts[0] > 0
+    # Replicas are content-identical up to the word tag, so each replica
+    # REPRODUCES replica 0's pair set in expectation — but a BORDERLINE
+    # pair (0.8 <= Jaccard < 1) is caught only if a band hash collides,
+    # and the per-replica tags re-roll those hashes. Exact-duplicate
+    # pairs (Jaccard 1, identical signatures) replicate exactly, so the
+    # assert is exact when the corpus's verified pairs are all exact
+    # dups (true for the current testdata) and tolerates a few
+    # re-rolled borderline pairs otherwise — a BUCKET BLOWUP (the
+    # failure this guards) is super-linear and blows straight through
+    # either bound.
     for m, n in zip(_SCALES, counts):
-        assert n == m * counts[0], (
-            f"candidate pairs not linear: {counts} at scales {_SCALES}"
+        tol = max(2, int(0.05 * m * counts[0]))
+        assert abs(n - m * counts[0]) <= tol, (
+            f"candidate pairs not ~linear: {counts} at scales {_SCALES}"
         )
     exp = _fit_exponent(_SCALES, times)
     assert exp < 1.45, f"wall-time exponent {exp:.2f} (times {times})"
