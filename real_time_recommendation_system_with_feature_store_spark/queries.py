@@ -9122,6 +9122,76 @@ def warehouse_day_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rollup_join_segment_revenue",
+    oracle="""
+    WITH b_after AS (
+      SELECT c_custkey AS o_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 11 != 0
+    ),
+    a_after AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01' OR o_orderkey % 7 != 0
+    )
+    SELECT b.c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(CAST(SUM(CAST(a.o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2)
+        AS total_revenue
+    FROM a_after a JOIN b_after b ON a.o_custkey = b.o_custkey
+    GROUP BY 1
+    """,
+    doc="AGGREGATE-OVER-JOIN IVM (the textbook SPJA view): a per-segment "
+        "revenue rollup over orders ⋈ customer is maintained WITHOUT "
+        "ever materializing the join view — join_view_delta derives the "
+        "join's D/I changelog from the two input changelogs (fact "
+        "inserts/deletes + dim deletes and MOVED updates), and that "
+        "changelog feeds agg_delta/apply_agg_delta directly, the "
+        "composition rule every IVM system builds SPJA maintenance "
+        "from. Dim-side updates exercise the interesting case: a "
+        "customer moving segments retracts every one of its orders from "
+        "the old segment and inserts them into the new one, all derived "
+        "set-based from the one dim D/I pair. The oracle IS the "
+        "from-scratch join+aggregate over the post-change snapshots. "
+        "At 100 TB only the day's changes join and shuffle; neither the "
+        "join view nor the base re-materializes.",
+)
+def rollup_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        agg_delta,
+        apply_agg_delta,
+        join_view_delta,
+    )
+
+    a_before, delta_a, b_before, delta_b, b_after = (
+        _two_sided_order_customer_deltas(
+            spark, sf_dir,
+            ["o_orderkey", "o_custkey", "o_totalprice"],
+            ["c_mktsegment"],
+        )
+    )
+    keys = ["c_mktsegment"]
+    view = (
+        a_before.join(b_before, ["o_custkey"], "inner")
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("total"),
+        )
+    )
+    dv = join_view_delta(a_before, delta_a, b_after, delta_b, ["o_custkey"])
+    out = apply_agg_delta(
+        view, agg_delta(dv, keys, F.col("o_totalprice")), keys,
+        null_safe_keys=False,
+    )
+    return out.select(
+        *keys, "n",
+        F.round(F.col("total").cast("double"), 2).alias("total_revenue"),
+    )
+
+
 _TOPK_ROLLUP_ORACLE = """
     WITH base AS (
       SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
@@ -9490,14 +9560,14 @@ _DRIVER_WINDOW_ROUND = 13
 
 _DRIVER_WINDOW = [
     # r13 ROTATION.  Evidence ledger after r12: 50 entries newest-green
-    # @ r12, 50 @ r11, 50 @ r10, 30 @ r9, plus the 6 new r13 entries
+    # @ r12, 50 @ r11, 50 @ r10, 30 @ r9, plus the 7 new r13 entries
     # (never driver-checked).  This window = ALL 30 r9-stale entries
-    # (the r12 verdict's Next-round #1 list, verbatim) + the 6 r13
+    # (the r12 verdict's Next-round #1 list, verbatim) + the 7 r13
     # additions (the distinct-count IVM pair, the join-view IVM pair,
-    # the derived-moment avg/var entry, and the composed warehouse
-    # day-close pipeline — each slotted the commit it
-    # was registered, displacing an r10 filler from the end) + 14 r10
-    # fillers at the cutoff.  The guard's cutoff with 186 entries lands
+    # the derived-moment avg/var entry, the SPJA aggregate-over-join
+    # rollup, and the composed warehouse day-close pipeline — each slotted the commit it
+    # was registered, displacing an r10 filler from the end) + 13 r10
+    # fillers at the cutoff.  The guard's cutoff with 187 entries lands
     # at r10: everything < r10 must front, r10 entries fill the rest in
     # any order.
     # new r13 entries (never driver-checked — must front per the guard):
@@ -9507,6 +9577,7 @@ _DRIVER_WINDOW = [
     "join_view_state_fold",
     "rollup_avg_var_priority",
     "warehouse_day_close_pipeline",
+    "rollup_join_segment_revenue",
     # r9-stale (all 30 — nothing older remains after this round):
     "late_ship_priority_counts",
     "minhash_dedup_candidates",
@@ -9553,7 +9624,6 @@ _DRIVER_WINDOW = [
     "doc_token_chunks",
     "dsir_resampled_docs",
     "dsir_target_selection",
-    "embedding_near_dup",
 ]
 
 def _reorder_registry() -> None:
