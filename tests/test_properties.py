@@ -1329,8 +1329,17 @@ def test_join_view_ivm_random_history_matches_rejoin(
             if k in bstate
         }
 
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import agg_delta, apply_agg_delta
+
     view = adf(a_state).join(bdf(b_state), ["k"], "inner")
     view0 = view
+    # SPJA composition ride-along: a per-battr (n, sum av) rollup over the
+    # join view maintained by feeding each epoch's dv into the agg delta
+    # rule (Z-multiset linearity makes the composition exact)
+    agg_view = view.groupBy("battr").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("av").cast("decimal(28,10)")).alias("total"),
+    )
     tmp = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".tmp", "jv_prop_state",
@@ -1392,6 +1401,17 @@ def test_join_view_ivm_random_history_matches_rejoin(
         view = spark.createDataFrame(view.collect(), view.schema)
         got = {(r["aid"], r["k"], r["av"], r["battr"]) for r in view.collect()}
         assert got == rejoin(a_state, b_state)
+        agg_view = apply_agg_delta(
+            agg_view, agg_delta(dv, ["battr"], F.col("av")), ["battr"]
+        )
+        agg_view = spark.createDataFrame(agg_view.collect(), agg_view.schema)
+        exp_agg = {}
+        for _aid, k2, v2, battr2 in rejoin(a_state, b_state):
+            n0, s0 = exp_agg.get(battr2, (0, 0.0))
+            exp_agg[battr2] = (n0 + 1, s0 + v2)
+        assert {
+            r["battr"]: (r["n"], float(r["total"])) for r in agg_view.collect()
+        } == exp_agg
 
     if wrote:
         folded = read_join_delta_state(spark, tmp)
