@@ -24,9 +24,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "foldtwin: catalog entries / lifecycle tests that synchronously "
-        "drive real streaming-sink epoch writes (2-15 s each; the bulk of "
-        "suite wall-clock). Fast commit lane: -m 'not foldtwin'; the full "
-        "suite (pre-push / nightly) runs everything.",
+        "drive real streaming-sink epoch writes. At the sf0.01 oracle "
+        "scale they cost ~1 min combined (measured r13: full suite 41:40 "
+        "vs 40:52 without), so the marker's value is SELECTION — run "
+        "-m foldtwin while iterating on sink code, or skip the tier when "
+        "it cannot be affected — not bulk wall-clock savings.",
     )
 
 
