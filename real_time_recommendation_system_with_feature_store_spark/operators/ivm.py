@@ -1064,7 +1064,10 @@ def join_view_delta(
     (rename upstream), non-key columns must be disjoint — enforced.
 
     Feed the result to ``apply_join_delta`` against the materialized
-    view. Scale shape: each term is an equi-join of a SMALL delta
+    view. SELF-JOIN views work too (A = B = the same table under renamed
+    columns, both deltas carrying the same physical change): the
+    asymmetric rule retracts the diagonal pair exactly once, because
+    ``dA ⋈ B_after`` no longer sees the deleted B row — golden-tested. Scale shape: each term is an equi-join of a SMALL delta
     against one snapshot — the snapshot side reads bucketed-by-join-key
     with zero Exchange (list-form ``on`` compiles to plain ``=`` keys,
     which bucket layouts satisfy; plan-asserted in tests/test_plans.py),

@@ -863,3 +863,36 @@ def test_distinct_unknown_op_on_null_value_still_raises(spark):
     chg = _dchg(spark, [("U", "a", None)])
     with pytest.raises(Exception, match="unknown op"):
         collapse_distinct_changes(chg, ["g"], "v").collect()
+
+
+def test_join_view_self_join_both_sides_carry_same_change(spark):
+    """Self-join views (A = B = the same table under renamed columns, e.g.
+    a per-user co-occurrence pair view) work with the SAME physical change
+    shipped in BOTH deltas: deleting one row must remove its whole row and
+    column of pairs INCLUDING the diagonal, which the asymmetric rule
+    absorbs exactly (dA ⋈ B_after no longer sees the deleted B row, so
+    the diagonal pair is retracted once, not twice)."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        apply_join_delta,
+        join_view_delta,
+    )
+
+    rows = [(1, 100, "x"), (2, 100, "y"), (3, 200, "z")]
+    a = spark.createDataFrame(rows, "aid int, user int, item_a string")
+    b = spark.createDataFrame(rows, "bid int, user int, item_b string")
+    view = a.join(b, ["user"], "inner")
+    da = spark.createDataFrame(
+        [("D", 2, 100, "y")], "op string, aid int, user int, item_a string"
+    )
+    db = spark.createDataFrame(
+        [("D", 2, 100, "y")], "op string, bid int, user int, item_b string"
+    )
+    b_after = b.where(F.col("bid") != 2)
+    dv = join_view_delta(a, da, b_after, db, ["user"])
+    out = apply_join_delta(view, dv, ["aid", "bid"])
+    got = sorted((r["aid"], r["bid"]) for r in out.collect())
+    want = sorted(
+        (r["aid"], r["bid"])
+        for r in a.where(F.col("aid") != 2).join(b_after, ["user"], "inner").collect()
+    )
+    assert got == want == [(1, 1), (3, 3)]
