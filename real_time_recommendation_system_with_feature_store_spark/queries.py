@@ -8723,7 +8723,12 @@ def rollup_avg_var_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             corrections.select(
                 F.lit("I").alias("op"),
                 "o_orderpriority",
-                (m * F.lit(1.1)).alias("o_totalprice"),
+                # exact DECIMAL literal, not F.lit(1.1): a double 1.1
+                # would demote the whole union to double arithmetic and
+                # the moment sums would differ from DuckDB's exact
+                # decimal `o_totalprice * 1.1` by representation noise
+                # beyond the documented 1-ulp conversion headroom
+                (m * F.lit("1.1").cast("decimal(2,1)")).alias("o_totalprice"),
             )
         )
     )

@@ -1581,6 +1581,22 @@ def rebase_decayed_counts(
     return compact_epoch_state(folded, state_dir)
 
 
+def _reject_epoch_columns(sink: str, cols) -> None:
+    """Shared name-collision guard for the IVM delta sinks: every sink
+    writes its per-batch state under ``epoch=N`` partition directories and
+    every ``read_*_delta_state`` fold does ``drop("epoch")`` — a data
+    column literally named ``epoch`` would collide with the partition
+    scheme and be silently dropped/misread at the fold. Loud up front,
+    the same discipline as the ``__net``/``dsupp``/slot-name
+    reservations."""
+    if "epoch" in set(cols):
+        raise ValueError(
+            f"{sink}: a column named 'epoch' collides with the sink's "
+            "epoch=N partition scheme (the read-side fold drops it) — "
+            "rename upstream"
+        )
+
+
 def agg_delta_stream(
     state_dir: str,
     keys: list[str],
@@ -1611,6 +1627,9 @@ def agg_delta_stream(
     from real_time_recommendation_system_with_feature_store_spark.ident import qcol
     from real_time_recommendation_system_with_feature_store_spark.operators.ivm import agg_delta
 
+    _reject_epoch_columns(
+        "agg_delta_stream", [*keys, *(extra_measure_cols or [])]
+    )
     extras = {c: qcol(c) for c in (extra_measure_cols or [])}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1671,6 +1690,8 @@ def extrema_delta_stream(
     the epoch touched; the raw changelog is never rescanned."""
     from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_extrema_changes
 
+    _reject_epoch_columns("extrema_delta_stream", keys)
+
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         collapse_extrema_changes(
             batch_df, keys, measure_col, op_col=op_col
@@ -1729,6 +1750,8 @@ def distinct_delta_stream(
     rescanned."""
     from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_distinct_changes
 
+    _reject_epoch_columns("distinct_delta_stream", [*keys, value_col])
+
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         collapse_distinct_changes(
             batch_df, keys, value_col, op_col=op_col
@@ -1775,6 +1798,9 @@ def join_delta_stream(state_dir: str, op_col: str = "op"):
     from real_time_recommendation_system_with_feature_store_spark.operators.ivm import collapse_join_changes
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        # the view's columns are only known per-batch here (the factory
+        # takes no schema), so the epoch-name guard runs on first contact
+        _reject_epoch_columns("join_delta_stream", batch_df.columns)
         collapse_join_changes(batch_df, op_col=op_col).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/epoch={epoch_id}")
@@ -1833,6 +1859,7 @@ def topk_delta_stream(
             f"topk_delta_stream: column(s) {clash} collide with the "
             f"reserved slot names {sorted(reserved)} — rename upstream"
         )
+    _reject_epoch_columns("topk_delta_stream", [*keys, id_col, measure_col])
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         op = qcol(op_col)
@@ -2332,12 +2359,21 @@ def retrain_pq_index(
     # duplicates are fine, first() is then exact). Persisted so the
     # conflict count, the missing-id check, and the re-encode all reuse
     # the same shuffle instead of re-scanning the vector source.
+    # NULL vectors are filtered BEFORE the groupBy: count_distinct ignores
+    # NULLs, so an id with one NULL row plus one real row would pass the
+    # conflict guard (__nv=1) while a plain first() could still
+    # nondeterministically pick the NULL — exactly the nondeterministic
+    # rebuild the guard exists to prevent. Filtered out, an id whose rows
+    # are ALL NULL simply vanishes from the source and trips the loud
+    # missing-live-id check below instead; ignorenulls on first() is
+    # belt-and-braces for the same hazard.
     src_agg = (
         vectors.select(qcol(id_col).alias("__iid"), qcol(vec_col).alias("__vec"))
+        .where(F.col("__vec").isNotNull())
         .groupBy("__iid")
         .agg(
             F.count_distinct(F.col("__vec")).alias("__nv"),
-            F.first("__vec").alias("__vec"),
+            F.first("__vec", ignorenulls=True).alias("__vec"),
         )
         .persist()
     )

@@ -3435,3 +3435,77 @@ def test_distinct_and_join_delta_streams_under_real_runtime(spark):
     dsink(spark.createDataFrame([("I", 9, "q")], chg.schema), 9)
     spark.catalog.refreshByPath(ddir)
     assert {r["g"] for r in read_distinct_delta_state(spark, ddir, ["g"], "v").collect()} == {1, 3, 9}
+
+
+def test_retrain_pq_index_null_vectors(spark):
+    """r13 ADVICE: NULL vectors in the retrain source must not slip past
+    the conflict guard (count_distinct ignores NULLs) into a
+    nondeterministic first() pick. A live id carrying a NULL row beside
+    its real row rebuilds deterministically from the real vector; a live
+    id whose rows are ALL NULL has no re-suppliable vector and trips the
+    loud missing-id check instead."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import retrain_pq_index
+
+    index_dir, emb, live, dim = _build_tombstoned_pq(spark, "pq_retrain_null")
+    some_live_id = live.select("vec_id").first()[0]
+    null_vec = F.lit(None).cast(emb.schema["embedding"].dataType)
+
+    # NULL row beside the real row: guard passes, rebuild uses the real
+    # vector — identical codebooks to a clean-source retrain
+    ref_dir, _, _, _ = _build_tombstoned_pq(spark, "pq_retrain_null_ref")
+    retrain_pq_index(spark, ref_dir, emb, "vec_id", "embedding", dim,
+                     n_sub=4, n_codes=8)
+    noisy = emb.unionByName(
+        emb.where(F.col("vec_id") == some_live_id).withColumn(
+            "embedding", null_vec
+        )
+    )
+    retrain_pq_index(spark, index_dir, noisy, "vec_id", "embedding", dim,
+                     n_sub=4, n_codes=8)
+    a = sorted(map(tuple, spark.read.parquet(f"{index_dir}/codes").collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{ref_dir}/codes").collect()))
+    assert a == b
+
+    # all-NULL live id: vanishes from the filtered source -> missing-id
+    # check raises before any state is staged
+    d, emb2, _, _ = _build_tombstoned_pq(spark, "pq_retrain_allnull")
+    all_null = emb2.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == some_live_id, null_vec).otherwise(
+            F.col("embedding")
+        ),
+    )
+    with pytest.raises(ValueError, match="no row"):
+        retrain_pq_index(spark, d, all_null, "vec_id", "embedding", dim,
+                         n_sub=4, n_codes=8)
+    assert not glob.glob(f"{d}/.retrain*")
+
+
+def test_delta_sinks_reject_epoch_column(spark):
+    """r13 ADVICE: every IVM delta sink writes under epoch=N partitions
+    and every read-side fold drops 'epoch' — a data column named 'epoch'
+    would be silently dropped/misread, so the factories reject it loudly
+    up front (join_delta_stream at first batch contact, since the view's
+    columns are only known then)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        distinct_delta_stream,
+        extrema_delta_stream,
+        join_delta_stream,
+        topk_delta_stream,
+    )
+
+    with pytest.raises(ValueError, match="epoch"):
+        agg_delta_stream("/tmp/x", ["epoch"], "m")
+    with pytest.raises(ValueError, match="epoch"):
+        agg_delta_stream("/tmp/x", ["g"], "m", extra_measure_cols=["epoch"])
+    with pytest.raises(ValueError, match="epoch"):
+        extrema_delta_stream("/tmp/x", ["epoch"], "m")
+    with pytest.raises(ValueError, match="epoch"):
+        distinct_delta_stream("/tmp/x", ["g"], "epoch")
+    with pytest.raises(ValueError, match="epoch"):
+        topk_delta_stream("/tmp/x", ["epoch"], "id", "m")
+    sink = join_delta_stream(os.path.join(TMP, "jds_epoch_guard"))
+    bad = spark.createDataFrame([("I", 1, 2)], "op string, k long, epoch long")
+    with pytest.raises(ValueError, match="epoch"):
+        sink(bad, 0)
