@@ -1084,3 +1084,218 @@ def test_bucketed_support_distinct_ivm_has_no_support_side_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS dsupp_bkt")
+
+
+def test_q9_profit_broadcasts_dims_and_joins_cost_dim_on_two_keys(spark):
+    """product_type_profit_by_nation_year (TPC-H Q9 shape): part/supplier/
+    nation broadcast; the derived supply-cost dim joins lineitem on BOTH
+    (partkey, suppkey) — a two-key shuffled equi-join, visible as a
+    hashpartitioning on the key pair; no cartesian anywhere."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["product_type_profit_by_nation_year"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # part, supplier, nation
+    assert "hashpartitioning(l_partkey" in plan and "l_suppkey" in plan.split(
+        "hashpartitioning(l_partkey"
+    )[1][:80], plan  # the two-key cost-dim join shuffles on the pair
+
+
+def test_q12_shipdate_range_pushes_to_scan(spark):
+    """shipmode_priority_counts (TPC-H Q12 shape): the l_shipdate year
+    range must reach the lineitem parquet scan as pushed residues; the
+    cross-table l_shipdate > o_orderdate predicate rides the join."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["shipmode_priority_counts"].fn(spark, SF_DIR)
+    plan = explain_str(df)
+    pushed = plan.split("PushedFilters: [")[1:]
+    assert any(
+        "GreaterThanOrEqual(l_shipdate" in seg[:400]
+        and "LessThan(l_shipdate" in seg[:400]
+        for seg in pushed
+    ), plan
+
+
+def test_day_close_full_composed_plan_reads_all_views_from_buckets(spark):
+    """The six-rule composed day-close (warehouse_day_close_full), plan-
+    gated the way a nightly pipeline would actually store it: ALL view
+    state (sum/moments rollup, distinct view + support table, extrema
+    view, join view) persisted bucketed on its merge keys, the top-k
+    buffer plain (its view joins are broadcast by design), and ONE lazy
+    DAG advancing all six delta rules + the report join. Asserts:
+
+    * every bucketed scan stays bucketed ("Bucketed: true" x7 — the
+      planner keeps a bucketed scan only when it actually avoids a
+      shuffle, so a view-side Exchange would flip it to "disabled by
+      query planner"), with bucket count == shuffle partitions (the
+      alignment the delta-side aggregates already satisfy; mismatched
+      counts make the planner reshuffle the VIEW side instead);
+    * the composed plan stays bounded: exchange count pinned at the
+      delta-side-only number, no cartesians, plan node count under a
+      hard ceiling (composition must not blow up the tree);
+    * the bucketed composition computes the same rows as the catalog
+      entry (which builds its views in-query)."""
+    import shutil
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        agg_delta,
+        apply_agg_delta,
+        apply_distinct_delta,
+        apply_extrema_delta,
+        apply_join_delta,
+        apply_topk_delta,
+        build_distinct_support,
+        build_topk_buffer,
+        distinct_from_support,
+        join_view_delta,
+        topk_from_buffer,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.queries import (
+        QUERIES,
+        _two_sided_order_customer_deltas,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.sources.bucketing import write_bucketed
+
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp"
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = ["o_orderpriority"]
+    a_before, delta_a, b_before, delta_b, b_after = (
+        _two_sided_order_customer_deltas(
+            spark, SF_DIR,
+            ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"],
+            ["c_mktsegment"],
+        )
+    )
+    a_after = (
+        delta_a.where(F.col("op") == "I").drop("op")
+        .unionByName(a_before.where(F.col("o_orderkey") % 7 != 0))
+    )
+    m = F.col("o_totalprice")
+    support = build_distinct_support(a_before, keys, "o_custkey")
+    state = {
+        "dcf_agg_bkt": (
+            a_before.groupBy(*keys).agg(
+                F.count("*").alias("n"),
+                F.sum(m.cast("decimal(28,10)")).alias("total"),
+                F.sum((m * m).cast("decimal(28,10)")).alias("ss"),
+            ),
+            keys,
+        ),
+        "dcf_supp_bkt": (support, [*keys, "o_custkey"]),
+        "dcf_dist_bkt": (
+            distinct_from_support(support, keys, distinct_col="nd_custkeys"),
+            keys,
+        ),
+        "dcf_ext_bkt": (
+            a_before.groupBy(*keys).agg(F.min(m).alias("mn"), F.max(m).alias("mx")),
+            keys,
+        ),
+        "dcf_jv_bkt": (
+            a_before.join(b_before, ["o_custkey"], "inner"),
+            ["o_orderkey"],
+        ),
+    }
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for t, (df, k) in state.items():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(tmp, t), ignore_errors=True)
+            write_bucketed(df, t, k, buckets=n_shuffle, path=os.path.join(tmp, t))
+        tkdir = os.path.join(tmp, "dcf_tk_view")
+        shutil.rmtree(tkdir, ignore_errors=True)
+        build_topk_buffer(
+            a_before, keys, "o_orderkey", "o_totalprice", buffer_k=5
+        ).write.parquet(tkdir)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        agg_new = apply_agg_delta(
+            spark.table("dcf_agg_bkt"),
+            agg_delta(
+                delta_a.select("op", *keys, "o_totalprice"), keys, m,
+                extra_measures={"ss": m * m},
+            ),
+            keys, null_safe_keys=False, extra_sum_cols=["ss"],
+        )
+        dist_new, _ = apply_distinct_delta(
+            spark.table("dcf_dist_bkt"), spark.table("dcf_supp_bkt"),
+            delta_a.select("op", *keys, "o_custkey"),
+            keys, "o_custkey", distinct_col="nd_custkeys", null_safe_keys=False,
+        )
+        dv = join_view_delta(a_before, delta_a, b_after, delta_b, ["o_custkey"])
+        jv_new = apply_join_delta(
+            spark.table("dcf_jv_bkt"), dv, ["o_orderkey"], null_safe_keys=False
+        )
+        jagg = jv_new.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.countDistinct("c_mktsegment").alias("nd_segments"),
+        )
+        ext_new = apply_extrema_delta(
+            spark.table("dcf_ext_bkt"),
+            delta_a.select("op", *keys, "o_totalprice"),
+            a_after, keys, "o_totalprice", null_safe_keys=False,
+        )
+        tk_buf = apply_topk_delta(
+            spark.read.parquet(tkdir),
+            delta_a.select("op", *keys, "o_orderkey", "o_totalprice"),
+            a_after, keys, "o_orderkey", "o_totalprice",
+            k=3, buffer_k=5, null_safe_keys=False,
+        )
+        tk_arr = (
+            topk_from_buffer(tk_buf, keys, "o_orderkey", "o_totalprice", 3)
+            .groupBy(*keys)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("o_orderkey")))
+                ).getField("o_orderkey").alias("top_order_keys")
+            )
+        )
+        report = (
+            agg_new.select(
+                *keys, "n",
+                F.round(F.col("total").cast("double"), 2).alias("total_revenue"),
+            )
+            .join(dist_new, keys).join(jagg, keys)
+            .join(
+                ext_new.select(
+                    *keys,
+                    F.col("mn").alias("min_price"),
+                    F.col("mx").alias("max_price"),
+                ),
+                keys,
+            )
+            .join(tk_arr, keys)
+        )
+        plan = report._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 7, plan  # agg, dist, supp x2, ext x2, jv
+        assert plan.count("Bucketed: false") == 0, plan
+        assert "CartesianProduct" not in plan
+        # delta-side-only exchange pin: a view-side Exchange anywhere
+        # raises this count (and flips a Bucketed flag above)
+        assert plan.count("Exchange ") == 37, plan
+        assert len(plan.splitlines()) < 420, "composed plan blew up"
+
+        got = sorted(
+            map(
+                lambda r: (r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], tuple(r[8])),
+                report.collect(),
+            )
+        )
+        ref = QUERIES["warehouse_day_close_full"].fn(spark, SF_DIR).select(
+            *keys, "n", "total_revenue", "nd_custkeys", "n_joined",
+            "nd_segments", "min_price", "max_price", "top_order_keys",
+        )
+        want = sorted(
+            map(
+                lambda r: (r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], tuple(r[8])),
+                ref.collect(),
+            )
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        for t in state:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
