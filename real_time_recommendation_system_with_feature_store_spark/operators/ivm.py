@@ -476,6 +476,7 @@ def apply_topk_delta(
     h_id_col: str = "hid",
     null_safe_keys: bool = True,
     gate_df: DataFrame | None = None,
+    reuse_collapse: bool = True,
 ) -> DataFrame:
     """Maintain a per-group TOP-K view under a D/I changelog — the other
     non-self-maintainable aggregate class beside extrema (retracting a
@@ -519,14 +520,22 @@ def apply_topk_delta(
     Cost: O(|delta|) clean-path work (one collapse aggregation + windows
     over TOUCHED groups only, sharing one partitioning) + O(base rows of
     dirty groups). Spark plans are trees, so the touched-collapse
-    subtree executes twice (clean emit + dirty-key extraction — the same
-    documented double-consumption as ``apply_extrema_delta``) and the
-    view is scanned three times, each a scan-side pass with the
-    touched-key filter broadcast (stats-gated) — at scale, store the
-    view as a table (bucketing optional; no view-side shuffle exists to
-    save) and the repeated subtree stays bounded by the day's touched
-    groups. Returns the NEW buffer (same schema as ``view``); answer
-    queries with ``topk_from_buffer``.
+    subtree is consumed twice (clean emit + dirty-key extraction — the
+    same shape as ``apply_extrema_delta``'s double read); by default
+    (``reuse_collapse=True``) that frame is lazily local-checkpointed so
+    it EXECUTES once — both consumers share one RDD lineage whose
+    partitions persist (memory-and-disk, bounded by the touched groups)
+    as the first action computes them. The trade is the standard
+    localCheckpoint one: the frame leaves the Catalyst plan (an
+    ExistingRDD scan replaces the subtree — opt out with
+    ``reuse_collapse=False`` when asserting the full plan shape), and on
+    a real cluster an executor loss during the job forces a recompute
+    failure rather than a silent lineage replay. The view is scanned
+    three times, each a scan-side pass with the touched-key filter
+    broadcast (stats-gated) — at scale, store the view as a table
+    (bucketing optional; no view-side shuffle exists to save). Returns
+    the NEW buffer (same schema as ``view``); answer queries with
+    ``topk_from_buffer``.
 
     Reference tie: the reference re-sorts its full popularity/candidate
     tables per refresh to keep serving top-k slices (eager pandas
@@ -673,6 +682,16 @@ def apply_topk_delta(
         .over(wg)
         .alias("__cnt"),
     )
+    # both remaining consumers (clean emit below, dirty-key extraction
+    # further down) read g2 — checkpoint it lazily so the collapse +
+    # window subtree runs once. The LogicalRDD wrap drops the subtree's
+    # partitioning metadata, so the clean-branch window re-shuffles the
+    # checkpointed frame once — a touched-group-bounded exchange traded
+    # for re-executing the whole collapse subtree (persist() would keep
+    # the partitioning but still re-exchanges one deduped branch AND
+    # pollutes plan-shape counts with the nested cached plan)
+    if reuse_collapse:
+        g2 = g2.localCheckpoint(eager=False)
     dirty = (F.col("__gbad") > 0) | (
         F.col("__ghv").isNotNull() & (F.col("__cnt") < k)
     )

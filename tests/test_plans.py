@@ -982,7 +982,7 @@ def test_topk_ivm_plan_shape(spark):
     )
     out = apply_topk_delta(
         view, chg, o, ["o_orderpriority"], "o_orderkey", "o_totalprice",
-        k=3, buffer_k=5, null_safe_keys=False,
+        k=3, buffer_k=5, null_safe_keys=False, reuse_collapse=False,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
@@ -992,6 +992,21 @@ def test_topk_ivm_plan_shape(spark):
     # the collapse shuffles ((keys,id) then (keys)) appear exactly twice
     assert plan.count("hashpartitioning(__k_0") == 4, plan
     assert plan.count("topk_plan_view") == 3, plan
+
+    # default mode: the touched-collapse frame is lazily checkpointed so
+    # BOTH consumers read one shared RDD — the collapse subtree leaves
+    # the plan (two ExistingRDD scans; the only surviving __k_0 shuffle
+    # is the clean-branch window re-partitioning the checkpointed frame,
+    # whose partitioning metadata the RDD wrap drops) and the rows are
+    # identical to the in-plan form
+    out2 = apply_topk_delta(
+        view, chg, o, ["o_orderpriority"], "o_orderkey", "o_totalprice",
+        k=3, buffer_k=5, null_safe_keys=False,
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("hashpartitioning(__k_0") == 1, plan2
+    assert plan2.count("Scan ExistingRDD") == 2, plan2
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
 
 
 def test_bucketed_snapshot_join_view_delta_has_no_snapshot_side_exchange(spark):
@@ -1275,7 +1290,7 @@ def test_day_close_full_composed_plan_reads_all_views_from_buckets(spark):
         assert "CartesianProduct" not in plan
         # delta-side-only exchange pin: a view-side Exchange anywhere
         # raises this count (and flips a Bucketed flag above)
-        assert plan.count("Exchange ") == 37, plan
+        assert plan.count("Exchange ") == 28, plan
         assert len(plan.splitlines()) < 420, "composed plan blew up"
 
         got = sorted(
