@@ -1375,6 +1375,89 @@ def _finish_compaction(state_dir: str, ready: str, target: int) -> None:
         if p.rsplit("=", 1)[1].isdigit():
             _shutil.rmtree(p)
     _os.rename(ready, f"{state_dir}/epoch={target}")
+    _write_compacted_floor(state_dir, target)
+
+
+def _compacted_floor(state_dir: str) -> int | None:
+    """The highest epoch id ever folded into a compaction of this state
+    directory (``None`` before the first compaction). Epoch ids at or
+    below the floor are FINALIZED: their partitions were deleted and
+    their contributions live only inside the compacted fold, so a replay
+    landing there would either overwrite the fold (id == floor) or
+    double-count at the next fold (id < floor)."""
+    import os as _os
+
+    marker = f"{state_dir}/.compacted.floor"
+    if not _os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return int(fh.read().strip())
+
+
+def _write_compacted_floor(state_dir: str, target: int) -> None:
+    import os as _os
+
+    marker = f"{state_dir}/.compacted.floor"
+    prev = _compacted_floor(state_dir)
+    tmp = f"{marker}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(max(target, prev if prev is not None else target)))
+    _os.replace(tmp, marker)
+
+
+def _route_late_epoch(state_dir: str, epoch_id: int, collapsed: DataFrame) -> bool:
+    """Shared late-epoch dead-letter guard for the IVM delta sinks (the
+    uniform upgrade over the reference's ignore-late-data behavior, ST6):
+    a batch arriving for an epoch id AT OR BELOW the compacted floor must
+    not land under ``epoch=N`` — ``id == floor`` would overwrite the
+    compacted fold itself, ``id < floor`` would double-count at the next
+    fold (its original partition is gone, its contribution already lives
+    in the fold). Instead the collapsed frame is preserved under
+    ``.late/epoch=N`` (dot-prefixed: invisible to every
+    ``read_*_delta_state`` fold) and a per-epoch meta row records the
+    dropped row count, like the Markov sink's ``late_dropped``. Returns
+    True when the batch was dead-lettered.
+
+    This also catches the fresh-checkpoint footgun: restarting a stream
+    over compacted state with a NEW checkpoint restarts epoch ids at 0 —
+    previously those batches silently merged under already-finalized
+    ids. They now land in the dead letter, loud in ``read_late_epochs``;
+    recover by restarting with the original checkpoint (the supported
+    contract) or by replaying the dead-lettered frames under fresh ids.
+
+    An epoch-id replay ABOVE the floor keeps the sinks' normal replay
+    contract (overwrite-own-partition); the floor only finalizes what
+    compaction already made unreplayable."""
+    floor = _compacted_floor(state_dir)
+    if floor is None or epoch_id > floor:
+        return False
+    spark = collapsed.sparkSession
+    collapsed.write.mode("overwrite").parquet(
+        f"{state_dir}/.late/epoch={epoch_id}"
+    )
+    n = spark.read.parquet(f"{state_dir}/.late/epoch={epoch_id}").count()
+    # epoch travels in the partition dir name (the sinks' own layout);
+    # storing it as a data column too would collide at partition discovery
+    spark.createDataFrame(
+        [(int(floor), int(n))], "floor long, late_rows long"
+    ).write.mode("overwrite").parquet(f"{state_dir}/.late_meta/epoch={epoch_id}")
+    return True
+
+
+def read_late_epochs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-epoch dead-letter meta for an IVM delta sink's state directory:
+    one row (epoch, floor, late_rows) per dead-lettered batch — empty
+    when nothing ever arrived late. The preserved frames themselves sit
+    under ``.late/epoch=N`` in the sink's collapsed schema, replayable
+    under fresh epoch ids after the operator resolves the checkpoint
+    mismatch."""
+    import glob as _glob
+
+    if not _glob.glob(f"{state_dir}/.late_meta/epoch=*"):
+        return spark.createDataFrame([], "epoch long, floor long, late_rows long")
+    return spark.read.parquet(f"{state_dir}/.late_meta").select(
+        F.col("epoch").cast("long"), "floor", "late_rows"
+    )
 
 
 def recover_epoch_state(state_dir: str) -> bool:
@@ -1636,6 +1719,8 @@ def agg_delta_stream(
         delta = agg_delta(
             batch_df, keys, qcol(measure_col), op_col=op_col, extra_measures=extras
         )
+        if _route_late_epoch(state_dir, epoch_id, delta):
+            return
         delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
 
     return _process
@@ -1693,9 +1778,10 @@ def extrema_delta_stream(
     _reject_epoch_columns("extrema_delta_stream", keys)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        collapse_extrema_changes(
-            batch_df, keys, measure_col, op_col=op_col
-        ).write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        delta = collapse_extrema_changes(batch_df, keys, measure_col, op_col=op_col)
+        if _route_late_epoch(state_dir, epoch_id, delta):
+            return
+        delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
 
     return _process
 
@@ -1753,9 +1839,10 @@ def distinct_delta_stream(
     _reject_epoch_columns("distinct_delta_stream", [*keys, value_col])
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        collapse_distinct_changes(
-            batch_df, keys, value_col, op_col=op_col
-        ).write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        delta = collapse_distinct_changes(batch_df, keys, value_col, op_col=op_col)
+        if _route_late_epoch(state_dir, epoch_id, delta):
+            return
+        delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
 
     return _process
 
@@ -1801,9 +1888,10 @@ def join_delta_stream(state_dir: str, op_col: str = "op"):
         # the view's columns are only known per-batch here (the factory
         # takes no schema), so the epoch-name guard runs on first contact
         _reject_epoch_columns("join_delta_stream", batch_df.columns)
-        collapse_join_changes(batch_df, op_col=op_col).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/epoch={epoch_id}")
+        delta = collapse_join_changes(batch_df, op_col=op_col)
+        if _route_late_epoch(state_dir, epoch_id, delta):
+            return
+        delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
 
     return _process
 
@@ -1874,6 +1962,8 @@ def topk_delta_stream(
             F.max(F.when(op == "D", m)).alias("dm"),
             F.sum(F.when(is_bad_row, F.lit(1)).otherwise(F.lit(0))).alias("nbad"),
         )
+        if _route_late_epoch(state_dir, epoch_id, slots):
+            return
         slots.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
 
     return _process

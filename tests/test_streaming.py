@@ -3509,3 +3509,97 @@ def test_delta_sinks_reject_epoch_column(spark):
     bad = spark.createDataFrame([("I", 1, 2)], "op string, k long, epoch long")
     with pytest.raises(ValueError, match="epoch"):
         sink(bad, 0)
+
+
+def test_late_epoch_dead_letter_after_compaction(spark):
+    """r13 verdict #5: a changelog batch replayed for an epoch at or
+    below the compacted floor must not land under epoch=N — id == floor
+    would overwrite the compacted fold, id < floor would double-count at
+    the next fold. Full lifecycle on the agg sink: compact writes the
+    floor, the late replay routes to .late/ + meta, the fold is
+    bit-identical before/after, and the next fresh epoch lands
+    normally."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        compact_epoch_state,
+        read_agg_delta_state,
+        read_late_epochs,
+    )
+
+    d = os.path.join(TMP, "late_epoch_agg")
+    shutil.rmtree(d, ignore_errors=True)
+    chg = "op string, g string, m double"
+    sink = agg_delta_stream(d, ["g"], "m")
+    batches = [
+        [("I", "a", 1.0), ("I", "b", 2.0)],
+        [("I", "a", 3.0), ("D", "b", 2.0)],
+        [("I", "c", 5.0)],
+    ]
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, chg), i)
+    folded = read_agg_delta_state(spark, d, ["g"])
+    target = compact_epoch_state(folded, d)
+    assert target == 2
+    before = sorted(map(tuple, read_agg_delta_state(spark, d, ["g"]).collect()))
+
+    # late replay of an already-compacted epoch: dead-lettered, loud in
+    # the meta, invisible to the fold
+    sink(spark.createDataFrame(batches[1], chg), 1)
+    assert not os.path.exists(os.path.join(d, "epoch=1"))
+    assert os.path.exists(os.path.join(d, ".late", "epoch=1"))
+    spark.catalog.refreshByPath(d)
+    after = sorted(map(tuple, read_agg_delta_state(spark, d, ["g"]).collect()))
+    assert after == before
+    meta = read_late_epochs(spark, d).collect()
+    assert [(r["epoch"], r["floor"]) for r in meta] == [(1, 2)]
+    assert meta[0]["late_rows"] >= 1
+
+    # replaying the floor epoch itself is equally final
+    sink(spark.createDataFrame(batches[2], chg), 2)
+    assert sorted(r["epoch"] for r in read_late_epochs(spark, d).collect()) == [1, 2]
+
+    # a genuinely new epoch past the floor lands normally
+    sink(spark.createDataFrame([("I", "a", 7.0)], chg), 3)
+    spark.catalog.refreshByPath(d)
+    got = {r["g"]: (r["n"], float(r["total"]))
+           for r in read_agg_delta_state(spark, d, ["g"]).collect()}
+    assert got["a"] == (3, 11.0) and got["c"] == (1, 5.0)
+
+
+def test_late_epoch_guard_uniform_across_all_ivm_sinks(spark):
+    """The same dead-letter guard protects every IVM delta sink — with a
+    compacted floor of 5 on an (otherwise empty) state dir, an epoch-3
+    batch is dead-lettered by each of the five sink flavors and nothing
+    lands under epoch=3."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        distinct_delta_stream,
+        extrema_delta_stream,
+        join_delta_stream,
+        read_late_epochs,
+        topk_delta_stream,
+    )
+
+    chg = "op string, g string, id long, m double"
+    batch = spark.createDataFrame([("I", "a", 1, 2.0)], chg)
+    sinks = {
+        "agg": lambda d: agg_delta_stream(d, ["g"], "m"),
+        "extrema": lambda d: extrema_delta_stream(d, ["g"], "m"),
+        "distinct": lambda d: distinct_delta_stream(d, ["g"], "id"),
+        "topk": lambda d: topk_delta_stream(d, ["g"], "id", "m"),
+        "join": lambda d: join_delta_stream(d),
+    }
+    for name, mk in sinks.items():
+        d = os.path.join(TMP, f"late_epoch_{name}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        with open(os.path.join(d, ".compacted.floor"), "w") as fh:
+            fh.write("5")
+        mk(d)(batch, 3)
+        assert not os.path.exists(os.path.join(d, "epoch=3")), name
+        assert os.path.exists(os.path.join(d, ".late", "epoch=3")), name
+        meta = read_late_epochs(spark, d).collect()
+        assert [(r["epoch"], r["floor"]) for r in meta] == [(3, 5)], name
+        # and past the floor the same sink still writes normally
+        mk(d)(batch, 6)
+        assert os.path.exists(os.path.join(d, "epoch=6")), name
