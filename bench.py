@@ -55,6 +55,16 @@ HEADLINE = [
     "tree_rerank_topk",
 ]
 
+# SECOND section (r14): the IVM tier postdates the frozen set, so its
+# constant-factor drift was only profiled once in SCALE.md, never measured
+# per round. These total under ivm_value/ivm_queries — SEPARATE keys, so
+# the frozen headline total stays comparable across rounds.
+IVM_SECTION = [
+    "warehouse_day_close_pipeline",
+    "warehouse_day_close_full",
+    "rollup_topk_priority_orders",
+]
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -72,25 +82,31 @@ def main() -> None:
     for df in load_tables(spark, SF_DIR, register=False).values():
         df.select(df.columns[0]).limit(1).collect()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        spec = QUERIES[name]
-        # best of 3: the first run pays one-off JIT/codegen compilation (and
-        # any background-load noise); the recorded number is the steady-state
-        # throughput a long-lived app sees. Cold-start cost is a constant,
-        # not a per-query property — it amortizes to zero at 100 TB. Three
-        # runs (up from two) because this host shows ±30% per-query noise —
-        # single-run flukes of +1-2s were landing in the recorded best.
-        best, n = float("inf"), -1
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+    def bench_set(names: list[str]) -> tuple[dict[str, float], float]:
+        per_query: dict[str, float] = {}
+        total = 0.0
+        for name in names:
+            spec = QUERIES[name]
+            # best of 3: the first run pays one-off JIT/codegen compilation
+            # (and any background-load noise); the recorded number is the
+            # steady-state throughput a long-lived app sees. Cold-start cost
+            # is a constant, not a per-query property — it amortizes to zero
+            # at 100 TB. Three runs (up from two) because this host shows
+            # ±30% per-query noise — single-run flukes of +1-2s were landing
+            # in the recorded best.
+            best, n = float("inf"), -1
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, SF_DIR)
+                n = df.count()
+                best = min(best, time.perf_counter() - t0)
+            per_query[name] = round(best, 3)
+            total += best
+            print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+        return per_query, total
+
+    per_query, total = bench_set(HEADLINE)
+    ivm_queries, ivm_total = bench_set(IVM_SECTION)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -100,6 +116,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "ivm_value": round(ivm_total, 3),
+                "ivm_queries": ivm_queries,
                 "sf": float(sf),
             }
         )

@@ -9889,74 +9889,71 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
 # and fails once a newer round's artifact lands without a bump+rotation.
-_DRIVER_WINDOW_ROUND = 13
+_DRIVER_WINDOW_ROUND = 14
 
 _DRIVER_WINDOW = [
-    # r13 ROTATION.  Evidence ledger after r12: 50 entries newest-green
-    # @ r12, 50 @ r11, 50 @ r10, 30 @ r9, plus the 7 new r13 entries
-    # (never driver-checked).  This window = ALL 30 r9-stale entries
-    # (the r12 verdict's Next-round #1 list, verbatim) + the 7 r13
-    # additions (the distinct-count IVM pair, the join-view IVM pair,
-    # the derived-moment avg/var entry, the SPJA aggregate-over-join
-    # rollup, and the composed warehouse day-close pipeline — each slotted the commit it
-    # was registered, displacing an r10 filler from the end) + 13 r10
-    # fillers at the cutoff.  The guard's cutoff with 187 entries lands
-    # at r10: everything < r10 must front, r10 entries fill the rest in
-    # any order.
-    # new r13 entries (never driver-checked — must front per the guard):
-    "rollup_distinct_custkeys",
-    "distinct_state_fold",
-    "join_view_order_customer",
-    "join_view_state_fold",
-    "rollup_avg_var_priority",
-    "warehouse_day_close_pipeline",
-    "rollup_join_segment_revenue",
-    # r9-stale (all 30 — nothing older remains after this round):
-    "late_ship_priority_counts",
-    "minhash_dedup_candidates",
-    "multimodal_embed_topk",
-    "nation_market_share",
-    "nation_pair_trade_volume",
-    "nations_with_presence",
-    "nfc_normalized_docs",
-    "order_date_features",
-    "orders_profile",
-    "part_name_features",
-    "pq_ann_topk",
-    "promo_revenue_share",
-    "props_variant_stats",
-    "region_nation_revenue",
-    "returned_revenue_customers",
-    "revenue_rollup",
-    "rich_inactive_customers",
-    "salted_event_counts",
-    "segment_codes",
-    "semantic_dedup_embeddings",
-    "sessionize_events",
-    "small_qty_brand_revenue",
-    "status_priority_cube",
-    "supplier_running_totals",
-    "top_building_orders",
-    "top_revenue_suppliers",
-    "tumbling_window_counts",
-    "view_click_attribution",
-    "view_click_shared_pairs_hll",
-    "waiting_suppliers",
-    # r10 fillers (at-cutoff; each NEW r13 entry registered later this
-    # round displaces one, from the end):
-    "als_item_embeddings",
-    "bpe_merge_table",
-    "bpe_tokenized_docs",
-    "brand_supplier_diversity",
-    "changelog_merge_snapshot",
-    "charlm_doc_scores",
-    "customer_order_histogram",
-    "customers_with_orders",
-    "dedup_clusters",
-    "doc_signatures",
-    "doc_token_chunks",
-    "dsir_resampled_docs",
-    "dsir_target_selection",
+    # r14 ROTATION.  Evidence ledger after r13: 50 entries newest-green
+    # @ r13, 50 @ r12, 50 @ r11, 37 @ r10, plus the 3 new r14 entries
+    # (never driver-checked).  This window = the 3 r14 additions (the
+    # TPC-H Q9/Q12 shapes and the six-rule composed day-close) + ALL 37
+    # r10-stale entries (the r13 verdict's Next-round #1 list, verbatim)
+    # + 10 r11 fillers at the cutoff.  The guard's cutoff with 190
+    # entries lands at r11: everything < r11 must front, r11 entries
+    # fill the rest in any order.  After this round nothing in the
+    # catalog has evidence older than r11.
+    # new r14 entries (never driver-checked — must front per the guard):
+    "product_type_profit_by_nation_year",
+    "shipmode_priority_counts",
+    "warehouse_day_close_full",
+    # r10-stale (all 37 — nothing older remains after this round):
+    "embedding_near_dup",
+    "eval_contamination_pairs",
+    "excess_shipment_suppliers",
+    "jaccard_similar_pairs",
+    "key_part_value_share",
+    "lang_id_confusion",
+    "large_order_customers",
+    "leakage_safe_folds",
+    "lsh_ann_topk",
+    "multimodal_metadata",
+    "negative_samples",
+    "ngram_repetition_signals",
+    "overlapping_customer_orders",
+    "part_type_multihot",
+    "pii_scrubbed_docs",
+    "point_in_time_features",
+    "popularity_ranking_metrics",
+    "price_deciles",
+    "priority_mix",
+    "rec_diversity",
+    "rolling_user_velocity",
+    "rollup_ivm_priority_revenue",
+    "segment_code_map",
+    "segment_recommendations",
+    "simhash_dedup_candidates",
+    "small_qty_avg_revenue",
+    "span_dedup_docs",
+    "span_dedup_incremental",
+    "span_semantic_pack_pipeline",
+    "stratified_event_sample",
+    "tfidf_top_terms",
+    "timeseries_feature_pipeline",
+    "trained_linear_ranker_topk",
+    "user_first_last_events",
+    "verbatim_span_pairs",
+    "waiting_multi_supplier_orders",
+    "weighted_doc_sample",
+    # r11 fillers (at-cutoff; first alphabetically for determinism):
+    "asof_purchase_click",
+    "bloom_pruned_join",
+    "bm25_index_fold",
+    "bpe_packed_corpus",
+    "cluster_balanced_sample",
+    "cms_sketch_fold",
+    "cohort_state_fold",
+    "copurchase_clustering_coeff",
+    "coverage_novelty",
+    "decayed_counts_fold",
 ]
 
 def _reorder_registry() -> None:
