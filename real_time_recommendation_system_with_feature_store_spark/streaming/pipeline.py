@@ -304,11 +304,15 @@ def near_dup_dedup_stream(
             # every sink writes to an epoch=N partition with overwrite:
             # a replayed epoch rewrites exactly its own output (idempotent),
             # and readers see one epoch-partitioned parquet dataset
-            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
-            minhash_band_index(
-                batch, text_col, id_col, n, num_hashes, bands, hash_fn
-            ).write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
-            batch.write.mode("overwrite").parquet(f"{docs_dir}/epoch={epoch_id}")
+            _write_epoch_state(pairs, pairs_dir, epoch_id)
+            _write_epoch_state(
+                minhash_band_index(
+                    batch, text_col, id_col, n, num_hashes, bands, hash_fn
+                ),
+                index_dir,
+                epoch_id,
+            )
+            _write_epoch_state(batch, docs_dir, epoch_id)
         finally:
             batch.unpersist()
 
@@ -363,11 +367,11 @@ def span_dedup_stream(
             rewritten = dedup_spans_incremental(
                 batch, index, text_col, id_col, span_words=span_words, sep=sep
             )
-            rewritten.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+            _write_epoch_state(rewritten, out_dir, epoch_id)
             delta = span_index(batch, text_col, id_col, span_words=span_words, sep=sep).join(
                 index, "span_fp", "left_anti"
             )
-            delta.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+            _write_epoch_state(delta, index_dir, epoch_id)
         finally:
             batch.unpersist()
 
@@ -455,9 +459,9 @@ def semantic_dedup_stream(
                 .where(F.col("cosine") >= threshold)
                 .dropDuplicates(["id_a", "id_b"])
             )
-            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
-            assigned.select("__cell", "__iid", "__iv").write.mode("overwrite").parquet(
-                f"{members_dir}/epoch={epoch_id}"
+            _write_epoch_state(pairs, pairs_dir, epoch_id)
+            _write_epoch_state(
+                assigned.select("__cell", "__iid", "__iv"), members_dir, epoch_id
             )
         finally:
             it.unpersist()
@@ -494,7 +498,7 @@ def cms_sketch_stream(
         cells = cms_build(
             batch_df, qcol(key_col), depth=depth, width=width, salt=salt, weight=weight
         )
-        cells.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={epoch_id}")
+        _write_epoch_state(cells, sketch_dir, epoch_id)
 
     return _process
 
@@ -535,7 +539,7 @@ def hll_sketch_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         regs = hll_build(batch_df, qcol(key_col), p=p, salt=salt)
-        regs.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={epoch_id}")
+        _write_epoch_state(regs, sketch_dir, epoch_id)
 
     return _process
 
@@ -572,7 +576,7 @@ def qsketch_stream(
         cells = qsketch_build(
             batch_df, qcol(value_col), sub_bits=sub_bits, scale=scale
         )
-        cells.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={epoch_id}")
+        _write_epoch_state(cells, sketch_dir, epoch_id)
 
     return _process
 
@@ -643,9 +647,7 @@ def funnel_state_stream(
             .dropDuplicates([*group_cols, type_col, ts_col])
             .select(*gcols, qcol(ts_col), qcol(type_col))
         )
-        head.unionByName(tail).write.mode("overwrite").parquet(
-            f"{state_dir}/epoch={epoch_id}"
-        )
+        _write_epoch_state(head.unionByName(tail), state_dir, epoch_id)
 
     return _process
 
@@ -685,7 +687,7 @@ def cohort_state_stream(
             .where(qcol(period_col).isNotNull())
             .dropDuplicates([entity_col, period_col])
         )
-        pairs.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        _write_epoch_state(pairs, state_dir, epoch_id)
 
     return _process
 
@@ -849,7 +851,7 @@ def transition_state_stream(
             )
             .agg(F.count("*").alias("n"))
         )
-        pairs.write.mode("overwrite").parquet(f"{state_dir}/pairs/epoch={epoch_id}")
+        _write_epoch_state(pairs, f"{state_dir}/pairs", epoch_id)
         new_last = (
             ev.groupBy(qcol(entity_col))
             .agg(F.max(F.struct(*ocols, qcol(item_col))).alias("__fr"))
@@ -859,13 +861,13 @@ def transition_state_stream(
                 F.col("__fr").getField(item_col).alias(item_col),
             )
         )
-        new_last.write.mode("overwrite").parquet(f"{state_dir}/last/epoch={epoch_id}")
+        _write_epoch_state(new_last, f"{state_dir}/last", epoch_id)
         if track_meta:
             meta = spark.createDataFrame(
                 [(int(late_dropped), int(null_dropped))],
                 "late_dropped long, null_dropped long",
             )
-            meta.write.mode("overwrite").parquet(f"{state_dir}/meta/epoch={epoch_id}")
+            _write_epoch_state(meta, f"{state_dir}/meta", epoch_id)
             nn.unpersist()
             if ev is not nn:
                 ev.unpersist()
@@ -959,12 +961,8 @@ def bm25_index_stream(
         )
         postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
         doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-        postings.write.mode("overwrite").parquet(
-            f"{index_dir}/postings/epoch={epoch_id}"
-        )
-        doclen.write.mode("overwrite").parquet(
-            f"{index_dir}/doclen/epoch={epoch_id}"
-        )
+        _write_epoch_state(postings, f"{index_dir}/postings", epoch_id)
+        _write_epoch_state(doclen, f"{index_dir}/doclen", epoch_id)
 
     return _process
 
@@ -1213,8 +1211,8 @@ def ivf_index_stream(
             l2_normalize(qcol(vec_col)).alias("__iv"),
         )
         assigned = _assign_cells(it, frozen)
-        assigned.write.mode("overwrite").partitionBy("__cell").parquet(
-            f"{index_dir}/cells/epoch={epoch_id}"
+        _write_epoch_state(
+            assigned, f"{index_dir}/cells", epoch_id, partition_by=["__cell"]
         )
 
     return _process
@@ -1444,6 +1442,37 @@ def _route_late_epoch(state_dir: str, epoch_id: int, collapsed: DataFrame) -> bo
     return True
 
 
+def _write_epoch_state(
+    df: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    partition_by: list[str] | None = None,
+) -> bool:
+    """THE epoch-partition write path for every state sink: land ``df``
+    under ``epoch=N`` with overwrite (the replay contract — a replayed
+    epoch rewrites exactly its own output) UNLESS compaction already
+    finalized that id for this directory, in which case the batch is
+    dead-lettered (``_route_late_epoch``). Per-DIRECTORY by design:
+    compaction finalizes each state directory independently (e.g. a BM25
+    purge compacts postings/ and doclen/ but not a sibling pairs/ dir),
+    so a multi-directory sink's batch may legitimately land in one
+    directory and dead-letter in another — each directory's fold
+    stays correct on its own. Returns True when written, False when
+    dead-lettered.
+
+    Not used by the tombstone sinks: their ``.deletes`` sets are
+    rmtree'd whole by purge (no surviving floor marker), and their
+    protection remains the purge contract ("run past the committed
+    offset")."""
+    if _route_late_epoch(state_dir, epoch_id, df):
+        return False
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{state_dir}/epoch={epoch_id}")
+    return True
+
+
 def read_late_epochs(spark: SparkSession, state_dir: str) -> DataFrame:
     """Per-epoch dead-letter meta for an IVM delta sink's state directory:
     one row (epoch, floor, late_rows) per dead-lettered batch — empty
@@ -1569,7 +1598,7 @@ def decayed_count_stream(
             .groupBy("key")
             .agg(F.sum("__w").alias("w_sum"))
         )
-        w.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        _write_epoch_state(w, state_dir, epoch_id)
 
     return _process
 
@@ -1719,9 +1748,7 @@ def agg_delta_stream(
         delta = agg_delta(
             batch_df, keys, qcol(measure_col), op_col=op_col, extra_measures=extras
         )
-        if _route_late_epoch(state_dir, epoch_id, delta):
-            return
-        delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        _write_epoch_state(delta, state_dir, epoch_id)
 
     return _process
 
@@ -1779,9 +1806,7 @@ def extrema_delta_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         delta = collapse_extrema_changes(batch_df, keys, measure_col, op_col=op_col)
-        if _route_late_epoch(state_dir, epoch_id, delta):
-            return
-        delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        _write_epoch_state(delta, state_dir, epoch_id)
 
     return _process
 
@@ -1840,9 +1865,7 @@ def distinct_delta_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         delta = collapse_distinct_changes(batch_df, keys, value_col, op_col=op_col)
-        if _route_late_epoch(state_dir, epoch_id, delta):
-            return
-        delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        _write_epoch_state(delta, state_dir, epoch_id)
 
     return _process
 
@@ -1889,9 +1912,7 @@ def join_delta_stream(state_dir: str, op_col: str = "op"):
         # takes no schema), so the epoch-name guard runs on first contact
         _reject_epoch_columns("join_delta_stream", batch_df.columns)
         delta = collapse_join_changes(batch_df, op_col=op_col)
-        if _route_late_epoch(state_dir, epoch_id, delta):
-            return
-        delta.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        _write_epoch_state(delta, state_dir, epoch_id)
 
     return _process
 
@@ -1962,9 +1983,7 @@ def topk_delta_stream(
             F.max(F.when(op == "D", m)).alias("dm"),
             F.sum(F.when(is_bad_row, F.lit(1)).otherwise(F.lit(0))).alias("nbad"),
         )
-        if _route_late_epoch(state_dir, epoch_id, slots):
-            return
-        slots.write.mode("overwrite").parquet(f"{state_dir}/epoch={epoch_id}")
+        _write_epoch_state(slots, state_dir, epoch_id)
 
     return _process
 
@@ -2800,7 +2819,7 @@ def lsh_index_stream(
             qcol(vec_col).isNotNull() & qcol(id_col).isNotNull()
         ).select(qcol(id_col).alias("__id"), qcol(vec_col).alias("__vec"))
         rows = _bucket_rows_arrow(src, "__id", "__vec", "__iid", dim, n_planes, n_tables)
-        rows.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+        _write_epoch_state(rows, index_dir, epoch_id)
 
     return _process
 
@@ -2912,7 +2931,7 @@ def pq_index_stream(
             qcol(vec_col).isNotNull() & qcol(id_col).isNotNull()
         ).select(qcol(id_col).alias("__id"), qcol(vec_col).alias("__vec"))
         encoded = _pq_encode(src, "__id", "__vec", books, dim, n_sub)
-        encoded.write.mode("overwrite").parquet(f"{index_dir}/codes/epoch={epoch_id}")
+        _write_epoch_state(encoded, f"{index_dir}/codes", epoch_id)
 
     return _process
 

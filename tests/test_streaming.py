@@ -3603,3 +3603,42 @@ def test_late_epoch_guard_uniform_across_all_ivm_sinks(spark):
         # and past the floor the same sink still writes normally
         mk(d)(batch, 6)
         assert os.path.exists(os.path.join(d, "epoch=6")), name
+
+
+def test_late_epoch_guard_covers_non_ivm_sinks(spark):
+    """_write_epoch_state is now THE epoch write path for every state
+    sink, not just the IVM five — full lifecycle on the CMS sketch sink
+    (sum-fold: a replayed compacted epoch would double-count) plus the
+    per-directory floor on a multi-directory sink (BM25 postings/doclen
+    compacted by purge get independent floors)."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        cms_sketch_stream,
+        compact_epoch_state,
+        read_cms_sketch,
+        read_late_epochs,
+    )
+
+    d = os.path.join(TMP, "late_epoch_cms")
+    shutil.rmtree(d, ignore_errors=True)
+    sink = cms_sketch_stream(d, "k", depth=2, width=16)
+    rows = "k string"
+    b0 = spark.createDataFrame([("a",), ("b",), ("a",)], rows)
+    b1 = spark.createDataFrame([("c",), ("a",)], rows)
+    sink(b0, 0)
+    sink(b1, 1)
+    target = compact_epoch_state(read_cms_sketch(spark, d), d)
+    assert target == 1
+    before = sorted(map(tuple, read_cms_sketch(spark, d).collect()))
+
+    sink(b0, 0)  # replay of a finalized epoch -> dead-letter, not double count
+    assert not os.path.exists(os.path.join(d, "epoch=0"))
+    spark.catalog.refreshByPath(d)
+    assert sorted(map(tuple, read_cms_sketch(spark, d).collect())) == before
+    assert [r["epoch"] for r in read_late_epochs(spark, d).collect()] == [0]
+
+    sink(b1, 2)  # fresh epoch past the floor still lands
+    spark.catalog.refreshByPath(d)
+    after = {(r["row"], r["bucket"]): r["cell_count"]
+             for r in read_cms_sketch(spark, d).collect()}
+    base = {(r0, b): c for (r0, b, c) in before}
+    assert sum(after.values()) > sum(base.values())
