@@ -1183,6 +1183,11 @@ def test_joint_ivm_random_history_all_views_agree_per_epoch(spark, base, steps):
     agg_view = bdf.groupBy("g").agg(
         F.count("*").alias("n"),
         F.sum(F.col("m").cast("decimal(28,10)")).alias("total"),
+        # the moment triple rides the same rule (derived-aggregate IVM:
+        # avg/var from (n, Σx, Σx²)) — carried through the joint history
+        # so all SIX rules share one consistent changelog reading (join
+        # has its own two-sided random-history test below)
+        F.sum((F.col("m") * F.col("m")).cast("decimal(28,10)")).alias("ss"),
     )
     ext_view = bdf.groupBy("g").agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
     topk_view = build_topk_buffer(bdf, ["g"], "id", "m", buffer_k)
@@ -1203,7 +1208,13 @@ def test_joint_ivm_random_history_all_views_agree_per_epoch(spark, base, steps):
         ch = spark.createDataFrame(ev, schema_c)
 
         agg_view = apply_agg_delta(
-            agg_view, agg_delta(ch, ["g"], F.col("m")), ["g"]
+            agg_view,
+            agg_delta(
+                ch, ["g"], F.col("m"),
+                extra_measures={"ss": F.col("m") * F.col("m")},
+            ),
+            ["g"],
+            extra_sum_cols=["ss"],
         )
         ext_view = apply_extrema_delta(ext_view, ch.drop("id"), mid, ["g"], "m")
         topk_view = apply_topk_delta(
@@ -1222,14 +1233,20 @@ def test_joint_ivm_random_history_all_views_agree_per_epoch(spark, base, steps):
         # --- full recompute of every view from the mid-epoch state
         exp_agg, exp_ext, exp_dist_sets = {}, {}, {}
         for (g, _i), v in running.items():
-            n, s = exp_agg.get(g, (0, 0.0))
-            exp_agg[g] = (n + 1, s + v)
+            n, s, ss = exp_agg.get(g, (0, 0.0, 0.0))
+            exp_agg[g] = (n + 1, s + v, ss + v * v)
             mn, mx = exp_ext.get(g, (v, v))
             exp_ext[g] = (min(mn, v), max(mx, v))
             exp_dist_sets.setdefault(g, set()).add(v)
-        got_agg = {r["g"]: (r["n"], float(r["total"])) for r in agg_view.collect()}
-        # measures are integral floats, so sums compare exactly
-        assert got_agg == {g: (n, float(s)) for g, (n, s) in exp_agg.items()}
+        got_agg = {
+            r["g"]: (r["n"], float(r["total"]), float(r["ss"]))
+            for r in agg_view.collect()
+        }
+        # measures are integral floats, so sums (and squared sums) compare
+        # exactly
+        assert got_agg == {
+            g: (n, float(s), float(ss)) for g, (n, s, ss) in exp_agg.items()
+        }
         got_ext = {r["g"]: (r["mn"], r["mx"]) for r in ext_view.collect()}
         assert got_ext == exp_ext
         got_dist = {r["g"]: r["nd"] for r in dist_view.collect()}
