@@ -2343,6 +2343,12 @@ def _finish_retrain(
         _os.rename(f"{ready}/{rows_dir}", f"{index_dir}/{rows_dir}/epoch={target}")
     if _os.path.exists(f"{index_dir}/.deletes"):
         _shutil.rmtree(f"{index_dir}/.deletes")
+    # retrain finalizes row-epoch history exactly like compaction (old
+    # epochs deleted, everything lives under epoch=target), so the rows
+    # dir gets the same late-epoch floor; written UNCONDITIONALLY (max
+    # fold, idempotent) so a crash between the rows rename and here still
+    # lands the floor on recovery re-entry
+    _write_compacted_floor(f"{index_dir}/{rows_dir}", target)
     _shutil.rmtree(ready, ignore_errors=True)
 
 
@@ -2733,6 +2739,10 @@ def _finish_retrain_semantic(
             _os.rename(f"{ready}/{name}", f"{root}/epoch={target}")
     if _os.path.exists(f"{members_dir}/.deletes"):
         _shutil.rmtree(f"{members_dir}/.deletes")
+    # same finalization-floor discipline as _finish_retrain, per layout;
+    # unconditional (max fold) so crash re-entry still lands both floors
+    _write_compacted_floor(members_dir, target)
+    _write_compacted_floor(pairs_dir, target)
     _shutil.rmtree(ready, ignore_errors=True)
 
 

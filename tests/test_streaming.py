@@ -3642,3 +3642,39 @@ def test_late_epoch_guard_covers_non_ivm_sinks(spark):
              for r in read_cms_sketch(spark, d).collect()}
     base = {(r0, b): c for (r0, b, c) in before}
     assert sum(after.values()) > sum(base.values())
+
+
+def test_retrain_writes_finalization_floor(spark):
+    """Retrain finalizes row-epoch history exactly like compaction (old
+    epochs deleted, state lives under epoch=target), so it must leave the
+    same late-epoch floor: a stale sink restarting with an old checkpoint
+    after a PQ retrain dead-letters its replayed epoch instead of merging
+    old-codebook codes under a finalized id."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.knn import pq_train_codebooks
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        pq_index_stream,
+        read_late_epochs,
+        retrain_pq_index,
+    )
+
+    index_dir, emb, live, dim = _build_tombstoned_pq(spark, "pq_retrain_floor")
+    target = retrain_pq_index(spark, index_dir, emb, "vec_id", "embedding",
+                              dim, n_sub=4, n_codes=8)
+    floor_file = os.path.join(index_dir, "codes", ".compacted.floor")
+    assert os.path.exists(floor_file)
+    assert int(open(floor_file).read()) == target
+
+    want = sorted(map(tuple,
+                      spark.read.parquet(f"{index_dir}/codes").collect()))
+    books = pq_train_codebooks(emb, "vec_id", "embedding", dim, n_sub=4, n_codes=8)
+    stale_sink = pq_index_stream(index_dir, "vec_id", "embedding", dim, books, n_sub=4)
+    stale_sink(emb.where(F.col("vec_id") % 2 == 0), 0)  # replayed old epoch
+    assert not os.path.exists(f"{index_dir}/codes/epoch=0")
+    meta = read_late_epochs(spark, f"{index_dir}/codes").collect()
+    assert [(r["epoch"], r["floor"]) for r in meta] == [(0, target)]
+    spark.catalog.refreshByPath(f"{index_dir}/codes")
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{index_dir}/codes").collect())) == want
+    # a fresh epoch past the floor still lands
+    stale_sink(emb.where(F.col("vec_id") % 2 == 1), target + 1)
+    assert os.path.exists(f"{index_dir}/codes/epoch={target + 1}")
