@@ -1425,7 +1425,13 @@ def _route_late_epoch(state_dir: str, epoch_id: int, collapsed: DataFrame) -> bo
 
     An epoch-id replay ABOVE the floor keeps the sinks' normal replay
     contract (overwrite-own-partition); the floor only finalizes what
-    compaction already made unreplayable."""
+    compaction already made unreplayable. The dead letter follows the
+    same contract: a second late batch for the SAME epoch id overwrites
+    the first's preserved frame (and its meta row) — exactly-once replay
+    of one checkpoint generation is preserved verbatim, but two distinct
+    fresh-checkpoint generations colliding on an id keep only the
+    latest; drain the dead letter before restarting yet another
+    generation."""
     floor = _compacted_floor(state_dir)
     if floor is None or epoch_id > floor:
         return False
