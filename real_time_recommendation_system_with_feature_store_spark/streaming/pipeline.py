@@ -1360,6 +1360,14 @@ def compact_epoch_state(
     writer.parquet(tmp)
     ready = f"{state_dir}/.compact.ready.epoch={epochs[-1]}"
     _os.rename(tmp, ready)
+    # the floor lands the moment the compaction is committed (the ready
+    # rename), not only at the end of _finish_compaction: a crash between
+    # the final epoch=<target> rename and a tail-positioned floor write
+    # would leave compacted state unguarded with no ready dir left for
+    # recovery to re-enter. Setting it early is conservative-correct —
+    # ids <= target are final from here on no matter when the epoch
+    # deletions land. (_finish_compaction re-writes it; max-idempotent.)
+    _write_compacted_floor(state_dir, epochs[-1])
     _finish_compaction(state_dir, ready, epochs[-1])
     return epochs[-1]
 

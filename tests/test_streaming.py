@@ -3678,3 +3678,39 @@ def test_retrain_writes_finalization_floor(spark):
     # a fresh epoch past the floor still lands
     stale_sink(emb.where(F.col("vec_id") % 2 == 1), target + 1)
     assert os.path.exists(f"{index_dir}/codes/epoch={target + 1}")
+
+
+def test_compaction_floor_survives_crash_after_ready(spark):
+    """The floor is committed at the ready-rename, not only at the tail
+    of _finish_compaction: simulate a crash right after the ready stage
+    (before any epoch deletion), run recovery, and the floor must guard
+    the directory — a late replay dead-letters."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        read_agg_delta_state,
+        read_late_epochs,
+        recover_epoch_state,
+        _compacted_floor,
+        _write_compacted_floor,
+    )
+
+    d = os.path.join(TMP, "late_epoch_crash")
+    shutil.rmtree(d, ignore_errors=True)
+    chg = "op string, g string, m double"
+    sink = agg_delta_stream(d, ["g"], "m")
+    sink(spark.createDataFrame([("I", "a", 1.0)], chg), 0)
+    sink(spark.createDataFrame([("I", "a", 2.0)], chg), 1)
+    # hand-stage the crash point compact_epoch_state reaches right after
+    # its tmp -> ready rename + early floor write: ready dir present,
+    # source epochs intact, no epoch deleted yet
+    folded = read_agg_delta_state(spark, d, ["g"])
+    folded.write.parquet(os.path.join(d, ".compact.ready.epoch=1"))
+    _write_compacted_floor(d, 1)
+
+    assert recover_epoch_state(d) is True      # finishes the compaction
+    assert _compacted_floor(d) == 1
+    before = sorted(map(tuple, read_agg_delta_state(spark, d, ["g"]).collect()))
+    sink(spark.createDataFrame([("I", "a", 9.0)], chg), 0)   # late replay
+    spark.catalog.refreshByPath(d)
+    assert sorted(map(tuple, read_agg_delta_state(spark, d, ["g"]).collect())) == before
+    assert [r["epoch"] for r in read_late_epochs(spark, d).collect()] == [0]
