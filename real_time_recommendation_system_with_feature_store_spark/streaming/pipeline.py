@@ -1431,6 +1431,12 @@ def _route_late_epoch(state_dir: str, epoch_id: int, collapsed: DataFrame) -> bo
     recover by restarting with the original checkpoint (the supported
     contract) or by replaying the dead-lettered frames under fresh ids.
 
+    Locally-mounted POSIX paths only, the same caveat as
+    ``compact_epoch_state`` (the floor marker goes through plain
+    open()/os): against a remote URI the marker is never found, the
+    guard is inert, and behavior degrades to the pre-guard replay
+    contract — safe, but unguarded.
+
     An epoch-id replay ABOVE the floor keeps the sinks' normal replay
     contract (overwrite-own-partition); the floor only finalizes what
     compaction already made unreplayable. The dead letter follows the
