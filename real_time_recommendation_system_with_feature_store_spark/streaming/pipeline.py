@@ -1509,6 +1509,62 @@ def read_late_epochs(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def replay_late_epochs(state_dir: str) -> list[int]:
+    """Requeue a directory's dead-lettered batches under FRESH epoch ids
+    — the recovery half of the late-epoch guard, for the case where the
+    dead-lettered data is genuinely new (a fresh-checkpoint restart, not
+    a true replay of already-folded content; ``read_late_epochs`` +
+    inspecting the frames is how the operator decides which).
+
+    Each ``.late/epoch=K`` frame is the sink's ALREADY-COLLAPSED state
+    layout — exactly what a normal epoch partition holds — so replay is
+    a rename: the frames land, in their original relative order, at
+    consecutive ids starting past both the compacted floor and the
+    highest existing epoch. For the order-free folds (sums, extrema
+    min/max, distinct dsupp, join nets, sketch cells/registers) this is
+    exact; for the epoch-ORDERED top-k slot composition it appends the
+    dead-lettered batches after current history in their original order
+    — the same semantics as those batches genuinely arriving late, which
+    is what they did.
+
+    Run with the stream stopped (the new ids must stay below the ids the
+    live checkpoint will assign next — restart the stream with a FRESH
+    checkpoint afterwards, or its next epoch id may collide). Returns the
+    new epoch ids, empty when no dead letter exists."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    lates = sorted(
+        (
+            int(p.rsplit("=", 1)[1])
+            for p in _glob.glob(f"{state_dir}/.late/epoch=*")
+            if p.rsplit("=", 1)[1].isdigit()
+        )
+    )
+    if not lates:
+        return []
+    existing = [
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{state_dir}/epoch=*")
+        if p.rsplit("=", 1)[1].isdigit()
+    ]
+    floor = _compacted_floor(state_dir)
+    nxt = max([*existing, floor if floor is not None else -1]) + 1
+    new_ids = []
+    for k in lates:
+        _os.rename(f"{state_dir}/.late/epoch={k}", f"{state_dir}/epoch={nxt}")
+        _shutil.rmtree(f"{state_dir}/.late_meta/epoch={k}", ignore_errors=True)
+        new_ids.append(nxt)
+        nxt += 1
+    for d in (".late", ".late_meta"):
+        try:
+            _os.rmdir(f"{state_dir}/{d}")
+        except OSError:
+            pass
+    return new_ids
+
+
 def recover_epoch_state(state_dir: str) -> bool:
     """Finish or discard a compaction interrupted by a crash — run this
     BEFORE building any fold over (or restarting any sink into) a state

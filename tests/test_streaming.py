@@ -3714,3 +3714,48 @@ def test_compaction_floor_survives_crash_after_ready(spark):
     spark.catalog.refreshByPath(d)
     assert sorted(map(tuple, read_agg_delta_state(spark, d, ["g"]).collect())) == before
     assert [r["epoch"] for r in read_late_epochs(spark, d).collect()] == [0]
+
+
+def test_replay_late_epochs_requeues_fresh_generation(spark):
+    """The recovery half of the late-epoch guard: a fresh-checkpoint
+    generation dead-lettered against a compacted directory is requeued
+    under fresh epoch ids past the floor, the fold then equals the
+    one-shot collapse of old + requeued history, and the dead letter is
+    drained."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        compact_epoch_state,
+        read_agg_delta_state,
+        read_late_epochs,
+        replay_late_epochs,
+    )
+
+    d = os.path.join(TMP, "late_epoch_replay")
+    shutil.rmtree(d, ignore_errors=True)
+    chg = "op string, g string, m double"
+    sink = agg_delta_stream(d, ["g"], "m")
+    sink(spark.createDataFrame([("I", "a", 1.0)], chg), 0)
+    sink(spark.createDataFrame([("I", "b", 2.0)], chg), 1)
+    assert replay_late_epochs(d) == []          # nothing to do yet
+    compact_epoch_state(read_agg_delta_state(spark, d, ["g"]), d)
+
+    # a NEW generation restarts at epoch 0/1 (fresh checkpoint) with
+    # genuinely new data -> dead-lettered
+    sink(spark.createDataFrame([("I", "a", 10.0)], chg), 0)
+    sink(spark.createDataFrame([("D", "b", 2.0)], chg), 1)
+    assert sorted(r["epoch"] for r in read_late_epochs(spark, d).collect()) == [0, 1]
+
+    new_ids = replay_late_epochs(d)
+    assert new_ids == [2, 3]                    # past the floor (1)
+    assert not os.path.exists(os.path.join(d, ".late"))
+    assert not os.path.exists(os.path.join(d, ".late_meta"))
+    assert read_late_epochs(spark, d).count() == 0
+    spark.catalog.refreshByPath(d)
+    got = {r["g"]: (r["n"], float(r["total"]))
+           for r in read_agg_delta_state(spark, d, ["g"]).collect()}
+    assert got == {"a": (2, 11.0), "b": (0, 0.0)}
+    # and the requeued ids are live history: another compaction folds them
+    compact_epoch_state(read_agg_delta_state(spark, d, ["g"]), d)
+    spark.catalog.refreshByPath(d)
+    assert {r["g"]: r["n"] for r in read_agg_delta_state(spark, d, ["g"]).collect()} \
+        == {"a": 2, "b": 0}
