@@ -9885,6 +9885,129 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "feature_drift_psi",
+    oracle="""
+    WITH ev AS (SELECT event_type, ts, value FROM events),
+    stats AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      FROM ev WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type, e.ts,
+        CASE WHEN s.mx = s.mn THEN 0
+             ELSE LEAST(GREATEST(CAST(FLOOR(
+               (e.value - s.mn) / ((s.mx - s.mn) / 10)) AS INTEGER), 0), 9)
+        END AS bin
+      FROM ev e JOIN stats s ON s.event_type = e.event_type
+    ),
+    counts AS (
+      SELECT event_type, bin,
+        COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS nb,
+        COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS nc
+      FROM binned GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT s.event_type, r.b AS bin,
+             COALESCE(c.nb, 0) AS nb, COALESCE(c.nc, 0) AS nc
+      FROM stats s CROSS JOIN range(0, 10) r(b)
+      LEFT JOIN counts c ON c.event_type = s.event_type AND c.bin = r.b
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(nb) AS BIGINT) AS tnb,
+             CAST(SUM(nc) AS BIGINT) AS tnc
+      FROM filled GROUP BY 1
+    )
+    SELECT f.event_type, t.tnb AS n_base, t.tnc AS n_current,
+      ROUND(list_sum(list(
+        ((f.nc + 1) / (t.tnc + 10) - (f.nb + 1) / (t.tnb + 10))
+        * ln(((f.nc + 1) / (t.tnc + 10)) / ((f.nb + 1) / (t.tnb + 10)))
+        ORDER BY f.bin)), 6) AS psi
+    FROM filled f JOIN tot t ON t.event_type = f.event_type
+    GROUP BY f.event_type, t.tnb, t.tnc
+    """,
+    doc="FEATURE DRIFT MONITORING (population stability index) — the "
+        "feature-store health check every serving deployment runs: per "
+        "event type, the value distribution of the current half-window "
+        "vs the baseline half-window over 10 equal-width bins FROZEN "
+        "from the baseline's [min, max] (current-side outliers clamp "
+        "into the edge bins — new mass outside the trained range is "
+        "exactly what PSI should flag), Laplace-smoothed ((n+1)/(N+10)) "
+        "so empty bins stay finite, PSI = Σ (p_cur − p_base)·ln(p_cur/"
+        "p_base). ONE scan of events (both windows counted in one "
+        "conditional agg), baseline stats broadcast, all-10-bins frame "
+        "generated from sequence() so absent bins contribute their "
+        "smoothed mass; the 10-term sum folds in bin order on both "
+        "engines (F.aggregate over array_sort / list_sum ORDER BY bin — "
+        "the proven fixed-order double-summation contract). Types "
+        "appearing only after the split have no baseline range and are "
+        "excluded (they need a backfill decision, not a silent bin "
+        "guess). Reference tie: the mean/std feature statistics the "
+        "reference recomputes per refresh "
+        "(src/features/feature_engineering.py:195-204) — this is the "
+        "comparison over time those snapshots exist to enable.",
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = F.lit("2024-01-16").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stats = (
+        ev.where(F.col("ts") < split)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    width = (F.col("mx") - F.col("mn")) / 10
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("mn")) / width).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        )
+    )
+    counts = j.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.when(F.col("ts") < split, 1)).alias("nb"),
+        F.count(F.when(F.col("ts") >= split, 1)).alias("nc"),
+    )
+    bins = stats.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    filled = (
+        bins.join(counts, ["event_type", "bin"], "left")
+        .fillna(0, ["nb", "nc"])
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("nb").alias("tnb"), F.sum("nc").alias("tnc")
+    )
+    g = filled.join(tot, "event_type")
+    pb = (F.col("nb") + 1) / (F.col("tnb") + 10)
+    pc = (F.col("nc") + 1) / (F.col("tnc") + 10)
+    contrib = ((pc - pb) * F.log(pc / pb)).alias("contrib")
+    return (
+        g.select("event_type", "tnb", "tnc", F.col("bin"), contrib)
+        .groupBy("event_type", "tnb", "tnc")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("bin"), F.col("contrib")))
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x["contrib"],
+                ),
+                6,
+            ).alias("psi")
+        )
+        .select(
+            "event_type",
+            F.col("tnb").alias("n_base"),
+            F.col("tnc").alias("n_current"),
+            "psi",
+        )
+    )
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -9893,18 +10016,21 @@ _DRIVER_WINDOW_ROUND = 14
 
 _DRIVER_WINDOW = [
     # r14 ROTATION.  Evidence ledger after r13: 50 entries newest-green
-    # @ r13, 50 @ r12, 50 @ r11, 37 @ r10, plus the 3 new r14 entries
-    # (never driver-checked).  This window = the 3 r14 additions (the
-    # TPC-H Q9/Q12 shapes and the six-rule composed day-close) + ALL 37
-    # r10-stale entries (the r13 verdict's Next-round #1 list, verbatim)
-    # + 10 r11 fillers at the cutoff.  The guard's cutoff with 190
-    # entries lands at r11: everything < r11 must front, r11 entries
-    # fill the rest in any order.  After this round nothing in the
-    # catalog has evidence older than r11.
+    # @ r13, 50 @ r12, 50 @ r11, 37 @ r10, plus the 4 new r14 entries
+    # (never driver-checked).  This window = the 4 r14 additions (the
+    # TPC-H Q9/Q12 shapes, the six-rule composed day-close, and the PSI
+    # drift monitor — the last registered late in the round, displacing
+    # an r11 filler from the end) + ALL 37 r10-stale entries (the r13
+    # verdict's Next-round #1 list, verbatim) + 9 r11 fillers at the
+    # cutoff.  The guard's cutoff with 191 entries lands at r11:
+    # everything < r11 must front, r11 entries fill the rest in any
+    # order.  After this round nothing in the catalog has evidence
+    # older than r11.
     # new r14 entries (never driver-checked — must front per the guard):
     "product_type_profit_by_nation_year",
     "shipmode_priority_counts",
     "warehouse_day_close_full",
+    "feature_drift_psi",
     # r10-stale (all 37 — nothing older remains after this round):
     "embedding_near_dup",
     "eval_contamination_pairs",
@@ -9953,7 +10079,6 @@ _DRIVER_WINDOW = [
     "cohort_state_fold",
     "copurchase_clustering_coeff",
     "coverage_novelty",
-    "decayed_counts_fold",
 ]
 
 def _reorder_registry() -> None:
