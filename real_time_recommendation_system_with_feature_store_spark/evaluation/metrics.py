@@ -266,3 +266,134 @@ def per_user_metrics_pandas(
         .cogroup(truth.groupBy(user))
         .applyInPandas(fn, schema)
     )
+
+
+def ranking_correlation(
+    scored: DataFrame,
+    user: str = "user_idx",
+    item: str = "item_idx",
+    pred: str = "pred_score",
+    true: str = "true_score",
+    min_items: int = 3,
+) -> DataFrame:
+    """Per-user Spearman and Kendall tau-b rank correlation between a
+    predicted score and the ground-truth score — the reference's
+    ``evaluate_ranking_correlation`` (src/evaluation/metrics.py:481-527:
+    scipy ``spearmanr``/``kendalltau`` inside a per-user python loop,
+    users with fewer than ``min_items`` common items skipped, NaN
+    coefficients skipped from the average), re-expressed as DataFrame
+    aggregations.
+
+    * **Spearman** = Pearson on AVERAGE ranks (scipy's tie handling):
+      avg rank = min-rank + (ties-1)/2 via two windows sharing the
+      per-user partitioning, then the per-user Pearson from one
+      aggregation of (n, Σx, Σy, Σx², Σy², Σxy). Zero variance on
+      either side (all-tied scores) yields NULL — the NaN the reference
+      skips.
+    * **Kendall tau-b** (scipy's default, tie-adjusted):
+      (C − D)/√((n0 − n1)(n0 − n2)) with C/D counted from the i<j
+      pairwise self-join WITHIN each user (the same per-user-bounded
+      pair cost class as ``diversity_at_k``; never cross-user) and the
+      tie terms n1/n2 from per-(user, score) group counts. A zero
+      denominator yields NULL.
+
+    Returns one row per qualifying user:
+    ``(user, n_items, spearman, kendall)``, both coefficients rounded
+    to 6dp (sqrt/division are the only non-exact ops; every count and
+    rank sum is exact in double at sane list sizes). Macro-average the
+    columns for the reference's headline pair. Scale shape: one shuffle
+    on ``user`` shared by the windows and aggregations, plus the
+    per-user pairwise join — O(Σ per-user n²), bounded by list length
+    like every pairwise rank metric, never all-users-cross."""
+    from pyspark.sql import Window
+
+    u, it = F.col(user), F.col(item)
+    p, t = F.col(pred), F.col(true)
+    avg_rank_p = (
+        F.rank().over(Window.partitionBy(user).orderBy(pred))
+        + (F.count("*").over(Window.partitionBy(user, pred)) - 1) / 2
+    )
+    avg_rank_t = (
+        F.rank().over(Window.partitionBy(user).orderBy(true))
+        + (F.count("*").over(Window.partitionBy(user, true)) - 1) / 2
+    )
+    ranked = scored.select(
+        u.alias("__u"), it.alias("__i"), p.alias("__p"), t.alias("__t"),
+        avg_rank_p.alias("__rx"), avg_rank_t.alias("__ry"),
+    )
+    # five consumers read the ranked frame (moment agg, the i<j self-join's
+    # two sides, both tie terms) — lazily checkpoint it so the input joins
+    # and the four rank windows execute once (the apply_topk_delta
+    # collapse-reuse pattern; the frame is input-sized, one row per scored
+    # pair)
+    ranked = ranked.localCheckpoint(eager=False)
+    rx, ry = F.col("__rx"), F.col("__ry")
+    base = ranked.groupBy("__u").agg(
+        F.count("*").alias("n_items"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(ry * ry).alias("__syy"),
+        F.sum(rx * ry).alias("__sxy"),
+    ).where(F.col("n_items") >= min_items)
+    n = F.col("n_items")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    spearman = F.when(
+        (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
+    )
+
+    # Kendall: concordant/discordant from the within-user i<j pair join
+    a = ranked.select(
+        F.col("__u"), F.col("__i").alias("__ia"),
+        F.col("__p").alias("__pa"), F.col("__t").alias("__ta"),
+    )
+    b = ranked.select(
+        F.col("__u"), F.col("__i").alias("__ib"),
+        F.col("__p").alias("__pb"), F.col("__t").alias("__tb"),
+    )
+    sgn = (
+        F.signum(F.col("__pa") - F.col("__pb"))
+        * F.signum(F.col("__ta") - F.col("__tb"))
+    )
+    cd = (
+        a.join(b, ["__u"])
+        .where(F.col("__ia") < F.col("__ib"))
+        .groupBy("__u")
+        .agg(
+            F.count(F.when(sgn > 0, 1)).alias("__c"),
+            F.count(F.when(sgn < 0, 1)).alias("__d"),
+        )
+    )
+    tie_terms = []
+    for col, alias in (("__p", "__n1"), ("__t", "__n2")):
+        tie_terms.append(
+            ranked.groupBy("__u", col)
+            .agg(F.count("*").alias("__g"))
+            .groupBy("__u")
+            .agg(
+                F.sum(F.col("__g") * (F.col("__g") - 1) / 2).alias(alias)
+            )
+        )
+    n0 = n * (n - 1) / 2
+    denom = (n0 - F.col("__n1")) * (n0 - F.col("__n2"))
+    kendall = F.when(
+        denom > 0,
+        F.round(
+            (F.coalesce(F.col("__c"), F.lit(0)) - F.coalesce(F.col("__d"), F.lit(0)))
+            / F.sqrt(denom),
+            6,
+        ),
+    )
+    return (
+        base.join(tie_terms[0], "__u")
+        .join(tie_terms[1], "__u")
+        .join(cd, "__u", "left")
+        .select(
+            F.col("__u").alias(user),
+            "n_items",
+            spearman.alias("spearman"),
+            kendall.alias("kendall"),
+        )
+    )

@@ -10008,6 +10008,104 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "score_rank_correlation",
+    oracle="""
+    WITH scored AS (
+      SELECT o_custkey AS c, l_partkey AS i, p_retailprice AS p,
+        ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(28,10))) AS DOUBLE), 2) AS t
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part   ON p_partkey = l_partkey
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT c, i, p, t,
+        RANK() OVER (PARTITION BY c ORDER BY p)
+          + (COUNT(*) OVER (PARTITION BY c, p) - 1) / 2.0 AS rx,
+        RANK() OVER (PARTITION BY c ORDER BY t)
+          + (COUNT(*) OVER (PARTITION BY c, t) - 1) / 2.0 AS ry
+      FROM scored
+    ),
+    base AS (
+      SELECT c, COUNT(*) AS n_items,
+        SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx*rx) AS sxx,
+        SUM(ry*ry) AS syy, SUM(rx*ry) AS sxy
+      FROM ranked GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    cd AS (
+      SELECT a.c,
+        COUNT(CASE WHEN SIGN(a.p - b.p) * SIGN(a.t - b.t) > 0 THEN 1 END) AS cc,
+        COUNT(CASE WHEN SIGN(a.p - b.p) * SIGN(a.t - b.t) < 0 THEN 1 END) AS dd
+      FROM ranked a JOIN ranked b ON a.c = b.c AND a.i < b.i
+      GROUP BY 1
+    ),
+    t1 AS (
+      SELECT c, SUM(g*(g-1)/2.0) AS n1
+      FROM (SELECT c, p, COUNT(*) AS g FROM ranked GROUP BY 1, 2) GROUP BY 1
+    ),
+    t2 AS (
+      SELECT c, SUM(g*(g-1)/2.0) AS n2
+      FROM (SELECT c, t, COUNT(*) AS g FROM ranked GROUP BY 1, 2) GROUP BY 1
+    )
+    SELECT base.c AS o_custkey, CAST(n_items AS BIGINT) AS n_items,
+      CASE WHEN (n_items*sxx - sx*sx) > 0 AND (n_items*syy - sy*sy) > 0
+           THEN ROUND((n_items*sxy - sx*sy)
+             / sqrt((n_items*sxx - sx*sx) * (n_items*syy - sy*sy)), 6)
+      END AS spearman,
+      CASE WHEN (n_items*(n_items-1)/2.0 - n1)
+                * (n_items*(n_items-1)/2.0 - n2) > 0
+           THEN ROUND((COALESCE(cc, 0) - COALESCE(dd, 0))
+             / sqrt((n_items*(n_items-1)/2.0 - n1)
+                    * (n_items*(n_items-1)/2.0 - n2)), 6)
+      END AS kendall
+    FROM base
+    JOIN t1 ON t1.c = base.c
+    JOIN t2 ON t2.c = base.c
+    LEFT JOIN cd ON cd.c = base.c
+    """,
+    doc="RANKING-CORRELATION EVALUATION (the reference's "
+        "evaluate_ranking_correlation, src/evaluation/metrics.py:481-527 "
+        "— per-user scipy spearmanr/kendalltau in a python loop): per "
+        "customer over the parts they bought (>=3), Spearman between "
+        "the retail-price 'model score' and the cents-rounded actual "
+        "spend, plus tie-adjusted Kendall tau-b — Spearman as Pearson "
+        "over AVERAGE ranks (rank + (ties-1)/2, scipy's tie handling; "
+        "rank sums are exact multiples of 0.5, so the moment sums are "
+        "order-independent), tau-b from the within-user i<j pair join "
+        "(the diversity_at_k pair-cost class, never cross-user) with "
+        "n1/n2 tie terms from per-(user, score) group counts. All-tied "
+        "sides yield NULL — the NaN the reference skips. One shuffle on "
+        "the user key shared by windows and aggregations "
+        "(evaluation/metrics.py::ranking_correlation).",
+)
+def score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_correlation
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    spend = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    scored = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey", "l_partkey", "p_retailprice")
+        .agg(F.round(F.sum(spend).cast("double"), 2).alias("true_score"))
+    )
+    return ranking_correlation(
+        scored,
+        user="o_custkey",
+        item="l_partkey",
+        pred="p_retailprice",
+        true="true_score",
+    )
+
+
 # The round this window was rotated FOR: tests/test_driver_window.py
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
@@ -10017,12 +10115,13 @@ _DRIVER_WINDOW_ROUND = 14
 _DRIVER_WINDOW = [
     # r14 ROTATION.  Evidence ledger after r13: 50 entries newest-green
     # @ r13, 50 @ r12, 50 @ r11, 37 @ r10, plus the 4 new r14 entries
-    # (never driver-checked).  This window = the 4 r14 additions (the
-    # TPC-H Q9/Q12 shapes, the six-rule composed day-close, and the PSI
-    # drift monitor — the last registered late in the round, displacing
-    # an r11 filler from the end) + ALL 37 r10-stale entries (the r13
-    # verdict's Next-round #1 list, verbatim) + 9 r11 fillers at the
-    # cutoff.  The guard's cutoff with 191 entries lands at r11:
+    # (never driver-checked).  This window = the 5 r14 additions (the
+    # TPC-H Q9/Q12 shapes, the six-rule composed day-close, the PSI
+    # drift monitor, and the Spearman/Kendall ranking-correlation
+    # evaluator — the last two registered late in the round, each
+    # displacing an r11 filler from the end) + ALL 37 r10-stale entries
+    # (the r13 verdict's Next-round #1 list, verbatim) + 8 r11 fillers
+    # at the cutoff.  The guard's cutoff with 192 entries lands at r11:
     # everything < r11 must front, r11 entries fill the rest in any
     # order.  After this round nothing in the catalog has evidence
     # older than r11.
@@ -10031,6 +10130,7 @@ _DRIVER_WINDOW = [
     "shipmode_priority_counts",
     "warehouse_day_close_full",
     "feature_drift_psi",
+    "score_rank_correlation",
     # r10-stale (all 37 — nothing older remains after this round):
     "embedding_near_dup",
     "eval_contamination_pairs",
@@ -10078,7 +10178,6 @@ _DRIVER_WINDOW = [
     "cms_sketch_fold",
     "cohort_state_fold",
     "copurchase_clustering_coeff",
-    "coverage_novelty",
 ]
 
 def _reorder_registry() -> None:

@@ -1561,3 +1561,86 @@ def test_interpolate_linear_golden(spark):
     assert out[5] == 7.0          # leading clamp
     assert out[6] == 7.0
     assert out[7] is None         # no known value at all
+
+
+def test_ranking_correlation_matches_reference_formulas(spark):
+    """evaluation/metrics.py::ranking_correlation vs an independent
+    in-test implementation of scipy's formulas (average-rank Pearson;
+    tie-adjusted tau-b) — ties on both sides, anti-correlation, a
+    constant (all-tied) side yielding NULL, and the <3-items skip."""
+    import math
+
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_correlation
+
+    rows = [
+        # u1: perfect monotone (with a pred tie pair agreeing in truth)
+        ("u1", 1, 1.0, 10.0), ("u1", 2, 2.0, 20.0),
+        ("u1", 3, 2.0, 25.0), ("u1", 4, 3.0, 40.0),
+        # u2: perfect anti-correlation
+        ("u2", 1, 3.0, 1.0), ("u2", 2, 2.0, 2.0), ("u2", 3, 1.0, 3.0),
+        # u3: constant pred -> NULL both
+        ("u3", 1, 5.0, 1.0), ("u3", 2, 5.0, 2.0), ("u3", 3, 5.0, 3.0),
+        # u4: mixed with ties on both sides
+        ("u4", 1, 1.0, 2.0), ("u4", 2, 2.0, 2.0), ("u4", 3, 2.0, 1.0),
+        ("u4", 4, 4.0, 5.0), ("u4", 5, 5.0, 4.0),
+        # u5: only 2 items -> skipped
+        ("u5", 1, 1.0, 1.0), ("u5", 2, 2.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "u string, i int, p double, t double")
+    got = {
+        r["u"]: (r["n_items"], r["spearman"], r["kendall"])
+        for r in ranking_correlation(
+            df, user="u", item="i", pred="p", true="t"
+        ).collect()
+    }
+
+    def avg_ranks(vals):
+        out = []
+        for v in vals:
+            below = sum(1 for w in vals if w < v)
+            ties = sum(1 for w in vals if w == v)
+            out.append(below + 1 + (ties - 1) / 2)
+        return out
+
+    def ref(ps, ts):
+        n = len(ps)
+        rx, ry = avg_ranks(ps), avg_ranks(ts)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(x * x for x in rx)
+        syy = sum(y * y for y in ry)
+        sxy = sum(x * y for x, y in zip(rx, ry))
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        sp = (
+            round((n * sxy - sx * sy) / math.sqrt(vx * vy), 6)
+            if vx > 0 and vy > 0 else None
+        )
+        c = d = 0
+        for a in range(n):
+            for b in range(a + 1, n):
+                s = (ps[a] - ps[b]) * (ts[a] - ts[b])
+                c += s > 0
+                d += s < 0
+        n0 = n * (n - 1) / 2
+        n1 = sum(g * (g - 1) / 2 for g in
+                 [ps.count(v) for v in set(ps)])
+        n2 = sum(g * (g - 1) / 2 for g in
+                 [ts.count(v) for v in set(ts)])
+        den = (n0 - n1) * (n0 - n2)
+        kt = round((c - d) / math.sqrt(den), 6) if den > 0 else None
+        return sp, kt
+
+    by_user = {}
+    for u, i, p, t in rows:
+        by_user.setdefault(u, ([], []))
+        by_user[u][0].append(p)
+        by_user[u][1].append(t)
+
+    assert "u5" not in got
+    for u in ("u1", "u2", "u3", "u4"):
+        sp, kt = ref(*by_user[u])
+        assert got[u] == (len(by_user[u][0]), sp, kt), (u, got[u], (sp, kt))
+    # sanity anchors: u1's pred tie with differing truths keeps Spearman
+    # below 1 (ties penalize), u2 is fully reversed and tie-free, u3 NULL
+    assert 0.9 < got["u1"][1] < 1.0
+    assert got["u2"] == (3, -1.0, -1.0)
+    assert got["u3"][1] is None and got["u3"][2] is None
