@@ -9167,8 +9167,9 @@ def warehouse_day_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tk AS (
       SELECT o_orderpriority,
-             (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
-               AS top_order_keys
+             array_to_string(
+               (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3],
+               ',') AS top_order_keys
       FROM a_after GROUP BY 1
     )
     SELECT agg.o_orderpriority, agg.n,
@@ -9289,15 +9290,24 @@ def warehouse_day_close_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_after, keys, "o_orderkey", "o_totalprice",
         k=3, buffer_k=5, null_safe_keys=False,
     )
+    # driver-hash contract: emit the rank-ordered key list as a ","-joined
+    # STRING (the repo's collect_event_types convention) — raw array cells
+    # are unhashable in the driver's pandas canonicalizer (r14 red row)
     tk_arr = (
         topk_from_buffer(tk_buf, keys, "o_orderkey", "o_totalprice", 3)
         .groupBy(*keys)
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("rn"), F.col("o_orderkey")))
-            )
-            .getField("o_orderkey")
-            .alias("top_order_keys")
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rn"),
+                            F.col("o_orderkey").cast("string").alias("o_orderkey"),
+                        )
+                    )
+                ).getField("o_orderkey"),
+            ).alias("top_order_keys")
         )
     )
     s_d = F.col("total").cast("double")

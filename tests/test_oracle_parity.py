@@ -72,8 +72,17 @@ def canon(value):
         return f"t:{value.isoformat()}"
     if isinstance(value, (datetime.datetime, datetime.date)):
         return f"t:{value.isoformat()}"
-    if isinstance(value, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon(v) for v in value) + "]"
+    if isinstance(value, (list, tuple, np.ndarray, dict, set)):
+        # The DRIVER's canonicalizer (pandas sort_values over output
+        # columns) dies on unhashable cells — r14's red row
+        # (warehouse_day_close_full) passed locally only because this
+        # branch used to tuple-ize lists. Non-scalar outputs are now a
+        # loud local failure so local-green implies driver-green.
+        raise AssertionError(
+            f"non-scalar output cell {type(value).__name__}: {value!r} — "
+            "serialize arrays with concat_ws (engine) / array_to_string "
+            "(oracle) per the collect_event_types convention"
+        )
     if value is pd.NaT:
         return "null"
     try:
@@ -110,6 +119,7 @@ def _mark_foldtwin(name: str):
 def test_oracle_parity(spark, ddb, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, ORACLE_SF_DIR)
+    _assert_scalar_schema(name, sdf)
     spdf = sdf.toPandas()
     dpdf = ddb.execute(spec.oracle).df()
 
@@ -129,4 +139,29 @@ def test_oracle_parity(spark, ddb, name):
 def test_rows_only_queries_run(spark, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, ORACLE_SF_DIR)
+    _assert_scalar_schema(name, sdf)
     assert sdf.count() >= 0
+
+
+def _assert_scalar_schema(name, sdf):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: non-scalar output columns {complex_cols} — the driver's "
+        "pandas canonicalizer cannot hash array/map/struct cells "
+        "(r14 warehouse_day_close_full red row). Serialize with "
+        "concat_ws (engine) / array_to_string (oracle)."
+    )
+
+
+def test_canon_rejects_non_scalar_cells():
+    """r14's failure class must be unrepresentable locally: a list cell in
+    an output column is a loud AssertionError, never a tuple-ized pass."""
+    for bad in ([1, 2], (1, 2), np.array([1.0]), {"k": 1}, {1, 2}):
+        with pytest.raises(AssertionError):
+            canon(bad)
