@@ -275,6 +275,7 @@ def ranking_correlation(
     pred: str = "pred_score",
     true: str = "true_score",
     min_items: int = 3,
+    max_items: int = 10_000,
 ) -> DataFrame:
     """Per-user Spearman and Kendall tau-b rank correlation between a
     predicted score and the ground-truth score — the reference's
@@ -297,6 +298,22 @@ def ranking_correlation(
       tie terms n1/n2 from per-(user, score) group counts. A zero
       denominator yields NULL.
 
+    Input contract (enforced loudly, not silently diverged from):
+    ``(user, item)`` must be UNIQUE — duplicate rows would be excluded
+    from Kendall's C/D pair join (the ``__ia < __ib`` filter drops
+    equal-id pairs) while still inflating Spearman's n and the tie
+    terms, a silent divergence from scipy on the same lists — so
+    duplicates raise ``ValueError``; dedup or re-aggregate upstream.
+    Rows with a NULL user, item, or either score are FILTERED (the
+    reference's scipy path yields NaN which it skips; a NULL here would
+    instead rank first in the windows). And because the C/D pair join
+    is O(n²) per user in one partition, a user with more than
+    ``max_items`` scored items raises instead of detonating at scale
+    (10⁵ items → 5×10⁹ pairs in one task) — truncate to a ranked
+    prefix upstream if genuinely huge lists must be compared. The
+    guards ride the same eager pass that materializes the checkpointed
+    rank frame, so they add no extra scan.
+
     Returns one row per qualifying user:
     ``(user, n_items, spearman, kendall)``, both coefficients rounded
     to 6dp (sqrt/division are the only non-exact ops; every count and
@@ -304,11 +321,15 @@ def ranking_correlation(
     columns for the reference's headline pair. Scale shape: one shuffle
     on ``user`` shared by the windows and aggregations, plus the
     per-user pairwise join — O(Σ per-user n²), bounded by list length
-    like every pairwise rank metric, never all-users-cross."""
+    like every pairwise rank metric (and by ``max_items``), never
+    all-users-cross."""
     from pyspark.sql import Window
 
     u, it = F.col(user), F.col(item)
     p, t = F.col(pred), F.col(true)
+    scored = scored.where(
+        u.isNotNull() & it.isNotNull() & p.isNotNull() & t.isNotNull()
+    )
     avg_rank_p = (
         F.rank().over(Window.partitionBy(user).orderBy(pred))
         + (F.count("*").over(Window.partitionBy(user, pred)) - 1) / 2
@@ -327,6 +348,31 @@ def ranking_correlation(
     # collapse-reuse pattern; the frame is input-sized, one row per scored
     # pair)
     ranked = ranked.localCheckpoint(eager=False)
+    # eager guard pass (labelqc's loud-ValueError pattern) — doubles as
+    # the checkpoint materialization the five consumers reuse
+    gstats = (
+        ranked.groupBy("__u")
+        .agg(F.count("*").alias("__n"), F.countDistinct("__i").alias("__nd"))
+        .agg(
+            F.max("__n").alias("mx"),
+            F.sum(F.col("__n") - F.col("__nd")).alias("dups"),
+        )
+        .collect()[0]
+    )
+    if gstats["dups"]:
+        raise ValueError(
+            f"ranking_correlation: {gstats['dups']} duplicate "
+            f"({user}, {item}) rows — duplicates silently skew the "
+            "coefficients (excluded from Kendall's pair join, counted in "
+            "Spearman's n); dedup or re-aggregate the scores upstream"
+        )
+    if gstats["mx"] is not None and gstats["mx"] > max_items:
+        raise ValueError(
+            f"ranking_correlation: a user has {gstats['mx']} scored items "
+            f"(> max_items={max_items}) — the per-user i<j pair join is "
+            "O(n²) in one partition; truncate to a ranked prefix upstream "
+            "or raise max_items deliberately"
+        )
     rx, ry = F.col("__rx"), F.col("__ry")
     base = ranked.groupBy("__u").agg(
         F.count("*").alias("n_items"),

@@ -1411,7 +1411,12 @@ def _write_compacted_floor(state_dir: str, target: int) -> None:
     _os.replace(tmp, marker)
 
 
-def _route_late_epoch(state_dir: str, epoch_id: int, collapsed: DataFrame) -> bool:
+def _route_late_epoch(
+    state_dir: str,
+    epoch_id: int,
+    collapsed: DataFrame,
+    partition_by: list[str] | None = None,
+) -> bool:
     """Shared late-epoch dead-letter guard for the IVM delta sinks (the
     uniform upgrade over the reference's ignore-late-data behavior, ST6):
     a batch arriving for an epoch id AT OR BELOW the compacted floor must
@@ -1445,19 +1450,48 @@ def _route_late_epoch(state_dir: str, epoch_id: int, collapsed: DataFrame) -> bo
     of one checkpoint generation is preserved verbatim, but two distinct
     fresh-checkpoint generations colliding on an id keep only the
     latest; drain the dead letter before restarting yet another
-    generation."""
+    generation.
+
+    The preserved frame is written with the SINK'S OWN ``partition_by``
+    (threaded from ``_write_epoch_state``): ``replay_late_epochs`` moves
+    it under ``epoch=<fresh>`` by rename, so the dead-letter layout must
+    be byte-compatible with a normal epoch partition — a sink whose
+    epochs are ``partitionBy('__cell')`` (the IVF cell sink) getting an
+    unpartitioned frame renamed in would break partition discovery for
+    the whole dataset. The meta row also records whether the ORIGINAL
+    ``epoch=N`` partition still existed at dead-letter time
+    (``orig_existed``): that is the crash-window signature — compaction
+    committed (ready + floor) but crashed before deleting old epochs, a
+    same-checkpoint restart replays id N, and recovery will fold the
+    still-present original partition. Such a frame is a TRUE DUPLICATE
+    of folded data; ``replay_late_epochs`` refuses it by default. After
+    a COMPLETED compaction the fold itself lives at ``epoch=<floor>``,
+    so a bare existence check would false-positive on id == floor — the
+    flag therefore requires the dir to be a lingering ORIGINAL: either
+    id < floor (originals below the floor only survive mid-crash), or
+    the ``.compact.ready`` marker is still present (the rename that
+    retires originals hasn't happened yet)."""
+    import glob as _glob
+    import os as _os
+
     floor = _compacted_floor(state_dir)
     if floor is None or epoch_id > floor:
         return False
     spark = collapsed.sparkSession
-    collapsed.write.mode("overwrite").parquet(
-        f"{state_dir}/.late/epoch={epoch_id}"
+    orig_existed = _os.path.isdir(f"{state_dir}/epoch={epoch_id}") and (
+        epoch_id < floor
+        or bool(_glob.glob(f"{state_dir}/.compact.ready.epoch=*"))
     )
+    w = collapsed.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{state_dir}/.late/epoch={epoch_id}")
     n = spark.read.parquet(f"{state_dir}/.late/epoch={epoch_id}").count()
     # epoch travels in the partition dir name (the sinks' own layout);
     # storing it as a data column too would collide at partition discovery
     spark.createDataFrame(
-        [(int(floor), int(n))], "floor long, late_rows long"
+        [(int(floor), int(n), bool(orig_existed))],
+        "floor long, late_rows long, orig_existed boolean",
     ).write.mode("overwrite").parquet(f"{state_dir}/.late_meta/epoch={epoch_id}")
     return True
 
@@ -1484,7 +1518,7 @@ def _write_epoch_state(
     rmtree'd whole by purge (no surviving floor marker), and their
     protection remains the purge contract ("run past the committed
     offset")."""
-    if _route_late_epoch(state_dir, epoch_id, df):
+    if _route_late_epoch(state_dir, epoch_id, df, partition_by=partition_by):
         return False
     w = df.write.mode("overwrite")
     if partition_by:
@@ -1499,17 +1533,47 @@ def read_late_epochs(spark: SparkSession, state_dir: str) -> DataFrame:
     when nothing ever arrived late. The preserved frames themselves sit
     under ``.late/epoch=N`` in the sink's collapsed schema, replayable
     under fresh epoch ids after the operator resolves the checkpoint
-    mismatch."""
+    mismatch. ``orig_existed`` flags crash-window TRUE DUPLICATES — the
+    original ``epoch=N`` partition still existed when the batch was
+    dead-lettered, so its content is (or will be, via recovery) already
+    inside the compacted fold; ``replay_late_epochs`` refuses those by
+    default. NULL for meta written before the flag existed."""
     import glob as _glob
 
     if not _glob.glob(f"{state_dir}/.late_meta/epoch=*"):
-        return spark.createDataFrame([], "epoch long, floor long, late_rows long")
-    return spark.read.parquet(f"{state_dir}/.late_meta").select(
-        F.col("epoch").cast("long"), "floor", "late_rows"
+        return spark.createDataFrame(
+            [], "epoch long, floor long, late_rows long, orig_existed boolean"
+        )
+    meta = spark.read.option("mergeSchema", "true").parquet(
+        f"{state_dir}/.late_meta"
+    )
+    if "orig_existed" not in meta.columns:
+        meta = meta.withColumn("orig_existed", F.lit(None).cast("boolean"))
+    return meta.select(
+        F.col("epoch").cast("long"), "floor", "late_rows", "orig_existed"
     )
 
 
-def replay_late_epochs(state_dir: str) -> list[int]:
+def _late_meta_orig_existed(state_dir: str, epoch_id: int) -> bool | None:
+    """The ``orig_existed`` flag from one dead-lettered epoch's meta row,
+    read Spark-free via pyarrow (replay is a pure-POSIX path). ``None``
+    when the meta is missing or predates the flag."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    for f in sorted(
+        _glob.glob(f"{state_dir}/.late_meta/epoch={epoch_id}/*.parquet")
+    ):
+        tbl = _pq.read_table(f)
+        if "orig_existed" in tbl.column_names and tbl.num_rows > 0:
+            return bool(tbl.column("orig_existed")[0].as_py())
+    return None
+
+
+def replay_late_epochs(
+    state_dir: str, include_duplicates: bool = False
+) -> list[int]:
     """Requeue a directory's dead-lettered batches under FRESH epoch ids
     — the recovery half of the late-epoch guard, for the case where the
     dead-lettered data is genuinely new (a fresh-checkpoint restart, not
@@ -1517,20 +1581,29 @@ def replay_late_epochs(state_dir: str) -> list[int]:
     inspecting the frames is how the operator decides which).
 
     Each ``.late/epoch=K`` frame is the sink's ALREADY-COLLAPSED state
-    layout — exactly what a normal epoch partition holds — so replay is
-    a rename: the frames land, in their original relative order, at
-    consecutive ids starting past both the compacted floor and the
-    highest existing epoch. For the order-free folds (sums, extrema
-    min/max, distinct dsupp, join nets, sketch cells/registers) this is
-    exact; for the epoch-ORDERED top-k slot composition it appends the
-    dead-lettered batches after current history in their original order
-    — the same semantics as those batches genuinely arriving late, which
-    is what they did.
+    layout, written with the sink's own ``partitionBy`` — exactly what a
+    normal epoch partition holds — so replay is a rename: the frames
+    land, in their original relative order, at consecutive ids starting
+    past both the compacted floor and the highest existing epoch. For
+    the order-free folds (sums, extrema min/max, distinct dsupp, join
+    nets, sketch cells/registers) this is exact; for the epoch-ORDERED
+    top-k slot composition it appends the dead-lettered batches after
+    current history in their original order — the same semantics as
+    those batches genuinely arriving late, which is what they did.
+
+    Frames whose meta says ``orig_existed`` (the compaction crash
+    window: the batch's original ``epoch=K`` partition was still on disk
+    at dead-letter time, so recovery folds the original and this frame
+    is a true duplicate of folded content) are REFUSED — left in the
+    dead letter, not requeued — unless ``include_duplicates=True``
+    (replaying one double-counts: sums twice, distinct supports
+    inflated). Meta predating the flag replays as before.
 
     Run with the stream stopped (the new ids must stay below the ids the
     live checkpoint will assign next — restart the stream with a FRESH
     checkpoint afterwards, or its next epoch id may collide). Returns the
-    new epoch ids, empty when no dead letter exists."""
+    new epoch ids, empty when no dead letter exists (or only refused
+    duplicates remain)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -1544,6 +1617,10 @@ def replay_late_epochs(state_dir: str) -> list[int]:
     )
     if not lates:
         return []
+    if not include_duplicates:
+        lates = [k for k in lates if _late_meta_orig_existed(state_dir, k) is not True]
+        if not lates:
+            return []
     existing = [
         int(p.rsplit("=", 1)[1])
         for p in _glob.glob(f"{state_dir}/epoch=*")

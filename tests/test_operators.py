@@ -1644,3 +1644,58 @@ def test_ranking_correlation_matches_reference_formulas(spark):
     assert 0.9 < got["u1"][1] < 1.0
     assert got["u2"] == (3, -1.0, -1.0)
     assert got["u3"][1] is None and got["u3"][2] is None
+
+
+def test_ranking_correlation_input_guards(spark):
+    """r14 advice: dirty input must be loud or filtered, never a silent
+    scipy divergence — duplicate (user,item) rows raise, NULL scores /
+    ids are filtered before ranking (scipy yields-then-skips NaN; a NULL
+    here would rank first), and a user beyond max_items raises instead
+    of detonating the O(n^2) pair join."""
+    import pytest as _pytest
+
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_correlation
+
+    schema = "u string, i int, p double, t double"
+    clean = [
+        ("u1", 1, 1.0, 10.0), ("u1", 2, 2.0, 20.0),
+        ("u1", 3, 3.0, 25.0), ("u1", 4, 4.0, 40.0),
+    ]
+    base = {
+        r["u"]: (r["n_items"], r["spearman"], r["kendall"])
+        for r in ranking_correlation(
+            spark.createDataFrame(clean, schema),
+            user="u", item="i", pred="p", true="t",
+        ).collect()
+    }
+    assert base["u1"] == (4, 1.0, 1.0)
+
+    # duplicates raise (they would drop from Kendall's i<j pairs while
+    # inflating Spearman's n)
+    with _pytest.raises(ValueError, match="duplicate"):
+        ranking_correlation(
+            spark.createDataFrame(clean + [("u1", 4, 9.0, 9.0)], schema),
+            user="u", item="i", pred="p", true="t",
+        )
+
+    # NULL score / id rows are filtered, not ranked-first: adding them
+    # leaves the clean user's coefficients byte-identical
+    dirty = clean + [
+        ("u1", 5, None, 50.0), ("u1", 6, 6.0, None),
+        ("u1", None, 7.0, 70.0), (None, 8, 8.0, 80.0),
+    ]
+    got = {
+        r["u"]: (r["n_items"], r["spearman"], r["kendall"])
+        for r in ranking_correlation(
+            spark.createDataFrame(dirty, schema),
+            user="u", item="i", pred="p", true="t",
+        ).collect()
+    }
+    assert got == base
+
+    # the per-user O(n^2) pair-join gate
+    with _pytest.raises(ValueError, match="max_items"):
+        ranking_correlation(
+            spark.createDataFrame(clean, schema),
+            user="u", item="i", pred="p", true="t", max_items=3,
+        )

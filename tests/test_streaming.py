@@ -3759,3 +3759,108 @@ def test_replay_late_epochs_requeues_fresh_generation(spark):
     spark.catalog.refreshByPath(d)
     assert {r["g"]: r["n"] for r in read_agg_delta_state(spark, d, ["g"]).collect()} \
         == {"a": 2, "b": 0}
+
+
+def test_replay_late_epochs_preserves_sink_partitioning(spark):
+    """r14 advice: a sink whose normal epochs are written with
+    partitionBy (the IVF cell sink) must dead-letter in that SAME layout
+    — replay_late_epochs requeues by rename, and renaming an
+    unpartitioned frame next to __cell=-partitioned siblings breaks
+    partition discovery for the whole dataset."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        _write_epoch_state,
+        replay_late_epochs,
+    )
+
+    d = os.path.join(TMP, "late_epoch_partitioned")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    rows = "__cell int, __iid long, __iv array<double>"
+    b0 = spark.createDataFrame(
+        [(0, 1, [1.0, 0.0]), (1, 2, [0.0, 1.0])], rows
+    )
+    assert _write_epoch_state(b0, d, 0, partition_by=["__cell"]) is True
+    with open(os.path.join(d, ".compacted.floor"), "w") as fh:
+        fh.write("0")
+
+    b_late = spark.createDataFrame([(1, 3, [0.6, 0.8])], rows)
+    assert _write_epoch_state(b_late, d, 0, partition_by=["__cell"]) is False
+    # dead letter carries the sink's own partition layout
+    assert os.path.isdir(os.path.join(d, ".late", "epoch=0", "__cell=1"))
+
+    new_ids = replay_late_epochs(d)
+    assert new_ids == [1]
+    assert os.path.isdir(os.path.join(d, "epoch=1", "__cell=1"))
+    # uniform layout: partition discovery over the whole dataset works
+    spark.catalog.refreshByPath(d)
+    got = spark.read.parquet(d)
+    assert set(got.columns) == {"__cell", "__iid", "__iv", "epoch"}
+    assert sorted((r["epoch"], r["__cell"], r["__iid"]) for r in got.collect()) \
+        == [(0, 0, 1), (0, 1, 2), (1, 1, 3)]
+
+
+def test_replay_late_epochs_refuses_crash_window_duplicates(spark):
+    """r14 advice: a same-checkpoint replay landing in the compaction
+    crash window (ready renamed + floor written, old epoch dirs not yet
+    deleted) is dead-lettered while its ORIGINAL partition still exists
+    and gets folded by recovery — replaying that frame would
+    double-count. The meta records orig_existed at dead-letter time and
+    replay_late_epochs refuses such frames unless include_duplicates."""
+    from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
+        agg_delta_stream,
+        read_agg_delta_state,
+        read_late_epochs,
+        recover_epoch_state,
+        replay_late_epochs,
+        _write_compacted_floor,
+    )
+
+    d = os.path.join(TMP, "late_epoch_dup")
+    shutil.rmtree(d, ignore_errors=True)
+    chg = "op string, g string, m double"
+    sink = agg_delta_stream(d, ["g"], "m")
+    sink(spark.createDataFrame([("I", "a", 1.0)], chg), 0)
+    sink(spark.createDataFrame([("I", "a", 2.0)], chg), 1)
+    # stage the crash window exactly as compact_epoch_state leaves it:
+    # fold materialized under ready, floor committed, epochs NOT deleted
+    folded = read_agg_delta_state(spark, d, ["g"])
+    folded.write.parquet(os.path.join(d, ".compact.ready.epoch=1"))
+    _write_compacted_floor(d, 1)
+
+    # same-checkpoint restart replays epoch 1 inside the window: the
+    # original epoch=1 dir is still on disk -> flagged a true duplicate
+    sink(spark.createDataFrame([("I", "a", 2.0)], chg), 1)
+    meta = read_late_epochs(spark, d).collect()
+    assert [(r["epoch"], r["orig_existed"]) for r in meta] == [(1, True)]
+
+    assert recover_epoch_state(d) is True       # folds the ORIGINAL epoch 1
+    before = sorted(map(tuple, read_agg_delta_state(spark, d, ["g"]).collect()))
+
+    # default replay refuses the duplicate: nothing requeued, frame kept
+    assert replay_late_epochs(d) == []
+    assert os.path.isdir(os.path.join(d, ".late", "epoch=1"))
+    spark.catalog.refreshByPath(d)
+    assert sorted(map(tuple, read_agg_delta_state(spark, d, ["g"]).collect())) == before
+
+    # a genuinely-late frame (original partition long gone) replays fine
+    # alongside: only the duplicate is withheld
+    sink(spark.createDataFrame([("I", "b", 5.0)], chg), 0)
+    meta = {r["epoch"]: r["orig_existed"]
+            for r in read_late_epochs(spark, d).collect()}
+    assert meta == {0: False, 1: True}
+    new_ids = replay_late_epochs(d)
+    assert len(new_ids) == 1
+    assert os.path.isdir(os.path.join(d, ".late", "epoch=1"))
+    spark.catalog.refreshByPath(d)
+    got = {r["g"]: (r["n"], float(r["total"]))
+           for r in read_agg_delta_state(spark, d, ["g"]).collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    # the operator can override after inspecting the frames
+    forced = replay_late_epochs(d, include_duplicates=True)
+    assert len(forced) == 1
+    assert not os.path.exists(os.path.join(d, ".late"))
+    spark.catalog.refreshByPath(d)
+    got = {r["g"]: (r["n"], float(r["total"]))
+           for r in read_agg_delta_state(spark, d, ["g"]).collect()}
+    assert got["a"] == (3, 5.0)                  # now (knowingly) doubled
