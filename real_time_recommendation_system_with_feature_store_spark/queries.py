@@ -10142,6 +10142,199 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_drift_ks",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, value,
+        COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS nb,
+        COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS nc
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type,
+        SUM(nb) OVER (PARTITION BY event_type ORDER BY value) AS cb,
+        SUM(nc) OVER (PARTITION BY event_type ORDER BY value) AS cc,
+        SUM(nb) OVER (PARTITION BY event_type) AS tnb,
+        SUM(nc) OVER (PARTITION BY event_type) AS tnc
+      FROM counts
+    )
+    SELECT event_type,
+      CAST(tnb AS BIGINT) AS n_base,
+      CAST(tnc AS BIGINT) AS n_current,
+      ROUND(MAX(ABS(CAST(cb AS DOUBLE) / tnb
+                  - CAST(cc AS DOUBLE) / tnc)), 6) AS ks_stat
+    FROM cum
+    WHERE tnb > 0 AND tnc > 0
+    GROUP BY event_type, tnb, tnc
+    """,
+    doc="FEATURE DRIFT, EXACT two-sample Kolmogorov-Smirnov — the "
+        "binning-free companion to feature_drift_psi: per event type, "
+        "KS = sup over observed values of |F_base(v) − F_current(v)|, "
+        "the empirical CDFs of the baseline and current half-windows. "
+        "Where PSI needs a bin grid frozen from the baseline (and "
+        "clamps outliers into edge bins), KS is distribution-free and "
+        "catches shape shifts PSI's 10 bins smear. Plan: ONE events "
+        "scan collapses to per-(type, value) conditional counts — the "
+        "shuffle carries distinct values, not rows — then one "
+        "per-type-partitioned cumulative window turns counts into both "
+        "CDFs and a per-type max finishes. NULL values are filtered "
+        "(no place in a CDF; also Spark orders NULLS FIRST where "
+        "DuckDB windows default NULLS LAST). Types appearing in only "
+        "one window are excluded (no two-sample test exists), the "
+        "PSI entry's backfill-decision contract. Scale: per-type "
+        "window cost is DISTINCT values per type, not row count; a "
+        "continuous feature with ~1e9 distinct values per type needs "
+        "pre-quantization (round to the feature's meaningful "
+        "resolution) or the qsketch CDF — the same per-group-bounded "
+        "trade documented on every rank window. Reference tie: the "
+        "distribution snapshots of src/features/feature_engineering.py"
+        ":195-204, compared over time.",
+)
+def feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    counts = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(
+            F.count(F.when(F.col("ts") < split, 1)).alias("nb"),
+            F.count(F.when(F.col("ts") >= split, 1)).alias("nc"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("nb").over(wcum).alias("cb"),
+        F.sum("nc").over(wcum).alias("cc"),
+        F.sum("nb").over(wtot).alias("tnb"),
+        F.sum("nc").over(wtot).alias("tnc"),
+    )
+    return (
+        cum.where((F.col("tnb") > 0) & (F.col("tnc") > 0))
+        .groupBy("event_type", "tnb", "tnc")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cb").cast("double") / F.col("tnb")
+                        - F.col("cc").cast("double") / F.col("tnc")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select(
+            "event_type",
+            F.col("tnb").alias("n_base"),
+            F.col("tnc").alias("n_current"),
+            "ks_stat",
+        )
+    )
+
+
+@query(
+    "event_type_drift_chisq",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+        COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS nb,
+        COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS nc
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(nb) AS DOUBLE) AS tb, CAST(SUM(nc) AS DOUBLE) AS tc
+      FROM c
+    )
+    SELECT CAST(t.tb AS BIGINT) AS n_base, CAST(t.tc AS BIGINT) AS n_current,
+      CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+      -- fixed-order fold (the PSI double-summation contract): terms
+      -- summed in event_type order on both engines
+      ROUND(list_sum(list(
+          (c.nb - (c.nb + c.nc) * t.tb / (t.tb + t.tc))
+        * (c.nb - (c.nb + c.nc) * t.tb / (t.tb + t.tc))
+            / ((c.nb + c.nc) * t.tb / (t.tb + t.tc))
+        + (c.nc - (c.nb + c.nc) * t.tc / (t.tb + t.tc))
+        * (c.nc - (c.nb + c.nc) * t.tc / (t.tb + t.tc))
+            / ((c.nb + c.nc) * t.tc / (t.tb + t.tc))
+        ORDER BY c.event_type)), 4) AS chi_square
+    FROM c, t
+    GROUP BY t.tb, t.tc
+    """,
+    doc="CATEGORICAL DRIFT (chi-square homogeneity) — the label-side "
+        "companion to the two numeric drift monitors: did the EVENT-TYPE "
+        "MIX shift between the baseline and current half-windows? The "
+        "2×K contingency table (K event types × two windows) in ONE "
+        "conditional-agg scan of events, then the textbook statistic "
+        "X² = Σ (O − E)²/E with E = row_total × col_total / N, summed "
+        "over both window cells per type; dof = K − 1. The per-type "
+        "counts frame is K rows — every post-scan step is "
+        "broadcast-sized, so at 100 TB the cost IS the one scan (and "
+        "the type-mix counts can come straight from the maintained "
+        "rollup instead). 4-dp round: the statistic is a sum of K "
+        "exact-integer-ratio terms, far from any rounding boundary. "
+        "Reference tie: the event-type distribution the label "
+        "distribution query (A13) snapshots — this is that snapshot "
+        "compared across time windows.",
+)
+def event_type_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = F.lit("2024-01-16").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < split, 1)).alias("nb"),
+        F.count(F.when(F.col("ts") >= split, 1)).alias("nc"),
+    )
+    # totals via a single-partition window over the K-row counts frame —
+    # the events scan happens ONCE (a separate agg subtree would rescan)
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy(F.lit(0))
+    g = c.select(
+        "event_type",
+        "nb",
+        "nc",
+        F.sum("nb").over(wall).cast("double").alias("tb"),
+        F.sum("nc").over(wall).cast("double").alias("tc"),
+    )
+    row_tot = F.col("nb") + F.col("nc")
+    n = F.col("tb") + F.col("tc")
+    eb = row_tot * F.col("tb") / n
+    ec = row_tot * F.col("tc") / n
+    db, dc = F.col("nb") - eb, F.col("nc") - ec
+    term = (db * db / eb + dc * dc / ec).alias("term")
+    return (
+        g.select("tb", "tc", "event_type", term)
+        .groupBy("tb", "tc")
+        .agg(
+            (F.count("*") - 1).alias("dof"),
+            # fixed-order fold in event_type order (the PSI contract)
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("event_type"), F.col("term")))
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x["term"],
+                ),
+                4,
+            ).alias("chi_square"),
+        )
+        .select(
+            F.col("tb").cast("long").alias("n_base"),
+            F.col("tc").cast("long").alias("n_current"),
+            "dof",
+            "chi_square",
+        )
+    )
+
+
+@query(
     "score_rank_correlation",
     oracle="""
     WITH scored AS (
@@ -10250,17 +10443,21 @@ _DRIVER_WINDOW = [
     # @ r14, 50 @ r13, 50 @ r12, 42 @ r11, plus warehouse_day_close_full
     # (r14's red row — array-typed output crashed the driver's
     # canonicalizer before comparison; now serialized as a string and
-    # never driver-green, so it fronts) and the new-this-round
-    # late_epoch_fold (never driver-checked).  This window = those 2 +
-    # ALL 42 r11-stale entries (the r14 verdict's "What's missing" list,
-    # verbatim) + 6 r12 fillers at the cutoff.  The guard's cutoff with
-    # 193 entries lands at r12: everything < r12 must front, r12 entries
-    # fill the rest in any order (first alphabetically for determinism).
+    # never driver-green, so it fronts) and the three new-this-round
+    # entries (late_epoch_fold, feature_drift_ks,
+    # event_type_drift_chisq — never driver-checked).  This window =
+    # those 4 + ALL 42 r11-stale entries (the r14 verdict's "What's
+    # missing" list, verbatim) + 4 r12 fillers at the cutoff.  The
+    # guard's cutoff with 195 entries lands at r12: everything < r12
+    # must front, r12 entries fill the rest in any order (first
+    # alphabetically for determinism).
     # After this round nothing in the catalog has evidence older than
     # r12 and every entry in the catalog's history is driver-green.
     # never-green / never-checked (must front per the guard):
     "warehouse_day_close_full",
     "late_epoch_fold",
+    "feature_drift_ks",
+    "event_type_drift_chisq",
     # r11-stale (all 42 — nothing older remains after this round):
     "coverage_novelty",
     "decayed_counts_fold",
@@ -10304,13 +10501,12 @@ _DRIVER_WINDOW = [
     "tree_rerank_topk",
     "two_stage_recommendations",
     "user_value_scd2",
-    # r12 fillers (at-cutoff; first alphabetically for determinism):
+    # r12 fillers (at-cutoff; first alphabetically for determinism —
+    # two displaced by the late-round drift additions above):
     "acctbal_zscore",
     "bm25_doc_search",
     "bm25_tombstone_fold",
     "bracket_part_revenue",
-    "brand_top_parts",
-    "click_and_purchase_users",
 ]
 
 def _reorder_registry() -> None:
