@@ -10240,6 +10240,118 @@ def feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_drift_ks_sketch",
+    oracle="""
+    WITH n AS (
+      SELECT event_type,
+        CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS win,
+        CAST(round(value * 100, 0) AS BIGINT) AS u
+      FROM events
+      WHERE value IS NOT NULL AND CAST(round(value * 100, 0) AS BIGINT) > 0
+    ),
+    b AS (
+      SELECT event_type,
+        CAST(floor(log2(CAST(u AS DOUBLE))) AS INT) + 1 AS msb,
+        CAST(floor((u * 16) / pow(2.0, floor(log2(CAST(u AS DOUBLE)))))
+          AS INT) - 16 AS sub,
+        CAST(COUNT(CASE WHEN win = 0 THEN 1 END) AS BIGINT) AS nb,
+        CAST(COUNT(CASE WHEN win = 1 THEN 1 END) AS BIGINT) AS nc
+      FROM n GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT event_type,
+        SUM(nb) OVER (PARTITION BY event_type ORDER BY msb, sub
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        SUM(nc) OVER (PARTITION BY event_type ORDER BY msb, sub
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        SUM(nb) OVER (PARTITION BY event_type) AS tnb,
+        SUM(nc) OVER (PARTITION BY event_type) AS tnc
+      FROM b
+    )
+    SELECT event_type,
+      CAST(tnb AS BIGINT) AS n_base,
+      CAST(tnc AS BIGINT) AS n_current,
+      ROUND(MAX(ABS(CAST(cb AS DOUBLE) / tnb
+                  - CAST(cc AS DOUBLE) / tnc)), 6) AS ks_stat
+    FROM c
+    WHERE tnb > 0 AND tnc > 0
+    GROUP BY event_type, tnb, tnc
+    """,
+    doc="FEATURE DRIFT KS, the SKETCH scale path feature_drift_ks's doc "
+        "promises: the same per-type two-sample KS evaluated on the "
+        "CDFs of two mergeable log-bucket quantile sketches "
+        "(operators/sketches.py::qsketch_build, sub_bits=4 — one events "
+        "scan, both windows sketched in one pass via by=[type, window]) "
+        "instead of the exact per-(type, value) CDF. State per type is "
+        "O(log range × 16) cells NO MATTER the distinct-value count — "
+        "the shuffle and the cumulative window touch ~100 cells per "
+        "type where the exact entry touches every distinct value, so "
+        "this is the form that survives a 1e9-distinct-value feature; "
+        "the statistic is the exact KS of the bucket-quantized "
+        "distributions (error bounded by one relative bucket width, "
+        "6.25%). Bucket coordinates are exact integer arithmetic (the "
+        "qsketch determinism contract), so the oracle replays the "
+        "sketch bit-for-bit. Sketch semantics drop non-positive and "
+        "NULL quantized values on both engines; daily sketches re-sum "
+        "via qsketch_merge, giving windowed drift over a year without "
+        "rescanning it.",
+)
+def feature_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    evw = ev.withColumn(
+        "win", F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1))
+    )
+    sk = qsketch_build(evw, F.col("value"), by=["event_type", "win"])
+    cells = sk.groupBy("event_type", "__qs_msb", "__qs_sub").agg(
+        F.sum(
+            F.when(F.col("win") == 0, F.col("__qs_cnt")).otherwise(F.lit(0))
+        ).alias("nb"),
+        F.sum(
+            F.when(F.col("win") == 1, F.col("__qs_cnt")).otherwise(F.lit(0))
+        ).alias("nc"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("__qs_msb", "__qs_sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        F.sum("nb").over(wcum).alias("cb"),
+        F.sum("nc").over(wcum).alias("cc"),
+        F.sum("nb").over(wtot).alias("tnb"),
+        F.sum("nc").over(wtot).alias("tnc"),
+    )
+    return (
+        cum.where((F.col("tnb") > 0) & (F.col("tnc") > 0))
+        .groupBy("event_type", "tnb", "tnc")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cb").cast("double") / F.col("tnb")
+                        - F.col("cc").cast("double") / F.col("tnc")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select(
+            "event_type",
+            F.col("tnb").alias("n_base"),
+            F.col("tnc").alias("n_current"),
+            "ks_stat",
+        )
+    )
+
+
+@query(
     "event_type_drift_chisq",
     oracle="""
     WITH c AS (
@@ -10443,12 +10555,12 @@ _DRIVER_WINDOW = [
     # @ r14, 50 @ r13, 50 @ r12, 42 @ r11, plus warehouse_day_close_full
     # (r14's red row — array-typed output crashed the driver's
     # canonicalizer before comparison; now serialized as a string and
-    # never driver-green, so it fronts) and the three new-this-round
-    # entries (late_epoch_fold, feature_drift_ks,
-    # event_type_drift_chisq — never driver-checked).  This window =
-    # those 4 + ALL 42 r11-stale entries (the r14 verdict's "What's
-    # missing" list, verbatim) + 4 r12 fillers at the cutoff.  The
-    # guard's cutoff with 195 entries lands at r12: everything < r12
+    # never driver-green, so it fronts) and the four new-this-round
+    # entries (late_epoch_fold plus the three drift monitors — never
+    # driver-checked).  This window = those 5 + ALL 42 r11-stale
+    # entries (the r14 verdict's "What's missing" list, verbatim) + 3
+    # r12 fillers at the cutoff.  The guard's cutoff with 196 entries
+    # lands at r12: everything < r12
     # must front, r12 entries fill the rest in any order (first
     # alphabetically for determinism).
     # After this round nothing in the catalog has evidence older than
@@ -10457,6 +10569,7 @@ _DRIVER_WINDOW = [
     "warehouse_day_close_full",
     "late_epoch_fold",
     "feature_drift_ks",
+    "feature_drift_ks_sketch",
     "event_type_drift_chisq",
     # r11-stale (all 42 — nothing older remains after this round):
     "coverage_novelty",
@@ -10502,11 +10615,10 @@ _DRIVER_WINDOW = [
     "two_stage_recommendations",
     "user_value_scd2",
     # r12 fillers (at-cutoff; first alphabetically for determinism —
-    # two displaced by the late-round drift additions above):
+    # three displaced by the late-round drift additions above):
     "acctbal_zscore",
     "bm25_doc_search",
     "bm25_tombstone_fold",
-    "bracket_part_revenue",
 ]
 
 def _reorder_registry() -> None:
