@@ -10352,6 +10352,111 @@ def feature_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+        CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS win,
+        CAST(props->>'k' AS BIGINT) AS item_id
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    j AS (
+      SELECT ev.event_type, ev.win, e.embedding::DOUBLE[] AS v
+      FROM ev JOIN embeddings e ON e.vec_id = ev.item_id
+    ),
+    m AS (
+      SELECT event_type, win, list(mval ORDER BY i) AS mv,
+             MIN(cnt) AS n
+      FROM (
+        SELECT j.event_type, j.win, i.i, AVG(j.v[i.i]) AS mval,
+               COUNT(*) AS cnt
+        FROM j, range(1, 65) i(i) GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT event_type, win, n, {_SQL_L2NORM.format(l='mv')} AS cv FROM m
+    )
+    SELECT b.event_type,
+      CAST(b.n AS BIGINT) AS n_base,
+      CAST(c.n AS BIGINT) AS n_current,
+      ROUND(list_dot_product(b.cv, c.cv), 6) AS centroid_cos
+    FROM cents b JOIN cents c
+      ON c.event_type = b.event_type AND b.win = 0 AND c.win = 1
+    """,
+    doc="EMBEDDING-SPACE DRIFT — the representation-side member of the "
+        "drift family (PSI/KS/chi-square cover scalar and categorical "
+        "features; this covers the embedding column a recommender "
+        "actually serves): per event type, the unit centroid of the "
+        "item embeddings interacted with in the baseline half-window "
+        "vs the current half-window (the label_centroid_margins Lloyd "
+        "mean step, keyed by (type, window)), drift read as the cosine "
+        "between the two centroids — 1.0 = stable interest, lower = "
+        "the population moved in embedding space even when scalar "
+        "feature distributions look flat. Plan: events project to "
+        "(type, window, item), ONE item-keyed join against embeddings, "
+        "one (type, window, dim) shuffle of per-dim sums — never a "
+        "pairwise anything; both windows' centroids come from the one "
+        "scan. At 100 TB the join shuffles interactions once and the "
+        "centroid state is K × 2 × 64 cells. Types with interactions "
+        "in only one window drop out (no drift pair exists), the "
+        "PSI/KS backfill-decision contract. Reference tie: the "
+        "two-tower item embeddings the reference retrains per cycle "
+        "(src/models/two_tower.py) — this monitors when a retrain is "
+        "actually due.",
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("win"),
+            _item(F.col("props")).alias("item_id"),
+        )
+        .where(F.col("item_id").isNotNull())
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("item_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    j = ev.join(e, "item_id")
+    per_dim = (
+        j.select("event_type", "win", F.posexplode("v").alias("i", "x"))
+        .groupBy("event_type", "win", "i")
+        .agg(F.avg("x").alias("mval"), F.count("*").alias("cnt"))
+    )
+    cents = (
+        per_dim.groupBy("event_type", "win")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("mval")))
+            ).alias("pm"),
+            F.min("cnt").alias("n"),
+        )
+        .select(
+            "event_type",
+            "win",
+            "n",
+            l2_normalize(F.transform(F.col("pm"), lambda s: s["mval"])).alias("cv"),
+        )
+    )
+    b = cents.where(F.col("win") == 0).select(
+        "event_type", F.col("n").alias("n_base"), F.col("cv").alias("cvb")
+    )
+    c = cents.where(F.col("win") == 1).select(
+        "event_type", F.col("n").alias("n_current"), F.col("cv").alias("cvc")
+    )
+    return b.join(c, "event_type").select(
+        "event_type",
+        "n_base",
+        "n_current",
+        F.round(dot(F.col("cvb"), F.col("cvc")), 6).alias("centroid_cos"),
+    )
+
+
+@query(
     "event_type_drift_chisq",
     oracle="""
     WITH c AS (
@@ -10555,11 +10660,11 @@ _DRIVER_WINDOW = [
     # @ r14, 50 @ r13, 50 @ r12, 42 @ r11, plus warehouse_day_close_full
     # (r14's red row — array-typed output crashed the driver's
     # canonicalizer before comparison; now serialized as a string and
-    # never driver-green, so it fronts) and the four new-this-round
-    # entries (late_epoch_fold plus the three drift monitors — never
-    # driver-checked).  This window = those 5 + ALL 42 r11-stale
-    # entries (the r14 verdict's "What's missing" list, verbatim) + 3
-    # r12 fillers at the cutoff.  The guard's cutoff with 196 entries
+    # never driver-green, so it fronts) and the five new-this-round
+    # entries (late_epoch_fold plus the four drift monitors — never
+    # driver-checked).  This window = those 6 + ALL 42 r11-stale
+    # entries (the r14 verdict's "What's missing" list, verbatim) + 2
+    # r12 fillers at the cutoff.  The guard's cutoff with 197 entries
     # lands at r12: everything < r12
     # must front, r12 entries fill the rest in any order (first
     # alphabetically for determinism).
@@ -10571,6 +10676,7 @@ _DRIVER_WINDOW = [
     "feature_drift_ks",
     "feature_drift_ks_sketch",
     "event_type_drift_chisq",
+    "embedding_drift",
     # r11-stale (all 42 — nothing older remains after this round):
     "coverage_novelty",
     "decayed_counts_fold",
@@ -10615,10 +10721,9 @@ _DRIVER_WINDOW = [
     "two_stage_recommendations",
     "user_value_scd2",
     # r12 fillers (at-cutoff; first alphabetically for determinism —
-    # three displaced by the late-round drift additions above):
+    # four displaced by the late-round drift additions above):
     "acctbal_zscore",
     "bm25_doc_search",
-    "bm25_tombstone_fold",
 ]
 
 def _reorder_registry() -> None:
