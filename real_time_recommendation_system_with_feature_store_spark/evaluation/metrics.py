@@ -443,3 +443,63 @@ def ranking_correlation(
             kendall.alias("kendall"),
         )
     )
+
+
+def ranking_auc(
+    scored: DataFrame,
+    user: str = "user_idx",
+    pred: str = "pred_score",
+    label: str = "label",
+    min_pos: int = 1,
+    min_neg: int = 1,
+) -> DataFrame:
+    """Per-user ROC-AUC in the Mann-Whitney rank form — the probability
+    that a random positive outranks a random negative under ``pred``:
+
+        AUC = (Σ_{positives} avg_rank − P(P+1)/2) / (P · N)
+
+    with scipy-style AVERAGE ranks over the user's full list (tied
+    scores share rank mass; a user whose scores are all tied lands at
+    exactly 0.5), the same two shared-partition windows as
+    ``ranking_correlation``'s Spearman. ``label`` must be boolean-like
+    (cast to int 0/1; NULL label or NULL score rows are filtered —
+    they belong to neither class). Users with fewer than ``min_pos``
+    positives or ``min_neg`` negatives are skipped (AUC is undefined
+    on a one-class list — the reference's skip-NaN discipline).
+
+    Returns ``(user, n_pos, n_neg, auc)`` with ``auc`` rounded to 6dp;
+    macro-average the column for the headline number. Scale shape: one
+    shuffle on ``user`` shared by the rank windows and the final
+    aggregate — rank arithmetic only, NO pairwise join (the closed
+    form is why AUC scales where naive positive×negative pair
+    counting is O(P·N) per user)."""
+    from pyspark.sql import Window
+
+    u = F.col(user)
+    p = F.col(pred)
+    y = F.col(label).cast("int")
+    rows = scored.where(u.isNotNull() & p.isNotNull() & y.isNotNull()).select(
+        u.alias("__u"), p.alias("__p"), y.alias("__y")
+    )
+    avg_rank = (
+        F.rank().over(Window.partitionBy("__u").orderBy("__p"))
+        + (F.count("*").over(Window.partitionBy("__u", "__p")) - 1) / 2
+    )
+    ranked = rows.select("__u", "__y", avg_rank.alias("__r"))
+    agg = ranked.groupBy("__u").agg(
+        F.sum("__y").alias("n_pos"),
+        F.sum(1 - F.col("__y")).alias("n_neg"),
+        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__rp"),
+    )
+    P, N = F.col("n_pos"), F.col("n_neg")
+    return (
+        agg.where((P >= min_pos) & (N >= min_neg))
+        .select(
+            F.col("__u").alias(user),
+            "n_pos",
+            "n_neg",
+            F.round(
+                (F.col("__rp") - P * (P + 1) / 2) / (P * N), 6
+            ).alias("auc"),
+        )
+    )

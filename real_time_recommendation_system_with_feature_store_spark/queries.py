@@ -10352,6 +10352,61 @@ def feature_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "score_auc_per_user",
+    oracle="""
+    WITH rows_ AS (
+      SELECT user_id, value AS p,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, y,
+        RANK() OVER (PARTITION BY user_id ORDER BY p)
+          + (COUNT(*) OVER (PARTITION BY user_id, p) - 1) / 2.0 AS ar
+      FROM rows_
+    ),
+    a AS (
+      SELECT user_id, SUM(y) AS n_pos, SUM(1 - y) AS n_neg,
+             SUM(CASE WHEN y = 1 THEN ar END) AS rp
+      FROM r GROUP BY 1
+    )
+    SELECT user_id,
+      CAST(n_pos AS BIGINT) AS n_pos,
+      CAST(n_neg AS BIGINT) AS n_neg,
+      ROUND((rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+    FROM a WHERE n_pos >= 1 AND n_neg >= 1
+    """,
+    doc="Per-user ROC-AUC (evaluation/metrics.py::ranking_auc) — the "
+        "Mann-Whitney rank form: the probability a random positive "
+        "outranks a random negative, AUC = (Σ_pos avg_rank − P(P+1)/2) "
+        "/ (P·N), with scipy-style average ranks over each user's full "
+        "list (the ranking_correlation Spearman windows). Here: does "
+        "the event value score rank a user's purchases above their "
+        "other events? One-class users are skipped (AUC undefined — "
+        "the skip-NaN discipline). The closed form is the point at "
+        "scale: rank arithmetic in one user-partitioned shuffle, NO "
+        "positive×negative pair join (naive pair counting is O(P·N) "
+        "per user). Average ranks are integer-or-half values — exact "
+        "in double, so the per-user sums are order-independent and the "
+        "oracle hash is bit-stable. Completes the threshold-free side "
+        "of the evaluation suite (ranking_metrics covers top-k "
+        "cutoffs; tau/rho cover monotone agreement; AUC covers binary "
+        "discrimination).",
+)
+def score_auc_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_auc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value").alias("pred_score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return ranking_auc(
+        ev, user="user_id", pred="pred_score", label="label"
+    )
+
+
+@query(
     "embedding_drift",
     oracle=f"""
     WITH ev AS (
@@ -10660,12 +10715,12 @@ _DRIVER_WINDOW = [
     # @ r14, 50 @ r13, 50 @ r12, 42 @ r11, plus warehouse_day_close_full
     # (r14's red row — array-typed output crashed the driver's
     # canonicalizer before comparison; now serialized as a string and
-    # never driver-green, so it fronts) and the five new-this-round
-    # entries (late_epoch_fold plus the four drift monitors — never
-    # driver-checked).  This window = those 6 + ALL 42 r11-stale
-    # entries (the r14 verdict's "What's missing" list, verbatim) + 2
-    # r12 fillers at the cutoff.  The guard's cutoff with 197 entries
-    # lands at r12: everything < r12
+    # never driver-green, so it fronts) and the six new-this-round
+    # entries (late_epoch_fold, the four drift monitors, the per-user
+    # AUC — never driver-checked).  This window = those 7 + ALL 42
+    # r11-stale entries (the r14 verdict's "What's missing" list,
+    # verbatim) + 1 r12 filler at the cutoff.  The guard's cutoff with
+    # 198 entries lands at r12: everything < r12
     # must front, r12 entries fill the rest in any order (first
     # alphabetically for determinism).
     # After this round nothing in the catalog has evidence older than
@@ -10677,6 +10732,7 @@ _DRIVER_WINDOW = [
     "feature_drift_ks_sketch",
     "event_type_drift_chisq",
     "embedding_drift",
+    "score_auc_per_user",
     # r11-stale (all 42 — nothing older remains after this round):
     "coverage_novelty",
     "decayed_counts_fold",
@@ -10721,9 +10777,8 @@ _DRIVER_WINDOW = [
     "two_stage_recommendations",
     "user_value_scd2",
     # r12 fillers (at-cutoff; first alphabetically for determinism —
-    # four displaced by the late-round drift additions above):
+    # five displaced by the late-round additions above):
     "acctbal_zscore",
-    "bm25_doc_search",
 ]
 
 def _reorder_registry() -> None:

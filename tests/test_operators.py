@@ -1699,3 +1699,39 @@ def test_ranking_correlation_input_guards(spark):
             spark.createDataFrame(clean, schema),
             user="u", item="i", pred="p", true="t", max_items=3,
         )
+
+
+def test_ranking_auc_matches_reference_formulas(spark):
+    """evaluation/metrics.py::ranking_auc vs hand-computed Mann-Whitney
+    AUCs — perfect separation, perfect inversion, ties straddling the
+    class boundary (average-rank mass splits), all-tied scores (0.5),
+    and the one-class skip."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_auc
+
+    rows = [
+        # u1: perfect separation -> 1.0
+        ("u1", 1.0, 0), ("u1", 2.0, 0), ("u1", 3.0, 1), ("u1", 4.0, 1),
+        # u2: perfect inversion -> 0.0
+        ("u2", 5.0, 0), ("u2", 1.0, 1),
+        # u3: tie across the boundary: scores [1,2,2,3], y [0,0,1,1]
+        #     avg ranks [1, 2.5, 2.5, 4]; rp = 6.5; P=N=2
+        #     auc = (6.5 - 3) / 4 = 0.875
+        ("u3", 1.0, 0), ("u3", 2.0, 0), ("u3", 2.0, 1), ("u3", 3.0, 1),
+        # u4: all scores tied -> exactly 0.5
+        ("u4", 7.0, 0), ("u4", 7.0, 1), ("u4", 7.0, 0), ("u4", 7.0, 1),
+        # u5: one-class (all positive) -> skipped
+        ("u5", 1.0, 1), ("u5", 2.0, 1),
+        # NULL score / label rows are filtered, not ranked
+        ("u1", None, 0), ("u1", 9.0, None),
+    ]
+    df = spark.createDataFrame(rows, "u string, p double, y int")
+    got = {
+        r["u"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in ranking_auc(df, user="u", pred="p", label="y").collect()
+    }
+    assert got == {
+        "u1": (2, 2, 1.0),
+        "u2": (1, 1, 0.0),
+        "u3": (2, 2, 0.875),
+        "u4": (2, 2, 0.5),
+    }
