@@ -10477,37 +10477,41 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     j = ev.join(e, "item_id")
+    # BOTH windows' per-dim means in one conditional aggregation — a
+    # win-keyed split + self-join would re-execute the whole subtree
+    # (Spark plans are trees: 2× the scans, 2× the shuffles)
     per_dim = (
         j.select("event_type", "win", F.posexplode("v").alias("i", "x"))
-        .groupBy("event_type", "win", "i")
-        .agg(F.avg("x").alias("mval"), F.count("*").alias("cnt"))
+        .groupBy("event_type", "i")
+        .agg(
+            F.avg(F.when(F.col("win") == 0, F.col("x"))).alias("mb"),
+            F.avg(F.when(F.col("win") == 1, F.col("x"))).alias("mc"),
+            F.count(F.when(F.col("win") == 0, 1)).alias("nb"),
+            F.count(F.when(F.col("win") == 1, 1)).alias("nc"),
+        )
     )
-    cents = (
-        per_dim.groupBy("event_type", "win")
+    return (
+        per_dim.groupBy("event_type")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("i"), F.col("mval")))
+                F.collect_list(F.struct(F.col("i"), F.col("mb"), F.col("mc")))
             ).alias("pm"),
-            F.min("cnt").alias("n"),
+            F.min("nb").alias("n_base"),
+            F.min("nc").alias("n_current"),
         )
+        .where((F.col("n_base") > 0) & (F.col("n_current") > 0))
         .select(
             "event_type",
-            "win",
-            "n",
-            l2_normalize(F.transform(F.col("pm"), lambda s: s["mval"])).alias("cv"),
+            "n_base",
+            "n_current",
+            F.round(
+                dot(
+                    l2_normalize(F.transform(F.col("pm"), lambda s: s["mb"])),
+                    l2_normalize(F.transform(F.col("pm"), lambda s: s["mc"])),
+                ),
+                6,
+            ).alias("centroid_cos"),
         )
-    )
-    b = cents.where(F.col("win") == 0).select(
-        "event_type", F.col("n").alias("n_base"), F.col("cv").alias("cvb")
-    )
-    c = cents.where(F.col("win") == 1).select(
-        "event_type", F.col("n").alias("n_current"), F.col("cv").alias("cvc")
-    )
-    return b.join(c, "event_type").select(
-        "event_type",
-        "n_base",
-        "n_current",
-        F.round(dot(F.col("cvb"), F.col("cvc")), 6).alias("centroid_cos"),
     )
 
 

@@ -1314,3 +1314,31 @@ def test_day_close_full_composed_plan_reads_all_views_from_buckets(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         for t in state:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_drift_monitors_scan_events_once(spark):
+    """The r15 drift family's headline plan claim: every monitor reads
+    events in ONE scan — both windows come from conditional aggregation
+    (or one sketch build / one window flag), never a per-window rescan —
+    and none shuffles more than the documented count. embedding_drift
+    additionally scans embeddings once for its item join."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    expect = {
+        # name: (max events scans, max total scans, max exchanges)
+        "feature_drift_ks": (1, 1, 2),
+        "feature_drift_ks_sketch": (1, 1, 3),
+        "event_type_drift_chisq": (1, 1, 2),
+        "score_auc_per_user": (1, 1, 2),
+        "embedding_drift": (1, 2, 4),
+    }
+    for name, (ev_scans, scans, exchanges) in expect.items():
+        plan = explain_str(QUERIES[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        got_scans = plan.count("FileScan parquet")
+        got_ev = plan.count("events.parquet")
+        got_ex = plan.count("Exchange ")
+        assert got_ev <= ev_scans, (name, got_ev, plan)
+        assert got_scans <= scans, (name, got_scans, plan)
+        assert got_ex <= exchanges, (name, got_ex, plan)
