@@ -1259,13 +1259,23 @@ def test_day_close_full_composed_plan_reads_all_views_from_buckets(spark):
             a_after, keys, "o_orderkey", "o_totalprice",
             k=3, buffer_k=5, null_safe_keys=False,
         )
+        # string emission, matching the catalog entry's driver-hash
+        # contract (r15: array cells are unhashable at the driver)
         tk_arr = (
             topk_from_buffer(tk_buf, keys, "o_orderkey", "o_totalprice", 3)
             .groupBy(*keys)
             .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("rn"), F.col("o_orderkey")))
-                ).getField("o_orderkey").alias("top_order_keys")
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("rn"),
+                                F.col("o_orderkey").cast("string").alias("o_orderkey"),
+                            )
+                        )
+                    ).getField("o_orderkey"),
+                ).alias("top_order_keys")
             )
         )
         report = (
@@ -1293,22 +1303,12 @@ def test_day_close_full_composed_plan_reads_all_views_from_buckets(spark):
         assert plan.count("Exchange ") == 28, plan
         assert len(plan.splitlines()) < 420, "composed plan blew up"
 
-        got = sorted(
-            map(
-                lambda r: (r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], tuple(r[8])),
-                report.collect(),
-            )
-        )
+        got = sorted(map(tuple, report.collect()))
         ref = QUERIES["warehouse_day_close_full"].fn(spark, SF_DIR).select(
             *keys, "n", "total_revenue", "nd_custkeys", "n_joined",
             "nd_segments", "min_price", "max_price", "top_order_keys",
         )
-        want = sorted(
-            map(
-                lambda r: (r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], tuple(r[8])),
-                ref.collect(),
-            )
-        )
+        want = sorted(map(tuple, ref.collect()))
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
