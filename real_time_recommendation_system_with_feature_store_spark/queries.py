@@ -10081,64 +10081,15 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comparison over time those snapshots exist to enable.",
 )
 def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import psi
+
     split = F.lit("2024-01-16").cast("timestamp")
-    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
-    stats = (
-        ev.where(F.col("ts") < split)
-        .groupBy("event_type")
-        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("win"),
+        "value",
     )
-    j = ev.join(F.broadcast(stats), "event_type")
-    width = (F.col("mx") - F.col("mn")) / 10
-    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(
-            F.greatest(
-                F.floor((F.col("value") - F.col("mn")) / width).cast("int"),
-                F.lit(0),
-            ),
-            F.lit(9),
-        )
-    )
-    counts = j.groupBy("event_type", bin_.alias("bin")).agg(
-        F.count(F.when(F.col("ts") < split, 1)).alias("nb"),
-        F.count(F.when(F.col("ts") >= split, 1)).alias("nc"),
-    )
-    bins = stats.select(
-        "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
-    )
-    filled = (
-        bins.join(counts, ["event_type", "bin"], "left")
-        .fillna(0, ["nb", "nc"])
-    )
-    tot = filled.groupBy("event_type").agg(
-        F.sum("nb").alias("tnb"), F.sum("nc").alias("tnc")
-    )
-    g = filled.join(tot, "event_type")
-    pb = (F.col("nb") + 1) / (F.col("tnb") + 10)
-    pc = (F.col("nc") + 1) / (F.col("tnc") + 10)
-    contrib = ((pc - pb) * F.log(pc / pb)).alias("contrib")
-    return (
-        g.select("event_type", "tnb", "tnc", F.col("bin"), contrib)
-        .groupBy("event_type", "tnb", "tnc")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("bin"), F.col("contrib")))
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x["contrib"],
-                ),
-                6,
-            ).alias("psi")
-        )
-        .select(
-            "event_type",
-            F.col("tnb").alias("n_base"),
-            F.col("tnc").alias("n_current"),
-            "psi",
-        )
-    )
+    return psi(ev, "value", by=["event_type"])
 
 
 @query(
@@ -10191,52 +10142,15 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ":195-204, compared over time.",
 )
 def feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import ks
 
     split = F.lit("2024-01-16").cast("timestamp")
-    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
-    counts = (
-        ev.where(F.col("value").isNotNull())
-        .groupBy("event_type", "value")
-        .agg(
-            F.count(F.when(F.col("ts") < split, 1)).alias("nb"),
-            F.count(F.when(F.col("ts") >= split, 1)).alias("nc"),
-        )
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy("event_type")
-    cum = counts.select(
+    ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        F.sum("nb").over(wcum).alias("cb"),
-        F.sum("nc").over(wcum).alias("cc"),
-        F.sum("nb").over(wtot).alias("tnb"),
-        F.sum("nc").over(wtot).alias("tnc"),
+        F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("win"),
+        "value",
     )
-    return (
-        cum.where((F.col("tnb") > 0) & (F.col("tnc") > 0))
-        .groupBy("event_type", "tnb", "tnc")
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("cb").cast("double") / F.col("tnb")
-                        - F.col("cc").cast("double") / F.col("tnc")
-                    )
-                ),
-                6,
-            ).alias("ks_stat")
-        )
-        .select(
-            "event_type",
-            F.col("tnb").alias("n_base"),
-            F.col("tnc").alias("n_current"),
-            "ks_stat",
-        )
-    )
+    return ks(ev, "value", by=["event_type"])
 
 
 @query(
@@ -10297,8 +10211,6 @@ def feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rescanning it.",
 )
 def feature_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build
 
     split = F.lit("2024-01-16").cast("timestamp")
@@ -10315,40 +10227,9 @@ def feature_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("win") == 1, F.col("__qs_cnt")).otherwise(F.lit(0))
         ).alias("nc"),
     )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("__qs_msb", "__qs_sub")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy("event_type")
-    cum = cells.select(
-        "event_type",
-        F.sum("nb").over(wcum).alias("cb"),
-        F.sum("nc").over(wcum).alias("cc"),
-        F.sum("nb").over(wtot).alias("tnb"),
-        F.sum("nc").over(wtot).alias("tnc"),
-    )
-    return (
-        cum.where((F.col("tnb") > 0) & (F.col("tnc") > 0))
-        .groupBy("event_type", "tnb", "tnc")
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("cb").cast("double") / F.col("tnb")
-                        - F.col("cc").cast("double") / F.col("tnc")
-                    )
-                ),
-                6,
-            ).alias("ks_stat")
-        )
-        .select(
-            "event_type",
-            F.col("tnb").alias("n_base"),
-            F.col("tnc").alias("n_current"),
-            "ks_stat",
-        )
-    )
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import ks_sketch_cells
+
+    return ks_sketch_cells(cells, by=["event_type"])
 
 
 @query(
@@ -10404,8 +10285,6 @@ def feature_drift_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subsets of ONE maintained directory per day.",
 )
 def drift_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from real_time_recommendation_system_with_feature_store_spark.streaming.pipeline import (
         qsketch_stream,
         read_qsketch,
@@ -10429,31 +10308,9 @@ def drift_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         skb.join(skc, ["__qs_msb", "__qs_sub"], "full_outer")
         .fillna(0, ["nb", "nc"])
     )
-    wcum = Window.orderBy("__qs_msb", "__qs_sub").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.partitionBy(F.lit(0))
-    cum = cells.select(
-        F.sum("nb").over(wcum).alias("cb"),
-        F.sum("nc").over(wcum).alias("cc"),
-        F.sum("nb").over(wtot).alias("tnb"),
-        F.sum("nc").over(wtot).alias("tnc"),
-    )
-    return cum.groupBy("tnb", "tnc").agg(
-        F.round(
-            F.max(
-                F.abs(
-                    F.col("cb").cast("double") / F.col("tnb")
-                    - F.col("cc").cast("double") / F.col("tnc")
-                )
-            ),
-            6,
-        ).alias("ks_stat")
-    ).select(
-        F.col("tnb").alias("n_base"),
-        F.col("tnc").alias("n_current"),
-        "ks_stat",
-    )
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import ks_sketch_cells
+
+    return ks_sketch_cells(cells)
 
 
 @query(
@@ -10636,8 +10493,6 @@ def score_auc_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actually due.",
 )
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
-
     split = F.lit("2024-01-16").cast("timestamp")
     ev = (
         _t(spark, sf_dir, "events")
@@ -10653,41 +10508,10 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     j = ev.join(e, "item_id")
-    # BOTH windows' per-dim means in one conditional aggregation — a
-    # win-keyed split + self-join would re-execute the whole subtree
-    # (Spark plans are trees: 2× the scans, 2× the shuffles)
-    per_dim = (
-        j.select("event_type", "win", F.posexplode("v").alias("i", "x"))
-        .groupBy("event_type", "i")
-        .agg(
-            F.avg(F.when(F.col("win") == 0, F.col("x"))).alias("mb"),
-            F.avg(F.when(F.col("win") == 1, F.col("x"))).alias("mc"),
-            F.count(F.when(F.col("win") == 0, 1)).alias("nb"),
-            F.count(F.when(F.col("win") == 1, 1)).alias("nc"),
-        )
-    )
-    return (
-        per_dim.groupBy("event_type")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("i"), F.col("mb"), F.col("mc")))
-            ).alias("pm"),
-            F.min("nb").alias("n_base"),
-            F.min("nc").alias("n_current"),
-        )
-        .where((F.col("n_base") > 0) & (F.col("n_current") > 0))
-        .select(
-            "event_type",
-            "n_base",
-            "n_current",
-            F.round(
-                dot(
-                    l2_normalize(F.transform(F.col("pm"), lambda s: s["mb"])),
-                    l2_normalize(F.transform(F.col("pm"), lambda s: s["mc"])),
-                ),
-                6,
-            ).alias("centroid_cos"),
-        )
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import embedding_centroid
+
+    return embedding_centroid(
+        j.select("event_type", "win", "v"), "v", by=["event_type"]
     )
 
 
@@ -10736,54 +10560,14 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compared across time windows.",
 )
 def event_type_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    split = F.lit("2024-01-16").cast("timestamp")
-    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
-    c = ev.groupBy("event_type").agg(
-        F.count(F.when(F.col("ts") < split, 1)).alias("nb"),
-        F.count(F.when(F.col("ts") >= split, 1)).alias("nc"),
-    )
-    # totals via a single-partition window over the K-row counts frame —
-    # the events scan happens ONCE (a separate agg subtree would rescan)
-    from pyspark.sql import Window
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import chi_square
 
-    wall = Window.partitionBy(F.lit(0))
-    g = c.select(
+    split = F.lit("2024-01-16").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        "nb",
-        "nc",
-        F.sum("nb").over(wall).cast("double").alias("tb"),
-        F.sum("nc").over(wall).cast("double").alias("tc"),
+        F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("win"),
     )
-    row_tot = F.col("nb") + F.col("nc")
-    n = F.col("tb") + F.col("tc")
-    eb = row_tot * F.col("tb") / n
-    ec = row_tot * F.col("tc") / n
-    db, dc = F.col("nb") - eb, F.col("nc") - ec
-    term = (db * db / eb + dc * dc / ec).alias("term")
-    return (
-        g.select("tb", "tc", "event_type", term)
-        .groupBy("tb", "tc")
-        .agg(
-            (F.count("*") - 1).alias("dof"),
-            # fixed-order fold in event_type order (the PSI contract)
-            F.round(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("event_type"), F.col("term")))
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x["term"],
-                ),
-                4,
-            ).alias("chi_square"),
-        )
-        .select(
-            F.col("tb").cast("long").alias("n_base"),
-            F.col("tc").cast("long").alias("n_current"),
-            "dof",
-            "chi_square",
-        )
-    )
+    return chi_square(ev, "event_type")
 
 
 @query(
