@@ -1735,3 +1735,53 @@ def test_ranking_auc_matches_reference_formulas(spark):
         "u3": (2, 2, 0.875),
         "u4": (2, 2, 0.5),
     }
+
+
+def test_quality_report_edge_semantics(spark):
+    """operators/quality.py: NULL-policy and counting contracts — NULL
+    values are not range/set/regex violations (pair with not_null to
+    forbid), NULL foreign keys are not orphans, uniqueness counts rows
+    beyond the first per duplicated group, and no rules yields an empty
+    typed frame."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.quality import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (1, 99.0, "A"),      # dup key; range violation
+            (2, None, "B"),      # null value: not a range violation
+            (None, 5.0, "zz"),   # null key; set+regex violation
+        ],
+        "k int, v double, s string",
+    )
+    dim = spark.createDataFrame([(1,)], "k int")
+    got = {
+        r["rule"]: (r["checked"], r["violations"])
+        for r in quality_report(
+            df,
+            row_rules=[
+                not_null("k"),
+                in_range("v", 0, 50),
+                in_set("s", ["A", "B"]),
+                matches("s", "^[A-Z]+$"),
+            ],
+            unique_keys=[["k"]],
+            references=[("fk(k->dim)", ["k"], dim, ["k"])],
+        ).collect()
+    }
+    assert got["not_null(k)"] == (4, 1)
+    assert got["in_range(v,0,50)"] == (4, 1)       # None v not counted
+    assert got["in_set(s)"] == (4, 1)
+    assert got["matches(s)"] == (4, 1)
+    assert got["unique(k)"] == (3, 1)              # null-key row excluded
+    assert got["fk(k->dim)"] == (3, 1)             # k=2 orphan; NULL k not
+
+    empty = quality_report(df)
+    assert empty.columns == ["rule", "checked", "violations"]
+    assert empty.count() == 0
