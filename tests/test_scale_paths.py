@@ -775,3 +775,68 @@ def test_cross_corpus_overlap_growth_is_near_linear(spark):
     assert exp < 1.45, f"wall-time exponent {exp:.2f} (times {times})"
     print(f"\ncross_corpus_overlap growth: pairs={counts} "
           f"times={[round(t, 2) for t in times]} exponent={exp:.2f}")
+
+
+def test_drift_statistics_scale_invariant_under_replication(spark):
+    """The drift family's 100 TB contract in miniature: every statistic
+    is a function of distribution RATIOS, so replicating the input m×
+    (counts scale, proportions fixed) must leave KS / sketch-KS / PSI /
+    chi-square byte-identical while the sketch's cell count stays
+    CONSTANT (bounded state — the whole point of the sketch path)."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import (
+        chi_square,
+        ks,
+        ks_sketch_cells,
+        psi,
+    )
+    from real_time_recommendation_system_with_feature_store_spark.operators.sketches import qsketch_build
+
+    rows = [
+        ("a", i % 2, float(10 + (i * 7) % 40)) for i in range(200)
+    ] + [
+        ("b", i % 2, float(5 + (i * 13) % 90)) for i in range(140)
+    ]
+    base = spark.createDataFrame(rows, "g string, win int, value double")
+    m = 3
+    rep = base
+    for _ in range(m - 1):
+        rep = rep.unionByName(base)
+
+    def stats(df):
+        k = sorted(map(tuple, ks(df, "value", by=["g"]).collect()))
+        p = sorted(map(tuple, psi(df, "value", by=["g"]).collect()))
+        c = sorted(map(tuple, chi_square(df, "g").collect()))
+        sk = qsketch_build(df, F.col("value"), by=["g", "win"])
+        cells = sk.groupBy("g", "__qs_msb", "__qs_sub").agg(
+            F.sum(F.when(F.col("win") == 0, F.col("__qs_cnt")).otherwise(F.lit(0))).alias("nb"),
+            F.sum(F.when(F.col("win") == 1, F.col("__qs_cnt")).otherwise(F.lit(0))).alias("nc"),
+        )
+        s = sorted(map(tuple, ks_sketch_cells(cells, by=["g"]).collect()))
+        return k, p, c, s, cells.count()
+
+    k1, p1, c1, s1, n_cells1 = stats(base)
+    km, pm, cm, sm, n_cellsm = stats(rep)
+
+    def scaled(rows_, idx):
+        # count columns scale by m; statistic columns must be identical
+        return [
+            tuple(v * m if i in idx else v for i, v in enumerate(r))
+            for r in rows_
+        ]
+
+    # KS is a ratio of cumulative counts: EXACTLY invariant, both forms
+    assert km == scaled(k1, {1, 2})          # (g, n_base*m, n_current*m, ks)
+    assert sm == scaled(s1, {1, 2})
+    assert n_cellsm == n_cells1              # bounded state: cells constant
+
+    # PSI is invariant up to its Laplace smoothing ((n+1)/(N+bins) is not
+    # a pure ratio): the m-replica value drifts by O(bins/N) toward the
+    # unsmoothed PSI
+    for (g1, _, _, v1), (g2, _, _, v2) in zip(p1, pm):
+        assert g1 == g2
+        assert abs(v2 - v1) < 0.02, (g1, v1, v2)
+
+    # chi-square POWER grows with sample size: X² scales ~m× by design
+    (nb1, nc1, dof1, x1), (nbm, ncm, dofm, xm) = c1[0], cm[0]
+    assert (nbm, ncm, dofm) == (nb1 * m, nc1 * m, dof1)
+    assert abs(xm - m * x1) < 1e-2 * max(1.0, x1), (x1, xm)
