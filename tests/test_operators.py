@@ -1785,3 +1785,53 @@ def test_quality_report_edge_semantics(spark):
     empty = quality_report(df)
     assert empty.columns == ["rule", "checked", "violations"]
     assert empty.count() == 0
+
+
+def test_ranking_correlation_pandas_twin_matches_expression_form(spark):
+    """The O(n log n) Knight-algorithm kernel must agree with the O(n²)
+    pair-join expression form on every user of a random mixed dataset
+    (ties on both sides, anti-correlation, constant columns) — within
+    6e-7, the expression form's 6dp rounding radius."""
+    import random
+
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import (
+        ranking_correlation,
+        ranking_correlation_pandas,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(12):
+        n = rng.randint(3, 40)
+        for i in range(n):
+            p = float(rng.choice([1, 2, 3, 5, 8, 13])) if u % 3 else float(i)
+            t = (
+                5.0 if u == 11                       # constant -> NULL
+                else float(-i) if u == 10            # perfect inversion
+                else float(rng.randint(0, 9))
+            )
+            rows.append((f"u{u}", i, p, t))
+    df = spark.createDataFrame(rows, "u string, i int, p double, t double")
+
+    expr = {
+        r["u"]: (r["n_items"], r["spearman"], r["kendall"])
+        for r in ranking_correlation(
+            df, user="u", item="i", pred="p", true="t"
+        ).collect()
+    }
+    kern = {
+        r["u"]: (r["n_items"], r["spearman"], r["kendall"])
+        for r in ranking_correlation_pandas(
+            df, user="u", item="i", pred="p", true="t"
+        ).collect()
+    }
+    assert set(expr) == set(kern)
+    for u in expr:
+        ne, se, ke = expr[u]
+        nk, sk, kk = kern[u]
+        assert ne == nk, u
+        for a, b in ((se, sk), (ke, kk)):
+            if a is None or b is None:
+                assert a is None and b is None, (u, a, b)
+            else:
+                assert abs(a - b) < 6e-7, (u, a, b)
