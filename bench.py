@@ -65,6 +65,18 @@ IVM_SECTION = [
     "rollup_topk_priority_orders",
 ]
 
+# THIRD section (r15): the drift-monitoring family — same rationale as the
+# IVM section (postdates the frozen set; needs a per-round constant-factor
+# anchor). Totals under drift_value/drift_queries; BENCH_r15 is the anchor.
+DRIFT_SECTION = [
+    "feature_drift_psi",
+    "feature_drift_ks",
+    "feature_drift_ks_sketch",
+    "event_type_drift_chisq",
+    "embedding_drift",
+    "data_quality_report",
+]
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -107,6 +119,7 @@ def main() -> None:
 
     per_query, total = bench_set(HEADLINE)
     ivm_queries, ivm_total = bench_set(IVM_SECTION)
+    drift_queries, drift_total = bench_set(DRIFT_SECTION)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -118,6 +131,8 @@ def main() -> None:
                 "queries": per_query,
                 "ivm_value": round(ivm_total, 3),
                 "ivm_queries": ivm_queries,
+                "drift_value": round(drift_total, 3),
+                "drift_queries": drift_queries,
                 "sf": float(sf),
             }
         )
