@@ -1435,3 +1435,95 @@ def test_join_view_ivm_random_history_matches_rejoin(
         out = apply_join_delta(view0, folded, ["aid"], collapsed=True)
         got = {(r["aid"], r["k"], r["av"], r["battr"]) for r in out.collect()}
         assert got == rejoin(a_state, b_state)
+
+
+# (user, item, score-as-int/4, label) — item unique per user within a draw
+auc_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=-8, max_value=8),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=auc_rows_strategy)
+@settings(**SETTINGS)
+def test_ranking_auc_matches_pair_counting(spark, rows):
+    """AUC's rank form vs its definition: the fraction of (positive,
+    negative) pairs the score orders correctly, ties counting half —
+    checked per user on random data with heavy score ties."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_auc
+
+    df = spark.createDataFrame(
+        [(u, i, s / 4.0, int(y)) for (u, i, s, y) in rows],
+        "u int, i int, p double, y int",
+    )
+    got = {
+        r["u"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in ranking_auc(df, user="u", pred="p", label="y").collect()
+    }
+    by_user: dict[int, list[tuple[float, int]]] = {}
+    for u, _, s, y in rows:
+        by_user.setdefault(u, []).append((s / 4.0, int(y)))
+    for u, vals in by_user.items():
+        pos = [s for s, y in vals if y]
+        neg = [s for s, y in vals if not y]
+        if not pos or not neg:
+            assert u not in got
+            continue
+        wins = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p in pos for n in neg
+        )
+        want = round(wins / (len(pos) * len(neg)), 6)
+        assert got[u] == (len(pos), len(neg), want), (u, got[u], want)
+
+
+# (group, win, value-as-int/2) rows
+ks_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=-6, max_value=6),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@given(rows=ks_rows_strategy)
+@settings(**SETTINGS)
+def test_drift_ks_matches_python_reference(spark, rows):
+    """evaluation/drift.ks vs the textbook two-sample statistic computed
+    in python: sup over pooled sample points of |F1 - F2|, with tied
+    values collapsing to one evaluation point."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import ks
+
+    df = spark.createDataFrame(
+        [(g, w, v / 2.0) for (g, w, v) in rows], "g int, win int, value double"
+    )
+    got = {
+        r["g"]: (r["n_base"], r["n_current"], r["ks_stat"])
+        for r in ks(df, "value", by=["g"]).collect()
+    }
+    by_g: dict[int, tuple[list[float], list[float]]] = {}
+    for g, w, v in rows:
+        by_g.setdefault(g, ([], []))[w].append(v / 2.0)
+    for g, (a, b) in by_g.items():
+        if not a or not b:
+            assert g not in got
+            continue
+        points = sorted(set(a) | set(b))
+        stat = max(
+            abs(
+                sum(1 for x in a if x <= p) / len(a)
+                - sum(1 for x in b if x <= p) / len(b)
+            )
+            for p in points
+        )
+        assert got[g] == (len(a), len(b), round(stat, 6)), (g, got[g], stat)
