@@ -216,7 +216,10 @@ def chi_square(df: DataFrame, category: str, win: str = "win") -> DataFrame:
         "nc",
         F.sum("nb").over(wall).cast("double").alias("tb"),
         F.sum("nc").over(wall).cast("double").alias("tc"),
-    )
+    # an empty window makes every expected count 0 — no two-sample test
+    # exists (the KS/PSI exclusion contract); empty result, not a
+    # divide-by-zero
+    ).where((F.col("tb") > 0) & (F.col("tc") > 0))
     row_tot = F.col("nb") + F.col("nc")
     n = F.col("tb") + F.col("tc")
     eb = row_tot * F.col("tb") / n

@@ -110,8 +110,10 @@ def quality_report(
         parts.append(
             grp.agg(
                 F.lit(f"unique({','.join(keys)})").alias("rule"),
-                F.sum("__n").alias("checked"),
-                F.sum(F.col("__n") - 1).alias("violations"),
+                # coalesce: an all-NULL-key table has zero groups and the
+                # sums would be NULL, not 0
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("checked"),
+                F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("violations"),
             )
         )
 

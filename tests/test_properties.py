@@ -1527,3 +1527,121 @@ def test_drift_ks_matches_python_reference(spark, rows):
             for p in points
         )
         assert got[g] == (len(a), len(b), round(stat, 6)), (g, got[g], stat)
+
+
+@given(rows=ks_rows_strategy)
+@settings(**SETTINGS)
+def test_drift_chisq_and_psi_invariants(spark, rows):
+    """chi_square vs python reference on the same draw; PSI's term-wise
+    non-negativity ((x−y)·ln(x/y) ≥ 0 for every bin) means PSI ≥ 0
+    always, 0 exactly when the smoothed histograms coincide."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import chi_square, psi
+
+    df = spark.createDataFrame(
+        [(g, w, v / 2.0) for (g, w, v) in rows], "g int, win int, value double"
+    )
+    # chi-square on the group label as the category
+    nb = {g: 0 for g, _, _ in rows}
+    nc = dict(nb)
+    for g, w, _ in rows:
+        (nb if w == 0 else nc)[g] += 1
+    tb, tc = sum(nb.values()), sum(nc.values())
+    out = chi_square(df, "g").collect()
+    if tb and tc:
+        want = 0.0
+        for g in nb:
+            rt = nb[g] + nc[g]
+            eb, ec = rt * tb / (tb + tc), rt * tc / (tb + tc)
+            want += (nb[g] - eb) ** 2 / eb + (nc[g] - ec) ** 2 / ec
+        (row,) = out
+        assert (row["n_base"], row["n_current"], row["dof"]) == (tb, tc, len(nb) - 1)
+        assert abs(row["chi_square"] - want) < 1e-3, (row["chi_square"], want)
+
+    for r in psi(df, "value", by=["g"]).collect():
+        assert r["psi"] >= 0.0, r
+
+    # identical windows => PSI exactly 0 and chi-square exactly 0
+    both = df.select("g", F.lit(0).alias("win"), "value").unionByName(
+        df.select("g", F.lit(1).alias("win"), "value")
+    )
+    for r in psi(both, "value", by=["g"]).collect():
+        assert r["psi"] == 0.0, r
+    (row,) = chi_square(both, "g").collect()
+    assert row["chi_square"] == 0.0
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=25)
+)
+@settings(**SETTINGS)
+def test_gini_matches_python_reference(spark, counts):
+    """The catalog Gini formula vs the classic sorted-cumulative-share
+    definition, plus its bounds: 0 for uniform counts, < 1 always."""
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "item_id int, cnt int")
+
+    from pyspark.sql import Window
+
+    r = df.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("cnt", "item_id")).alias("i"),
+    )
+    a = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("i") * F.col("cnt")).alias("si"),
+    ).collect()[0]
+    got = (2 * a["si"]) / (a["n"] * a["s"]) - (a["n"] + 1) / a["n"]
+
+    xs = sorted(counts)
+    n, s = len(xs), sum(xs)
+    want = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * s)
+    assert abs(got - want) < 1e-12
+    assert 0.0 <= got < 1.0
+    if len(set(counts)) == 1:
+        assert abs(got) < 1e-12
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.one_of(st.none(), st.integers(min_value=-30, max_value=30)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    lo=st.integers(min_value=-10, max_value=0),
+    hi=st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_quality_report_matches_python_counting(spark, rows, lo, hi):
+    from real_time_recommendation_system_with_feature_store_spark.operators.quality import (
+        in_range,
+        not_null,
+        quality_report,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    dim = spark.createDataFrame([(i,) for i in range(3)], "k int")
+    got = {
+        r["rule"]: (r["checked"], r["violations"])
+        for r in quality_report(
+            df,
+            row_rules=[not_null("k"), in_range("v", lo, hi)],
+            unique_keys=[["k"]],
+            references=[("fk", ["k"], dim, ["k"])],
+        ).collect()
+    }
+    n = len(rows)
+    assert got["not_null(k)"] == (n, sum(1 for k, _ in rows if k is None))
+    assert got[f"in_range(v,{lo},{hi})"] == (
+        n,
+        sum(1 for _, v in rows if v is not None and not (lo <= v <= hi)),
+    )
+    nn = [k for k, _ in rows if k is not None]
+    from collections import Counter
+
+    c = Counter(nn)
+    assert got["unique(k)"] == (len(nn), sum(x - 1 for x in c.values()))
+    assert got["fk"] == (len(nn), sum(1 for k in nn if k >= 3))
