@@ -1835,3 +1835,33 @@ def test_ranking_correlation_pandas_twin_matches_expression_form(spark):
                 assert a is None and b is None, (u, a, b)
             else:
                 assert abs(a - b) < 6e-7, (u, a, b)
+
+
+def test_embedding_centroid_drift_anchors(spark):
+    """evaluation/drift.embedding_centroid anchor cases: identical
+    windows give exactly 1.0, orthogonal window populations give 0.0,
+    opposite populations give −1.0, and a group with vectors in only
+    one window drops out."""
+    from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import embedding_centroid
+
+    rows = [
+        # g=stable: same two vectors in both windows
+        ("stable", 0, [1.0, 2.0, 2.0]), ("stable", 0, [2.0, 1.0, 2.0]),
+        ("stable", 1, [1.0, 2.0, 2.0]), ("stable", 1, [2.0, 1.0, 2.0]),
+        # g=orth: x-axis vs y-axis
+        ("orth", 0, [3.0, 0.0, 0.0]), ("orth", 1, [0.0, 7.0, 0.0]),
+        # g=flip: exactly reversed direction
+        ("flip", 0, [1.0, 1.0, 0.0]), ("flip", 1, [-2.0, -2.0, 0.0]),
+        # g=one_sided: baseline only -> excluded
+        ("one_sided", 0, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, win int, v array<double>")
+    got = {
+        r["g"]: (r["n_base"], r["n_current"], r["centroid_cos"])
+        for r in embedding_centroid(df, "v", by=["g"]).collect()
+    }
+    assert got == {
+        "stable": (2, 2, 1.0),
+        "orth": (1, 1, 0.0),
+        "flip": (1, 1, -1.0),
+    }
