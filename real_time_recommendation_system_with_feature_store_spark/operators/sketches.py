@@ -352,8 +352,14 @@ def qsketch_build(
         ).otherwise(F.coalesce(wl, F.lit(0).cast("long")))
     else:
         w = F.lit(1).cast("long")
-    rows = df.select(*bycols, n.alias("__qs_n"), w.alias("__qs_w")).where(
-        F.col("__qs_n").isNotNull() & (F.col("__qs_n") > 0)
+    # the source-side isNotNull is semantically redundant with the derived
+    # __qs_n check (n is NULL iff value is) but PUSHABLE — it reaches the
+    # parquet scan's PushedFilters and skips null-heavy row groups, where
+    # a filter on the derived column cannot
+    rows = (
+        df.where(value.isNotNull())
+        .select(*bycols, n.alias("__qs_n"), w.alias("__qs_w"))
+        .where(F.col("__qs_n").isNotNull() & (F.col("__qs_n") > 0))
     )
     msb = (F.floor(F.log2(F.col("__qs_n").cast("double"))) + 1).cast("int")
     rows = rows.withColumn("__qs_msb", msb)

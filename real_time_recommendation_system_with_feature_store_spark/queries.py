@@ -10439,7 +10439,9 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def item_popularity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events").select(_item(F.col("props")).alias("item_id"))
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull()).select(
+        _item(F.col("props")).alias("item_id")
+    )
     pop = (
         ev.where(F.col("item_id").isNotNull())
         .groupBy("item_id")
@@ -10583,7 +10585,9 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("win"),
             _item(F.col("props")).alias("item_id"),
         )
-        .where(F.col("item_id").isNotNull())
+        # props-side isNotNull is pushable to the scan; the derived
+        # item_id check keeps the exact semantics (key may be absent)
+        .where(F.col("props").isNotNull() & F.col("item_id").isNotNull())
     )
     e = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("item_id"),

@@ -1342,3 +1342,36 @@ def test_drift_monitors_scan_events_once(spark):
         assert got_ev <= ev_scans, (name, got_ev, plan)
         assert got_scans <= scans, (name, got_scans, plan)
         assert got_ex <= exchanges, (name, got_ex, plan)
+
+
+def test_r15_entries_pass_plan_lint(spark):
+    """plans/lint pre-flight over every r15 catalog entry. The only
+    tolerated finding is single-partition-window on entries whose window
+    consumes a BOUNDED tiny frame (sketch cells ~100 rows; per-item
+    counts = catalog-sized ranks, the price_deciles class with the
+    global_row_number escape documented) — everything else, including
+    unpushed-filter, must be clean: the qsketch value filter and the
+    props-JSON null filters are written source-side precisely so they
+    reach PushedFilters."""
+    from real_time_recommendation_system_with_feature_store_spark.plans.lint import lint_plan
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    tolerated = {
+        "event_type_drift_chisq": {"single-partition-window"},  # K-row totals
+        "item_popularity_gini": {"single-partition-window"},    # catalog ranks
+        "drift_sketch_fold": {"single-partition-window"},       # ~100 cells
+    }
+    for name in (
+        "late_epoch_fold",
+        "feature_drift_psi",
+        "feature_drift_ks",
+        "feature_drift_ks_sketch",
+        "event_type_drift_chisq",
+        "embedding_drift",
+        "score_auc_per_user",
+        "item_popularity_gini",
+        "drift_sketch_fold",
+        "data_quality_report",
+    ):
+        rules = {f["rule"] for f in lint_plan(QUERIES[name].fn(spark, SF_DIR))}
+        assert rules <= tolerated.get(name, set()), (name, rules)
