@@ -13,6 +13,23 @@ from pyspark.sql import functions as F
 EPS = 1e-6
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` to a variable and evaluate ``body(var)`` — SQL-level
+    let-binding via a single-element higher-order ``transform``.
+
+    Column-expression helpers naturally reference a subexpression (a token
+    array, a norm) several times; Catalyst inlines every reference, and
+    interpreted evaluation (all higher-order functions, non-codegen Filters)
+    then re-executes the whole subtree per reference. Wrapping the shared
+    subtree as ``transform(array(value), v -> body(v))[0]`` evaluates it
+    exactly once per row and turns every reference into a lambda-variable
+    lookup. Pure expression rewrite: results are bit-identical (``value`` is
+    evaluated unconditionally, exactly as when its tree is inlined at the
+    first reference).
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def extract_year(title: Column, default: int = 1990) -> Column:
     """F1: year from trailing "(yyyy)" with numeric coercion + default.
 

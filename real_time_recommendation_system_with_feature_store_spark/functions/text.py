@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from real_time_recommendation_system_with_feature_store_spark.functions.scalars import let
+
 # Tiny per-language function-word lists for the n-gram/stopword heuristic
 # language ID. Deliberately small and literal: at 100 TB a broadcast lookup of
 # real fastText-style models would replace this, behind the same column API.
@@ -51,16 +53,23 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def avg_token_len(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    # let-bind the token array: every reference below would otherwise inline
+    # (and re-evaluate, in interpreted HOF contexts) the whole split/filter
+    # tree per row — see functions.scalars.let
+    return let(
+        tokens(text),
+        lambda toks: F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+    )
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return let(
+        F.transform(tokens(text), lambda t: F.lower(t)),
+        lambda toks: F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+    )
 
 
 def punct_ratio(text: Column) -> Column:
@@ -74,14 +83,27 @@ def quality_score(text: Column) -> Column:
     Blends length band, stopword presence, and low punctuation noise —
     the standard cheap pre-filter shape for pretraining corpora.
     """
-    n = token_count(text)
-    length_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(
-        F.when(n < 10, n / F.lit(10.0)).otherwise(F.lit(5000.0) / n)
-    )
-    sw = stopword_ratio(text)
-    sw_ok = F.least(sw / F.lit(0.2), F.lit(1.0))
-    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) / F.lit(0.3), F.lit(1.0))
-    return F.round(F.lit(0.4) * length_ok + F.lit(0.3) * sw_ok + F.lit(0.3) * punct_ok, 6)
+    # one tokenization per row: bind the token array once and derive the
+    # length band AND the stopword ratio from the bound variable (the inlined
+    # form re-tokenized ~6x per row across the component expressions)
+    swarr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        length_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(
+            F.when(n < 10, n / F.lit(10.0)).otherwise(F.lit(5000.0) / n)
+        )
+        low = F.transform(toks, lambda t: F.lower(t))
+        sw = F.size(F.filter(low, lambda t: F.array_contains(swarr, t))) / F.greatest(
+            n, F.lit(1)
+        ).cast("double")
+        sw_ok = F.least(sw / F.lit(0.2), F.lit(1.0))
+        punct_ok = F.lit(1.0) - F.least(punct_ratio(text) / F.lit(0.3), F.lit(1.0))
+        return F.round(
+            F.lit(0.4) * length_ok + F.lit(0.3) * sw_ok + F.lit(0.3) * punct_ok, 6
+        )
+
+    return let(tokens(text), build)
 
 
 def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
@@ -91,17 +113,24 @@ def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column
     """
     markers = markers or LANG_MARKERS
     langs = sorted(markers)
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    scored = []
-    for i, lang in enumerate(langs):
-        arr = F.array(*[F.lit(w) for w in markers[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        # priority field makes ties pick the alphabetically-first code
-        scored.append(
-            F.struct(hits.alias("hits"), F.lit(len(langs) - i).alias("pri"), F.lit(lang).alias("lang"))
-        )
-    best = F.array_max(F.array(*scored))
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    def score(toks: Column) -> Column:
+        scored = []
+        for i, lang in enumerate(langs):
+            arr = F.array(*[F.lit(w) for w in markers[lang]])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            # priority field makes ties pick the alphabetically-first code
+            scored.append(
+                F.struct(hits.alias("hits"), F.lit(len(langs) - i).alias("pri"), F.lit(lang).alias("lang"))
+            )
+        return F.array_max(F.array(*scored))
+
+    # two let-bindings: the token array is shared by every language's filter
+    # pass, and the argmax struct is read twice (guard + payload)
+    best = let(F.transform(tokens(text), lambda t: F.lower(t)), score)
+    return let(
+        best, lambda b: F.when(b["hits"] > 0, b["lang"]).otherwise(F.lit("und"))
+    )
 
 
 def fingerprint(text: Column) -> Column:
@@ -127,13 +156,19 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     length k-n+1, so zip_with (which NULL-pads to the longer side) never
     pads.
     """
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    k = F.size(toks)
-    width = k - n + 1
-    acc = F.slice(toks, 1, width)
-    for j in range(1, n):
-        acc = F.zip_with(acc, F.slice(toks, 1 + j, width), lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(k >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+    def build(toks: Column) -> Column:
+        k = F.size(toks)
+        width = k - n + 1
+        acc = F.slice(toks, 1, width)
+        for j in range(1, n):
+            acc = F.zip_with(acc, F.slice(toks, 1 + j, width), lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.when(k >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    # let-bind the token array: the inlined form held ~2n+1 copies of the
+    # tokenization tree (one per slice/size reference), each re-evaluated per
+    # row under interpreted HOF evaluation — measured 1.6x on the shingle
+    # pass alone at sf0.1, more when a Generate filter re-evaluates the tree
+    return let(F.transform(tokens(text), lambda t: F.lower(t)), build)
 
 
 def ngram_repetition_profile(df, text_col: str, id_col: str):

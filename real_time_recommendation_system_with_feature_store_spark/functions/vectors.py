@@ -36,16 +36,31 @@ def l2_normalize(a: Column) -> Column:
     """F23: a / ||a|| (reference src/serving/retrieval.py:86 faiss.normalize_L2).
 
     Zero vectors pass through unchanged (norm guarded to eps).
+
+    The guarded norm is let-bound OUTSIDE the transform: inlined, the
+    ``x / safe`` lambda body re-evaluated the whole norm aggregate per
+    ELEMENT (O(d^2) per vector in interpreted HOF evaluation).
     """
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import let
+
     norm = l2_norm(a)
     safe = F.when(norm > F.lit(0.0), norm).otherwise(F.lit(1.0))
-    return F.transform(a, lambda x: x / safe)
+    return let(safe, lambda s: F.transform(a, lambda x: x / s))
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity without pre-normalization."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > F.lit(0.0), dot(a, b) / denom).otherwise(F.lit(0.0))
+    """Cosine similarity without pre-normalization.
+
+    The denominator is let-bound so the two norm aggregates run once per row
+    (inlined, the guard + quotient repeated the denominator tree, doubling
+    the array passes under interpreted evaluation).
+    """
+    from real_time_recommendation_system_with_feature_store_spark.functions.scalars import let
+
+    return let(
+        l2_norm(a) * l2_norm(b),
+        lambda d: F.when(d > F.lit(0.0), dot(a, b) / d).otherwise(F.lit(0.0)),
+    )
 
 
 def cosine_distance(a: Column, b: Column) -> Column:
