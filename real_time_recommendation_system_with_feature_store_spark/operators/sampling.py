@@ -100,6 +100,18 @@ def negative_sample(
     """
     base_draws = oversample * n_per_user
     idx = item_index if item_index is not None else build_item_index(items, item_col)
+    # Both idx and pos are consumed more than once (idx: the n_items count
+    # + the draw join + the pos semi join; pos: the budget count + the
+    # rejection anti join), and Spark plans are trees — each reference
+    # would re-run the whole distinct/rank subtree. Materialize each ONCE
+    # with a lazy localCheckpoint: idx is catalog-dimension-sized (and at
+    # 1e9 items callers pass a persisted ``item_index`` anyway, skipping
+    # this), pos is distinct-pair-sized and already costs a full dedup
+    # shuffle — reading the stored copy back beats re-shuffling the base
+    # interactions a second time at any scale. Trade: lineage is cut, so
+    # executor loss mid-job recomputes from scratch (see queries._reuse).
+    if item_index is None:
+        idx = idx.localCheckpoint(eager=False)
     if n_items is None:
         n_items = idx.count()
     # only positives IN the catalog can reject a draw — count those for the
@@ -110,6 +122,7 @@ def negative_sample(
         interactions.select(user_col, item_col)
         .distinct()
         .join(idx.select(item_col), item_col, "left_semi")
+        .localCheckpoint(eager=False)
     )
     # every interacting user draws — including one whose positives are ALL
     # out-of-catalog (p = 0, full base budget), who must not vanish
