@@ -94,11 +94,22 @@ def main() -> None:
     for df in load_tables(spark, SF_DIR, register=False).values():
         df.select(df.columns[0]).limit(1).collect()
 
+    import gc
+
     def bench_set(names: list[str]) -> tuple[dict[str, float], float]:
         per_query: dict[str, float] = {}
         total = 0.0
         for name in names:
             spec = QUERIES[name]
+            # label jobs for the UI/event log (guide §1) and, between
+            # queries (OUTSIDE the timed region), drop the previous query's
+            # py4j DataFrame refs so the ContextCleaner can free its
+            # persisted/checkpointed blocks before the next query is timed —
+            # dead blocks from earlier queries otherwise linger in the
+            # executor block manager and show up as GC noise mid-bench. The
+            # timed action (fn + count, best of 3) is unchanged.
+            spark.sparkContext.setJobDescription(f"bench:{name}")
+            gc.collect()
             # best of 3: the first run pays one-off JIT/codegen compilation
             # (and any background-load noise); the recorded number is the
             # steady-state throughput a long-lived app sees. Cold-start cost
@@ -115,6 +126,7 @@ def main() -> None:
             per_query[name] = round(best, 3)
             total += best
             print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+        spark.sparkContext.setJobDescription(None)
         return per_query, total
 
     per_query, total = bench_set(HEADLINE)
