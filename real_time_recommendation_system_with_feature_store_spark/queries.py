@@ -7630,7 +7630,10 @@ def ivm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("total"),
     )
     corrections = base.where(F.col("o_orderkey") % 11 == 0)
-    changelog = (
+    # the three sink batches are three ACTIONS over slices of the same
+    # changelog — materialize the (day-sized) 3-way union once instead of
+    # re-deriving its two orders scans per batch
+    changelog = _reuse(
         o.where(F.col("o_orderdate") >= split)
         .select(F.lit("I").alias("op"), *keys, "o_totalprice", "o_orderkey")
         .unionByName(
@@ -8901,7 +8904,9 @@ _DISTINCT_ROLLUP_ORACLE = """
     """
 
 
-def _distinct_rollup_inputs(spark: SparkSession, sf_dir: str):
+def _distinct_rollup_inputs(
+    spark: SparkSession, sf_dir: str, reuse_changelog: bool = False
+):
     """Shared construction of the distinct-count IVM pair (batch entry +
     stream fold twin): per-(priority, status) COUNT(DISTINCT custkey)
     over pre-2000 orders, maintained under post-2000 inserts plus deletes
@@ -8918,7 +8923,10 @@ def _distinct_rollup_inputs(spark: SparkSession, sf_dir: str):
     keys = ["o_orderpriority", "o_orderstatus"]
     o = _t(spark, sf_dir, "orders")
     base = o.where(F.col("o_orderdate") < split)
-    support = build_distinct_support(base, keys, "o_custkey")
+    # support is consumed 3x (view derivation + both sides of the support
+    # merge inside apply_distinct_delta) — materialize the group-sized
+    # frame once instead of re-running its base aggregation per reference
+    support = _reuse(build_distinct_support(base, keys, "o_custkey"))
     view = distinct_from_support(support, keys)
     doomed = base.where(F.col("o_orderkey") % 7 == 0)
     changelog = (
@@ -8928,6 +8936,10 @@ def _distinct_rollup_inputs(spark: SparkSession, sf_dir: str):
             doomed.select(F.lit("D").alias("op"), *keys, "o_orderkey", "o_custkey")
         )
     )
+    if reuse_changelog:
+        # the fold twin slices the changelog into 3 sink batches, each an
+        # action re-deriving both orders scans — materialize it once
+        changelog = _reuse(changelog)
     return keys, view, support, changelog
 
 
@@ -8986,7 +8998,9 @@ def distinct_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state_dir = _fold_state_dir("distinct_state_fold", sf_dir)
-    keys, view, support, changelog = _distinct_rollup_inputs(spark, sf_dir)
+    keys, view, support, changelog = _distinct_rollup_inputs(
+        spark, sf_dir, reuse_changelog=True
+    )
     sink = distinct_delta_stream(state_dir, keys, "o_custkey")
     for i in range(3):
         sink(changelog.where(F.col("o_orderkey") % 3 == i), i)
