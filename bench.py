@@ -103,11 +103,11 @@ def main() -> None:
             spec = QUERIES[name]
             # label jobs for the UI/event log (guide §1) and, between
             # queries (OUTSIDE the timed region), drop the previous query's
-            # py4j DataFrame refs so the ContextCleaner can free its
-            # persisted/checkpointed blocks before the next query is timed —
-            # dead blocks from earlier queries otherwise linger in the
-            # executor block manager and show up as GC noise mid-bench. The
-            # timed action (fn + count, best of 3) is unchanged.
+            # py4j DataFrame refs so the ContextCleaner can release its
+            # persisted/checkpointed blocks — the cleaner processes GC'd
+            # refs asynchronously, so this bounds the backlog rather than
+            # guaranteeing the blocks are gone before the next timed region.
+            # The timed action (fn + count, best of 3) is unchanged.
             spark.sparkContext.setJobDescription(f"bench:{name}")
             gc.collect()
             # best of 3: the first run pays one-off JIT/codegen compilation
@@ -119,6 +119,16 @@ def main() -> None:
             # in the recorded best.
             best, n = float("inf"), -1
             for _ in range(3):
+                # cache hygiene (r15 verdict #8, UNTIMED): queries that
+                # persist() an intermediate (e.g. segment_recommendations'
+                # pair aggregate) are keyed in the SQL CacheManager by their
+                # analyzed plan, so without this the 2nd/3rd repetitions
+                # would read the 1st run's cached table and the recorded
+                # best would measure a warm-cache query. Clearing between
+                # repetitions makes every repetition compute from parquet.
+                # Recorded numbers for such queries shift up once at r16;
+                # the timed action itself is character-identical.
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 df = spec.fn(spark, SF_DIR)
                 n = df.count()

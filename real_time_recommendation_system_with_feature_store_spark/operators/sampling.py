@@ -72,6 +72,7 @@ def negative_sample(
     item_index: DataFrame | None = None,
     n_items: int | None = None,
     heavy_user_factor_cap: int = 64,
+    reuse_pos: bool = True,
 ) -> DataFrame:
     """SE1: per-user negatives by hash-bucketed rejection sampling,
     deterministic and never materializing the |users|×|items| grid.
@@ -109,7 +110,14 @@ def negative_sample(
     # this), pos is distinct-pair-sized and already costs a full dedup
     # shuffle — reading the stored copy back beats re-shuffling the base
     # interactions a second time at any scale. Trade: lineage is cut, so
-    # executor loss mid-job recomputes from scratch (see queries._reuse).
+    # executor loss mid-job fails the job irrecoverably (caller resubmits;
+    # nothing replays automatically — see queries._reuse). pos is the
+    # LARGEST frame this job holds (distinct (user, item) pairs); at the
+    # 100 TB end, where a deserialized executor-memory copy of it would
+    # pressure caches and a single executor loss is likely, pass
+    # ``reuse_pos=False`` and the pair frame stays a lazy subtree (the two
+    # consumers re-aggregate — the pre-r15 shape) or write it to a table
+    # first — the same escape hatch ``item_index=`` provides for idx.
     if item_index is None:
         idx = idx.localCheckpoint(eager=False)
     if n_items is None:
@@ -122,8 +130,9 @@ def negative_sample(
         interactions.select(user_col, item_col)
         .distinct()
         .join(idx.select(item_col), item_col, "left_semi")
-        .localCheckpoint(eager=False)
     )
+    if reuse_pos:
+        pos = pos.localCheckpoint(eager=False)
     # every interacting user draws — including one whose positives are ALL
     # out-of-catalog (p = 0, full base budget), who must not vanish
     pcount = (
