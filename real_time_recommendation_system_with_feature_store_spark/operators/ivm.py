@@ -95,6 +95,70 @@ def agg_delta(
     )
 
 
+def agg_extrema_delta(
+    changes: DataFrame,
+    keys: Sequence[str],
+    measure: Column,
+    op_col: str = "op",
+    count_col: str = "n",
+    sum_col: str = "total",
+    extra_measures: dict[str, Column] | None = None,
+) -> DataFrame:
+    """ONE groupBy pass over a changelog producing BOTH ``agg_delta``'s
+    (Δcount, Δsum…) columns AND ``collapse_extrema_changes``' extrema
+    contribution columns (imn, imx, dmn, dmx, nbad) — for entries that
+    advance a sum/count rollup AND a MIN/MAX rollup over the SAME group
+    keys from the SAME changelog (guide §2.1/§2.3: the day's delta
+    shuffles once for all per-group stats instead of once per rule).
+
+    Column-for-column identical to running the two collapses separately
+    (the expressions are the same ones, summed/min'd over the same
+    groups); project each operator's input off the result and feed
+    ``apply_agg_delta`` and ``apply_extrema_delta(collapsed=True)``.
+    The result is group-sized — materialize it once (e.g. a lazy
+    localCheckpoint) when both projections are consumed.
+
+    Loudness contract: unknown ops raise in-plan via the ``agg_delta``
+    sign guard; (unknown op OR NULL measure) rows additionally count
+    into ``nbad``, which ``apply_extrema_delta`` asserts on — the union
+    of the two source collapses' guards."""
+    reserved = {"imn", "imx", "dmn", "dmx", "nbad"}
+    clash = sorted(reserved & set(keys))
+    if clash:
+        raise ValueError(
+            f"agg_extrema_delta: key column(s) {clash} collide with the "
+            f"reserved contribution names {sorted(reserved)} — rename the "
+            "key upstream"
+        )
+    op = qcol(op_col)
+    sign = (
+        F.when(op == "I", F.lit(1))
+        .when(op == "D", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("agg_delta: unknown op "), op.cast("string"))
+            ).cast("int")
+        )
+    )
+
+    def _signed(m: Column) -> Column:
+        return F.sum(F.when(op == "I", m).otherwise(-m).cast("decimal(28,10)"))
+
+    m = measure
+    is_bad_row = ~(((op == "I") | (op == "D")) & m.isNotNull())
+    extras = extra_measures or {}
+    return changes.groupBy(*[qcol(k) for k in keys]).agg(
+        F.sum(sign).alias(count_col),
+        _signed(m).alias(sum_col),
+        *[_signed(x).alias(name) for name, x in extras.items()],
+        F.min(F.when(op == "I", m)).alias("imn"),
+        F.max(F.when(op == "I", m)).alias("imx"),
+        F.min(F.when(op == "D", m)).alias("dmn"),
+        F.max(F.when(op == "D", m)).alias("dmx"),
+        F.sum(F.when(is_bad_row, F.lit(1)).otherwise(F.lit(0))).alias("nbad"),
+    )
+
+
 def apply_agg_delta(
     view: DataFrame,
     delta: DataFrame,

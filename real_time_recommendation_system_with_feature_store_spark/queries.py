@@ -94,6 +94,27 @@ def _item(props):
     return F.get_json_object(props, "$.k").cast("long")
 
 
+def _with_item(df: DataFrame, *keep) -> DataFrame:
+    """``keep`` columns of ``df`` plus a NON-NULL ``item_id`` parsed from
+    the props JSON, parsing props ONCE per row (r15 verdict #6).
+
+    The classic ``withColumn("item_id", _item(props)).where(isNotNull)``
+    form parses twice: the pushed Filter evaluates get_json_object to
+    decide the row, and the Project above re-evaluates it for survivors
+    (guide §4.4's duplication, for a builtin instead of a UDF). Here the
+    parse lives in ONE Generate — ``explode(array_compact(array(e)))``
+    evaluates ``e`` once and emits it exactly when non-null — and the
+    explicit ``props IS NOT NULL`` predicate restores the pushable scan
+    filter (PushedFilters: [IsNotNull(props)]) that the expression form
+    never produced, so at 100 TB the scan skips null-props rows instead
+    of parsing them. Row-for-row identical output: parse(NULL) is NULL
+    and both forms drop exactly the NULL-key rows."""
+    return df.where(F.col("props").isNotNull()).select(
+        *keep,
+        F.explode(F.array_compact(F.array(_item(F.col("props"))))).alias("item_id"),
+    )
+
+
 # ================================================================ scans/aggs
 
 @query(
@@ -818,8 +839,9 @@ def user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def item_trending_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.functions import scalars
 
-    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
-        F.col("item_id").isNotNull()
+    ev = _with_item(
+        _t(spark, sf_dir, "events"),
+        "event_id", "ts", "user_id", "event_type", "value",
     )
     anchor = F.lit(TREND_ANCHOR).cast("timestamp")
 
@@ -893,8 +915,9 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="S5 JSON decode (props.k) + A1/A2/A5 per-item rollup.",
 )
 def item_interaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
-        F.col("item_id").isNotNull()
+    ev = _with_item(
+        _t(spark, sf_dir, "events"),
+        "event_id", "ts", "user_id", "event_type", "value",
     )
     zero = F.lit(0).cast("decimal(28,10)")
     return ev.groupBy("item_id").agg(
@@ -999,9 +1022,10 @@ def kcore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.kcore import kcore_filter
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
         .select("event_id", "user_id", "item_id")
     )
     return kcore_filter(ev, "user_id", "item_id", min_user=40, min_item=90, iterations=3)
@@ -1178,12 +1202,9 @@ def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.sampling import negative_sample
 
     ev = _t(spark, sf_dir, "events")
-    inter = (
-        ev.where(F.col("event_type") == "click")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
-        .select("user_id", "item_id")
-    )
+    inter = _with_item(
+        ev.where(F.col("event_type") == "click"), "user_id"
+    ).select("user_id", "item_id")
     items = inter.select("item_id").distinct()
     return negative_sample(inter, items, "user_id", "item_id", n_per_user=5, salt="neg")
 
@@ -2033,9 +2054,11 @@ def segment_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull() & (F.col("ts") <= F.lit(ANCHOR).cast("timestamp")))
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
+        .where(F.col("ts") <= F.lit(ANCHOR).cast("timestamp"))
         .select("user_id", "item_id", "event_type")
     )
     cust = _t(spark, sf_dir, "customer").select(
@@ -2197,9 +2220,10 @@ def popularity_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.evaluation.metrics import ranking_metrics
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
-    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
-        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
-    )
+    ev = _with_item(
+        _t(spark, sf_dir, "events"),
+        "event_id", "ts", "user_id", "event_type", "value",
+    ).where(F.col("event_type") == "click")
     split = F.lit(SPLIT_TS).cast("timestamp")
     train = ev.where(F.col("ts") < split)
     truth = ev.where(F.col("ts") >= split).select("user_id", "item_id").distinct()
@@ -2275,9 +2299,10 @@ def ranking_metrics_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
-    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
-        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
-    )
+    ev = _with_item(
+        _t(spark, sf_dir, "events"),
+        "event_id", "ts", "user_id", "event_type", "value",
+    ).where(F.col("event_type") == "click")
     split = F.lit(SPLIT_TS).cast("timestamp")
     train = ev.where(F.col("ts") < split)
     truth = ev.where(F.col("ts") >= split).select("user_id", "item_id").distinct()
@@ -2316,9 +2341,10 @@ def ranking_metrics_multi_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
-    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
-        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
-    )
+    ev = _with_item(
+        _t(spark, sf_dir, "events"),
+        "event_id", "ts", "user_id", "event_type", "value",
+    ).where(F.col("event_type") == "click")
     train = ev.where(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp"))
     pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
     recs = global_topn_ranked(pop, [F.col("c").desc(), F.col("item_id")], 10).select(
@@ -2368,9 +2394,10 @@ def rec_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.functions.vectors import cosine_distance
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
-    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
-        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
-    )
+    ev = _with_item(
+        _t(spark, sf_dir, "events"),
+        "event_id", "ts", "user_id", "event_type", "value",
+    ).where(F.col("event_type") == "click")
     train = ev.where(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp"))
     pop = train.groupBy("item_id").agg(F.count("*").alias("c"))
     recs = global_topn_ranked(pop, [F.col("c").desc(), F.col("item_id")], 10).select(
@@ -2411,9 +2438,10 @@ def rec_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def als_item_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.models import train_item_embeddings
 
-    ev = _t(spark, sf_dir, "events").withColumn("item_id", _item(F.col("props"))).where(
-        F.col("item_id").isNotNull() & (F.col("event_type") == "click")
-    )
+    ev = _with_item(
+        _t(spark, sf_dir, "events"),
+        "event_id", "ts", "user_id", "event_type", "value",
+    ).where(F.col("event_type") == "click")
     emb = train_item_embeddings(ev, "user_id", "item_id", rank=8, max_iter=5)
     return emb.select("item_id", F.size("embedding").alias("dim")).orderBy("item_id")
 
@@ -5217,9 +5245,11 @@ def two_stage_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_vec_id", "item_id", F.col("score").alias("retrieval_score"))
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull() & (F.col("ts") <= F.lit(ANCHOR).cast("timestamp")))
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
+        .where(F.col("ts") <= F.lit(ANCHOR).cast("timestamp"))
     )
     ctr = ev.groupBy("item_id").agg(
         F.round(
@@ -6046,10 +6076,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join emits both directions), so every node has out-degree >= 1 —
     pagerank's dangling-mass precondition."""
     ev = (
-        _t(spark, sf_dir, "events")
-        .where(F.col("event_type") == "purchase")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
     )
     ui = ev.select("user_id", "item_id").distinct()
     a, b = ui.alias("a"), ui.alias("b")
@@ -6129,9 +6159,10 @@ def pagerank_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pr = pagerank(_copurchase_edges(spark, sf_dir), "src", "dst", "w", iterations=3)
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
     )
     pop = ev.groupBy("event_type", "item_id").agg(F.count("*").alias("n_events"))
     # No broadcast hint: pr is |nodes|-sized (the full item catalog at scale
@@ -6219,10 +6250,10 @@ def ppr_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .where(F.col("event_type") == "purchase")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
     )
     seeds = (
         ev.where(F.col("ts") >= F.lit(_PPR_SEED_TS).cast("timestamp"))
@@ -6512,9 +6543,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
     )
     key = F.col("item_id").cast("string")
     sketch = cms_build(ev, key, depth=4, width=64)
@@ -6765,9 +6797,10 @@ def rrf_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
     )
     base = (
         ev.groupBy("item_id")
@@ -6925,9 +6958,10 @@ def event_type_pair_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFra
     from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_estimate
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
     )
     pk = F.concat_ws(
         "|", F.col("user_id").cast("string"), F.col("item_id").cast("string")
@@ -7018,9 +7052,10 @@ def view_click_shared_pairs_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.sketches import hll_build, hll_intersect_estimate
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
     )
     pk = F.concat_ws(
         "|", F.col("user_id").cast("string"), F.col("item_id").cast("string")
@@ -7100,9 +7135,10 @@ def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.funnel import funnel_stage_times, funnel_summary
 
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
         .select("user_id", "item_id", "ts", "event_type")
     )
     steps = ["view", "click", "purchase"]
@@ -7209,9 +7245,10 @@ def item_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ea = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
         .select("user_id", "event_id", "ts", "item_id")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -7230,8 +7267,15 @@ def _transition_rank_tail(pairs: DataFrame) -> DataFrame:
     top-25 with a total tie-break. The pair frame has two consumers
     (matrix + row totals), so it materializes once via localCheckpoint —
     otherwise the totals branch re-runs the upstream (the multi-consumer
-    ReusedExchange trap, README scale notes)."""
-    from pyspark.sql import Window
+    ReusedExchange trap, README scale notes).
+
+    The global top-25 goes through ``global_topn_ranked`` (orderBy+limit
+    → TakeOrderedAndProject: per-partition heap of 25, driver merge)
+    instead of an unpartitioned rank window, which would sort the whole
+    item×item-bounded pair frame in ONE task (r15 verdict #7). The
+    ordering (n DESC, prev, next) is total — (prev, next) is the group
+    key — so the top set and ranks are identical to the window form."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     pairs = pairs.localCheckpoint(eager=True)
     tot = pairs.groupBy("prev_item").agg(F.sum("n").alias("row_total"))
@@ -7241,10 +7285,11 @@ def _transition_rank_tail(pairs: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("prob"),
     )
-    wr = Window.orderBy(
-        F.col("n").desc(), F.col("prev_item").asc(), F.col("next_item").asc()
+    return global_topn_ranked(
+        m,
+        [F.col("n").desc(), F.col("prev_item").asc(), F.col("next_item").asc()],
+        25,
     )
-    return m.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= 25)
 
 
 # ================================================= streaming-state fold twins
@@ -7458,9 +7503,10 @@ def compact_recovery_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_dir = _fold_state_dir("compact_recovery_fold", sf_dir)
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
         .select("item_id", F.col("item_id").cast("string").alias("item_key"), "event_id")
     )
     sink = cms_sketch_stream(state_dir, "item_key", depth=4, width=64)
@@ -7965,9 +8011,10 @@ def transition_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_dir = _fold_state_dir("transition_state_fold", sf_dir)
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
         .select("user_id", "event_id", "ts", "item_id")
     )
     sink = transition_state_stream(
@@ -8133,9 +8180,10 @@ def funnel_state_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_dir = _fold_state_dir("funnel_state_fold", sf_dir)
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
         .select("user_id", "item_id", "ts", "event_type", "event_id")
     )
     steps = ["view", "click", "purchase"]
@@ -8203,9 +8251,10 @@ def cms_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_dir = _fold_state_dir("cms_sketch_fold", sf_dir)
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
         .select("item_id", F.col("item_id").cast("string").alias("item_key"), "event_id")
     )
     sink = cms_sketch_stream(state_dir, "item_key", depth=4, width=64)
@@ -8271,9 +8320,10 @@ def hll_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_dir = _fold_state_dir("hll_sketch_fold", sf_dir)
     ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("item_id", _item(F.col("props")))
-        .where(F.col("item_id").isNotNull())
+        _with_item(
+            _t(spark, sf_dir, "events"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
     )
     keyed = ev.select(
         F.concat_ws(
@@ -9070,7 +9120,15 @@ def _reuse(df: DataFrame) -> DataFrame:
     changelogs (day-sized) and view state (group-/buffer-sized); NEVER to
     base-sized frames, whose scans must stay pushdown scans. Same trade as
     ``apply_topk_delta(reuse_collapse=True)``: lineage is cut, so an
-    executor loss mid-job recomputes from scratch instead of replaying."""
+    executor loss mid-job forces an irrecoverable job failure (the caller
+    must resubmit) rather than a silent lineage replay. Block lifetime:
+    nothing here frees the checkpoint blocks explicitly — they are
+    released when the driver GCs the DataFrame and the async
+    ContextCleaner processes the ref (bench.py forces a gc.collect()
+    between queries; a long-lived driver invoking entries in a loop
+    should do the same, or free deterministically via
+    ckpt.checkpointed_rdd_ids/unpersist_rdd_ids — the dedup.py
+    convention)."""
     return df.localCheckpoint(eager=False)
 
 
@@ -9099,8 +9157,9 @@ def _two_sided_order_customer_deltas(
     (measured: checkpointing a_before adds nothing locally and would
     materialize the full base at 100 TB). Same honest trade as
     ``apply_topk_delta(reuse_collapse=True)``: the LogicalRDD wrap drops
-    lineage, so an executor loss mid-job forces recompute-from-scratch
-    instead of replay (irrelevant in local mode)."""
+    lineage, so an executor loss mid-job fails the job irrecoverably —
+    the caller resubmits; nothing replays or recomputes automatically
+    (irrelevant in local mode)."""
     split = F.lit("2000-01-01").cast("timestamp")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -9403,7 +9462,7 @@ def warehouse_day_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def warehouse_day_close_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
-        agg_delta,
+        agg_extrema_delta,
         apply_agg_delta,
         apply_distinct_delta,
         apply_extrema_delta,
@@ -9438,18 +9497,34 @@ def warehouse_day_close_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.col("o_totalprice")
 
-    # rule 1+2: sum/count + moment triple (avg/var derive at read time)
-    agg_view = a_before.groupBy(*keys).agg(
-        F.count("*").alias("n"),
-        F.sum(m.cast("decimal(28,10)")).alias("total"),
-        F.sum((m * m).cast("decimal(28,10)")).alias("ss"),
+    # SHARED SUB-AGGREGATION (r16, guide §2.1/§2.3): the sum/count/moment
+    # rollup (rules 1+2) and the MIN/MAX extrema rollup (rule 5) group by
+    # the SAME keys on both the base side and the delta side, so each
+    # side computes in ONE groupBy pass instead of two — one base scan +
+    # one Exchange fewer, and the day's changelog aggregates once for
+    # both rules. Both combined frames are group-sized (one row per
+    # priority at any scale), so they materialize once via _reuse and
+    # each rule projects the columns it consumes.
+    base_stats = _reuse(
+        a_before.groupBy(*keys).agg(
+            F.count("*").alias("n"),
+            F.sum(m.cast("decimal(28,10)")).alias("total"),
+            F.sum((m * m).cast("decimal(28,10)")).alias("ss"),
+            F.min(m).alias("mn"),
+            F.max(m).alias("mx"),
+        )
     )
-    agg_new = apply_agg_delta(
-        agg_view,
-        agg_delta(
+    delta_stats = _reuse(
+        agg_extrema_delta(
             delta_a.select("op", *keys, "o_totalprice"), keys, m,
             extra_measures={"ss": m * m},
-        ),
+        )
+    )
+
+    # rule 1+2: sum/count + moment triple (avg/var derive at read time)
+    agg_new = apply_agg_delta(
+        base_stats.select(*keys, "n", "total", "ss"),
+        delta_stats.select(*keys, "n", "total", "ss"),
         keys,
         null_safe_keys=False,
         extra_sum_cols=["ss"],
@@ -9470,15 +9545,15 @@ def warehouse_day_close_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_joined"),
         F.countDistinct("c_mktsegment").alias("nd_segments"),
     )
-    # rule 5: MIN/MAX extrema (dirty-group refills from a_after); the view
-    # is consumed twice (clean merge + dirty-key extraction) — materialize
-    # it once (group-sized at any scale)
-    ext_view = _reuse(
-        a_before.groupBy(*keys).agg(F.min(m).alias("mn"), F.max(m).alias("mx"))
-    )
+    # rule 5: MIN/MAX extrema (dirty-group refills from a_after) — view
+    # and collapsed changelog both project off the shared stats frames
+    # above (each checkpointed once; the view side is consumed twice by
+    # the clean merge + dirty-key extraction)
     ext_new = apply_extrema_delta(
-        ext_view, delta_a.select("op", *keys, "o_totalprice"), a_after,
-        keys, "o_totalprice", null_safe_keys=False,
+        base_stats.select(*keys, "mn", "mx"),
+        delta_stats.select(*keys, "imn", "imx", "dmn", "dmx", "nbad"),
+        a_after,
+        keys, "o_totalprice", null_safe_keys=False, collapsed=True,
     )
     # rule 6: top-3 orders by price via the buffered-horizon rule; the
     # buffer view is consumed 3x (untouched anti / touched semi / schema)
@@ -10523,14 +10598,8 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def item_popularity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull()).select(
-        _item(F.col("props")).alias("item_id")
-    )
-    pop = (
-        ev.where(F.col("item_id").isNotNull())
-        .groupBy("item_id")
-        .agg(F.count("*").alias("cnt"))
-    )
+    ev = _with_item(_t(spark, sf_dir, "events"))
+    pop = ev.groupBy("item_id").agg(F.count("*").alias("cnt"))
     r = pop.select(
         "cnt",
         F.row_number().over(Window.orderBy("cnt", "item_id")).alias("i"),
@@ -10662,16 +10731,12 @@ def score_auc_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit("2024-01-16").cast("timestamp")
-    ev = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("win"),
-            _item(F.col("props")).alias("item_id"),
-        )
-        # props-side isNotNull is pushable to the scan; the derived
-        # item_id check keeps the exact semantics (key may be absent)
-        .where(F.col("props").isNotNull() & F.col("item_id").isNotNull())
+    # _with_item keeps the pushable props-side IsNotNull scan filter and
+    # parses the JSON once (the key may be absent — NULL keys drop)
+    ev = _with_item(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("win"),
     )
     e = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("item_id"),
