@@ -23,6 +23,16 @@ def pytest_configure(config):
     )
     config.addinivalue_line(
         "markers",
+        "heavy: exhaustive certification tier excluded from the default "
+        "run by addopts (randomized-history IVM proofs, streaming retrain/"
+        "crash/tombstone lifecycles, every-query bare-session & "
+        "no-cartesian sweeps — ~18 min). The default tier plus the DuckDB "
+        "oracle already pin the same semantics pointwise; run -m heavy "
+        "when touching operators/ivm.py, streaming/pipeline.py, or "
+        "session defaults.",
+    )
+    config.addinivalue_line(
+        "markers",
         "foldtwin: catalog entries / lifecycle tests that synchronously "
         "drive real streaming-sink epoch writes. At the sf0.01 oracle "
         "scale they cost ~1 min combined (measured r13: full suite 41:40 "

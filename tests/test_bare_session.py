@@ -10,6 +10,8 @@ session fixture in this JVM (getOrCreate would return the tuned one).
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -17,6 +19,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.heavy
 def test_every_query_runs_under_bare_session():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", "bare_session_sweep.py"),

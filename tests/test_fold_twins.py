@@ -26,6 +26,7 @@ def _rows(spark, name):
     return sorted(tuple(r) for r in QUERIES[name].fn(spark, SF).collect())
 
 
+@pytest.mark.heavy
 def test_fold_twin_wipes_poisoned_state(spark):
     """A stale epoch in the state dir (here: a duplicate of the real data,
     which a sum-fold would double-count) is wiped by the next invocation."""
@@ -54,6 +55,7 @@ def test_fold_twin_wipes_poisoned_state(spark):
     assert _rows(spark, "decayed_counts_fold") == first
 
 
+@pytest.mark.heavy
 def test_fold_twin_rerun_deterministic(spark):
     # semantic_dedup_fold matters most here: its cell geometry is trained
     # from the first micro-batch, so determinism rests on _fold_state_dir

@@ -222,6 +222,7 @@ def test_e2e_popularity_baseline_reproduction(spark):
 
 @pytest.mark.e2e
 @pytest.mark.skipif(not os.path.exists(f"{ML1M}/users.dat"), reason="ml-1m data not present")
+@pytest.mark.heavy
 def test_e2e_learned_embeddings_beat_baselines_ordering(spark):
     """Reproduction of the reference's published model ORDERING
     Random < Popularity < MF (README.md:127-135,

@@ -8,6 +8,8 @@ Examples are kept small and few: every example runs real Spark jobs.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -81,6 +83,7 @@ def test_leave_one_out_counts(spark, rows, n_test):
 
 @given(rows=rows_strategy)
 @settings(**SETTINGS)
+@pytest.mark.heavy
 def test_time_fraction_split_boundaries(spark, rows):
     from real_time_recommendation_system_with_feature_store_spark.operators.split import time_fraction_split
 
@@ -127,6 +130,7 @@ asof_right = st.lists(
 
 @given(lrows=asof_left, rrows=asof_right, ttl=st.integers(min_value=1, max_value=60))
 @settings(**SETTINGS)
+@pytest.mark.heavy
 def test_asof_join_matches_reference(spark, lrows, rrows, ttl):
     from real_time_recommendation_system_with_feature_store_spark.operators.asof import asof_join
 
@@ -240,6 +244,7 @@ neg_inter = st.lists(
 
 @given(rrows=neg_inter, n=st.integers(min_value=1, max_value=4))
 @settings(**SETTINGS)
+@pytest.mark.heavy
 def test_negative_sample_invariants(spark, rrows, n):
     """Rejection sampling invariants on arbitrary interaction sets:
     negatives are disjoint from positives, drawn from the catalog, at most n
@@ -919,6 +924,7 @@ def _topk_history(base, steps, n_epochs=3):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
+@pytest.mark.heavy
 def test_topk_ivm_random_history_matches_recompute(spark, base, steps, k):
     """apply_topk_delta over a random consistent multi-epoch CDC history —
     applied BOTH sequentially per epoch and via the stream sink's
@@ -1011,6 +1017,7 @@ def test_topk_ivm_random_history_matches_recompute(spark, base, steps, k):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
+@pytest.mark.heavy
 def test_extrema_ivm_random_history_matches_recompute(spark, base, steps):
     """apply_extrema_delta over the same random consistent CDC histories
     — one-shot over the concatenated changelog AND through the stream
@@ -1077,6 +1084,7 @@ def test_extrema_ivm_random_history_matches_recompute(spark, base, steps):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
+@pytest.mark.heavy
 def test_distinct_ivm_random_history_matches_recompute(spark, base, steps):
     """apply_distinct_delta over the same random consistent CDC histories
     — chained per epoch AND via the stream sink's folded support deltas —
@@ -1148,6 +1156,7 @@ def test_distinct_ivm_random_history_matches_recompute(spark, base, steps):
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
+@pytest.mark.heavy
 def test_joint_ivm_random_history_all_views_agree_per_epoch(spark, base, steps):
     """ONE random causally-consistent CDC history drives ALL FOUR delta
     rules simultaneously — sum/count (apply_agg_delta), extrema
@@ -1302,6 +1311,7 @@ _jv_b_steps = st.lists(
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
+@pytest.mark.heavy
 def test_join_view_ivm_random_history_matches_rejoin(
     spark, a_base, b_base, a_steps, b_steps
 ):
@@ -1531,6 +1541,7 @@ def test_drift_ks_matches_python_reference(spark, rows):
 
 @given(rows=ks_rows_strategy)
 @settings(**SETTINGS)
+@pytest.mark.heavy
 def test_drift_chisq_and_psi_invariants(spark, rows):
     """chi_square vs python reference on the same draw; PSI's term-wise
     non-negativity ((x−y)·ln(x/y) ≥ 0 for every bin) means PSI ≥ 0
@@ -1615,6 +1626,7 @@ def test_gini_matches_python_reference(spark, counts):
     hi=st.integers(min_value=1, max_value=10),
 )
 @settings(**SETTINGS)
+@pytest.mark.heavy
 def test_quality_report_matches_python_counting(spark, rows, lo, hi):
     from real_time_recommendation_system_with_feature_store_spark.operators.quality import (
         in_range,

@@ -3,6 +3,8 @@ and approximate tiers must hit documented quality bounds vs exact."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import Window
@@ -660,6 +662,7 @@ def _fit_exponent(xs, ts):
 
 
 @_pytest.mark.slow
+@pytest.mark.heavy
 def test_minhash_lsh_candidate_growth_is_linear(spark):
     """minhash_lsh_dedup at 1/4/8× sf0.1: verified pairs must be EXACTLY
     m× the 1× count (replicas are internally identical, disjoint across),
@@ -737,6 +740,7 @@ def test_ivf_topk_growth_is_near_linear(spark):
 
 
 @_pytest.mark.slow
+@pytest.mark.heavy
 def test_cross_corpus_overlap_growth_is_near_linear(spark):
     """cross_corpus_overlap (decontamination) with the stop-shingle cut:
     a FIXED 200-doc eval side probed against 1/4/8× train corpora. Eval
@@ -777,6 +781,7 @@ def test_cross_corpus_overlap_growth_is_near_linear(spark):
           f"times={[round(t, 2) for t in times]} exponent={exp:.2f}")
 
 
+@pytest.mark.heavy
 def test_drift_statistics_scale_invariant_under_replication(spark):
     """The drift family's 100 TB contract in miniature: every statistic
     is a function of distribution RATIOS, so replicating the input m×

@@ -154,6 +154,7 @@ def test_transform_with_state_running_totals(spark):
     assert got == expected and len(got) > 0
 
 
+@pytest.mark.heavy
 def test_late_data_point_in_time_parity(spark):
     """The watermark edge, end to end: OUT-OF-ORDER events replayed through
     windowed_feature_stream (update mode, real finite watermark) + the

@@ -320,6 +320,7 @@ def test_stream_static_enrichment(spark, events_batch):
     assert len(got) > 0 and got == expected
 
 
+@pytest.mark.heavy
 def test_near_dup_dedup_stream_matches_batch(spark):
     """Streaming incremental near-dup: replaying the corpus as one-file
     micro-batches through the foreachBatch index sink yields EXACTLY the
@@ -767,6 +768,7 @@ def test_span_dedup_stream_matches_batch(spark):
     assert replayed == expected and idx_after == idx_before
 
 
+@pytest.mark.heavy
 def test_semantic_dedup_stream_matches_offline(spark):
     """Streaming SemDeDup: first batch freezes the cell geometry; the union
     of per-epoch pair emissions equals the offline intra-cell pair set
@@ -1145,6 +1147,7 @@ def test_cohort_state_stream_matches_batch(spark, events_batch):
     assert spark.read.parquet(os.path.join(state_dir, "epoch=998")).count() == 1
 
 
+@pytest.mark.heavy
 def test_transition_state_stream_matches_batch(spark, events_batch):
     """Streaming Markov-transition maintenance: processing time-ordered
     micro-batches through the frontier-stitched pair-count sink and
@@ -1356,6 +1359,7 @@ def test_bm25_index_stream_matches_batch(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.heavy
 def test_bm25_score_long_query_one_plan(spark):
     """A 50-term query must (a) still match the batch scorer bit-for-bit
     and (b) compile to ONE tf-pivot join, not one join per term — the
@@ -1432,6 +1436,7 @@ def test_bm25_index_stream_intra_batch_duplicates(spark):
     assert dirty == clean
 
 
+@pytest.mark.heavy
 def test_bm25_tombstones_edit_lifecycle(spark):
     """Document takedown/edit on the append-only BM25 index (r10 VERDICT
     #5): a tombstoned doc's postings stop scoring AND leave the corpus
@@ -1499,6 +1504,7 @@ def test_bm25_tombstones_edit_lifecycle(spark):
     assert scores(full_dir) == scores(clean_dir)
 
 
+@pytest.mark.heavy
 def test_ivf_index_stream_matches_batch(spark):
     """Streaming IVF-ANN maintenance: a frozen coarse quantizer
     (ivf_build_centroids — the exact construction ivf_topk(kernel='expr')
@@ -1627,6 +1633,7 @@ def test_streaming_index_read_side_guards(spark):
     assert {r["doc_id"] for r in dl} == {1}
 
 
+@pytest.mark.heavy
 def test_compact_epoch_state_preserves_folds(spark):
     """Compaction rewrites an epoch-partitioned state dir as one epoch
     holding the fold; every read-side fold must be unchanged afterwards,
@@ -1796,6 +1803,7 @@ def test_recovery_refuses_to_destroy_post_crash_epochs(spark):
     assert total == (60 + 100) * 2
 
 
+@pytest.mark.heavy
 def test_compact_recovery_every_crash_prefix(spark):
     """Compaction deletes source epochs in sorted order, so the reachable
     post-materialization crash states are exactly the deletion PREFIXES
@@ -2207,6 +2215,7 @@ def test_pq_index_stream_matches_batch(spark):
     assert search() == batch
 
 
+@pytest.mark.heavy
 def test_vector_tombstones_all_ann_tiers(spark):
     """Vector takedown across the ANN index family: after tombstoning an
     id, every search tier returns EXACTLY what an index that never held
@@ -2297,6 +2306,7 @@ def test_vector_tombstones_all_ann_tiers(spark):
         assert search(tier, full_dir) == search(tier, clean_dir), tier
 
 
+@pytest.mark.heavy
 def test_semantic_tombstones_lifecycle(spark):
     """Takedown for the semantic-dedup sink (the last index family to get
     one): after tombstoning a member id, read_semantic_pairs returns
@@ -2528,6 +2538,7 @@ def _ivf_search_sorted(spark, index_dir, queries, k=3, n_probe=2):
     )
 
 
+@pytest.mark.heavy
 def test_retrain_vector_index_equals_fresh_build(spark):
     """The rebuild contract, bit-exact: retraining the quantizer on the
     live (tombstone-applied) fold and re-assigning the stored vectors
@@ -2575,6 +2586,7 @@ def test_retrain_vector_index_equals_fresh_build(spark):
     assert n == live.count() + 1
 
 
+@pytest.mark.heavy
 def test_retrain_crash_recovery_all_prefixes(spark):
     """Every reachable retrain crash window recovers to the identical
     rebuilt index: tmp-only (staging crashed — discard, old state
@@ -2759,6 +2771,7 @@ def test_retrain_pq_missing_live_vector_fails_before_staging(spark):
     assert os.path.exists(f"{index_dir}/.deletes")  # old state untouched
 
 
+@pytest.mark.heavy
 def test_retrain_pq_crash_recovery_prefixes(spark):
     """The shared two-phase protocol under the PQ layout names: tmp-only
     crashes discard (old state intact), a full ready dir finishes to the
@@ -2875,6 +2888,7 @@ def _sem_state(spark, dirs):
     return cents, members, pairs
 
 
+@pytest.mark.heavy
 def test_retrain_semantic_index_equals_fresh_build(spark):
     """The SemDeDup rebuild contract, bit-exact: retraining the cell
     geometry on the live member fold and recomputing assignments + pairs
@@ -2925,6 +2939,7 @@ def test_retrain_semantic_index_equals_fresh_build(spark):
     assert _sem_state(spark, dirs)[2] == _sem_state(spark, fresh)[2]
 
 
+@pytest.mark.heavy
 def test_retrain_semantic_crash_recovery_prefixes(spark):
     """Every reachable semantic-retrain crash window recovers to the same
     three-layout state: tmp-only discards (old state intact), a full
@@ -3177,6 +3192,7 @@ def test_topk_delta_stream_bad_composition_raises(spark):
             ).collect()
 
 
+@pytest.mark.heavy
 def test_topk_delta_stream_all_pair_chains(spark):
     """Balanced chains made entirely of intra-epoch pairs resolve by
     value consistency (r12 review finding: self-cancelling churn across
@@ -3329,6 +3345,7 @@ def test_retrain_pq_index_conflicting_duplicate_vectors_raise(spark):
     assert stored.count() == live.count()
 
 
+@pytest.mark.heavy
 def test_distinct_and_join_delta_streams_under_real_runtime(spark):
     """The two r13 IVM sinks driven by the ACTUAL Structured Streaming
     engine (readStream → foreachBatch, availableNow), not just synchronous
