@@ -268,6 +268,11 @@ def embedding_centroid(
     from real_time_recommendation_system_with_feature_store_spark.functions.vectors import dot, l2_normalize
 
     by = list(by) if by else []
+    # NULL vectors contribute nothing (posexplode skips NULL) — callers
+    # that want the scan to SKIP null rows must pre-filter on the SOURCE
+    # column (see embedding_drift): filtering here on a computed ``vec``
+    # would be substituted below the projection by predicate pushdown and
+    # re-evaluate the vector expression per row (guide §4.4)
     per_dim = (
         df.select(*by, win, F.posexplode(vec).alias("i", "x"))
         .groupBy(*by, "i")

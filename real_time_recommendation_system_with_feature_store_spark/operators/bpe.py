@@ -60,7 +60,10 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     the char-level boundary-doubled start state. Words containing the
     delimiter (chr 30, a control char that never survives text cleaning)
     are dropped defensively."""
-    words = df.select(
+    # explicit null filter on the split source: split(NULL) is NULL and
+    # explode skips it (rows identical), and with InferFiltersFromGenerate
+    # excluded session-wide this is what pushes IsNotNull(text) to the scan
+    words = df.where(F.col(text_col).isNotNull()).select(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
     ).where((F.length("word") > 0) & (~F.col("word").contains(MARKER)))
     return words.groupBy("word").agg(F.count("*").alias("freq")).withColumn(

@@ -2780,7 +2780,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.topk import topk_per_key
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    toks = d.select(
+    # explicit source-side null filter on the explode branch (r15 verdict
+    # #2): tokens(NULL) is NULL and explode skips it, so rows are identical
+    # — but with InferFiltersFromGenerate excluded session-wide, this is
+    # what puts IsNotNull(text) back into the scan's PushedFilters. The
+    # filter goes on the toks branch only: n_docs must keep counting every
+    # doc.
+    toks = d.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(F.transform(tokens(F.col("text")), lambda t: F.lower(t))).alias("term")
     )
     tfc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -2863,7 +2869,9 @@ def _bm25_scored(
     terms = list(terms)
     k1, bb = 1.2, 0.75
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    # source-side null filter on the explode branch (r15 verdict #2; see
+    # tfidf_top_terms) — rows identical, IsNotNull(text) reaches the scan
+    toks = d.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.explode(F.transform(tokens(F.col("text")), lambda t: F.lower(t))).alias(
             "term"
@@ -7304,6 +7312,27 @@ def _transition_rank_tail(pairs: DataFrame) -> DataFrame:
 # oracle never needs to model the slicing.
 
 
+def _drive_epochs(sink, slices) -> None:
+    """Drive a per-epoch state sink over independent batch slices with the
+    epoch jobs OVERLAPPED (guide §2.6): each ``sink(slice, i)`` is its own
+    Spark action landing in its own ``epoch=i`` directory, and for the
+    commutative-fold sinks (sum/min/max/net deltas, sketches) the fold is
+    epoch-order-independent by the replay contract, so the driver may
+    submit them concurrently — the later jobs' tasks back-fill executors
+    freed by the earlier jobs' stragglers instead of serializing three
+    scheduling tails. Spark's scheduler runs concurrent jobs FIFO, which
+    is exactly the back-fill behaviour wanted; job descriptions are
+    thread-local, so each epoch stays labeled. Inputs must be materialized
+    (eager checkpoint / persisted) before the pool: concurrent FIRST
+    computation of a shared lazy frame serializes on block locks. NOT for
+    sinks whose epoch N reads state written by epochs < N (e.g. the
+    incremental span-dedup corpus) — those stay sequential loops."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(slices)) as pool:
+        list(pool.map(lambda t: sink(t[1], t[0]), enumerate(slices)))
+
+
 def _fold_state_dir(name: str, sf_dir: str) -> str:
     """Fresh per-(entry, SF, process) local state directory for the fold
     twins — wiped per call so a previous run's epochs (possibly from
@@ -7677,9 +7706,11 @@ def ivm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corrections = base.where(F.col("o_orderkey") % 11 == 0)
     # the three sink batches are three ACTIONS over slices of the same
-    # changelog — materialize the (day-sized) 3-way union once instead of
-    # re-deriving its two orders scans per batch
-    changelog = _reuse(
+    # changelog — materialize the (day-sized) 3-way union ONCE and EAGERLY:
+    # the epoch jobs then read persisted blocks instead of racing to
+    # compute a lazy checkpoint's partitions under block locks (the
+    # serialization trap documented on segment_recommendations' persist)
+    changelog = (
         o.where(F.col("o_orderdate") >= split)
         .select(F.lit("I").alias("op"), *keys, "o_totalprice", "o_orderkey")
         .unionByName(
@@ -7695,10 +7726,10 @@ def ivm_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey",
             )
         )
+        .localCheckpoint(eager=True)
     )
     sink = agg_delta_stream(state_dir, keys, "o_totalprice")
-    for i in range(3):
-        sink(changelog.where(F.col("o_orderkey") % 3 == i), i)
+    _drive_epochs(sink, [changelog.where(F.col("o_orderkey") % 3 == i) for i in range(3)])
     delta = read_agg_delta_state(spark, state_dir, keys)
     out = apply_agg_delta(view, delta, keys, null_safe_keys=False)
     return out.select(
@@ -10738,9 +10769,17 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("win"),
     )
-    e = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("item_id"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    # source-side null filter (r15 verdict #2): NULL embeddings contribute
+    # nothing to the centroid (posexplode skips NULL), and the plain-column
+    # predicate pushes to the scan — filtering on the computed v would be
+    # substituted below the projection and re-run the transform per row
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("item_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
     )
     j = ev.join(e, "item_id")
     from real_time_recommendation_system_with_feature_store_spark.evaluation.drift import embedding_centroid

@@ -4,6 +4,8 @@ small dims broadcast, hot paths stay in WholeStageCodegen."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -139,6 +141,7 @@ def test_negative_sample_has_no_dense_grid(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+@pytest.mark.heavy
 def test_no_cartesian_product_in_any_query_plan(spark):
     """Sweep every registered query: an accidental CartesianProduct (an
     un-keyed, un-broadcast join) is a plan bug at any scale. Intentional
@@ -1375,3 +1378,45 @@ def test_r15_entries_pass_plan_lint(spark):
     ):
         rules = {f["rule"] for f in lint_plan(QUERIES[name].fn(spark, SF_DIR))}
         assert rules <= tolerated.get(name, set()), (name, rules)
+
+
+def test_r16_explode_sources_push_isnotnull(spark):
+    """r15 verdict #2: InferFiltersFromGenerate is excluded session-wide
+    (session.py — it re-evaluates expensive generator trees in an
+    interpreted Filter), so every hot explode whose generator is
+    null-intolerant in a parquet column carries an EXPLICIT source-side
+    null filter instead. Assert the IsNotNull actually lands in the
+    scan's PushedFilters — that is the 100 TB claim (the scan skips
+    null-source rows it would otherwise read and parse).
+
+    Single-parse contract rides along: the _with_item entries must parse
+    the props JSON inside ONE Generate, never in a Filter + a Project
+    (one get_json_object per events-scan consumer in the plan)."""
+    from real_time_recommendation_system_with_feature_store_spark.queries import QUERIES
+
+    cases = {
+        # props JSON via _with_item (single Generate, no filter re-parse)
+        "item_trending_scores": "IsNotNull(props)",
+        "kcore_events": "IsNotNull(props)",
+        "segment_recommendations": "IsNotNull(props)",
+        "negative_samples": "IsNotNull(props)",
+        "popularity_ranking_metrics": "IsNotNull(props)",
+        # text tokenization explodes (tokens(NULL) is NULL -> rows identical)
+        "tfidf_top_terms": "IsNotNull(text)",
+        "bm25_doc_search": "IsNotNull(text)",
+        # embedding posexplode (source-column filter; the computed-v filter
+        # would be pushdown-substituted and re-run the transform per row)
+        "embedding_drift": "IsNotNull(embedding)",
+    }
+    for name, want in cases.items():
+        plan = explain_str(QUERIES[name].fn(spark, SF_DIR))
+        assert want in plan, (name, want, plan)
+
+    # single-parse: every remaining get_json_object sits under a Generate;
+    # the duplicated Filter+Project pattern evaluated it 2x per events-scan
+    # consumer, so parses must not exceed Generate count
+    for name in ("item_trending_scores", "kcore_events", "negative_samples"):
+        plan = explain_str(QUERIES[name].fn(spark, SF_DIR))
+        n_parse = plan.count("get_json_object")
+        n_gen = plan.count("Generate ")
+        assert n_parse <= n_gen, (name, n_parse, n_gen, plan)
