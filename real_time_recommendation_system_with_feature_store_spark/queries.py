@@ -6799,10 +6799,9 @@ def order_price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataF
         "branch off one events scan, not two.",
 )
 def rrf_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from real_time_recommendation_system_with_feature_store_spark.operators.fuse import rrf_fuse
     from real_time_recommendation_system_with_feature_store_spark.operators.graph import pagerank
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     ev = (
         _with_item(
@@ -6819,25 +6818,27 @@ def rrf_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # every ranked cut here is a global-limit shape (TakeOrderedAndProject
+    # + ≤n-row rank window) instead of an unpartitioned rank window that
+    # would sort the catalog-sized aggregate in ONE task (r15 verdict;
+    # operators/rank.py trap). Orderings are total (item_id tiebreak), so
+    # ranks are identical to the naive window form.
     def _top(df: DataFrame, metric: str) -> DataFrame:
-        w = Window.orderBy(F.col(metric).desc(), F.col("item_id").asc())
-        return df.select(
-            "item_id", F.row_number().over(w).alias("rank")
-        ).where(F.col("rank") <= 50)
+        return global_topn_ranked(
+            df, [F.col(metric).desc(), F.col("item_id").asc()], 50
+        ).select("item_id", "rank")
 
     pr = pagerank(_copurchase_edges(spark, sf_dir), "src", "dst", "w", iterations=3)
-    wpr = Window.orderBy(F.round(F.col("rank"), 12).desc(), F.col("node").asc())
-    prl = pr.select(
-        F.col("node").alias("item_id"), F.row_number().over(wpr).alias("rank")
-    ).where(F.col("rank") <= 50)
+    prl = global_topn_ranked(
+        pr.select(F.col("node").alias("item_id"), F.round(F.col("rank"), 12).alias("__pr")),
+        [F.col("__pr").desc(), F.col("item_id").asc()],
+        50,
+    ).select("item_id", "rank")
 
     fused = rrf_fuse([_top(base, "n_events"), _top(base, "n_users"), prl], on=["item_id"])
-    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("item_id").asc())
-    return (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .where(F.col("rank") <= 20)
-        .select("item_id", "rrf_score", "n_lists", "rank")
-    )
+    return global_topn_ranked(
+        fused, [F.col("rrf_score").desc(), F.col("item_id").asc()], 20
+    ).select("item_id", "rrf_score", "n_lists", "rank")
 
 
 @query(
@@ -6890,21 +6891,23 @@ def rrf_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_recommendation_system_with_feature_store_spark.operators.graph import triangle_counts
+    from real_time_recommendation_system_with_feature_store_spark.operators.topk import global_topn_ranked
 
     out = triangle_counts(_copurchase_edges(spark, sf_dir), "src", "dst")
-    from pyspark.sql import Window
-
-    w = Window.orderBy(
-        F.col("clustering_coeff").desc(),
-        F.col("triangles").desc(),
-        F.col("item_id").asc(),
-    )
-    return (
+    # global-limit shape (TakeOrderedAndProject) instead of a one-task
+    # unpartitioned rank window over the catalog-sized coefficient frame
+    # (r15 verdict); the ordering is total (item_id tiebreak) so ranks
+    # are identical to the naive window form.
+    return global_topn_ranked(
         out.select(
             F.col("node").alias("item_id"), "degree", "triangles", "clustering_coeff"
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
+        ),
+        [
+            F.col("clustering_coeff").desc(),
+            F.col("triangles").desc(),
+            F.col("item_id").asc(),
+        ],
+        20,
     )
 
 
@@ -9535,7 +9538,13 @@ def warehouse_day_close_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Exchange fewer, and the day's changelog aggregates once for
     # both rules. Both combined frames are group-sized (one row per
     # priority at any scale), so they materialize once via _reuse and
-    # each rule projects the columns it consumes.
+    # each rule projects the columns it consumes. Local wall verdict
+    # (3×3 interleaved passes at sf0.1, identical-code controls in every
+    # pass): indistinguishable from both the r15 per-rule shape and a
+    # base-side-only sharing variant — the control swung ±40% on this
+    # host while this form won 2 of 3 passes — so the shape is chosen on
+    # the scale argument alone (base scan + base Exchange + one day-sized
+    # delta pass saved, for one extra O(1) checkpoint job barrier).
     base_stats = _reuse(
         a_before.groupBy(*keys).agg(
             F.count("*").alias("n"),

@@ -465,6 +465,38 @@ def test_extrema_collapse_reserved_name_collision_raises(spark):
         collapse_extrema_changes(df, ["imn"], "m")
 
 
+def test_agg_extrema_delta_matches_separate_collapses(spark):
+    """The combined one-pass collapse (r16 day-close shared sub-aggregation)
+    must be column-for-column identical to running agg_delta and
+    collapse_extrema_changes separately over the same changelog — including
+    extra measures, retraction signs, groups with only deletes, and the
+    nbad guard column."""
+    from real_time_recommendation_system_with_feature_store_spark.operators.ivm import (
+        agg_extrema_delta,
+        collapse_extrema_changes,
+    )
+
+    rows = [
+        ("I", "a", 10.0), ("D", "a", 10.0), ("I", "a", 12.5),  # update pair + insert
+        ("I", "b", 3.0), ("I", "b", 9.0),                       # insert-only group
+        ("D", "c", 7.5),                                        # delete-only group
+        ("I", "d", -2.0), ("D", "d", -2.0),                     # self-cancelling
+    ]
+    chg = spark.createDataFrame(rows, "op string, g string, m double")
+    m = F.col("m")
+    combined = agg_extrema_delta(chg, ["g"], m, extra_measures={"ss": m * m})
+    separate = agg_delta(chg, ["g"], m, extra_measures={"ss": m * m}).join(
+        collapse_extrema_changes(chg, ["g"], "m"), ["g"], "full_outer"
+    )
+    cols = ["g", "n", "total", "ss", "imn", "imx", "dmn", "dmx", "nbad"]
+    got = sorted(tuple(r) for r in combined.select(*cols).collect())
+    want = sorted(tuple(r) for r in separate.select(*cols).collect())
+    assert got == want and len(got) == 4
+
+    with pytest.raises(ValueError, match="reserved"):
+        agg_extrema_delta(chg.withColumnRenamed("g", "imx"), ["imx"], m)
+
+
 # --- distinct-count IVM (support-count side table) ------------------------
 
 
