@@ -703,6 +703,7 @@ def test_minhash_lsh_candidate_growth_is_linear(spark):
 
 
 @_pytest.mark.slow
+@pytest.mark.heavy
 def test_ivf_topk_growth_is_near_linear(spark):
     """ivf_topk with a FIXED query set over 1/4/8× items (ids remapped,
     vectors replicated — cells get denser, probe volume stays
