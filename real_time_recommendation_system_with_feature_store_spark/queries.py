@@ -10955,78 +10955,74 @@ def score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evaluates the rotation invariant against evidence from rounds BEFORE
 # this one (the window must front what was stalest when it was written),
 # and fails once a newer round's artifact lands without a bump+rotation.
-_DRIVER_WINDOW_ROUND = 15
+_DRIVER_WINDOW_ROUND = 16
 
 _DRIVER_WINDOW = [
-    # r15 ROTATION.  Evidence ledger after r14: 49 entries newest-green
-    # @ r14, 50 @ r13, 50 @ r12, 42 @ r11, plus warehouse_day_close_full
-    # (r14's red row — array-typed output crashed the driver's
-    # canonicalizer before comparison; now serialized as a string and
-    # never driver-green, so it fronts) and the nine new-this-round
-    # entries (late_epoch_fold, drift_sketch_fold, the four batch drift
-    # monitors, per-user AUC, popularity Gini, the data-quality report
-    # — never driver-checked).  This window = those 10 + 40 of the 42
-    # r11-stale entries (the r14 verdict's "What's missing" list;
-    # two_stage_recommendations and user_value_scd2 defer one round —
-    # with 10 never-checked entries the 50-slot window can no longer
-    # hold all 42, and the guard's cutoff with 201 entries lands at
-    # r11: everything < r11
-    # must front, r12 entries fill the rest in any order (first
-    # alphabetically for determinism).
-    # After this round nothing in the catalog has evidence older than
-    # r12 and every entry in the catalog's history is driver-green.
-    # never-green / never-checked (must front per the guard):
-    "warehouse_day_close_full",
-    "late_epoch_fold",
-    "feature_drift_ks",
-    "feature_drift_ks_sketch",
-    "event_type_drift_chisq",
-    "embedding_drift",
-    "score_auc_per_user",
-    "item_popularity_gini",
-    "drift_sketch_fold",
-    "data_quality_report",
-    # r11-stale (all 42 — nothing older remains after this round):
-    "coverage_novelty",
-    "decayed_counts_fold",
-    "domain_mixture_sample",
-    "event_key_skew",
-    "event_type_pivot",
-    "funnel_state_fold",
-    "gopher_quality_flags",
-    "hll_sketch_fold",
-    "interpolated_event_values",
-    "item_pagerank_topk",
-    "item_transition_matrix",
-    "ivf_index_fold",
-    "ivm_delta_fold",
-    "label_centroid_margins",
-    "label_noise_knn",
-    "label_noise_knn_ivf",
-    "leave_one_out_events",
-    "linear_rerank_topk",
-    "lsh_index_fold",
-    "minhash_index_fold",
-    "nation_top_balance_customers",
-    "order_price_quantiles_by_priority",
-    "pagerank_quality_prior",
-    "perplexity_buckets",
-    "ppr_trending_items",
-    "pq_index_fold",
-    "pricing_summary",
-    "qsketch_fold",
-    "ranking_metrics_multi_k",
-    "region_revenue",
-    "rollup_extrema_priority_price",
-    "rrf_hybrid_recommendations",
-    "semantic_dedup_fold",
-    "session_window_stats",
-    "span_dedup_fold",
-    "text_quality",
-    "time_split_orders",
-    "token_budget_packing",
-    "transition_state_fold",
-    "tree_rerank_topk",
+    # r16 ROTATION.  Evidence ledger after r15: 50 entries newest-green
+    # @ r15, 49 @ r14, 50 @ r13, 50 @ r12, and the two r15 deferrals
+    # still @ r11 (two_stage_recommendations, user_value_scd2).  With a
+    # 201-entry catalog the guard cutoff lands at r12: the two r11
+    # entries MUST front, and the remaining 48 slots fill from the
+    # 50-entry r12 tier (first alphabetically for determinism — the
+    # two left waiting, value_percentiles and view_click_purchase_funnel,
+    # front automatically next rotation).  Usefully for THIS round, the tier
+    # includes many entries the r16 optimization touched
+    # (item_trending_scores, kcore_events, item_interaction_counts,
+    # two_stage_recommendations, embedding_near_dup_lsh,
+    # bm25_doc_search, ...) whose newest driver evidence predates the
+    # _with_item/global-limit rewrites — the driver re-certifies them.
+    # must front (evidence < cutoff):
+    "two_stage_recommendations",
+    "user_value_scd2",
+    # r12 tier (== cutoff), alphabetical:
+    "acctbal_zscore",
+    "bm25_doc_search",
+    "bm25_tombstone_fold",
+    "bracket_part_revenue",
+    "brand_top_parts",
+    "click_and_purchase_users",
+    "cms_heavy_hitters",
+    "collect_event_types",
+    "compact_recovery_fold",
+    "corpus_export_pipeline",
+    "corpus_filter_funnel",
+    "customer_order_profile",
+    "customers_without_orders",
+    "daily_cohort_retention",
+    "daily_user_activity_spine",
+    "decayed_rebase_fold",
+    "dedup_cluster_keepers",
+    "doc_dedup_exact",
+    "embedding_near_dup_lsh",
+    "embedding_norms",
+    "eval_contamination_pruned",
+    "event_key_skew_cms",
+    "event_type_pair_cardinality_hll",
+    "event_type_stats",
+    "event_value_norm",
+    "extrema_state_fold",
+    "feature_day_close_pipeline",
+    "global_top_parts",
+    "hybrid_doc_retrieval",
+    "incremental_dedup_candidates",
+    "inter_event_gaps",
+    "item_interaction_counts",
+    "item_trending_scores",
+    "ivf_ann_topk",
+    "ivf_purge_fold",
+    "ivf_rebuild_fold",
+    "ivf_tombstone_fold",
+    "kcore_events",
+    "knn_cosine_topk",
+    "pq_rebuild_fold",
+    "price_quantile_sketch",
+    "rollup_topk_priority_orders",
+    "semantic_rebuild_fold",
+    "semantic_tombstone_fold",
+    "sliding_window_counts",
+    "topk_state_fold",
+    "user_activity_windows",
+    "user_event_arrays",
 ]
 
 def _reorder_registry() -> None:
